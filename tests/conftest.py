@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from legend_community_delta_spark import Legend, load_dicts  # noqa: E402
+from fixtures import ALL_ENTITIES  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark(tmp_path_factory):
+    from pyspark.sql import SparkSession
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("legend-community-delta-spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.warehouse.dir", str(warehouse))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def model():
+    return load_dicts(ALL_ENTITIES)
+
+
+@pytest.fixture(scope="session")
+def legend(model):
+    return Legend(model)
+
+
+@pytest.fixture(scope="session")
+def legend_spark(model, spark):
+    return Legend(model, spark)
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
