@@ -103,6 +103,24 @@ class Legend:
         """Execute the synthesized query (reference ``Legend.scala:105-108``)."""
         return self.spark.sql(self.generate_sql(path))
 
+    def generate_sql_pure(self, lambda_text: str, mapping_path: str) -> str:
+        """Compile an ad-hoc PURE query lambda (text) against a mapping.
+
+        Extension over the reference API: the reference can only run lambdas
+        stored in services; we accept user-authored lambdas directly, e.g.
+        ``demo::entity::employee.all()->filter(x|$x.highFives > 5)``.
+        """
+        from .plans.parser import parse_lambda
+        from .plans.query import parse_service_lambda, plan_sql
+        mapping = self.model.get_mapping(mapping_path)
+        cls = self.model.get_class(mapping.class_path)
+        plan = parse_service_lambda(parse_lambda(lambda_text))
+        return plan_sql(self.model, plan, mapping.qualified_table, cls,
+                        mapping.property_columns)
+
+    def query_pure(self, lambda_text: str, mapping_path: str) -> DataFrame:
+        return self.spark.sql(self.generate_sql_pure(lambda_text, mapping_path))
+
     # -- DDL -------------------------------------------------------------------
 
     def create_table(self, mapping_path: str, location: str | None = None,
@@ -150,6 +168,27 @@ def _ddl_column(f: T.StructField) -> str:
     if comment:
         ddl += " COMMENT '" + comment.replace("'", "''") + "'"
     return ddl
+
+
+class LegendCodeGen:
+    """Reverse codegen facade (reference ``python/legend/delta.py:91-95``)."""
+
+    @staticmethod
+    def generate_from_table(spark: SparkSession, namespace: str,
+                            qualified_table: str) -> str:
+        from .codegen import generate_pure_from_table
+        return generate_pure_from_table(spark, namespace, qualified_table)
+
+    @staticmethod
+    def generate_from_database(spark: SparkSession, namespace: str,
+                               database: str) -> str:
+        from .codegen import generate_pure_from_database
+        return generate_pure_from_database(spark, namespace, database)
+
+    @staticmethod
+    def validate_model(text: str) -> bool:
+        from .plans.parser import validate_model
+        return validate_model(text)
 
 
 class LegendFileLoader:
