@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale corpora.
+
+Five families, each picked for a different scale/precision point:
+
+* :func:`exact_dedup` — hash-groupBy on normalized content.  One shuffle
+  keyed by a 64-bit hash; survives any scale (AQE handles skew).
+* :func:`minhash_dedup` — MinHash + LSH banding.  Narrow map to compute
+  signatures (no explode-shuffle), then one shuffle per *candidate* band
+  bucket — the standard sub-quadratic near-dup path for 100 TB corpora.
+* :func:`simhash` / :func:`simhash_dedup` — 64-bit SimHash; near-dups =
+  hamming distance <= k, candidates via 16-bit chunk banding.
+* :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via shingle
+  self-join; quadratic in bucket size, meant for verification / small
+  slices, and as the verifier behind the MinHash candidates.
+* :func:`embedding_dedup` — semantic near-dup over embedding vectors
+  (cosine >= threshold), LSH-bucketed.
+
+All operators are pure DataFrame compositions (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import char_shingles, content_hash, word_ngrams
+from ..functions.vectors import cosine, hyperplane_signature
+
+# Mersenne prime 2^31-1: keeps a*h+b < 2^62 so the permutation math never
+# overflows a long under ANSI mode (Spark 4 default); 2^31 hash space per
+# permutation is ample for minhash estimation
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """Keep one row per distinct normalized content.
+
+    Dedup key is a 64-bit xxhash of whitespace-normalized lowercase text —
+    the groupBy shuffles only (hash, id), not the payload, then rejoins
+    winners; at scale this is the classic two-pass exact dedup.
+    """
+    keyed = df.withColumn("__key", content_hash(text_col))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    winners = keyed.groupBy("__key").agg(agg.alias(id_col))
+    return (keyed.join(winners, ["__key", id_col], "left_semi")
+            .drop("__key"))
+
+
+def dedup_stats(df: DataFrame, text_col: str = "text",
+                group_col: str | None = None) -> DataFrame:
+    """Duplication metrics: total rows, distinct contents, dup rows."""
+    keys = [group_col] if group_col else []
+    return (df.withColumn("__key", content_hash(text_col))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("rows_total"),
+                 F.countDistinct("__key").alias("rows_distinct"))
+            .withColumn("rows_duplicate",
+                        F.col("rows_total") - F.col("rows_distinct")))
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+            for _ in range(num_hashes)]
+
+
+def minhash_signature(text_col: str, num_hashes: int = 64, shingle_k: int = 5,
+                      seed: int = 42) -> F.Column:
+    """MinHash signature column (array<long>) over character k-shingles.
+
+    ``min((a*h(s)+b) mod p)`` per permutation — computed with
+    transform/array_min inside codegen: a narrow map, no shuffle, which is
+    what lets this run as a single scan over 100 TB.
+    """
+    base = F.transform(char_shingles(text_col, shingle_k),
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
+
+    mins = [F.array_min(F.transform(base, perm(a, b)))
+            for a, b in _hash_params(num_hashes, seed)]
+    return F.array(*mins)
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 64, bands: int = 16,
+                  shingle_k: int = 5, threshold: float = 0.7,
+                  seed: int = 42) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH banding.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
+    estimated Jaccard >= *threshold*.  Banding: r = num_hashes/bands rows
+    per band; a pair collides if any band hash matches.  The only wide
+    operations are the band-bucket groupBy-join and the per-pair estimate.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+
+    sigs = (df.select(F.col(id_col).alias("__id"),
+                      minhash_signature(text_col, num_hashes, shingle_k, seed)
+                      .alias("__sig"))
+            .where(F.size("__sig") > 0))
+
+    banded = sigs.select(
+        "__id", "__sig",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.array_join(
+                    F.transform(F.slice("__sig", b * r + 1, r),
+                                lambda x: x.cast("string")), ",")
+                ).alias("bucket")))).alias("__band"))
+
+    left = banded.select(F.col("__id").alias("id_a"),
+                         F.col("__sig").alias("sig_a"), "__band")
+    right = banded.select(F.col("__id").alias("id_b"),
+                          F.col("__sig").alias("sig_b"), "__band")
+    pairs = (left.join(right, "__band")
+             .where(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda a, b: a == b),
+                           lambda x: x)).cast("double")
+           / F.lit(float(num_hashes)))
+    return (pairs.withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash(text_col: str, ngram: int = 2, bits: int = 64) -> F.Column:
+    """64-bit SimHash over word n-gram hashes (long column, codegen-only).
+
+    One per-bit majority vote expression per bit — a wide expression tree,
+    but a *narrow* plan: a single projection over the scan, no shuffle.
+    """
+    hashes = F.transform(word_ngrams(text_col, ngram), lambda g: F.xxhash64(g))
+
+    def vote(b: int) -> F.Column:
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(
+            F.when(vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def hamming64(a: F.Column | str, b: F.Column | str) -> F.Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, ngram: int = 2) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= *max_hamming*.
+
+    Candidates come from banding the 64-bit hash into four 16-bit chunks
+    (pigeonhole: any pair within distance 3 shares at least one chunk), so
+    the join is equi-key, never a cross product.
+    """
+    sigs = df.select(F.col(id_col).alias("__id"),
+                     simhash(text_col, ngram).alias("__sim"))
+    chunks = sigs.select(
+        "__id", "__sim",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftright("__sim", i * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("val"))
+            for i in range(4)])).alias("__c"))
+    left = chunks.select(F.col("__id").alias("id_a"),
+                         F.col("__sim").alias("sim_a"), "__c")
+    right = chunks.select(F.col("__id").alias("id_b"),
+                          F.col("__sim").alias("sim_b"), "__c")
+    return (left.join(right, "__c")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", hamming64("sim_a", "sim_b"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all colliding pairs.
+
+    Shuffle cost is |distinct (ngram, doc)|; hot shingles can explode the
+    bucket join, so at scale run this only behind MinHash candidates.
+    Deterministic (integer set math + one double division) — this one IS
+    SQL-expressible, so it carries a duckdb oracle in the harness.
+    """
+    grams = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(F.array_distinct(word_ngrams(text_col, n)))
+                       .alias("gram")))
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("__id").alias("id_a"), "gram")
+    b = grams.select(F.col("__id").alias("id_b"), "gram")
+    inter = (a.join(b, "gram")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", threshold: float = 0.95,
+                    n_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= threshold, LSH-bucketed.
+
+    Random-hyperplane signature buckets candidates (narrow map + one
+    equi-join); exact cosine verifies.  High thresholds keep buckets tight.
+    """
+    dims = len(df.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(n_planes)]
+    sigs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                     hyperplane_signature(vec_col, planes).alias("__bucket"))
+    left = sigs.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"),
+                       "__bucket")
+    right = sigs.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"),
+                        "__bucket")
+    return (left.join(right, "__bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("cosine", cosine("v_a", "v_b"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,77 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force top-k.  Spark plans order-by+limit as
+  ``TakeOrderedAndProject``: each partition keeps its own k, the driver
+  merges — no global sort, scales linearly with the table.
+* :func:`cosine_topk_many` — many queries at once: broadcast the (small)
+  query set, cross join, per-query window top-k.
+* :func:`lsh_topk` — the scale path: random-hyperplane bucket + multiprobe
+  (flip one bit), exact cosine within candidates only.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine, hyperplane_signature, literal_vector
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+
+    Ties break on *id_col* so results are deterministic.
+    """
+    q = literal_vector(query_vec)
+    return (df.select(F.col(id_col),
+                      F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
+def cosine_topk_many(df: DataFrame, queries: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec") -> DataFrame:
+    """Top-k per query for a whole DataFrame of query vectors.
+
+    The query side is broadcast (it is small by construction); ranking is a
+    window partitioned by query — one shuffle keyed on query_id.
+    """
+    joined = df.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 12, multiprobe: bool = True,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (plus all 1-bit
+    neighbors when *multiprobe*), exact cosine inside candidates.
+
+    At scale: persist the signature column (or bucket-partition the table)
+    once, then every query scans ~1/2^n_planes of the data.
+    """
+    dims = len(query_vec)
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(n_planes)]
+
+    # driver-side signature of the query vector (same math as the column)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        proj = sum(float(a) * b for a, b in zip(query_vec, plane))
+        if proj >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)]
+                       if multiprobe else [])
+
+    sig = hyperplane_signature(vec_col, planes)
+    candidates = df.where(sig.isin(probes))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)

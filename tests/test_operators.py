@@ -1,0 +1,183 @@
+"""Training-data operator tests: text functions, vectors, dedup, similarity,
+multimodal plumbing — on small authored data plus the sf0.001 tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from legend_community_delta_spark.functions import text as TX
+from legend_community_delta_spark.functions import vectors as V
+from legend_community_delta_spark.operators import dedup as DD
+from legend_community_delta_spark.operators import similarity as SIM
+from legend_community_delta_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_image_features,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=3, text="The quick  brown fox jumps over the lazy dog"),  # normalized dup
+        Row(doc_id=4, text="the quick brown fox leaps over the lazy dog"),  # near dup
+        Row(doc_id=5, text="completely different content about spark engines"),
+        Row(doc_id=6, text=""),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_text_functions(spark, docs):
+    out = docs.select(
+        "doc_id",
+        TX.token_count("text").alias("ntok"),
+        TX.punct_ratio("text").alias("punct"),
+        TX.stopword_ratio("text").alias("sw"),
+        TX.mean_word_length("text").alias("mwl"),
+        TX.quality_score("text").alias("q"),
+        TX.content_hash("text").alias("h"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["ntok"] == 9
+    assert by_id[6]["ntok"] == 0
+    assert by_id[1]["sw"] > 0.2           # 'the' twice + 'over'
+    assert by_id[1]["h"] == by_id[2]["h"]
+    assert by_id[1]["h"] == by_id[3]["h"]  # case/whitespace normalized
+    assert by_id[1]["h"] != by_id[4]["h"]
+    assert 0.0 <= by_id[5]["q"] <= 1.0
+
+
+def test_word_ngrams_and_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    row = df.select(TX.word_ngrams("t", 2).alias("g"),
+                    TX.char_shingles("t", 3).alias("s")).first()
+    assert row["g"] == ["a b", "b c", "c d"]
+    assert row["s"] == ["a b", " b ", "b c", " c ", "c d"]
+    short = spark.createDataFrame([Row(t="x")]).select(
+        TX.word_ngrams("t", 2).alias("g")).first()
+    assert short["g"] == []
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, t="the cat and the dog went to the park"),
+        Row(doc_id=2, t="der hund und die katze ist nicht da"),
+        Row(doc_id=3, t="le chat est dans la maison pour une heure"),
+        Row(doc_id=4, t="这是一个中文句子"),
+        Row(doc_id=5, t="zzz qqq xxx"),
+    ])
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", TX.language_id("t").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[2.0, 4.0, 6.0],
+                                    z=[0.0, 0.0, 0.0])])
+    row = df.select(V.dot("a", "b").alias("d"),
+                    V.cosine("a", "b").alias("c"),
+                    V.cosine("a", "z").alias("cz")).first()
+    assert row["d"] == pytest.approx(28.0)
+    assert row["c"] == pytest.approx(1.0)
+    assert row["cz"] == 0.0
+
+
+def test_exact_dedup(docs):
+    kept = DD.exact_dedup(docs).select("doc_id").rdd.map(lambda r: r[0]).collect()
+    assert sorted(kept) == [1, 4, 5, 6]   # 2,3 fold into 1
+    stats = DD.dedup_stats(docs).first()
+    assert stats["rows_total"] == 6
+    assert stats["rows_distinct"] == 4
+
+
+def test_minhash_dedup(docs):
+    pairs = DD.minhash_dedup(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got                   # near dup caught
+    assert all(5 not in p and 6 not in p for p in got)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(1, 2)] == 1.0
+
+
+def test_simhash_dedup(docs):
+    pairs = DD.simhash_dedup(docs, max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert all((1, 5) != k and (4, 5) != k for k in got)
+
+
+def test_ngram_jaccard(docs):
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.4 <= got[(1, 4)] < 1.0
+
+
+def test_embedding_dedup_and_topk(spark):
+    import random
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [Row(vec_id=0, embedding=[float(x) for x in base]),
+            Row(vec_id=1, embedding=[float(x * 1.001 + 0.001) for x in base]),
+            Row(vec_id=2, embedding=[float(-x) for x in base]),
+            Row(vec_id=3, embedding=[rng.gauss(0, 1) for _ in range(16)])]
+    df = spark.createDataFrame(rows)
+
+    dups = DD.embedding_dedup(df, threshold=0.99, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    assert (0, 1) in got and (0, 2) not in got
+
+    top = SIM.cosine_topk(df, base, k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["cosine"] == pytest.approx(1.0)
+
+    # LSH path finds the same best match
+    lsh = SIM.lsh_topk(df, base, k=1, n_planes=4).collect()
+    assert lsh[0]["vec_id"] == 0
+
+
+def test_cosine_topk_many(spark):
+    rows = [Row(vec_id=i, embedding=[1.0 * (i == j) for j in range(4)])
+            for i in range(4)]
+    df = spark.createDataFrame(rows)
+    queries = spark.createDataFrame([
+        Row(query_id=100, query_vec=[1.0, 0.0, 0.0, 0.0]),
+        Row(query_id=101, query_vec=[0.0, 0.0, 1.0, 0.0])])
+    out = SIM.cosine_topk_many(df, queries, k=1).collect()
+    got = {r["query_id"]: r["vec_id"] for r in out}
+    assert got == {100: 0, 101: 2}
+
+
+def test_multimodal_plumbing(spark):
+    rows = [Row(media_id=1, payload=bytearray(b"fake-image-bytes-1")),
+            Row(media_id=2, payload=bytearray(b"fake-image-bytes-2")),
+            Row(media_id=3, payload=None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = attach_media_meta(df).collect()
+    assert {r["media_id"]: r["n_bytes"] for r in meta}[1] == 18
+
+    feats = extract_image_features(df, dim=4).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["feature"]) == 4
+    assert by_id[1]["sha256"] != by_id[2]["sha256"]
+    assert by_id[3]["feature"] == []
+    # determinism
+    again = {r["media_id"]: r["feature"]
+             for r in extract_image_features(df, dim=4).collect()}
+    assert again[1] == by_id[1]["feature"]
+
+
+def test_on_real_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = docs.select(TX.token_count("text").alias("n")).agg(
+        F.min("n"), F.max("n")).first()
+    assert out[0] >= 0 and out[1] > 0
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    top = SIM.cosine_topk(emb, [float(x) for x in q], k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
