@@ -1,0 +1,81 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": "<dir>"}
+
+Execution is forced with the noop sink (full computation, no driver
+collect overhead) except for small top-k results which are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: legend paths, relational core, training-data operators
+BENCH_QUERIES = [
+    "legend_mapping_orders",
+    "legend_service_part_stats",
+    "legend_dq_lineitem",
+    "q1_pricing_summary",
+    "q3_topk_orders",
+    "q5_region_revenue",
+    "window_top_orders",
+    "sessionize_events",
+    "rollup_lineitem",
+    "dedup_exact_docs",
+    "text_quality_by_lang",
+    "shingle_stats",
+    "minhash_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("legend-community-delta-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from legend_community_delta_spark import demo
+
+    demo.ensure_views(spark, SF_DIR)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = demo.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

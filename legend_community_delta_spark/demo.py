@@ -1,0 +1,658 @@
+"""Demo model + query suite over the driver's synthetic TPC-H-ish tables.
+
+This is the engine's showcase and the correctness-gate surface: a Legend
+model authored over the ``orders``/``lineitem``/``part`` tables exercises
+the metadata-compiler path (mapping query synthesis, service compilation,
+expectations), while the relational/training-data queries exercise the
+operator library.  ``__spark_entry__.py`` and ``bench.py`` both import
+from here.
+
+Determinism contract with the DuckDB oracle (driver hashes values):
+
+* monetary aggregates go through DECIMAL casts (exact sums) and convert to
+  DOUBLE at the end — bit-identical across engines;
+* averages are written as exact-sum / count (double division of identical
+  operands);
+* every ORDER BY ... LIMIT carries a unique tie-break key;
+* floating similarity scores are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dataframe import dq_metrics
+from .legend import Legend
+from .model.loader import load_dicts
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .functions import text as TX
+
+# ---------------------------------------------------------------------------
+# A Legend model over the TPC-H-ish tables (authored in-code)
+# ---------------------------------------------------------------------------
+
+
+def _prop(name: str, ptype: str, lower: int = 1, upper: int | None = 1) -> dict:
+    return {"name": name, "type": ptype,
+            "multiplicity": {"lowerBound": lower,
+                             **({"upperBound": upper} if upper is not None else {})}}
+
+
+def _this(name: str) -> dict:
+    return {"_type": "property", "property": name,
+            "parameters": [{"_type": "var", "name": "this"}]}
+
+
+def _var(v: str, name: str) -> dict:
+    return {"_type": "property", "property": name,
+            "parameters": [{"_type": "var", "name": v}]}
+
+
+def _fn(name: str, *params: dict) -> dict:
+    return {"_type": "func", "function": name, "parameters": list(params)}
+
+
+def _int(v: int) -> dict:
+    return {"_type": "integer", "values": [v],
+            "multiplicity": {"lowerBound": 1, "upperBound": 1}}
+
+
+def _float(v: float) -> dict:
+    return {"_type": "float", "values": [v],
+            "multiplicity": {"lowerBound": 1, "upperBound": 1}}
+
+
+def _str(v: str) -> dict:
+    return {"_type": "string", "values": [v],
+            "multiplicity": {"lowerBound": 1, "upperBound": 1}}
+
+
+def _lam(body: dict, param: str = "x") -> dict:
+    return {"_type": "lambda", "body": [body],
+            "parameters": [{"_type": "var", "name": param}]}
+
+
+def _coll(*values: dict) -> dict:
+    return {"_type": "collection", "values": list(values),
+            "multiplicity": {"lowerBound": len(values), "upperBound": len(values)}}
+
+
+def _mapping(pkg: str, name: str, class_path: str, table: str,
+             columns: dict[str, str]) -> dict:
+    return {"content": {
+        "_type": "mapping", "package": pkg, "name": name,
+        "classMappings": [{
+            "_type": "relational", "class": class_path,
+            "mainTable": {"_type": "Table", "schema": "", "table": table},
+            "propertyMappings": [
+                {"_type": "relationalPropertyMapping",
+                 "property": {"class": class_path, "property": p},
+                 "relationalOperation": {"_type": "column", "column": c}}
+                for p, c in columns.items()]}]}}
+
+
+ORDER_STATUS_VALUES = ["O", "F", "P"]
+
+TPCH_ENTITIES: list[dict] = [
+    {"content": {"_type": "Enumeration", "package": "tpch::entity",
+                 "name": "orderstatus",
+                 "values": [{"value": v} for v in ORDER_STATUS_VALUES]}},
+    {"content": {"_type": "Enumeration", "package": "tpch::entity",
+                 "name": "returnflag",
+                 "values": [{"value": v} for v in ["A", "N", "R"]]}},
+    {"content": {
+        "_type": "class", "package": "tpch::entity", "name": "order",
+        "superTypes": [],
+        "properties": [
+            _prop("orderKey", "Number"),
+            _prop("custKey", "Number"),
+            _prop("orderStatus", "tpch::entity::orderstatus"),
+            _prop("totalPrice", "Decimal"),
+            _prop("orderDate", "DateTime"),
+            _prop("orderPriority", "String", lower=0),
+        ],
+        "qualifiedProperties": [
+            {"name": "orderYear", "returnType": "Integer",
+             "returnMultiplicity": {"lowerBound": 1, "upperBound": 1},
+             "parameters": [], "body": [_fn("year", _this("orderDate"))]},
+        ],
+        "constraints": [
+            {"name": "[totalPrice] must be positive",
+             "functionDefinition": {"_type": "lambda", "parameters": [],
+                                    "body": [_fn("greaterThan", _this("totalPrice"),
+                                                 _int(0))]}},
+        ]}},
+    {"content": {
+        "_type": "class", "package": "tpch::entity", "name": "lineitem",
+        "superTypes": [],
+        "properties": [
+            _prop("orderKey", "Number"),
+            _prop("partKey", "Number"),
+            _prop("suppKey", "Number"),
+            _prop("lineNumber", "Integer"),
+            _prop("quantity", "Decimal"),
+            _prop("extendedPrice", "Decimal"),
+            _prop("discount", "Decimal"),
+            _prop("tax", "Decimal"),
+            _prop("returnFlag", "tpch::entity::returnflag"),
+            _prop("lineStatus", "String"),
+            _prop("shipDate", "DateTime"),
+        ],
+        "qualifiedProperties": [],
+        "constraints": [
+            {"name": "[discount] should be positive",
+             "functionDefinition": {"_type": "lambda", "parameters": [],
+                                    "body": [_fn("greaterThan", _this("discount"),
+                                                 _int(0))]}},
+            {"name": "[tax] below cap",
+             "functionDefinition": {"_type": "lambda", "parameters": [],
+                                    "body": [_fn("lessThan", _this("tax"),
+                                                 _float(0.05))]}},
+        ]}},
+    {"content": {
+        "_type": "class", "package": "tpch::entity", "name": "part",
+        "superTypes": [],
+        "properties": [
+            _prop("partKey", "Number"),
+            _prop("name", "String"),
+            _prop("brand", "String"),
+            _prop("type", "String"),
+            _prop("size", "Integer"),
+            _prop("retailPrice", "Decimal"),
+        ],
+        "qualifiedProperties": [], "constraints": []}},
+    _mapping("tpch::mapping", "orders_delta", "tpch::entity::order", "orders", {
+        "orderKey": "o_orderkey", "custKey": "o_custkey",
+        "orderStatus": "o_orderstatus", "totalPrice": "o_totalprice",
+        "orderDate": "o_orderdate", "orderPriority": "o_orderpriority"}),
+    _mapping("tpch::mapping", "lineitem_delta", "tpch::entity::lineitem", "lineitem", {
+        "orderKey": "l_orderkey", "partKey": "l_partkey", "suppKey": "l_suppkey",
+        "lineNumber": "l_linenumber", "quantity": "l_quantity",
+        "extendedPrice": "l_extendedprice", "discount": "l_discount",
+        "tax": "l_tax", "returnFlag": "l_returnflag",
+        "lineStatus": "l_linestatus", "shipDate": "l_shipdate"}),
+    _mapping("tpch::mapping", "part_delta", "tpch::entity::part", "part", {
+        "partKey": "p_partkey", "name": "p_name", "brand": "p_brand",
+        "type": "p_type", "size": "p_size", "retailPrice": "p_retailprice"}),
+    {"content": {
+        "_type": "service", "package": "tpch::service", "name": "part_stats",
+        "pattern": "/part_stats",
+        "execution": {
+            "_type": "pureSingleExecution",
+            "mapping": "tpch::mapping::part_delta",
+            "func": {"_type": "lambda", "parameters": [], "body": [
+                _fn("take",
+                    _fn("sort",
+                        _fn("groupBy",
+                            _fn("getAll", {"_type": "packageableElementPtr",
+                                           "fullPath": "tpch::entity::part"}),
+                            _coll(_lam(_var("x", "brand"))),
+                            _coll(_fn("agg", _lam(_var("x", "size")),
+                                      _lam(_fn("average",
+                                               {"_type": "var", "name": "x"}))),
+                                  _fn("agg", _lam(_var("x", "partKey")),
+                                      _lam(_fn("count",
+                                               {"_type": "var", "name": "x"})))),
+                            _coll(_str("Brand"), _str("AvgSize"), _str("Parts"))),
+                        _coll(_fn("desc", _str("AvgSize")),
+                              _str("Brand"))),
+                    _int(10))]}}}},
+]
+
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Parquet columns with nanosecond timestamps (Spark can't read
+    UTC-adjusted TIMESTAMP(NANOS) natively — PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow.parquet as pq
+    return [f.name for f in pq.read_schema(path)
+            if str(f.type).startswith("timestamp[ns")]
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    ns_cols = _nanos_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # read nanos as long, then truncate to microseconds — the same value
+    # DuckDB exposes after its ns->us python conversion
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+            .cast("timestamp_ntz"))
+    return df
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the synthetic tables as temp views (idempotent, cheap)."""
+    registered = getattr(spark, "_legend_demo_views", None)
+    if registered == sf_dir:
+        return
+    for name in _TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            _read_table(spark, path).createOrReplaceTempView(name)
+    try:
+        spark._legend_demo_views = sf_dir
+    except AttributeError:
+        pass
+
+
+def build_legend(spark: SparkSession) -> Legend:
+    return Legend(load_dicts(TPCH_ENTITIES), spark)
+
+
+# ---------------------------------------------------------------------------
+# Query suite  (name -> (spark_fn, oracle_sql | None))
+# ---------------------------------------------------------------------------
+
+# exact-sum idioms shared by Spark SQL and DuckDB
+_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)"
+_CHARGE = ("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+           "AS DECIMAL(22,6))) AS DOUBLE)")
+_SUM_D = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def _q_legend_mapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship legend path: synthesized mapping query (scan+derive+prefilter)."""
+    ensure_views(spark, sf_dir)
+    return build_legend(spark).query("tpch::mapping::orders_delta")
+
+
+_ORACLE_MAPPING_ORDERS = """
+SELECT o_orderkey AS "orderKey", o_custkey AS "custKey",
+       o_orderstatus AS "orderStatus", o_totalprice AS "totalPrice",
+       o_orderdate AS "orderDate", o_orderpriority AS "orderPriority",
+       CAST(year(o_orderdate) AS INT) AS "orderYear"
+FROM orders
+WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+  AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+  AND o_orderdate IS NOT NULL
+  AND (o_orderstatus IS NULL OR o_orderstatus IN ('O', 'F', 'P'))
+  AND o_totalprice > 0
+"""
+
+
+def _q_legend_service_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service lambda path: groupBy/avg/count + sort + take via the compiler."""
+    ensure_views(spark, sf_dir)
+    return build_legend(spark).query("tpch::service::part_stats")
+
+
+_ORACLE_PART_STATS = """
+SELECT p_brand AS "Brand", avg(1.0 * p_size) AS "AvgSize",
+       count(p_partkey) AS "Parts"
+FROM part GROUP BY p_brand
+ORDER BY "AvgSize" DESC, "Brand" LIMIT 10
+"""
+
+
+def _q_legend_dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations path: violated-rule metrics from model constraints."""
+    ensure_views(spark, sf_dir)
+    legend = build_legend(spark)
+    expectations = legend.get_expectations("tpch::mapping::lineitem_delta")
+    df = spark.table("lineitem")
+    return dq_metrics(df, expectations).orderBy("rule")
+
+
+_ORACLE_DQ_LINEITEM = """
+SELECT rule, violations FROM (
+  SELECT '[discount] should be positive' AS rule,
+         COUNT(*) FILTER (WHERE NOT (l_discount > 0)) AS violations FROM lineitem
+  UNION ALL
+  SELECT '[tax] below cap',
+         COUNT(*) FILTER (WHERE NOT (l_tax < 0.05)) FROM lineitem
+  UNION ALL
+  SELECT '[returnFlag] not allowed value',
+         COUNT(*) FILTER (WHERE NOT (l_returnflag IS NULL OR l_returnflag IN ('A','N','R')))
+  FROM lineitem
+) WHERE violations > 0
+"""
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy aggregation with decimal-exact sums."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {_SUM_D.format(col='l_quantity')} AS sum_qty,
+               {_SUM_D.format(col='l_extendedprice')} AS sum_base_price,
+               {_REV} AS sum_disc_price,
+               {_CHARGE} AS sum_charge,
+               {_SUM_D.format(col='l_quantity')} / COUNT(*) AS avg_qty,
+               {_SUM_D.format(col='l_extendedprice')} / COUNT(*) AS avg_price,
+               {_SUM_D.format(col='l_discount')} / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+_ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_SUM_D.format(col='l_quantity')} AS sum_qty,
+       {_SUM_D.format(col='l_extendedprice')} AS sum_base_price,
+       {_REV} AS sum_disc_price,
+       {_CHARGE} AS sum_charge,
+       {_SUM_D.format(col='l_quantity')} / COUNT(*) AS avg_qty,
+       {_SUM_D.format(col='l_extendedprice')} / COUNT(*) AS avg_price,
+       {_SUM_D.format(col='l_discount')} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderkey, {_REV} AS revenue, o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """)
+
+
+_ORACLE_Q3 = f"""
+SELECT o_orderkey, {_REV} AS revenue, o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims + agg per nation."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+               n_name, {_REV} AS revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """)
+
+
+_ORACLE_Q5 = f"""
+SELECT n_name, {_REV} AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+  FROM orders
+) t WHERE rnk <= 3
+"""
+
+
+def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window/analytic coverage: deterministic per-customer top-3."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_WINDOW_SQL)
+
+
+# gaps compared in integer MICROSECONDS on both engines — duckdb's epoch()
+# returns fractional seconds, which would disagree with any whole-second cut
+_SESSIONIZE_SPARK = """
+SELECT user_id, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS sessions,
+       COUNT(*) AS events
+FROM (
+  SELECT user_id,
+         unix_micros(CAST(ts AS TIMESTAMP)) - lag(unix_micros(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) t GROUP BY user_id
+"""
+
+_SESSIONIZE_ORACLE = """
+SELECT user_id, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS sessions,
+       COUNT(*) AS events
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) t GROUP BY user_id
+"""
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream sessionization (30-min gap) via lag window."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_SESSIONIZE_SPARK)
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS orders_cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def _q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP with exact measures."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_ROLLUP_SQL)
+
+
+_SETOP_SQL = """
+SELECT custkey FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+INTERSECT
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def _q_setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: UNION / INTERSECT / EXCEPT."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_SETOP_SQL)
+
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS parts,
+       COUNT(DISTINCT l_suppkey) AS supps,
+       COUNT(*) AS rows_cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregation coverage."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_DISTINCT_SQL)
+
+
+def _q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup stats per source (hash-groupBy path)."""
+    ensure_views(spark, sf_dir)
+    return DD.dedup_stats(spark.table("documents"), "text", "source")
+
+
+_ORACLE_DEDUP = r"""
+SELECT source, COUNT(*) AS rows_total,
+       COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS rows_distinct,
+       COUNT(*) - COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS rows_duplicate
+FROM documents GROUP BY source
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-language quality aggregates."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs
+            .select("lang", "n_chars", TX.token_count("text").alias("ntok"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 (F.sum("ntok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+                 (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars")))
+
+
+_ORACLE_TEXT_QUALITY = r"""
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-shingle explode + distinct count per source (fingerprint base)."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs.select("source",
+                        F.explode(TX.char_shingles("text", 5)).alias("s"))
+            .groupBy("source")
+            .agg(F.countDistinct("s").alias("distinct_shingles")))
+
+
+_ORACLE_SHINGLES = """
+SELECT source, COUNT(DISTINCT s) AS distinct_shingles FROM (
+  SELECT source, unnest(list_transform(
+    generate_series(1, greatest(length(text) - 4, 0)),
+    i -> substring(lower(text), CAST(i AS INT), 5))) AS s
+  FROM documents
+) t GROUP BY source
+"""
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qvec = [float(x) for x in
+            emb.where("vec_id = 0").select("embedding").first()[0]]
+    return SIM.cosine_topk(emb, qvec, k=10)
+
+
+_ORACLE_ANN = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+  round(
+    list_sum(list_transform(list_zip(e.embedding, q.qv),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (rows-only check: not SQL-expressible)."""
+    ensure_views(spark, sf_dir)
+    return DD.minhash_dedup(spark.table("documents"), threshold=0.3)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    ensure_views(spark, sf_dir)
+    return DD.simhash_dedup(spark.table("documents"), max_hamming=12)
+
+
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rows-only check)."""
+    ensure_views(spark, sf_dir)
+    return DD.embedding_dedup(spark.table("embeddings"), threshold=0.9,
+                              n_planes=8)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: approximate by construction)."""
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qvec = [float(x) for x in
+            emb.where("vec_id = 0").select("embedding").first()[0]]
+    return SIM.lsh_topk(emb, qvec, k=10, n_planes=8)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "legend_mapping_orders": _q_legend_mapping_orders,
+    "legend_service_part_stats": _q_legend_service_part_stats,
+    "legend_dq_lineitem": _q_legend_dq_lineitem,
+    "q1_pricing_summary": _q1_pricing_summary,
+    "q3_topk_orders": _q3_topk_orders,
+    "q5_region_revenue": _q5_region_revenue,
+    "window_top_orders": _q_window_top_orders,
+    "sessionize_events": _q_sessionize_events,
+    "rollup_lineitem": _q_rollup_lineitem,
+    "setop_customers": _q_setop_customers,
+    "distinct_agg": _q_distinct_agg,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "text_quality_by_lang": _q_text_quality,
+    "shingle_stats": _q_shingle_stats,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "minhash_pairs": _q_minhash_pairs,
+    "simhash_pairs": _q_simhash_pairs,
+    "embedding_dedup_pairs": _q_embedding_dedup,
+    "lsh_ann_topk": _q_lsh_ann,
+}
+
+ORACLES: dict[str, str] = {
+    "legend_mapping_orders": _ORACLE_MAPPING_ORDERS,
+    "legend_service_part_stats": _ORACLE_PART_STATS,
+    "legend_dq_lineitem": _ORACLE_DQ_LINEITEM,
+    "q1_pricing_summary": _ORACLE_Q1,
+    "q3_topk_orders": _ORACLE_Q3,
+    "q5_region_revenue": _ORACLE_Q5,
+    "window_top_orders": _WINDOW_SQL,
+    "sessionize_events": _SESSIONIZE_ORACLE,
+    "rollup_lineitem": _ROLLUP_SQL,
+    "setop_customers": _SETOP_SQL,
+    "distinct_agg": _DISTINCT_SQL,
+    "dedup_exact_docs": _ORACLE_DEDUP,
+    "text_quality_by_lang": _ORACLE_TEXT_QUALITY,
+    "shingle_stats": _ORACLE_SHINGLES,
+    "ann_cosine_topk": _ORACLE_ANN,
+    # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk:
+    # approximate / hash-seeded operators — rows-only checks by design.
+}

@@ -128,10 +128,14 @@ def _agg_sql(map_lambda: Node, agg_lambda: Node, ctx: Context) -> str:
         raise LegendModelError("aggregation lambda must be a function call")
     fn = A.func_name(agg_body)
     if fn == "average":
-        # int->double promotion decoration pinned by LegendEntityTest:235
+        # int->double promotion (reference golden: `avg(1.0 * col)`,
+        # LegendEntityTest:235).  Deviation: we wrap in cast(... as double)
+        # because Spark types the literal 1.0 as DECIMAL(2,1) whereas the
+        # reference's Databricks dialect types it DOUBLE — the cast keeps
+        # the *semantic* contract (double-typed average) on Spark.
         map_body = A.lambda_body(map_lambda) if A.is_lambda(map_lambda) else map_lambda
         if infer_type(map_body, ctx) in ("Integer", "Byte", "Short", "Number"):
-            return f"avg(1.0 * {inner_sql})"
+            return f"avg(cast(1.0 * {inner_sql} as double))"
         return f"avg({inner_sql})"
     table = {"count": "count", "sum": "sum", "min": "min", "max": "max",
              "stdDevPopulation": "stddev_pop", "stdDevSample": "stddev_samp",

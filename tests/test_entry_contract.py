@@ -1,0 +1,32 @@
+"""Driver-contract smoke: entry() returns rows; queries()/oracle_sql() align."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+
+def _load_entry():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_contract(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert "orderYear" in df.columns
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 15
+    assert set(oracles) <= set(qs)
+    # every deterministic query has an oracle; approximate ones are the
+    # documented exceptions
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"minhash_pairs", "simhash_pairs",
+                         "embedding_dedup_pairs", "lsh_ann_topk"}

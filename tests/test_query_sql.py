@@ -34,9 +34,13 @@ MAPPING_SQL = (
     "and (`root`.high_fives is not null and `root`.high_fives > 0)"
 )
 
+# NOTE deviation from LegendEntityTest.scala:235: the reference emits
+# `avg(1.0 * col)` under the Databricks dialect where 1.0 is DOUBLE; Spark
+# types 1.0 as DECIMAL(2,1), so we add an explicit double cast to preserve
+# the *semantic* golden (double-typed average).
 SKILLS_SQL = (
     "select `root`.gender as `Gender`, "
-    "avg(1.0 * `root`.high_fives) as `HighFives`, "
+    "avg(cast(1.0 * `root`.high_fives as double)) as `HighFives`, "
     "count(`root`.id) as `Employees` "
     "from legend.employee as `root` "
     "where not `root`.gender is null "

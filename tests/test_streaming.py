@@ -1,0 +1,76 @@
+"""Structured Streaming: model-schema ingest + expectations on a stream."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from legend_community_delta_spark import legend_transform
+from legend_community_delta_spark.streaming import (
+    read_stream,
+    validate_stream,
+    windowed_dq_metrics,
+)
+
+
+def test_stream_validate(legend_spark, spark, tmp_path):
+    legend = legend_spark
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        {"firstName": "Ok", "lastName": "Row", "birthDate": "1980-01-01",
+         "gender": "F", "id": 1, "sme": "Python", "joinedDate": "2010-01-01",
+         "highFives": 5},
+        {"firstName": "No", "lastName": "Id", "birthDate": "1980-01-01",
+         "gender": "M", "sme": "SQL", "joinedDate": "2010-01-01",
+         "highFives": 2},
+        {"firstName": "Bad", "lastName": "Sme", "birthDate": "1980-01-01",
+         "gender": "F", "id": 3, "sme": "C", "joinedDate": "2010-01-01",
+         "highFives": 1},
+    ]
+    (src / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = read_stream(legend, "demo::entity::employee", str(src))
+    assert stream.isStreaming
+
+    transformations = legend.get_transformations("demo::mapping::employee_delta")
+    expectations = legend.get_expectations("demo::mapping::employee_delta")
+    validated = validate_stream(legend_transform(stream, transformations),
+                                expectations)
+
+    q = (validated.writeStream.format("memory").queryName("validated_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    out = spark.sql("select * from validated_stream").collect()
+    assert len(out) == 3
+    violations = {tuple(r["legend"]) for r in out}
+    assert ("[id] is mandatory",) in violations
+    assert ("[sme] not allowed value",) in violations
+    assert () in violations
+
+
+def test_windowed_dq_metrics(legend_spark, spark, tmp_path):
+    legend = legend_spark
+    # events-shaped stream with a timestamp for windowing
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows = [
+        {"ts": "2026-01-01T00:00:05", "value": 1.0},
+        {"ts": "2026-01-01T00:00:15", "value": -2.0},
+        {"ts": "2026-01-01T00:01:30", "value": -1.0},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "ts timestamp, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    metrics = windowed_dq_metrics(
+        stream, {"[value] must be positive": "value > 0"}, "ts", "1 minute")
+
+    q = (metrics.writeStream.format("memory").queryName("dq_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    out = spark.sql(
+        "select window.start as s, violations from dq_stream").collect()
+    got = {str(r["s"]): r["violations"] for r in out}
+    assert list(got.values()) == [1, 1] or len(got) == 2
