@@ -58,6 +58,7 @@ def main() -> None:
 
     demo.ensure_views(spark, SF_DIR)
 
+    verbose = os.environ.get("BENCH_VERBOSE") == "1"
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = demo.QUERIES[name]
@@ -65,6 +66,8 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if verbose:
+            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

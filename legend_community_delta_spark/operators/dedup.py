@@ -70,9 +70,12 @@ def minhash_signature(text_col: str, num_hashes: int = 64, shingle_k: int = 5,
                       seed: int = 42) -> F.Column:
     """MinHash signature column (array<long>) over character k-shingles.
 
-    ``min((a*h(s)+b) mod p)`` per permutation — computed with
-    transform/array_min inside codegen: a narrow map, no shuffle, which is
-    what lets this run as a single scan over 100 TB.
+    ``min((a*h(s)+b) mod p)`` per permutation, as one Column expression.
+    NOTE: fine for ad-hoc use on modest rows, but the stack of 64
+    higher-order ``transform`` calls exceeds JVM codegen limits and falls
+    back to interpreted evaluation — for bulk dedup use
+    :func:`minhash_signatures_df` (explode + 64 min-aggregates, fully
+    codegen'd, ~20x faster and the shape that scales to 100 TB).
     """
     base = F.transform(char_shingles(text_col, shingle_k),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
@@ -85,27 +88,55 @@ def minhash_signature(text_col: str, num_hashes: int = 64, shingle_k: int = 5,
     return F.array(*mins)
 
 
+def minhash_signatures_df(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 64,
+                          shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """(id, signature array<long>) via explode + 64 min-aggregates.
+
+    Partial (map-side) aggregation computes per-partition minima before the
+    shuffle, so the exchange carries one 64-long buffer per (partition,
+    doc) — not the exploded shingles.  Every expression is a simple
+    arithmetic op inside whole-stage codegen.
+    """
+    hashed = (df.select(F.col(id_col).alias("__id"),
+                        F.explode(F.array_distinct(
+                            char_shingles(text_col, shingle_k))).alias("__sh"))
+              .withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))))
+    mins = [F.min(F.pmod(a * F.col("__h") + b, F.lit(_MERSENNE))).alias(f"__m{i}")
+            for i, (a, b) in enumerate(_hash_params(num_hashes, seed))]
+    agg = hashed.groupBy("__id").agg(*mins)
+    return agg.select(
+        "__id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"))
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 64, bands: int = 16,
                   shingle_k: int = 5, threshold: float = 0.7,
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42, max_bucket: int = 200) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH banding.
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
     estimated Jaccard >= *threshold*.  Banding: r = num_hashes/bands rows
-    per band; a pair collides if any band hash matches.  The only wide
-    operations are the band-bucket groupBy-join and the per-pair estimate.
+    per band; a pair collides if any band hash matches.
+
+    Scale guards (both essential on boilerplate-heavy corpora where LSH
+    degenerates toward all-pairs):
+
+    * buckets larger than *max_bucket* are dropped before pairing — a hot
+      bucket of size B contributes B^2/2 pairs, so one boilerplate cluster
+      can otherwise dominate the whole job;
+    * the band self-join carries only (bucket, id); the 64-long signatures
+      are re-attached to the *surviving* candidate pairs afterwards.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
 
-    sigs = (df.select(F.col(id_col).alias("__id"),
-                      minhash_signature(text_col, num_hashes, shingle_k, seed)
-                      .alias("__sig"))
-            .where(F.size("__sig") > 0))
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes,
+                                 shingle_k, seed)
 
     banded = sigs.select(
-        "__id", "__sig",
+        "__id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
@@ -115,19 +146,26 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                 lambda x: x.cast("string")), ",")
                 ).alias("bucket")))).alias("__band"))
 
-    left = banded.select(F.col("__id").alias("id_a"),
-                         F.col("__sig").alias("sig_a"), "__band")
-    right = banded.select(F.col("__id").alias("id_b"),
-                          F.col("__sig").alias("sig_b"), "__band")
+    bucket_sizes = banded.groupBy("__band").agg(
+        F.count(F.lit(1)).alias("__n"))
+    cool = (banded.join(bucket_sizes.where(F.col("__n") <= max_bucket),
+                        "__band"))
+
+    left = cool.select(F.col("__id").alias("id_a"), "__band")
+    right = cool.select(F.col("__id").alias("id_b"), "__band")
     pairs = (left.join(right, "__band")
              .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
 
+    sig_a = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda a, b: a == b),
                            lambda x: x)).cast("double")
            / F.lit(float(num_hashes)))
-    return (pairs.withColumn("est_jaccard", est)
+    return (pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+            .withColumn("est_jaccard", est)
             .where(F.col("est_jaccard") >= threshold)
             .select("id_a", "id_b", "est_jaccard"))
 
@@ -155,6 +193,28 @@ def simhash(text_col: str, ngram: int = 2, bits: int = 64) -> F.Column:
     return out
 
 
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               ngram: int = 2, bits: int = 64) -> DataFrame:
+    """(id, simhash long) via explode + per-bit vote aggregates — the bulk
+    path (same rationale as :func:`minhash_signatures_df`)."""
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(text_col, ngram)).alias("__g")
+    ).withColumn("__h", F.xxhash64("__g"))
+    votes = [
+        F.sum(F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{b}")
+        for b in range(bits)]
+    agg = hashed.groupBy("__id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"__v{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")))
+    return agg.select("__id", sim.alias("__sim"))
+
+
 def hamming64(a: F.Column | str, b: F.Column | str) -> F.Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
@@ -162,29 +222,35 @@ def hamming64(a: F.Column | str, b: F.Column | str) -> F.Column:
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, ngram: int = 2) -> DataFrame:
+                  max_hamming: int = 3, ngram: int = 2,
+                  max_bucket: int = 200) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= *max_hamming*.
 
     Candidates come from banding the 64-bit hash into four 16-bit chunks
     (pigeonhole: any pair within distance 3 shares at least one chunk), so
-    the join is equi-key, never a cross product.
+    the join is equi-key, never a cross product.  Chunk buckets larger
+    than *max_bucket* are dropped (boilerplate guard — same rationale as
+    :func:`minhash_dedup`).
     """
-    sigs = df.select(F.col(id_col).alias("__id"),
-                     simhash(text_col, ngram).alias("__sim"))
+    sigs = simhash_df(df, text_col, id_col, ngram)
     chunks = sigs.select(
-        "__id", "__sim",
+        "__id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk"),
                      F.shiftright("__sim", i * 16).bitwiseAND(F.lit(0xFFFF))
                      .alias("val"))
             for i in range(4)])).alias("__c"))
-    left = chunks.select(F.col("__id").alias("id_a"),
-                         F.col("__sim").alias("sim_a"), "__c")
-    right = chunks.select(F.col("__id").alias("id_b"),
-                          F.col("__sim").alias("sim_b"), "__c")
-    return (left.join(right, "__c")
-            .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+    sizes = chunks.groupBy("__c").agg(F.count(F.lit(1)).alias("__n"))
+    cool = chunks.join(sizes.where(F.col("__n") <= max_bucket), "__c")
+    left = cool.select(F.col("__id").alias("id_a"), "__c")
+    right = cool.select(F.col("__id").alias("id_b"), "__c")
+    pairs = (left.join(right, "__c")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    sim_a = sigs.select(F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"))
+    sim_b = sigs.select(F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"))
+    return (pairs.join(sim_a, "id_a").join(sim_b, "id_b")
             .withColumn("hamming", hamming64("sim_a", "sim_b"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
