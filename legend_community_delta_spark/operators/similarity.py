@@ -49,6 +49,41 @@ def cosine_topk_many(df: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into centroid cells, probe only the
+    *n_probe* cells nearest the query, exact cosine inside.
+
+    Centroids here are a deterministic sample (first *n_centroids* rows by
+    id) — at production scale you'd refine them with a few k-means rounds
+    and persist the cell assignment (bucketed by cell id) so each query
+    scans ~n_probe/n_centroids of the table.
+    """
+    centroid_rows = (df.select(id_col, vec_col).orderBy(id_col)
+                     .limit(n_centroids).collect())
+    centroids = [[float(x) for x in r[1]] for r in centroid_rows]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot_ / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probe_cells = sorted(range(len(centroids)),
+                         key=lambda i: -_cos(query_vec, centroids[i]))[:n_probe]
+
+    # cell assignment as one Column: argmax over centroid similarities
+    sims = F.array(*[
+        F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    cell = F.array_max(sims)["cell"]
+    candidates = df.withColumn("__cell", cell).where(
+        F.col("__cell").isin([int(c) for c in probe_cells]))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_planes: int = 12, multiprobe: bool = True,

@@ -1,0 +1,77 @@
+"""Table services: time travel, history, upsert — Delta-first with
+parquet-catalog fallbacks.
+
+The reference's notebooks lean on Delta for time travel / DESCRIBE HISTORY
+/ mergeSchema (``databricks-scala.ipynb`` drift cells, SURVEY §2.C).  This
+environment has no delta-spark wheel, so each capability either routes to
+Delta when importable or degrades explicitly:
+
+* :func:`read_version` / :func:`table_history` — Delta-only; raise a
+  pointed error on parquet tables instead of silently returning current
+  state.
+* :func:`merge_upsert` — Delta ``MERGE`` when available, otherwise an
+  anti-join + union overwrite (same end state, full rewrite cost —
+  documented as such).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class DeltaRequiredError(RuntimeError):
+    def __init__(self, capability: str):
+        super().__init__(
+            f"{capability} requires delta-spark (table format DELTA); this "
+            f"session has a parquet catalog only. Install delta-spark and "
+            f"recreate the table with table_format='DELTA'.")
+
+
+def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
+    """Time-travel read: ``SELECT * FROM t VERSION AS OF n`` (Delta only)."""
+    if not _delta_available():
+        raise DeltaRequiredError("time travel (VERSION AS OF)")
+    return spark.sql(f"SELECT * FROM {table} VERSION AS OF {version}")
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` (Delta only)."""
+    if not _delta_available():
+        raise DeltaRequiredError("DESCRIBE HISTORY")
+    return spark.sql(f"DESCRIBE HISTORY {table}")
+
+
+def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
+                 keys: list[str]) -> None:
+    """Upsert *updates* into *table* on *keys*.
+
+    Delta path: a real ``MERGE`` (row-level, transactional).  Parquet
+    fallback: keep target rows whose key has no update (left_anti), union
+    the updates, overwrite — correct end state, but a full-table rewrite;
+    fine for small/medium tables, use Delta for incremental scale.
+    """
+    if _delta_available():
+        from delta.tables import DeltaTable
+        target = DeltaTable.forName(spark, table)
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        (target.alias("t")
+         .merge(updates.alias("u"), cond)
+         .whenMatchedUpdateAll()
+         .whenNotMatchedInsertAll()
+         .execute())
+        return
+    target = spark.table(table)
+    keep = target.join(updates.select(*keys), keys, "left_anti")
+    merged = keep.unionByName(updates)
+    # materialize before overwrite: the plan reads the table being replaced
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).write.mode("overwrite") \
+        .insertInto(table, overwrite=True)

@@ -1,0 +1,121 @@
+"""Physical-plan assertions: the shapes that must survive a 100x scale-up.
+
+These tests pin plan properties, not timings: filter pushdown to the
+parquet scan, broadcast (not shuffle) joins for dims, TakeOrderedAndProject
+for top-k, zero-Exchange co-located joins on bucketed tables, salted join
+correctness.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from legend_community_delta_spark import demo
+from legend_community_delta_spark.operators.joins import (
+    broadcast_join,
+    salted_join,
+    write_bucketed,
+)
+from legend_community_delta_spark.operators.similarity import ivf_topk
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mapping_query_pushdown(spark):
+    demo.ensure_views(spark, SF_DIR)
+    df = demo.QUERIES["legend_mapping_orders"](spark, SF_DIR)
+    plan = _plan(df)
+    # expectation prefilter must reach the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderkey)" in plan
+    # column pruning: scan schema is the projected columns only
+    assert "ReadSchema: struct<o_orderkey" in plan
+
+
+def test_q5_uses_broadcast_joins(spark):
+    demo.ensure_views(spark, SF_DIR)
+    plan = _plan(demo.QUERIES["q5_region_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan   # dims broadcast at this scale
+
+
+def test_topk_is_take_ordered(spark):
+    demo.ensure_views(spark, SF_DIR)
+    plan = _plan(demo.QUERIES["ann_cosine_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan   # per-partition k, no global sort
+
+
+def test_no_python_udfs_anywhere(spark):
+    demo.ensure_views(spark, SF_DIR)
+    for name in ["legend_mapping_orders", "q1_pricing_summary",
+                 "dedup_exact_docs", "text_quality_by_lang",
+                 "ann_cosine_topk", "sessionize_events"]:
+        plan = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    demo.ensure_views(spark, SF_DIR)
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    write_bucketed(spark.table("orders"), "buckets.orders_b", "o_orderkey", 4)
+    write_bucketed(
+        spark.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "buckets.lineitem_b", "o_orderkey", 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("buckets.orders_b").join(
+            spark.table("buckets.lineitem_b"), "o_orderkey")
+        plan = _plan(joined)
+        # the bucketed write pre-paid the shuffle: no Exchange in the join
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain_join(spark):
+    demo.ensure_views(spark, SF_DIR)
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    lineitem = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    plain = orders.join(lineitem, "o_orderkey").count()
+    salted = salted_join(orders, lineitem, "o_orderkey", n_salts=8).count()
+    assert salted == plain
+
+
+def test_broadcast_join_helper(spark):
+    demo.ensure_views(spark, SF_DIR)
+    big = spark.table("customer")
+    small = spark.table("nation")
+    out = broadcast_join(big, small, [big.c_nationkey == small.n_nationkey])
+    assert "BroadcastHashJoin" in _plan(out)
+    assert out.count() == big.count()
+
+
+def test_ivf_topk_finds_query_vector(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    top = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
+    assert top[0]["vec_id"] == 3
+    assert top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_delta_gated_services(spark, tmp_path):
+    from legend_community_delta_spark.sources.tables import (
+        DeltaRequiredError, merge_upsert, read_version)
+    spark.sql("CREATE DATABASE IF NOT EXISTS svc")
+    spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b")]).write.mode("overwrite") \
+        .saveAsTable("svc.t")
+    with pytest.raises(DeltaRequiredError):
+        read_version(spark, "svc.t", 0)
+    updates = spark.createDataFrame([Row(id=2, v="B"), Row(id=3, v="c")])
+    merge_upsert(spark, updates, "svc.t", ["id"])
+    got = {r["id"]: r["v"] for r in spark.table("svc.t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
