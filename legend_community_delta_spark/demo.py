@@ -564,6 +564,52 @@ SELECT source, COUNT(DISTINCT s) AS distinct_shingles FROM (
 """
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs (integer set math — the one
+    fuzzy-dedup operator that IS SQL-expressible, so it carries an oracle)."""
+    ensure_views(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(spark.table("documents"), n=5, threshold=0.2)
+
+
+_ORACLE_NGRAM_JACCARD = r"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+"""
+
+_EVENTS_JSON_SPARK = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+_EVENTS_JSON_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props parsing + aggregation."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_EVENTS_JSON_SPARK)
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     ensure_views(spark, sf_dir)
@@ -630,6 +676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": _q_dedup_exact_docs,
     "text_quality_by_lang": _q_text_quality,
     "shingle_stats": _q_shingle_stats,
+    "ngram_jaccard_dups": _q_ngram_jaccard,
+    "events_json_stats": _q_events_json,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -652,6 +700,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": _ORACLE_DEDUP,
     "text_quality_by_lang": _ORACLE_TEXT_QUALITY,
     "shingle_stats": _ORACLE_SHINGLES,
+    "ngram_jaccard_dups": _ORACLE_NGRAM_JACCARD,
+    "events_json_stats": _EVENTS_JSON_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk:
     # approximate / hash-seeded operators — rows-only checks by design.
