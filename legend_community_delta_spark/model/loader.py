@@ -136,3 +136,17 @@ def load_dicts(entities: Iterable[dict[str, Any]]) -> LegendModel:
     for e in entities:
         model.add_entity(e)
     return model
+
+
+def load_package_resources(package: str) -> LegendModel:
+    """Load every ``*.json`` resource bundled in a Python package —
+    the pip-installable analogue of the reference's
+    ``LegendClasspathLoader`` (classpath resources)."""
+    from importlib import resources
+
+    model = LegendModel()
+    root = resources.files(package)
+    for item in sorted(root.iterdir(), key=lambda p: p.name):
+        if item.name.endswith(".json") and item.is_file():
+            model.add_entity(json.loads(item.read_text()))
+    return model
