@@ -52,6 +52,7 @@ class ServicePlan:
     aggregates: list[tuple[str, Node, Node]] = dc_field(default_factory=list)
     sorts: list[tuple[str, str]] = dc_field(default_factory=list)  # (alias, asc|desc)
     limit: int | None = None
+    distinct: bool = False
 
 
 def parse_service_lambda(func: Node) -> ServicePlan:
@@ -99,7 +100,7 @@ def parse_service_lambda(func: Node) -> ServicePlan:
         elif name == "take" or name == "limit":
             plan.limit = int(A.single_literal(params[1]))
         elif name == "distinct":
-            raise LegendModelError("distinct() after project is not supported yet")
+            plan.distinct = True
         else:
             raise LegendModelError(f"unsupported query operator [{name}]")
 
@@ -180,7 +181,8 @@ def plan_sql(model: LegendModel, plan: ServicePlan, table: str,
             if qp.body:
                 select_items.append(f"{to_sql(qp.body[0], dctx)} as `{qp.name}`")
 
-    sql = "select " + ", ".join(select_items) + f" from {table} as `root`"
+    head = "select distinct " if plan.distinct else "select "
+    sql = head + ", ".join(select_items) + f" from {table} as `root`"
     if plan.filters:
         conjuncts = [_compile_lambda_body(f, ctx) for f in plan.filters]
         sql += " where " + " and ".join(conjuncts)

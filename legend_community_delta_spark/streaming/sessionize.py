@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+This is the pattern the built-in windowed aggregations can't express —
+sessions close on inactivity gaps, not on wall-clock boundaries — so it
+rides ``applyInPandasWithState`` (Arrow-batched, grouped state, timeout
+driven).  Batch and streaming share the same semantics; the batch
+equivalent (one window + running sum) is in ``demo.sessionize_events``.
+
+State per user: (session_id counter, last event ts, events in session).
+On timeout (no events past the gap), the open session is emitted and
+state cleared.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+])
+
+_STATE_SCHEMA = "session_id long, last_us long, n_events long, start_us long"
+
+
+def _sessionize_group(key, pdfs: Iterable[pd.DataFrame], state: GroupState,
+                      gap_us: int):
+    (user_id,) = key
+    if state.hasTimedOut:
+        session_id, last_us, n_events, start_us = state.get
+        state.remove()
+        yield pd.DataFrame([{
+            "user_id": user_id, "session_id": session_id,
+            "n_events": n_events, "start_us": start_us, "end_us": last_us}])
+        return
+
+    if state.exists:
+        session_id, last_us, n_events, start_us = state.get
+    else:
+        session_id, last_us, n_events, start_us = 0, None, 0, None
+
+    closed = []
+    for pdf in pdfs:
+        for us in sorted(int(v) for v in pdf["ts_us"]):
+            if last_us is not None and us - last_us > gap_us:
+                closed.append({
+                    "user_id": user_id, "session_id": session_id,
+                    "n_events": n_events, "start_us": start_us,
+                    "end_us": last_us})
+                session_id += 1
+                n_events, start_us = 0, None
+            if start_us is None:
+                start_us = us
+            n_events += 1
+            last_us = us
+
+    state.update((session_id, last_us, n_events, start_us))
+    state.setTimeoutDuration(gap_us // 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_stream(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization over an event stream.
+
+    Emits one row per *closed* session (update mode).  The state store
+    holds one small tuple per active user — bounded by the processing
+    timeout, not by history length.
+    """
+    from pyspark.sql import functions as F
+
+    gap_us = _parse_gap_us(gap)
+    prepared = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"))
+
+    def fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_us)
+
+    return (prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def _parse_gap_us(gap: str) -> int:
+    amount, unit = gap.split()
+    units = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+             "hour": 3600, "hours": 3600}
+    return int(amount) * units[unit] * 1_000_000

@@ -193,3 +193,12 @@ def test_pure_parse_compile_round_trip(legend):
         "->sort([desc('HighFives')])->take(10)",
         "demo::mapping::employee_delta")
     assert sql == SKILLS_SQL
+
+
+def test_distinct_in_query_chain(legend):
+    sql = legend.generate_sql_pure(
+        "demo::entity::employee.all()->project([x|$x.gender],['Gender'])"
+        "->distinct()",
+        "demo::mapping::employee_delta")
+    assert sql == ("select distinct `root`.gender as `Gender` "
+                   "from legend.employee as `root`")

@@ -74,3 +74,27 @@ def test_windowed_dq_metrics(legend_spark, spark, tmp_path):
         "select window.start as s, violations from dq_stream").collect()
     got = {str(r["s"]): r["violations"] for r in out}
     assert list(got.values()) == [1, 1] or len(got) == 2
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    import json as _json
+    from legend_community_delta_spark.streaming.sessionize import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows = [
+        {"ts": "2026-01-01T00:00:00", "user_id": 1},
+        {"ts": "2026-01-01T00:10:00", "user_id": 1},   # same session
+        {"ts": "2026-01-01T01:00:00", "user_id": 1},   # gap > 30m: new session
+        {"ts": "2026-01-01T00:00:00", "user_id": 2},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(str(src))
+    sessions = sessionize_stream(stream, gap="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("sessions_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from sessions_out").collect()
+    # user 1's first session closes (2 events) when the third event arrives
+    closed = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
+    assert closed.get((1, 0)) == 2
