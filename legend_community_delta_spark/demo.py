@@ -179,6 +179,28 @@ TPCH_ENTITIES: list[dict] = [
         "partKey": "p_partkey", "name": "p_name", "brand": "p_brand",
         "type": "p_type", "size": "p_size", "retailPrice": "p_retailprice"}),
     {"content": {
+        "_type": "service", "package": "tpch::service", "name": "urgent_orders",
+        "pattern": "/urgent_orders",
+        "execution": {
+            "_type": "pureSingleExecution",
+            "mapping": "tpch::mapping::orders_delta",
+            "func": {"_type": "lambda", "parameters": [], "body": [
+                _fn("take",
+                    _fn("sort",
+                        _fn("project",
+                            _fn("filter",
+                                _fn("getAll", {"_type": "packageableElementPtr",
+                                               "fullPath": "tpch::entity::order"}),
+                                _lam(_fn("startsWith",
+                                         _var("x", "orderPriority"), _str("1")))),
+                            _coll(_lam(_var("x", "orderKey")),
+                                  _lam(_var("x", "totalPrice")),
+                                  _lam(_var("x", "orderYear"))),
+                            _coll(_str("OrderKey"), _str("Total"),
+                                  _str("Year"))),
+                        _coll(_fn("desc", _str("Total")), _str("OrderKey"))),
+                    _int(20))]}}}},
+    {"content": {
         "_type": "service", "package": "tpch::service", "name": "part_stats",
         "pattern": "/part_stats",
         "execution": {
@@ -292,6 +314,22 @@ SELECT p_brand AS "Brand", avg(1.0 * p_size) AS "AvgSize",
        count(p_partkey) AS "Parts"
 FROM part GROUP BY p_brand
 ORDER BY "AvgSize" DESC, "Brand" LIMIT 10
+"""
+
+
+def _q_legend_service_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service projection path: filter (startsWith) + project incl. derived
+    column + deterministic top-k — the employee-service shape on TPC-H."""
+    ensure_views(spark, sf_dir)
+    return build_legend(spark).query("tpch::service::urgent_orders")
+
+
+_ORACLE_URGENT_ORDERS = """
+SELECT o_orderkey AS "OrderKey", o_totalprice AS "Total",
+       CAST(year(o_orderdate) AS INT) AS "Year"
+FROM orders
+WHERE o_orderpriority LIKE '1%'
+ORDER BY "Total" DESC, "OrderKey" LIMIT 20
 """
 
 
@@ -474,6 +512,61 @@ def _q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: ROLLUP with exact measures."""
     ensure_views(spark, sf_dir)
     return spark.sql(_ROLLUP_SQL)
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, {_REV} AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def _q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-items revenue per customer, top 20."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS rows_cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def _q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets coverage."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_CUBE_SQL)
+
+
+_EVENTS_HOURLY_SPARK = """
+SELECT window.start AS hour_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM (SELECT window(ts, '1 hour') AS window, event_type, value FROM events)
+GROUP BY window.start, event_type
+"""
+
+_EVENTS_HOURLY_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    DQ/rollup path — same window() semantics as readStream)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_EVENTS_HOURLY_SPARK)
 
 
 _SETOP_SQL = """
@@ -664,10 +757,14 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,
+    "legend_service_urgent_orders": _q_legend_service_urgent_orders,
     "legend_dq_lineitem": _q_legend_dq_lineitem,
     "q1_pricing_summary": _q1_pricing_summary,
     "q3_topk_orders": _q3_topk_orders,
     "q5_region_revenue": _q5_region_revenue,
+    "q10_returned_revenue": _q10_returned_revenue,
+    "cube_lineitem": _q_cube_lineitem,
+    "events_hourly": _q_events_hourly,
     "window_top_orders": _q_window_top_orders,
     "sessionize_events": _q_sessionize_events,
     "rollup_lineitem": _q_rollup_lineitem,
@@ -688,10 +785,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "legend_mapping_orders": _ORACLE_MAPPING_ORDERS,
     "legend_service_part_stats": _ORACLE_PART_STATS,
+    "legend_service_urgent_orders": _ORACLE_URGENT_ORDERS,
     "legend_dq_lineitem": _ORACLE_DQ_LINEITEM,
     "q1_pricing_summary": _ORACLE_Q1,
     "q3_topk_orders": _ORACLE_Q3,
     "q5_region_revenue": _ORACLE_Q5,
+    "q10_returned_revenue": _Q10_SQL,
+    "cube_lineitem": _CUBE_SQL,
+    "events_hourly": _EVENTS_HOURLY_ORACLE,
     "window_top_orders": _WINDOW_SQL,
     "sessionize_events": _SESSIONIZE_ORACLE,
     "rollup_lineitem": _ROLLUP_SQL,

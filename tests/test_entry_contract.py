@@ -23,7 +23,7 @@ def test_entry_contract(spark):
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
-    assert len(qs) >= 17
+    assert len(qs) >= 21
     assert set(oracles) <= set(qs)
     # every deterministic query has an oracle; approximate ones are the
     # documented exceptions
