@@ -745,6 +745,16 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               n_planes=8)
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: quality gate -> exact dedup -> near
+    dedup -> (rows-only: stage composition is hash-seeded via MinHash)."""
+    from .operators.curation import curate_corpus
+    ensure_views(spark, sf_dir)
+    out, _ = curate_corpus(spark.table("documents"), min_quality=0.3,
+                           near_dup_threshold=0.8, collect_stats=False)
+    return out
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (rows-only: approximate by construction)."""
     ensure_views(spark, sf_dir)
@@ -780,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash_pairs,
     "embedding_dedup_pairs": _q_embedding_dedup,
     "lsh_ann_topk": _q_lsh_ann,
+    "curate_corpus_docs": _q_curate_corpus,
 }
 
 ORACLES: dict[str, str] = {

@@ -49,20 +49,72 @@ def cosine_topk_many(df: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def cosine_topk_pandas(df: DataFrame, query_vec: list[float], k: int = 10,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Top-k via an Arrow-vectorized Pandas UDF (numpy matmul per batch).
+
+    Throughput path for wide embeddings; see
+    :func:`..functions.vectors.cosine_pandas_udf` for the determinism
+    caveat vs the Column-algebra version.
+    """
+    from ..functions.vectors import cosine_pandas_udf
+    cos = cosine_pandas_udf(query_vec)
+    return (df.select(F.col(id_col),
+                      F.round(cos(F.col(vec_col)), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
+def kmeans_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 3,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> list[list[float]]:
+    """A few Lloyd iterations over DataFrame ops (deterministic init:
+    first n rows by id).  Centroid matrix is driver-sized
+    (n_centroids x dims); assignment stays distributed."""
+    init = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_centroids).collect())
+    centroids = [[float(x) for x in r[1]] for r in init]
+    for _ in range(iters):
+        sims = F.array(*[
+            F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
+                     F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)])
+        assigned = df.select(F.col(vec_col).alias("__v"),
+                             F.array_max(sims)["cell"].alias("__cell"))
+        means = (assigned
+                 .select("__cell", F.posexplode("__v").alias("__pos", "__x"))
+                 .groupBy("__cell", "__pos")
+                 .agg(F.avg("__x").alias("__m"))
+                 .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["__m"]
+        for cell, dims in by_cell.items():
+            centroids[cell] = [dims[i] for i in sorted(dims)]
+    return centroids
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+             n_centroids: int = 16, n_probe: int = 4,
+             refine_iters: int = 0) -> DataFrame:
     """IVF-style ANN: coarse-quantize into centroid cells, probe only the
     *n_probe* cells nearest the query, exact cosine inside.
 
-    Centroids here are a deterministic sample (first *n_centroids* rows by
-    id) — at production scale you'd refine them with a few k-means rounds
-    and persist the cell assignment (bucketed by cell id) so each query
-    scans ~n_probe/n_centroids of the table.
+    Centroids start as a deterministic sample (first *n_centroids* rows by
+    id), optionally refined with *refine_iters* Lloyd rounds
+    (:func:`kmeans_centroids`).  At production scale persist the cell
+    assignment (bucketed by cell id) so each query scans
+    ~n_probe/n_centroids of the table.
     """
-    centroid_rows = (df.select(id_col, vec_col).orderBy(id_col)
-                     .limit(n_centroids).collect())
-    centroids = [[float(x) for x in r[1]] for r in centroid_rows]
+    if refine_iters > 0:
+        centroids = kmeans_centroids(df, n_centroids, refine_iters,
+                                     vec_col, id_col)
+    else:
+        centroid_rows = (df.select(id_col, vec_col).orderBy(id_col)
+                         .limit(n_centroids).collect())
+        centroids = [[float(x) for x in r[1]] for r in centroid_rows]
 
     def _cos(a: list[float], b: list[float]) -> float:
         dot_ = sum(x * y for x, y in zip(a, b))

@@ -1,0 +1,65 @@
+"""Curation pipeline + pandas-UDF cosine + IVF refinement tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from legend_community_delta_spark.operators.curation import curate_corpus
+from legend_community_delta_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    ivf_topk,
+    kmeans_centroids,
+)
+
+from conftest import SF_DIR
+
+
+def test_curate_corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the woods to find some food for the long cold winter")
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                         # exact dup
+        Row(doc_id=3, text=base.replace("runs", "walks")),  # near dup
+        Row(doc_id=4, text="ok " * 40),                   # passes quality
+        Row(doc_id=5, text="x"),                          # fails quality
+    ]
+    df = spark.createDataFrame(rows)
+    out, stats = curate_corpus(df, min_quality=0.5, near_dup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert stats["input"] == 5
+    assert stats["after_quality"] == 4          # doc 5 dropped
+    assert stats["after_exact_dedup"] == 3      # doc 2 folded into 1
+    assert stats["after_near_dedup"] == 2       # doc 3 dropped (near dup of 1)
+    assert kept == [1, 4]
+
+
+def test_curate_token_budget(spark):
+    rows = [Row(doc_id=i, text=f"word{i} " * 100) for i in range(1, 6)]
+    df = spark.createDataFrame(rows)
+    out, stats = curate_corpus(df, min_quality=0.0, near_dup_threshold=1.01,
+                               max_tokens=250)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_pandas_cosine_agrees_with_column(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    col_top = cosine_topk(emb, q, k=5).collect()
+    pd_top = cosine_topk_pandas(emb, q, k=5).collect()
+    assert [r["vec_id"] for r in col_top] == [r["vec_id"] for r in pd_top]
+    for a, b in zip(col_top, pd_top):
+        assert a["cosine"] == pytest.approx(b["cosine"], abs=1e-5)
+
+
+def test_ivf_with_kmeans_refinement(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 7").first()["embedding"]]
+    cents = kmeans_centroids(emb, n_centroids=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    top = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4,
+                   refine_iters=2).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cosine"] == pytest.approx(1.0)

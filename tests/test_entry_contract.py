@@ -29,4 +29,5 @@ def test_entry_contract(spark):
     # documented exceptions
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"minhash_pairs", "simhash_pairs",
-                         "embedding_dedup_pairs", "lsh_ann_topk"}
+                         "embedding_dedup_pairs", "lsh_ann_topk",
+                         "curate_corpus_docs"}
