@@ -637,6 +637,46 @@ FROM documents GROUP BY lang
 """
 
 
+def _q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score aggregates per source; the score formula is mirrored
+    operation-for-operation in the DuckDB oracle (decimal-exact sum of the
+    rounded per-doc scores keeps the average deterministic)."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents").where(F.length("text") > 0)
+    q = TX.quality_score("text")
+    return (docs.select("source", F.col("text"),
+                        q.cast("decimal(10,6)").alias("__q"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 (F.sum("__q").cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+                 F.min("__q").cast("double").alias("min_quality"),
+                 F.max("__q").cast("double").alias("max_quality")))
+
+
+# mirrors functions/text.quality_score exactly: len/50 capped, punct
+# penalty, mean-word-length band, /3, round 6
+_ORACLE_QUALITY = r"""
+WITH scored AS (
+  SELECT source,
+    CAST(round((
+      least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+      + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                             / length(text)) * 4)
+      + CASE WHEN (CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                                                t -> length(t))) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+'))) BETWEEN 2.0 AND 12.0
+             THEN 1.0 ELSE 0.3 END
+    ) / 3.0, 6) AS DECIMAL(10,6)) AS q
+  FROM documents WHERE length(text) > 0
+)
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality,
+       CAST(MIN(q) AS DOUBLE) AS min_quality,
+       CAST(MAX(q) AS DOUBLE) AS max_quality
+FROM scored GROUP BY source
+"""
+
+
 def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-shingle explode + distinct count per source (fingerprint base)."""
     ensure_views(spark, sf_dir)
@@ -782,6 +822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": _q_distinct_agg,
     "dedup_exact_docs": _q_dedup_exact_docs,
     "text_quality_by_lang": _q_text_quality,
+    "quality_by_source": _q_quality_by_source,
     "shingle_stats": _q_shingle_stats,
     "ngram_jaccard_dups": _q_ngram_jaccard,
     "events_json_stats": _q_events_json,
@@ -811,6 +852,7 @@ ORACLES: dict[str, str] = {
     "distinct_agg": _DISTINCT_SQL,
     "dedup_exact_docs": _ORACLE_DEDUP,
     "text_quality_by_lang": _ORACLE_TEXT_QUALITY,
+    "quality_by_source": _ORACLE_QUALITY,
     "shingle_stats": _ORACLE_SHINGLES,
     "ngram_jaccard_dups": _ORACLE_NGRAM_JACCARD,
     "events_json_stats": _EVENTS_JSON_ORACLE,

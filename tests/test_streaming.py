@@ -98,3 +98,41 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # user 1's first session closes (2 events) when the third event arrives
     closed = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
     assert closed.get((1, 0)) == 2
+
+
+def test_write_validated_quarantine(legend_spark, spark, tmp_path):
+    import json as _json
+    from legend_community_delta_spark import legend_transform
+    from legend_community_delta_spark.streaming import read_stream, write_validated
+
+    legend = legend_spark
+    src = tmp_path / "wq_src"
+    src.mkdir()
+    rows = [
+        {"firstName": "Ok", "lastName": "Row", "birthDate": "1980-01-01",
+         "gender": "F", "id": 1, "sme": "Python", "joinedDate": "2010-01-01",
+         "highFives": 5},
+        {"firstName": "Bad", "lastName": "Sme", "birthDate": "1980-01-01",
+         "gender": "M", "id": 2, "sme": "C", "joinedDate": "2010-01-01",
+         "highFives": 2},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink")
+    for t in ("stream_sink.clean", "stream_sink.dirty"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    from legend_community_delta_spark.streaming import validate_stream
+    stream = read_stream(legend, "demo::entity::employee", str(src))
+    transformed = legend_transform(
+        stream, legend.get_transformations("demo::mapping::employee_delta"))
+    validated = validate_stream(
+        transformed, legend.get_expectations("demo::mapping::employee_delta"))
+
+    q = write_validated(validated, "stream_sink.clean", "stream_sink.dirty",
+                        checkpoint=str(tmp_path / "ckpt"), availableNow=True)
+    q.awaitTermination(120)
+    clean = spark.table("stream_sink.clean").collect()
+    dirty = spark.table("stream_sink.dirty").collect()
+    assert [r["id"] for r in clean] == [1]
+    assert [r["id"] for r in dirty] == [2]
+    assert "legend" not in spark.table("stream_sink.clean").columns
