@@ -785,6 +785,32 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               n_planes=8)
 
 
+def _q_asof_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): each view
+    event gets the user's latest purchase value at-or-before it.  Oracle
+    is DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+    ensure_views(spark, sf_dir)
+    events = spark.table("events")
+    views = events.where("event_type = 'view'") \
+        .select("user_id", "event_id", "ts")
+    purchases = (events.where("event_type = 'purchase'")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("value")))
+    return (asof_join(views, purchases, "user_id", "ts",
+                      value_cols=["value"])
+            .select("user_id", "event_id", "value_asof"))
+
+
+_ORACLE_ASOF = """
+SELECT v.user_id, v.event_id, p.value AS value_asof
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'purchase' GROUP BY 1, 2) p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: quality gate -> exact dedup -> near
     dedup -> (rows-only: stage composition is hash-seeded via MinHash)."""
@@ -817,6 +843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": _q_events_hourly,
     "window_top_orders": _q_window_top_orders,
     "sessionize_events": _q_sessionize_events,
+    "asof_views_purchases": _q_asof_views_purchases,
     "rollup_lineitem": _q_rollup_lineitem,
     "setop_customers": _q_setop_customers,
     "distinct_agg": _q_distinct_agg,
@@ -847,6 +874,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": _EVENTS_HOURLY_ORACLE,
     "window_top_orders": _WINDOW_SQL,
     "sessionize_events": _SESSIONIZE_ORACLE,
+    "asof_views_purchases": _ORACLE_ASOF,
     "rollup_lineitem": _ROLLUP_SQL,
     "setop_customers": _SETOP_SQL,
     "distinct_agg": _DISTINCT_SQL,

@@ -1,0 +1,95 @@
+"""As-of and range joins — time-series operators Spark lacks natively.
+
+* :func:`asof_join` — for each left row, attach the latest right row with
+  ``right.ts <= left.ts`` per key (backward as-of; ``forward`` mirrors it).
+  Implemented with the union + last-ignoring-nulls window trick: one
+  shuffle on the key, no per-row Python, no cross product — the canonical
+  Spark formulation (Flink/kdb asof semantics, DuckDB ``ASOF JOIN``
+  equivalent, which the demo oracle uses).
+* :func:`range_join` — point-in-interval equi-ized via bucketing: both
+  sides map to coarse buckets (intervals explode to every bucket they
+  overlap), the join runs on (key?, bucket) and an exact predicate
+  filters.  Turns an O(n*m) inequality join into an equi-join sized by
+  bucket occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              ts_col: str, value_cols: list[str] | None = None,
+              direction: str = "backward",
+              suffix: str = "_asof") -> DataFrame:
+    """Left as-of join: every left row + the nearest preceding (backward)
+    or following (forward) right row's *value_cols* per *on* key.
+
+    Ties at equal ``ts``: the right row is considered visible (inclusive).
+    Right rows should be unique per (key, ts) — pre-aggregate if not.
+    Unmatched left rows keep NULLs (left-join semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys + [ts_col]]
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols])
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys + [ts_col]],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols])
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        # right rows (side 0) sort before left rows at equal ts -> inclusive
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        picked = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+                  .alias(f"{c}{suffix}") for c in value_cols]
+    elif direction == "forward":
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col(ts_col).desc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        picked = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+                  .alias(f"{c}{suffix}") for c in value_cols]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    out = unioned.select(
+        *[c for c in left.columns], "__is_left", *picked)
+    return out.where(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, start_col: str, end_col: str,
+               on: str | list[str] | None = None,
+               bucket: int = 3600) -> DataFrame:
+    """Join each point row to every interval containing it
+    (``start <= point < end``), optionally also matching key columns *on*.
+
+    Both sides are mapped to integer buckets of width *bucket* (same units
+    as the columns); intervals explode to each bucket they overlap.  The
+    bucket equi-join prunes candidates; the exact range predicate decides.
+    Pick *bucket* near the median interval length: too small explodes the
+    interval side, too large inflates candidate pairs.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    p = points.withColumn("__bucket",
+                          F.floor(F.col(point_col) / F.lit(bucket)))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(start_col) / F.lit(bucket)),
+                             F.floor(F.col(end_col) / F.lit(bucket)))))
+    joined = p.join(i, keys + ["__bucket"])
+    return (joined
+            .where((F.col(point_col) >= F.col(start_col))
+                   & (F.col(point_col) < F.col(end_col)))
+            .drop("__bucket"))

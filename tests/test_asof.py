@@ -1,0 +1,107 @@
+"""As-of join and range join: semantics vs hand-computed + DuckDB oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from legend_community_delta_spark.operators.asof import asof_join, range_join
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame([
+        Row(k="a", ts=10), Row(k="a", ts=20), Row(k="a", ts=5),
+        Row(k="b", ts=10),
+    ])
+    right = spark.createDataFrame([
+        Row(k="a", ts=8, px=1.0), Row(k="a", ts=10, px=2.0),
+        Row(k="a", ts=15, px=3.0), Row(k="b", ts=99, px=9.0),
+    ])
+    out = {(r["k"], r["ts"]): r["px_asof"]
+           for r in asof_join(left, right, "k", "ts").collect()}
+    assert out[("a", 5)] is None          # nothing at or before 5
+    assert out[("a", 10)] == 2.0          # equal ts is inclusive
+    assert out[("a", 20)] == 3.0
+    assert out[("b", 10)] is None         # right row is in the future
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([Row(k="a", ts=10)])
+    right = spark.createDataFrame([
+        Row(k="a", ts=5, px=1.0), Row(k="a", ts=12, px=2.0),
+        Row(k="a", ts=30, px=3.0)])
+    out = asof_join(left, right, "k", "ts", direction="forward").collect()
+    assert out[0]["px_asof"] == 2.0       # nearest following
+
+
+def test_asof_matches_duckdb_on_events(spark):
+    """views asof-join purchases per user — vs DuckDB's native ASOF JOIN."""
+    path = "/root/testdata/sf0.001/events.parquet"
+    from legend_community_delta_spark.demo import _read_table
+    events = _read_table(spark, path)
+    views = events.where("event_type = 'view'") \
+        .select("user_id", "event_id", "ts")
+    purchases = (events.where("event_type = 'purchase'")
+                 .groupBy("user_id", "ts")
+                 .agg({"value": "max"})
+                 .withColumnRenamed("max(value)", "value"))
+    got = asof_join(views, purchases, "user_id", "ts",
+                    value_cols=["value"]).collect()
+    spark_map = {r["event_id"]: r["value_asof"] for r in got}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    oracle = con.execute("""
+        SELECT v.event_id, p.value
+        FROM (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'view') v
+        ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                        WHERE event_type = 'purchase' GROUP BY 1, 2) p
+          ON v.user_id = p.user_id AND v.ts >= p.ts
+    """).fetchall()
+    duck_map = {eid: val for eid, val in oracle}
+    assert len(spark_map) == len(duck_map)
+    mismatches = {k for k in duck_map
+                  if spark_map.get(k) != duck_map[k]
+                  and not (spark_map.get(k) is None and duck_map[k] is None)}
+    assert not mismatches, f"first: {sorted(mismatches)[:5]}"
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [Row(pid=1, t=50), Row(pid=2, t=150), Row(pid=3, t=9999)])
+    intervals = spark.createDataFrame([
+        Row(iid=10, s=0, e=100), Row(iid=11, s=40, e=60),
+        Row(iid=12, s=100, e=200)])
+    out = range_join(points, intervals, "t", "s", "e", bucket=50).collect()
+    pairs = sorted((r["pid"], r["iid"]) for r in out)
+    assert pairs == [(1, 10), (1, 11), (2, 12)]
+
+
+def test_range_join_with_key_vs_duckdb(spark):
+    import random
+    rng = random.Random(3)
+    points = [Row(k=rng.randrange(3), pid=i, t=rng.randrange(0, 1000))
+              for i in range(200)]
+    intervals = []
+    for i in range(40):
+        s = rng.randrange(0, 950)
+        intervals.append(Row(k=rng.randrange(3), iid=i, s=s,
+                             e=s + rng.randrange(10, 200)))
+    pdf = spark.createDataFrame(points)
+    idf = spark.createDataFrame(intervals)
+    got = sorted((r["pid"], r["iid"]) for r in
+                 range_join(pdf, idf, "t", "s", "e", on="k", bucket=64).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(k INT, pid INT, t INT)")
+    con.executemany("INSERT INTO p VALUES (?,?,?)",
+                    [(r.k, r.pid, r.t) for r in points])
+    con.execute("CREATE TABLE i(k INT, iid INT, s INT, e INT)")
+    con.executemany("INSERT INTO i VALUES (?,?,?,?)",
+                    [(r.k, r.iid, r.s, r.e) for r in intervals])
+    oracle = sorted(con.execute(
+        "SELECT pid, iid FROM p JOIN i ON p.k = i.k AND t >= s AND t < e"
+    ).fetchall())
+    assert got == oracle
