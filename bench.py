@@ -28,9 +28,13 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_topk_orders",
     "q5_region_revenue",
+    "q10_returned_revenue",
     "window_top_orders",
     "sessionize_events",
+    "asof_views_purchases",
     "rollup_lineitem",
+    "pivot_orders",
+    "events_hourly",
     "dedup_exact_docs",
     "text_quality_by_lang",
     "shingle_stats",

@@ -569,6 +569,50 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EVENTS_HOURLY_SPARK)
 
 
+def _q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) coverage: order counts by priority x status."""
+    ensure_views(spark, sf_dir)
+    return (spark.table("orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .count()
+            .na.fill(0, ["O", "F", "P"]))
+
+
+_ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+_PERCENTILE_SPARK = """
+SELECT c_mktsegment,
+       round(percentile(o_totalprice, 0.5), 4) AS p50,
+       round(percentile(o_totalprice, 0.9), 4) AS p90,
+       COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+_PERCENTILE_ORACLE = """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation; rounded to 4 decimals to absorb last-ulp division)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_PERCENTILE_SPARK)
+
+
 _SETOP_SQL = """
 SELECT custkey FROM (
   SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -847,6 +891,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_lineitem": _q_rollup_lineitem,
     "setop_customers": _q_setop_customers,
     "distinct_agg": _q_distinct_agg,
+    "pivot_orders": _q_pivot_orders,
+    "percentiles_by_segment": _q_percentiles,
     "dedup_exact_docs": _q_dedup_exact_docs,
     "text_quality_by_lang": _q_text_quality,
     "quality_by_source": _q_quality_by_source,
@@ -878,6 +924,8 @@ ORACLES: dict[str, str] = {
     "rollup_lineitem": _ROLLUP_SQL,
     "setop_customers": _SETOP_SQL,
     "distinct_agg": _DISTINCT_SQL,
+    "pivot_orders": _ORACLE_PIVOT,
+    "percentiles_by_segment": _PERCENTILE_ORACLE,
     "dedup_exact_docs": _ORACLE_DEDUP,
     "text_quality_by_lang": _ORACLE_TEXT_QUALITY,
     "quality_by_source": _ORACLE_QUALITY,

@@ -109,3 +109,22 @@ def test_unknown_type_raises(model):
         "qualifiedProperties": [], "constraints": []}}])
     with pytest.raises(LegendModelError):
         schema_for(bad, "t::bad")
+
+
+def test_directory_loader(tmp_path):
+    """load_resources: entity JSON files on disk round-trip to the same
+    model as in-memory dicts (LegendFileLoader parity)."""
+    import json
+    from legend_community_delta_spark import Legend, load_resources
+    from fixtures import ALL_ENTITIES
+
+    d = tmp_path / "entities"
+    (d / "sub").mkdir(parents=True)
+    for i, e in enumerate(ALL_ENTITIES):
+        target = d / ("sub" if i % 2 else "") / f"e{i}.json"
+        target.write_text(json.dumps(e))
+    legend = Legend(load_resources(str(d)))
+    assert len(legend.get_entity_names()) == len(ALL_ENTITIES)
+    assert legend.get_table("demo::mapping::employee_delta") == "legend.employee"
+    assert "[id] is mandatory" in legend.get_expectations(
+        "demo::mapping::employee_delta")
