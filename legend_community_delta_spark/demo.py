@@ -787,6 +787,29 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EVENTS_JSON_SPARK)
 
 
+_EVENTS_VARIANT_SPARK = """
+SELECT event_type,
+       CAST(SUM(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+_EVENTS_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def _q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: parse_json + variant_get (shredded
+    semi-structured access, the engine-native successor to
+    get_json_object string probing)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_EVENTS_VARIANT_SPARK)
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     ensure_views(spark, sf_dir)
@@ -899,6 +922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_stats": _q_shingle_stats,
     "ngram_jaccard_dups": _q_ngram_jaccard,
     "events_json_stats": _q_events_json,
+    "events_variant_stats": _q_events_variant,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -932,6 +956,7 @@ ORACLES: dict[str, str] = {
     "shingle_stats": _ORACLE_SHINGLES,
     "ngram_jaccard_dups": _ORACLE_NGRAM_JACCARD,
     "events_json_stats": _EVENTS_JSON_ORACLE,
+    "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk:
     # approximate / hash-seeded operators — rows-only checks by design.

@@ -119,3 +119,21 @@ def test_delta_gated_services(spark, tmp_path):
     merge_upsert(spark, updates, "svc.t", ["id"])
     got = {r["id"]: r["v"] for r in spark.table("svc.t").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Partitioned table writes + partition pruning at the scan — the
+    physical layout lever for time-partitioned 100 TB tables."""
+    from pyspark.sql import functions as F
+    demo.ensure_views(spark, SF_DIR)
+    path = str(tmp_path / "orders_by_year")
+    (spark.table("orders")
+     .withColumn("order_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("order_year").parquet(path))
+    df = spark.read.parquet(path).where("order_year = 1997")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan[plan.find("PartitionFilters"):][:200]
+    assert df.count() > 0
+    # non-matching partition scans nothing
+    assert spark.read.parquet(path).where("order_year = 1888").count() == 0
