@@ -87,16 +87,32 @@ class LegendModel:
         return path in self.enumerations
 
     # -- inheritance -------------------------------------------------------
+    #
+    # Supertype members first, recursively (``Legend.scala:433-437``),
+    # deduplicated by name: a subclass redefinition *overrides* the
+    # supertype's (the reference gets this via Scala Map keying), keeping
+    # the first-occurrence position so ordering stays deterministic.
+
+    @staticmethod
+    def _merge_by_name(items: list) -> list:
+        pos: dict[str, int] = {}
+        out: list = []
+        for it in items:
+            if it.name in pos:
+                out[pos[it.name]] = it      # override, keep position
+            else:
+                pos[it.name] = len(out)
+                out.append(it)
+        return out
 
     def all_properties(self, cls: PureClass) -> list:
-        """Supertype fields first, recursively (``Legend.scala:433-437``)."""
         props: list = []
         for st in cls.super_types:
             if st in ("meta::pure::metamodel::type::Any", "Any"):
                 continue
             props.extend(self.all_properties(self.get_class(st)))
         props.extend(cls.properties)
-        return props
+        return self._merge_by_name(props)
 
     def all_constraints(self, cls: PureClass) -> list:
         out: list = []
@@ -105,7 +121,7 @@ class LegendModel:
                 continue
             out.extend(self.all_constraints(self.get_class(st)))
         out.extend(cls.constraints)
-        return out
+        return self._merge_by_name(out)
 
     def all_qualified_properties(self, cls: PureClass) -> list:
         out: list = []
@@ -114,7 +130,7 @@ class LegendModel:
                 continue
             out.extend(self.all_qualified_properties(self.get_class(st)))
         out.extend(cls.qualified_properties)
-        return out
+        return self._merge_by_name(out)
 
 
 def load_resources(directory: str) -> LegendModel:
