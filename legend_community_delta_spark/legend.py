@@ -97,7 +97,16 @@ class Legend:
             cls = self.model.get_class(mapping.class_path)
             return service_sql(self.model, service, mapping.qualified_table,
                                cls, mapping.property_columns)
-        raise LegendModelError(f"[{path}] is neither a mapping nor a service")
+        if path in self.model.raw:
+            kind = self.model.raw[path].get("_type", "unknown")
+            raise LegendModelError(
+                f"[{path}] is a {kind} entity — query/generate_sql need a "
+                f"mapping or a service (use query_pure for ad-hoc lambdas "
+                f"over a class)")
+        raise LegendModelError(
+            f"unknown entity [{path}] — known mappings: "
+            f"{sorted(self.model.mappings) or '(none)'}; services: "
+            f"{sorted(self.model.services) or '(none)'}")
 
     def query(self, path: str) -> DataFrame:
         """Execute the synthesized query (reference ``Legend.scala:105-108``)."""

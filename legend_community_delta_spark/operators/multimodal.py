@@ -88,6 +88,32 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
         batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def normalize_embeddings_per_group(df: DataFrame, vec_col: str = "embedding",
+                                   group_col: str = "label",
+                                   id_col: str = "vec_id") -> DataFrame:
+    """Per-group embedding centering via ``applyInPandas`` (grouped-map).
+
+    Subtracts each group's mean vector — the grouped-map pattern for
+    anything needing a whole group in memory at once (normalization,
+    whitening, per-group PCA).  One shuffle on *group_col*; groups must fit
+    an executor (true for per-label/per-source groups; salt the key if a
+    group can exceed memory).
+    """
+    import numpy as np
+
+    out_schema = df.select(id_col, group_col, vec_col).schema
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        M = M - M.mean(axis=0)
+        pdf = pdf.copy()
+        pdf[vec_col] = [row.astype(np.float32).tolist() for row in M]
+        return pdf
+
+    return (df.select(id_col, group_col, vec_col)
+            .groupBy(group_col).applyInPandas(center, schema=out_schema))
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload") -> DataFrame:
     """Image resize — stub: requires an image codec library at runtime."""

@@ -63,3 +63,34 @@ def test_ivf_with_kmeans_refinement(spark):
                    refine_iters=2).collect()
     assert top[0]["vec_id"] == 7
     assert top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_normalize_embeddings_per_group(spark):
+    from legend_community_delta_spark.operators.multimodal import (
+        normalize_embeddings_per_group)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = normalize_embeddings_per_group(emb)
+    assert out.count() == emb.count()
+    # each group's mean is ~0 after centering
+    from pyspark.sql import functions as F
+    means = (out.select("label", F.posexplode("embedding").alias("p", "x"))
+             .groupBy("label").agg(F.avg("x").alias("m")).collect())
+    assert all(abs(r["m"]) < 1e-5 for r in means)
+
+
+def test_session_configs():
+    from legend_community_delta_spark.session import recommended_configs
+    local = recommended_configs(8, "local")
+    assert local["spark.sql.shuffle.partitions"] == "8"
+    cluster = recommended_configs(400, "cluster")
+    assert int(cluster["spark.sql.shuffle.partitions"]) == 1200
+    assert cluster["spark.sql.adaptive.skewJoin.enabled"] == "true"
+
+
+def test_query_error_messages(legend):
+    import pytest as _pytest
+    from legend_community_delta_spark import LegendModelError
+    with _pytest.raises(LegendModelError, match="is a class entity"):
+        legend.generate_sql("demo::entity::person")
+    with _pytest.raises(LegendModelError, match="unknown entity"):
+        legend.generate_sql("demo::mapping::nope")
