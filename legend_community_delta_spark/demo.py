@@ -833,6 +833,36 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+# float->decimal casts round differently across engines; double-widening a
+# float is exact, group sizes are tiny (<= a few hundred), and round(9)
+# absorbs the ~1e-18 summation-order error
+_EMB_DIMS_SPARK = """
+SELECT label, pos,
+       round(SUM(CAST(x AS DOUBLE)) / COUNT(*), 9) AS avg_val,
+       COUNT(*) AS n
+FROM (SELECT label, posexplode(embedding) AS (pos, x) FROM embeddings)
+GROUP BY label, pos
+"""
+
+_EMB_DIMS_ORACLE = """
+SELECT label, CAST(s.pos AS INT) AS pos,
+       round(SUM(CAST(s.x AS DOUBLE)) / COUNT(*), 9) AS avg_val,
+       COUNT(*) AS n
+FROM (SELECT label,
+             unnest(list_transform(embedding,
+                    (x, i) -> struct_pack(pos := i - 1, x := x))) AS s
+      FROM embeddings)
+GROUP BY label, s.pos
+"""
+
+
+def _q_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode/unnest parity: per-(label, dimension) exact averages —
+    the array-flattening shape feature-store pipelines run constantly."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_EMB_DIMS_SPARK)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates (rows-only check: not SQL-expressible)."""
     ensure_views(spark, sf_dir)
@@ -924,6 +954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_stats": _q_events_json,
     "events_variant_stats": _q_events_variant,
     "ann_cosine_topk": _q_ann_cosine_topk,
+    "embedding_dims_stats": _q_embedding_dims,
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
     "embedding_dedup_pairs": _q_embedding_dedup,
@@ -958,6 +989,7 @@ ORACLES: dict[str, str] = {
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
+    "embedding_dims_stats": _EMB_DIMS_ORACLE,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk:
     # approximate / hash-seeded operators — rows-only checks by design.
 }

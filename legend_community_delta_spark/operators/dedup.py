@@ -60,6 +60,18 @@ def dedup_stats(df: DataFrame, text_col: str = "text",
                         F.col("rows_total") - F.col("rows_distinct")))
 
 
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str, seed: int = 42) -> DataFrame:
+    """Hash-threshold sampling: stable across runs, retries, and cluster
+    sizes (unlike ``df.sample``, whose output depends on partitioning).
+    Same key -> same verdict, so joins between sampled tables stay
+    consistent.  Stratify by sampling each stratum's key separately."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(1_000_000))
+    return df.where(bucket < int(fraction * 1_000_000))
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))

@@ -181,3 +181,17 @@ def test_on_real_documents(spark):
     q = emb.where("vec_id = 0").first()["embedding"]
     top = SIM.cosine_topk(emb, [float(x) for x in q], k=5).collect()
     assert top[0]["vec_id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_deterministic_sample(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    s1 = DD.deterministic_sample(df, 0.25, "o_orderkey")
+    s2 = DD.deterministic_sample(df.repartition(7), 0.25, "o_orderkey")
+    k1 = sorted(r[0] for r in s1.select("o_orderkey").collect())
+    k2 = sorted(r[0] for r in s2.select("o_orderkey").collect())
+    assert k1 == k2                      # partitioning-independent
+    n = df.count()
+    assert 0.15 * n < len(k1) < 0.35 * n
+    import pytest as _p
+    with _p.raises(ValueError):
+        DD.deterministic_sample(df, 1.5, "o_orderkey")
