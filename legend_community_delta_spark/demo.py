@@ -722,13 +722,17 @@ FROM scored GROUP BY source
 
 
 def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-5-shingle explode + distinct count per source (fingerprint base)."""
+    """Char-5-shingle explode + distinct count per source (fingerprint base).
+
+    Distinct runs over xxhash64 of the shingle, not the string — the
+    distinct/shuffle operates on 8-byte longs (collision odds at this
+    cardinality ~1e-7, far below any practical concern)."""
     ensure_views(spark, sf_dir)
     docs = spark.table("documents")
     return (docs.select("source",
                         F.explode(TX.char_shingles("text", 5)).alias("s"))
             .groupBy("source")
-            .agg(F.countDistinct("s").alias("distinct_shingles")))
+            .agg(F.countDistinct(F.xxhash64("s")).alias("distinct_shingles")))
 
 
 _ORACLE_SHINGLES = """

@@ -110,10 +110,15 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     doc) — not the exploded shingles.  Every expression is a simple
     arithmetic op inside whole-stage codegen.
     """
-    hashed = (df.select(F.col(id_col).alias("__id"),
-                        F.explode(F.array_distinct(
-                            char_shingles(text_col, shingle_k))).alias("__sh"))
-              .withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))))
+    # hash shingles to longs BEFORE explode/dedup: the explode and the
+    # distinct operate on 8-byte longs instead of strings (smaller rows,
+    # cheaper comparisons), and the downstream aggregates read a column
+    # that needs no further hashing
+    hashes = F.array_distinct(F.transform(
+        char_shingles(text_col, shingle_k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))))
+    hashed = df.select(F.col(id_col).alias("__id"),
+                       F.explode(hashes).alias("__h"))
     mins = [F.min(F.pmod(a * F.col("__h") + b, F.lit(_MERSENNE))).alias(f"__m{i}")
             for i, (a, b) in enumerate(_hash_params(num_hashes, seed))]
     agg = hashed.groupBy("__id").agg(*mins)
