@@ -681,6 +681,26 @@ FROM documents GROUP BY lang
 """
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget accounting: whitespace tokens + BPE-ish subword proxy
+    per source (both exact integer sums)."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs.groupBy("source")
+            .agg(F.sum(TX.token_count("text")).alias("ws_tokens"),
+                 F.sum(TX.bpe_ish_token_count("text")).alias("bpe_tokens"),
+                 F.count(F.lit(1)).alias("docs")))
+
+
+_ORACLE_TOKEN_COUNTS = r"""
+SELECT source,
+       SUM(len(regexp_extract_all(text, '\S+'))) AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS bpe_tokens,
+       COUNT(*) AS docs
+FROM documents GROUP BY source
+"""
+
+
 def _q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score aggregates per source; the score formula is mirrored
     operation-for-operation in the DuckDB oracle (decimal-exact sum of the
@@ -953,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": _q_dedup_exact_docs,
     "text_quality_by_lang": _q_text_quality,
     "quality_by_source": _q_quality_by_source,
+    "token_counts_by_source": _q_token_counts,
     "shingle_stats": _q_shingle_stats,
     "ngram_jaccard_dups": _q_ngram_jaccard,
     "events_json_stats": _q_events_json,
@@ -988,6 +1009,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": _ORACLE_DEDUP,
     "text_quality_by_lang": _ORACLE_TEXT_QUALITY,
     "quality_by_source": _ORACLE_QUALITY,
+    "token_counts_by_source": _ORACLE_TOKEN_COUNTS,
     "shingle_stats": _ORACLE_SHINGLES,
     "ngram_jaccard_dups": _ORACLE_NGRAM_JACCARD,
     "events_json_stats": _EVENTS_JSON_ORACLE,

@@ -120,3 +120,21 @@ def test_table_enumeration(legend_spark, spark):
     # metastore enumeration parity (pure/LegendCodegen.scala:115-133)
     tables = [t.name for t in spark.catalog.listTables("legend")]
     assert "employee" in tables
+
+
+def test_csv_source_with_schema(legend_spark, spark, tmp_path):
+    """CSV schema-on-read path (same contract as JSON ingest)."""
+    from legend_community_delta_spark.sources import read_with_schema
+    legend = legend_spark
+    p = tmp_path / "emp.csv"
+    p.write_text(
+        "firstName,lastName,birthDate,gender,id,sme,joinedDate,highFives\n"
+        "Ada,Lovelace,1980-03-14,F,1,Python,2015-06-01,12\n"
+        "Bad,Sme,1975-12-09,M,2,C,2010-01-15,5\n")
+    schema = legend.get_schema("demo::entity::employee")
+    df = read_with_schema(spark, str(p), schema, fmt="csv", header=True)
+    assert df.count() == 2
+    rows = {r["firstName"]: r for r in df.collect()}
+    assert rows["Ada"]["highFives"] == 12
+    import datetime as dt
+    assert rows["Ada"]["birthDate"] == dt.date(1980, 3, 14)
