@@ -72,6 +72,22 @@ def deterministic_sample(df: DataFrame, fraction: float,
     return df.where(bucket < int(fraction * 1_000_000))
 
 
+def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
+                      key_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    fraction (strata absent from *fractions* are dropped).  One narrow
+    pass — the per-stratum threshold rides in a literal map."""
+    for f in fractions.values():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {f}")
+    mapping = F.create_map(*[
+        lit for k, f in fractions.items()
+        for lit in (F.lit(k), F.lit(int(f * 1_000_000)))])
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(1_000_000))
+    threshold = mapping[F.col(strata_col)]
+    return df.where(threshold.isNotNull() & (bucket < threshold))
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))

@@ -137,3 +137,41 @@ def test_partition_pruning(spark, tmp_path):
     assert df.count() > 0
     # non-matching partition scans nothing
     assert spark.read.parquet(path).where("order_year = 1888").count() == 0
+
+
+def test_plan_summary_and_gate(spark):
+    from legend_community_delta_spark.plans.inspect import (
+        assert_scalable, plan_summary)
+    demo.ensure_views(spark, SF_DIR)
+    df = demo.QUERIES["legend_mapping_orders"](spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["python_udfs"] == 0
+    assert s["pushed_filters"]
+    assert s["scans"] >= 1
+    assert_scalable(df, require_pushdown=True)
+    # gate failure path
+    udf_df = demo.QUERIES["curate_corpus_docs"](spark, SF_DIR)  # no UDFs either
+    assert_scalable(udf_df)
+    import pytest as _p
+    with _p.raises(AssertionError, match="exchanges"):
+        assert_scalable(demo.QUERIES["q5_region_revenue"](spark, SF_DIR),
+                        max_exchanges=0)
+
+
+def test_stratified_sample(spark):
+    from legend_community_delta_spark.operators.dedup import stratified_sample
+    demo.ensure_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    out = stratified_sample(docs, {"en": 0.5, "de": 1.0}, "lang", "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"en", "de"}           # others dropped
+    assert counts["de"] == totals["de"]          # fraction 1.0 keeps all
+    assert 0.3 * totals["en"] < counts["en"] < 0.7 * totals["en"]
+    # deterministic across partitioning
+    again = stratified_sample(docs.repartition(5), {"en": 0.5, "de": 1.0},
+                              "lang", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
