@@ -452,6 +452,37 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
 
+# TPC-H Q6 shape: highly selective scan-side filters (pushdown showcase)
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS rows_cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+_ANTIJOIN_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / anti-join coverage."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_ANTIJOIN_SQL)
+
+
 _WINDOW_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -960,6 +991,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_topk_orders": _q3_topk_orders,
     "q5_region_revenue": _q5_region_revenue,
     "q10_returned_revenue": _q10_returned_revenue,
+    "q6_forecast_revenue": _q6_forecast_revenue,
+    "customers_without_orders": _q_customers_without_orders,
     "cube_lineitem": _q_cube_lineitem,
     "events_hourly": _q_events_hourly,
     "window_top_orders": _q_window_top_orders,
@@ -996,6 +1029,8 @@ ORACLES: dict[str, str] = {
     "q3_topk_orders": _ORACLE_Q3,
     "q5_region_revenue": _ORACLE_Q5,
     "q10_returned_revenue": _Q10_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "customers_without_orders": _ANTIJOIN_SQL,
     "cube_lineitem": _CUBE_SQL,
     "events_hourly": _EVENTS_HOURLY_ORACLE,
     "window_top_orders": _WINDOW_SQL,
