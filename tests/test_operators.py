@@ -195,3 +195,33 @@ def test_deterministic_sample(spark):
     import pytest as _p
     with _p.raises(ValueError):
         DD.deterministic_sample(df, 1.5, "o_orderkey")
+
+
+def test_winnow_fingerprint(spark, docs):
+    out = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", TX.winnow_fingerprint("text").alias("fp")).collect()}
+    assert out[1] == out[2]                 # identical text, same fingerprint
+    assert len(out[1]) == 4 and out[1] == sorted(out[1])
+    assert out[6] == []                     # empty text
+    # near-dup docs share most of their smallest shingle hashes
+    assert len(set(out[1]) & set(out[4])) >= 2
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([Row(t="hello, world! x2")])
+    row = df.select(TX.bpe_ish_token_count("t").alias("n"),
+                    TX.token_count("t").alias("ws")).first()
+    # hello , world ! x 2  -> 6 sub-tokens vs 3 whitespace tokens
+    assert row["n"] == 6 and row["ws"] == 3
+
+
+def test_exact_dedup_keep_max(docs):
+    kept = sorted(r["doc_id"] for r in
+                  DD.exact_dedup(docs, keep="max").collect())
+    assert kept == [3, 4, 5, 6]             # 1,2 fold into 3 (max id)
+
+
+def test_validate_with_no_rules(spark, docs):
+    from legend_community_delta_spark import legend_validate
+    out = legend_validate(docs, {}).collect()
+    assert all(r["legend"] == [] for r in out)
