@@ -501,20 +501,27 @@ def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # gaps compared in integer MICROSECONDS on both engines — duckdb's epoch()
-# returns fractional seconds, which would disagree with any whole-second cut
+# returns fractional seconds, which would disagree with any whole-second cut.
+# Two driver-environment hazards handled here:
+#  * gap math stays on TIMESTAMP_NTZ (timestampdiff) — no CAST(ts AS
+#    TIMESTAMP), which would apply spark.sql.session.timeZone and shift
+#    gaps across DST transitions in a non-UTC driver session;
+#  * the oracle CASTs its SUM to BIGINT — DuckDB SUM(int) is HUGEINT,
+#    which lands in pandas as float64 ("3.0" vs Spark's int64 "3") and
+#    hash-mismatches even when every value is equal (round-1 red row).
 _SESSIONIZE_SPARK = """
 SELECT user_id, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS sessions,
        COUNT(*) AS events
 FROM (
   SELECT user_id,
-         unix_micros(CAST(ts AS TIMESTAMP)) - lag(unix_micros(CAST(ts AS TIMESTAMP))) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         timestampdiff(MICROSECOND, lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
   FROM events
 ) t GROUP BY user_id
 """
 
 _SESSIONIZE_ORACLE = """
-SELECT user_id, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS sessions,
+SELECT user_id, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
        COUNT(*) AS events
 FROM (
   SELECT user_id,
@@ -723,10 +730,12 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("docs")))
 
 
+# SUMs cast to BIGINT: DuckDB SUM(int) is HUGEINT -> pandas float64,
+# which hash-mismatches Spark's int64 despite equal values (round-1 red row)
 _ORACLE_TOKEN_COUNTS = r"""
 SELECT source,
-       SUM(len(regexp_extract_all(text, '\S+'))) AS ws_tokens,
-       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS bpe_tokens,
        COUNT(*) AS docs
 FROM documents GROUP BY source
 """

@@ -61,8 +61,52 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def _dtype_family(dt) -> str:
+    k = getattr(dt, "kind", "?")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"  # object/datetime/etc — value canon handles these
+
+
+@pytest.mark.parametrize("name", sorted(demo.ORACLES))
+def test_oracle_pandas_dtypes_match(spark, name):
+    """Driver-faithful check: the driver compares result frames through
+    pandas, where DuckDB HUGEINT (the type of SUM(int)) surfaces as
+    float64 and hash-mismatches Spark's int64 even when every value is
+    equal (round-1 `sessionize_events` / `token_counts_by_source` red
+    rows).  Guard every oracle: numeric *family* (int vs float) must
+    agree column-by-column between Spark-toPandas and DuckDB-df."""
+    sdf = demo.QUERIES[name](spark, SF_DIR).limit(50).toPandas()
+    con = _duck(SF_DIR)
+    odf = con.execute(demo.ORACLES[name]).df().head(50)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    bad = []
+    for c in sdf.columns:
+        sf_, of_ = _dtype_family(sdf[c].dtype), _dtype_family(odf[c].dtype)
+        if {sf_, of_} == {"int", "float"}:
+            bad.append((c, str(sdf[c].dtype), str(odf[c].dtype)))
+    assert not bad, f"{name}: int/float dtype family mismatch {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(demo.QUERIES) - set(demo.ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = demo.QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_sessionize_is_timezone_free(spark):
+    """Gap math must run on TIMESTAMP_NTZ directly: a driver session in a
+    DST timezone must produce identical session counts to UTC."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base = demo.QUERIES["sessionize_events"](spark, SF_DIR).collect()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = demo.QUERIES["sessionize_events"](spark, SF_DIR).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shifted))
