@@ -71,7 +71,13 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
     target = spark.table(table)
     keep = target.join(updates.select(*keys), keys, "left_anti")
     merged = keep.unionByName(updates)
-    # materialize before overwrite: the plan reads the table being replaced
-    rows = merged.collect()
-    spark.createDataFrame(rows, merged.schema).write.mode("overwrite") \
-        .insertInto(table, overwrite=True)
+    # The overwrite plan would read the table being replaced, so the merged
+    # rows are staged through a scratch table first — distributed writes
+    # only; nothing ever materializes on the driver.
+    staging = f"{table}__merge_staging"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    try:
+        spark.table(staging).write.mode("overwrite") \
+            .insertInto(table, overwrite=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -119,6 +119,14 @@ def test_delta_gated_services(spark, tmp_path):
     merge_upsert(spark, updates, "svc.t", ["id"])
     got = {r["id"]: r["v"] for r in spark.table("svc.t").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+    # fully distributed path: no driver materialization, staging cleaned up
+    import inspect
+    from legend_community_delta_spark.sources import tables as _t
+    assert ".collect(" not in inspect.getsource(_t.merge_upsert)
+    assert not spark.catalog.tableExists("svc.t__merge_staging")
+    # idempotent re-merge (staging table recreated and dropped again)
+    merge_upsert(spark, updates, "svc.t", ["id"])
+    assert {r["id"]: r["v"] for r in spark.table("svc.t").collect()} == got
 
 
 def test_partition_pruning(spark, tmp_path):
