@@ -21,10 +21,67 @@ whole pipeline lazy for production runs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import NumericType, StringType
 
 from ..functions.text import quality_score, token_count
 from .dedup import exact_dedup, minhash_dedup
+
+
+def token_budget_cut(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", max_tokens: int = 0,
+                     n_buckets: int = 1024,
+                     prefix_len: int = 8) -> DataFrame:
+    """Keep the id-ordered prefix of the corpus whose cumulative token
+    count fits ``max_tokens`` — EXACT, without a corpus-wide
+    single-partition window.
+
+    Scalable two-level prefix sum:
+
+    1. bucket every doc with an *order-preserving* function of the id
+       (numeric: fixed-width ranges; string: lexicographic prefix), so
+       bucket order == id order across buckets;
+    2. per-bucket token totals (one shuffled aggregate, ``n_buckets``
+       output rows);
+    3. exclusive running offsets across buckets — a window over only
+       ``n_buckets`` rows (metadata-sized; the one intentionally
+       single-partition step);
+    4. broadcast the offsets back and run the per-doc running sum
+       *partitioned by bucket* — parallel across the cluster;
+    5. keep rows where offset + within-bucket cumsum <= budget.
+
+    The numeric path runs one metadata-sized min/max job to size the
+    bucket width.  Same selected set as a global
+    ``Window.orderBy(id)`` running sum, at any scale.
+    """
+    dt = df.schema[id_col].dataType
+    if isinstance(dt, NumericType):
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        if lo is None:
+            return df
+        width = max(1, math.ceil((int(hi) - int(lo) + 1) / n_buckets))
+        bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width))
+    elif isinstance(dt, StringType):
+        # prefix order is consistent with full lexicographic id order
+        bucket = F.substring(F.col(id_col), 1, prefix_len)
+    else:
+        raise TypeError(f"token_budget_cut: unsupported id type {dt}")
+
+    with_tok = (df.withColumn("__tok", token_count(text_col).cast("long"))
+                  .withColumn("__b", bucket))
+    bucket_totals = with_tok.groupBy("__b").agg(F.sum("__tok").alias("__bt"))
+    w_off = (Window.orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bucket_totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"))
+    w_doc = (Window.partitionBy("__b").orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (with_tok.join(F.broadcast(offsets), "__b")
+            .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_doc))
+            .where(F.col("__cum") <= F.lit(max_tokens))
+            .drop("__tok", "__b", "__off", "__cum"))
 
 
 def curate_corpus(df: DataFrame, text_col: str = "text",
@@ -56,17 +113,10 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     near = n("after_near_dedup", exact.join(losers, id_col, "left_anti"))
 
-    # 4. token budget: cumulative tokens in id order, cut at the budget
+    # 4. token budget: exact cumulative cutoff in id order via the
+    # bucketed two-level prefix sum (no corpus-wide single partition)
     out = near
     if max_tokens is not None:
-        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-        out = (near.withColumn("__tok", token_count(text_col))
-               .withColumn("__cum", F.sum("__tok").over(w))
-               .where(F.col("__cum") <= max_tokens)
-               .drop("__tok", "__cum"))
-        # NOTE: the single-partition global running sum is the one
-        # non-scalable step; at 100 TB budget per shard (partition by
-        # hash, pro-rated budget) or sample a global quantile of doc
-        # length instead.  Kept exact here for determinism.
+        out = token_budget_cut(near, text_col, id_col, max_tokens)
     n("output", out)
     return out, stats

@@ -44,6 +44,41 @@ def test_curate_token_budget(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
 
 
+def test_token_budget_cut_matches_global_window(spark):
+    """The bucketed two-level prefix sum must select exactly the same
+    id-ordered prefix as a naive global running-sum window, regardless of
+    input partitioning, for numeric AND string ids."""
+    from pyspark.sql import Window, functions as F
+    from legend_community_delta_spark.functions.text import token_count
+    from legend_community_delta_spark.operators.curation import token_budget_cut
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    budget = 20_000
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (docs.withColumn("__c", F.sum(token_count("text")).over(w))
+             .where(F.col("__c") <= budget))
+    expect = sorted(r["doc_id"] for r in naive.select("doc_id").collect())
+    assert 0 < len(expect) < docs.count()
+
+    got = token_budget_cut(docs, max_tokens=budget, n_buckets=16)
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == expect
+    # partitioning-independent
+    got7 = token_budget_cut(docs.repartition(7), max_tokens=budget, n_buckets=16)
+    assert sorted(r["doc_id"] for r in got7.select("doc_id").collect()) == expect
+    # string ids: zero-padded so lexicographic == numeric order
+    sdocs = docs.withColumn("doc_id", F.format_string("doc%06d", "doc_id"))
+    gots = token_budget_cut(sdocs, max_tokens=budget, prefix_len=5)
+    got_ids = sorted(int(r["doc_id"][3:]) for r in gots.select("doc_id").collect())
+    assert got_ids == expect
+
+    # the per-doc running sum is partitioned by bucket (parallel), not global
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    doc_windows = [ln for ln in plan.splitlines()
+                   if "windowspecdefinition" in ln and "doc_id" in ln]
+    assert doc_windows and all("__b" in ln for ln in doc_windows)
+
+
 def test_pandas_cosine_agrees_with_column(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
