@@ -812,6 +812,52 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(spark.table("documents"), n=5, threshold=0.2)
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact Jaccard pair graph: every doc
+    in at least one near-dup pair labeled with its component's min id —
+    the transitive clustering behind ``curate_corpus``'s near-dedup drop
+    (operators/graph.py).  Oracle: DuckDB recursive-CTE reachability."""
+    ensure_views(spark, sf_dir)
+    from .operators.graph import connected_components
+    pairs = DD.ngram_jaccard_pairs(spark.table("documents"), n=5,
+                                   threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+_ORACLE_NEAR_DUP_CLUSTERS = r"""
+WITH RECURSIVE grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
 _ORACLE_NGRAM_JACCARD = r"""
 WITH grams AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1018,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_by_source": _q_token_counts,
     "shingle_stats": _q_shingle_stats,
     "ngram_jaccard_dups": _q_ngram_jaccard,
+    "near_dup_clusters": _q_near_dup_clusters,
     "events_json_stats": _q_events_json,
     "events_variant_stats": _q_events_variant,
     "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1056,6 +1103,7 @@ ORACLES: dict[str, str] = {
     "token_counts_by_source": _ORACLE_TOKEN_COUNTS,
     "shingle_stats": _ORACLE_SHINGLES,
     "ngram_jaccard_dups": _ORACLE_NGRAM_JACCARD,
+    "near_dup_clusters": _ORACLE_NEAR_DUP_CLUSTERS,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

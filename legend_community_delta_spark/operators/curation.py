@@ -7,12 +7,14 @@ before tokenization, in the order that minimizes work at scale:
    rows before anything shuffles);
 2. **exact dedup** — hash-groupBy on normalized content (one shuffle of
    (hash, id));
-3. **near dedup** — MinHash/LSH candidate pairs; every doc appearing as
-   the *larger* id of a surviving pair is dropped (keep-first policy —
-   cluster-transitive enough for corpus thinning without a connected-
-   components pass);
-4. **token budget** — running-total cutoff in corpus order (window sum),
-   stopping the corpus at ``max_tokens``.
+3. **near dedup** — MinHash/LSH candidate pairs, connected components
+   over the pair graph, keep the minimum id of each component
+   (transitive-correct: A~B~C collapses to one survivor even when
+   A!~C directly);
+4. **token budget** — exact running-total cutoff in corpus order via a
+   bucketed two-level prefix sum (:func:`token_budget_cut`), stopping
+   the corpus at ``max_tokens`` without a global single-partition
+   window.
 
 Returns (curated DataFrame, stats dict of per-stage counts).  Stats force
 one action per stage boundary; pass ``collect_stats=False`` to keep the
@@ -28,6 +30,7 @@ from pyspark.sql.types import NumericType, StringType
 
 from ..functions.text import quality_score, token_count
 from .dedup import exact_dedup, minhash_dedup
+from .graph import drop_near_dups
 
 
 def token_budget_cut(df: DataFrame, text_col: str = "text",
@@ -107,11 +110,11 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     # 2. exact dedup
     exact = n("after_exact_dedup", exact_dedup(gated, text_col, id_col))
 
-    # 3. near dedup: drop the id_b side of each candidate pair
+    # 3. near dedup: connected components over the candidate-pair graph,
+    # keep the min id of each component (transitive-correct)
     pairs = minhash_dedup(exact, text_col, id_col,
                           threshold=near_dup_threshold)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    near = n("after_near_dedup", exact.join(losers, id_col, "left_anti"))
+    near = n("after_near_dedup", drop_near_dups(exact, pairs, id_col))
 
     # 4. token budget: exact cumulative cutoff in id order via the
     # bucketed two-level prefix sum (no corpus-wide single partition)

@@ -1,0 +1,70 @@
+"""Distributed connected components for near-dup clustering.
+
+Near-dup candidate pairs (MinHash/SimHash/embedding LSH) form a graph;
+dropping "the larger id of each pair" over/under-drops transitive
+clusters (A~B, B~C, A!~C).  The standard fix is to label every doc with
+the minimum id of its connected component and keep one doc per label.
+
+:func:`connected_components` is iterative min-label propagation — each
+round every node takes the smallest label among itself and its
+neighbors.  Converges in O(graph diameter) rounds; near-dup cluster
+diameters are tiny (docs similar to a common template), so in practice
+3-5 rounds.  Each round is one equi-join + one min-aggregate, both
+AQE-planned; ``localCheckpoint`` truncates the iterative lineage so
+plans stay constant-size.  No driver-side graph materialization —
+the only per-round driver value is the convergence count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 30,
+                         ) -> DataFrame:
+    """Label every node in the *pairs* edge list with its component's
+    minimum id.  Returns ``(id, component)``, one row per distinct node.
+
+    Only nodes appearing in at least one pair are returned (isolated
+    docs are their own component by definition — callers left-join).
+    Stops at the fixpoint or after *max_iter* rounds, whichever is
+    first.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .distinct()
+             .localCheckpoint(eager=True))  # reused every round; cut lineage
+
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("id").alias("b"), "component"),
+                          "b")
+               .groupBy("a").agg(F.min("component").alias("nbr_min")))
+        new = (labels.join(nbr.select(F.col("a").alias("id"), "nbr_min"),
+                           "id", "left")
+               .select("id",
+                       F.least("component",
+                               F.coalesce("nbr_min", "component"))
+                       .alias("component"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("component", "old"),
+                            "id")
+                   .where(F.col("component") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_dups(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one doc per near-dup component (the minimum id);
+    docs in no pair are untouched.  One anti-join over the component
+    labels — the transitive-correct version of keep-first pair drops."""
+    comp = connected_components(pairs)
+    losers = (comp.where(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

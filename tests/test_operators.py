@@ -225,3 +225,32 @@ def test_validate_with_no_rules(spark, docs):
     from legend_community_delta_spark import legend_validate
     out = legend_validate(docs, {}).collect()
     assert all(r["legend"] == [] for r in out)
+
+
+def test_connected_components(spark):
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.graph import (
+        connected_components, drop_near_dups)
+    # chain 1-2-3 (transitive: 1!~3 directly), pair 10-11, isolated 99
+    pairs = spark.createDataFrame([
+        Row(id_a=2, id_b=3), Row(id_a=1, id_b=2), Row(id_a=10, id_b=11)])
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in (1, 2, 3, 10, 11, 99)])
+    kept = sorted(r["doc_id"]
+                  for r in drop_near_dups(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one per component + the isolated doc
+
+
+def test_connected_components_long_chain_and_strings(spark):
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.graph import (
+        connected_components)
+    # 12-node chain: needs several propagation rounds, ends as one label
+    pairs = spark.createDataFrame(
+        [Row(id_a=f"d{i:02d}", id_b=f"d{i+1:02d}") for i in range(11)])
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 12
+    assert {r["component"] for r in rows} == {"d00"}
