@@ -538,6 +538,58 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SESSIONIZE_SPARK)
 
 
+_STREAM_RUN_SEQ = [0]  # memory-sink names must be unique per invocation
+
+
+def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization (applyInPandasWithState) driven
+    to completion with availableNow over the events table, then compared
+    against batch semantics: the stream emits only *closed* sessions, and
+    each user's final session stays open, so closed+1 == the batch session
+    count — which makes this streaming query oracle-checkable (users with
+    >= 2 sessions).  The harness writes a single time-sorted source file
+    so the one-shot backfill arrives in order, as a live stream would."""
+    import tempfile
+
+    from .streaming.sessionize import sessionize_stream
+
+    ensure_views(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="legend_sessionize_stream_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    (spark.table("events").select("user_id", "ts")
+     .coalesce(1).sortWithinPartitions("ts", "user_id")
+     .write.mode("overwrite").parquet(src))
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    sessions = sessionize_stream(stream, gap="30 minutes",
+                                 flush_timeout=False)
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__sessions_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (sessions.writeStream.format("memory").queryName(sink)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return (spark.table(sink).groupBy("user_id")
+            .agg((F.count(F.lit(1)) + F.lit(1)).alias("sessions")))
+
+
+# identical session semantics to _SESSIONIZE_ORACLE; the stream only sees
+# users whose corpus contains at least one closed session (sessions >= 2)
+_SESSIONIZE_STREAM_ORACLE = """
+SELECT user_id, sessions FROM (
+  SELECT user_id, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                                THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+  FROM (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts) AS gap_us
+    FROM events
+  ) t GROUP BY user_id
+) WHERE sessions >= 2
+"""
+
+
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS orders_cnt,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
@@ -1052,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": _q_events_hourly,
     "window_top_orders": _q_window_top_orders,
     "sessionize_events": _q_sessionize_events,
+    "sessionize_stream": _q_sessionize_stream,
     "asof_views_purchases": _q_asof_views_purchases,
     "rollup_lineitem": _q_rollup_lineitem,
     "setop_customers": _q_setop_customers,
@@ -1091,6 +1144,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": _EVENTS_HOURLY_ORACLE,
     "window_top_orders": _WINDOW_SQL,
     "sessionize_events": _SESSIONIZE_ORACLE,
+    "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "asof_views_purchases": _ORACLE_ASOF,
     "rollup_lineitem": _ROLLUP_SQL,
     "setop_customers": _SETOP_SQL,

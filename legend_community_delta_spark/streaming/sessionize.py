@@ -32,7 +32,7 @@ _STATE_SCHEMA = "session_id long, last_us long, n_events long, start_us long"
 
 
 def _sessionize_group(key, pdfs: Iterable[pd.DataFrame], state: GroupState,
-                      gap_us: int):
+                      gap_us: int, flush_timeout: bool = True):
     (user_id,) = key
     if state.hasTimedOut:
         session_id, last_us, n_events, start_us = state.get
@@ -63,36 +63,56 @@ def _sessionize_group(key, pdfs: Iterable[pd.DataFrame], state: GroupState,
             last_us = us
 
     state.update((session_id, last_us, n_events, start_us))
-    state.setTimeoutDuration(gap_us // 1000)
+    if flush_timeout:
+        state.setTimeoutDuration(gap_us // 1000)
     if closed:
         yield pd.DataFrame(closed)
 
 
 def sessionize_stream(events: DataFrame, ts_col: str = "ts",
                       user_col: str = "user_id",
-                      gap: str = "30 minutes") -> DataFrame:
+                      gap: str = "30 minutes",
+                      flush_timeout: bool = True) -> DataFrame:
     """Streaming sessionization over an event stream.
 
     Emits one row per *closed* session (update mode).  The state store
     holds one small tuple per active user — bounded by the processing
     timeout, not by history length.
+
+    ``flush_timeout=False`` disables the processing-time timeout (idle
+    sessions are then only closed by a later event, never by inactivity).
+    Use it for one-shot ``availableNow`` backfills: a pending timeout
+    keeps the query alive past the last batch, so with it disabled the
+    run terminates as soon as the data is drained.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     gap_us = _parse_gap_us(gap)
+    # TIMESTAMP_NTZ never goes through CAST(... AS TIMESTAMP): that would
+    # apply the session timezone and shift gaps across DST transitions —
+    # µs-since-epoch is computed timezone-free instead
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        ts_us = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})")
+    else:
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prepared = events.select(
         F.col(user_col).cast("long").alias("user_id"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"))
+        ts_us.alias("ts_us"))
 
     def fn(key, pdfs, state):
-        return _sessionize_group(key, pdfs, state, gap_us)
+        return _sessionize_group(key, pdfs, state, gap_us, flush_timeout)
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if flush_timeout else GroupStateTimeout.NoTimeout)
     return (prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+        timeoutConf=timeout_conf))
 
 
 def _parse_gap_us(gap: str) -> int:
