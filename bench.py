@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_topk_orders",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
     "q10_returned_revenue",
     "window_top_orders",
     "sessionize_events",
@@ -39,6 +41,7 @@ BENCH_QUERIES = [
     "text_quality_by_lang",
     "shingle_stats",
     "minhash_pairs",
+    "near_dup_clusters",
     "ann_cosine_topk",
 ]
 

@@ -119,6 +119,13 @@ TPCH_ENTITIES: list[dict] = [
             {"name": "orderYear", "returnType": "Integer",
              "returnMultiplicity": {"lowerBound": 1, "upperBound": 1},
              "parameters": [], "body": [_fn("year", _this("orderDate"))]},
+            # composed derived property (reference employee.initials shape:
+            # substring over a mapped column, person.json:derivedProperties)
+            {"name": "priorityClass", "returnType": "String",
+             "returnMultiplicity": {"lowerBound": 1, "upperBound": 1},
+             "parameters": [],
+             "body": [_fn("substring", _this("orderPriority"),
+                          _int(0), _int(1))]},
         ],
         "constraints": [
             {"name": "[totalPrice] must be positive",
@@ -200,6 +207,35 @@ TPCH_ENTITIES: list[dict] = [
                                   _str("Year"))),
                         _coll(_fn("desc", _str("Total")), _str("OrderKey"))),
                     _int(20))]}}}},
+    {"content": {
+        "_type": "service", "package": "tpch::service", "name": "orders_by_year",
+        "pattern": "/orders_by_year",
+        "execution": {
+            "_type": "pureSingleExecution",
+            "mapping": "tpch::mapping::orders_delta",
+            "func": {"_type": "lambda", "parameters": [], "body": [
+                _fn("take",
+                    _fn("sort",
+                        _fn("groupBy",
+                            _fn("getAll", {"_type": "packageableElementPtr",
+                                           "fullPath": "tpch::entity::order"}),
+                            _coll(_lam(_var("x", "orderYear")),
+                                  _lam(_var("x", "priorityClass"))),
+                            _coll(_fn("agg", _lam(_var("x", "totalPrice")),
+                                      _lam(_fn("max",
+                                               {"_type": "var", "name": "x"}))),
+                                  _fn("agg", _lam(_var("x", "totalPrice")),
+                                      _lam(_fn("min",
+                                               {"_type": "var", "name": "x"}))),
+                                  _fn("agg", _lam(_var("x", "orderKey")),
+                                      _lam(_fn("count",
+                                               {"_type": "var", "name": "x"})))),
+                            _coll(_str("Year"), _str("PriorityClass"),
+                                  _str("MaxPrice"), _str("MinPrice"),
+                                  _str("Orders"))),
+                        _coll(_fn("desc", _str("Year")),
+                              _str("PriorityClass"))),
+                    _int(12))]}}}},
     {"content": {
         "_type": "service", "package": "tpch::service", "name": "part_stats",
         "pattern": "/part_stats",
@@ -314,6 +350,27 @@ SELECT p_brand AS "Brand", avg(1.0 * p_size) AS "AvgSize",
        count(p_partkey) AS "Parts"
 FROM part GROUP BY p_brand
 ORDER BY "AvgSize" DESC, "Brand" LIMIT 10
+"""
+
+
+def _q_legend_service_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service groupBy over TWO qualified (derived) properties — year() and
+    a composed substring derivation — with max/min/count aggregates and a
+    deterministic top-k.  The service-compile path the reference exercises
+    through service/employee.json's derived columns."""
+    ensure_views(spark, sf_dir)
+    return build_legend(spark).query("tpch::service::orders_by_year")
+
+
+_ORACLE_ORDERS_BY_YEAR = """
+SELECT CAST(year(o_orderdate) AS INT) AS "Year",
+       substring(o_orderpriority, 1, 1) AS "PriorityClass",
+       max(o_totalprice) AS "MaxPrice",
+       min(o_totalprice) AS "MinPrice",
+       count(o_orderkey) AS "Orders"
+FROM orders
+GROUP BY 1, 2
+ORDER BY "Year" DESC, "PriorityClass" LIMIT 12
 """
 
 
@@ -602,6 +659,66 @@ def _q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: ROLLUP with exact measures."""
     ensure_views(spark, sf_dir)
     return spark.sql(_ROLLUP_SQL)
+
+
+# TPC-H Q7 volume-shipping shape on the synthetic domains (nations are
+# NATION_0..24 here): revenue flowing between two nations by ship year.
+# Join-heavy: lineitem⋈orders⋈customer⋈supplier + two nation dims.
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year, {_REV} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+# TPC-H Q8 market-share shape: one nation's share of regional part volume
+# per order year.  Division of two decimal-exact sums cast to double keeps
+# the ratio deterministic on both engines.
+_Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                     ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+) t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share within a region (7-table join)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
 
 
 _Q10_SQL = f"""
@@ -1092,11 +1209,14 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,
+    "legend_service_orders_by_year": _q_legend_service_orders_by_year,
     "legend_service_urgent_orders": _q_legend_service_urgent_orders,
     "legend_dq_lineitem": _q_legend_dq_lineitem,
     "q1_pricing_summary": _q1_pricing_summary,
     "q3_topk_orders": _q3_topk_orders,
     "q5_region_revenue": _q5_region_revenue,
+    "q7_nation_volume": _q7_nation_volume,
+    "q8_market_share": _q8_market_share,
     "q10_returned_revenue": _q10_returned_revenue,
     "q6_forecast_revenue": _q6_forecast_revenue,
     "customers_without_orders": _q_customers_without_orders,
@@ -1132,11 +1252,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "legend_mapping_orders": _ORACLE_MAPPING_ORDERS,
     "legend_service_part_stats": _ORACLE_PART_STATS,
+    "legend_service_orders_by_year": _ORACLE_ORDERS_BY_YEAR,
     "legend_service_urgent_orders": _ORACLE_URGENT_ORDERS,
     "legend_dq_lineitem": _ORACLE_DQ_LINEITEM,
     "q1_pricing_summary": _ORACLE_Q1,
     "q3_topk_orders": _ORACLE_Q3,
     "q5_region_revenue": _ORACLE_Q5,
+    "q7_nation_volume": _Q7_SQL,
+    "q8_market_share": _Q8_SQL,
     "q10_returned_revenue": _Q10_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "customers_without_orders": _ANTIJOIN_SQL,

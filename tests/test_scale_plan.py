@@ -44,6 +44,18 @@ def test_q5_uses_broadcast_joins(spark):
     assert "SortMergeJoin" not in plan   # dims broadcast at this scale
 
 
+def test_q7_q8_join_strategy(spark):
+    """Join-heavy TPC-H shapes: every dim join broadcasts (nation/region/
+    supplier/customer/part side), fact stays un-shuffled by the joins, and
+    nothing degenerates to a cartesian product."""
+    demo.ensure_views(spark, SF_DIR)
+    for name in ("q7_nation_volume", "q8_market_share"):
+        plan = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
 def test_topk_is_take_ordered(spark):
     demo.ensure_views(spark, SF_DIR)
     plan = _plan(demo.QUERIES["ann_cosine_topk"](spark, SF_DIR))
