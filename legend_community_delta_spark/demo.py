@@ -1090,12 +1090,11 @@ def _q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    """Brute-force cosine top-10 against the vec_id=0 embedding — fully
+    lazy: the 1-row query side is broadcast, no driver .first() job."""
     ensure_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    qvec = [float(x) for x in
-            emb.where("vec_id = 0").select("embedding").first()[0]]
-    return SIM.cosine_topk(emb, qvec, k=10)
+    return SIM.cosine_topk_df(emb, emb.where("vec_id = 0"), k=10)
 
 
 _ORACLE_ANN = """
@@ -1158,7 +1157,7 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (rows-only check)."""
     ensure_views(spark, sf_dir)
     return DD.embedding_dedup(spark.table("embeddings"), threshold=0.9,
-                              n_planes=8)
+                              n_planes=8, dims=64)
 
 
 def _q_asof_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,12 +1197,12 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only: approximate by construction)."""
+    """LSH-bucketed ANN (rows-only: approximate by construction) — the
+    signature probe is a broadcast hamming join, no driver .first()."""
     ensure_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    qvec = [float(x) for x in
-            emb.where("vec_id = 0").select("embedding").first()[0]]
-    return SIM.lsh_topk(emb, qvec, k=10, n_planes=8)
+    return SIM.lsh_topk_df(emb, emb.where("vec_id = 0"), dims=64,
+                           k=10, n_planes=8)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

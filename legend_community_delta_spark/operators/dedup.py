@@ -321,13 +321,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", threshold: float = 0.95,
-                    n_planes: int = 16, seed: int = 42) -> DataFrame:
+                    n_planes: int = 16, seed: int = 42,
+                    dims: int | None = None) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold, LSH-bucketed.
 
     Random-hyperplane signature buckets candidates (narrow map + one
     equi-join); exact cosine verifies.  High thresholds keep buckets tight.
+    Pass *dims* explicitly to keep the call fully lazy (otherwise one
+    metadata-sized ``.first()`` job sizes the hyperplanes).
     """
-    dims = len(df.select(vec_col).first()[0])
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(n_planes)]
     sigs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),

@@ -31,6 +31,25 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def cosine_topk_df(df: DataFrame, query_df: DataFrame, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_vec_col: str | None = None) -> DataFrame:
+    """Exact top-k where the query vector lives in a 1-row DataFrame.
+
+    Fully lazy: the query side is broadcast into a cross join, so there
+    is no driver round-trip (`.first()`) to fetch the vector — one job
+    total, still planned as TakeOrderedAndProject.
+    """
+    qcol = query_vec_col or vec_col
+    q = query_df.select(F.col(qcol).alias("__qv"))
+    return (df.crossJoin(F.broadcast(q))
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
 def cosine_topk_many(df: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_id_col: str = "query_id",
@@ -162,3 +181,34 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     sig = hyperplane_signature(vec_col, planes)
     candidates = df.where(sig.isin(probes))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def lsh_topk_df(df: DataFrame, query_df: DataFrame, dims: int, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                n_planes: int = 12, multiprobe: bool = True,
+                seed: int = 42,
+                query_vec_col: str | None = None) -> DataFrame:
+    """:func:`lsh_topk` with the query vector in a 1-row DataFrame and an
+    explicit *dims* (the hyperplanes are driver constants sized by it).
+
+    The bucket probe becomes a broadcast join on hamming distance of the
+    signatures (0 = same bucket, <=1 with *multiprobe*) — no driver
+    ``.first()`` job to fetch the vector or compute its signature.
+    """
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dims)]
+              for _ in range(n_planes)]
+    qcol = query_vec_col or vec_col
+    q = query_df.select(
+        F.col(qcol).alias("__qv"),
+        hyperplane_signature(qcol, planes).alias("__qsig"))
+    max_dist = 1 if multiprobe else 0
+    sig = hyperplane_signature(vec_col, planes)
+    cand = df.withColumn("__sig", sig).join(
+        F.broadcast(q),
+        F.bit_count(F.col("__sig").bitwiseXOR(F.col("__qsig"))) <= max_dist)
+    return (cand.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+                        .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))

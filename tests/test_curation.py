@@ -129,3 +129,19 @@ def test_query_error_messages(legend):
         legend.generate_sql("demo::entity::person")
     with _pytest.raises(LegendModelError, match="unknown entity"):
         legend.generate_sql("demo::mapping::nope")
+
+
+def test_lazy_ann_variants_agree(spark):
+    """cosine_topk_df / lsh_topk_df (broadcast query side, no driver
+    .first()) must return exactly what the list-based variants return."""
+    from legend_community_delta_spark.operators.similarity import (
+        cosine_topk, cosine_topk_df, lsh_topk, lsh_topk_df)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = emb.where("vec_id = 3")
+    q = [float(x) for x in qdf.first()["embedding"]]
+    assert ([tuple(r) for r in cosine_topk_df(emb, qdf, k=5).collect()]
+            == [tuple(r) for r in cosine_topk(emb, q, k=5).collect()])
+    assert ([tuple(r) for r in lsh_topk_df(emb, qdf, dims=64, k=5,
+                                           n_planes=8).collect()]
+            == [tuple(r) for r in lsh_topk(emb, q, k=5,
+                                           n_planes=8).collect()])
