@@ -183,6 +183,55 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def build_lsh_index(df: DataFrame, path: str, dims: int,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_planes: int = 8, seed: int = 42) -> None:
+    """Persist an LSH index: the table rewritten as parquet
+    **partitioned by signature bucket** (2^n_planes directories).
+
+    Signatures are computed once at build time; a query then reads ONLY
+    its probed buckets via partition pruning — ~(1+n_planes)/2^n_planes
+    of the data per multiprobe query instead of a full scan.  Rebuild to
+    change n_planes/seed (both are recorded in the index footer).
+    """
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dims)]
+              for _ in range(n_planes)]
+    (df.withColumn("__sig", hyperplane_signature(vec_col, planes))
+       .write.mode("overwrite").partitionBy("__sig").parquet(path))
+    meta = df.sparkSession.createDataFrame(
+        [(int(n_planes), int(seed), int(dims))],
+        "n_planes int, seed int, dims int")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
+
+
+def query_lsh_index(spark, path: str, query_vec: list[float], k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    multiprobe: bool = True) -> DataFrame:
+    """Top-k against a :func:`build_lsh_index` index.
+
+    The probe signatures are computed driver-side (the query vector is
+    driver-sized by definition) and land on the partition column as an
+    IN-list literal, so the scan is **partition-pruned** to the probed
+    buckets — ~(1+n_planes)/2^n_planes of the index, the point of
+    persisting it.  Plans show ``PartitionFilters: [__sig IN (...)]``.
+    """
+    n_planes, seed, dims = spark.read.parquet(f"{path}__meta").first()
+    if len(query_vec) != dims:
+        raise ValueError(f"query dims {len(query_vec)} != index dims {dims}")
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dims)]
+              for _ in range(n_planes)]
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)]
+                       if multiprobe else [])
+    indexed = spark.read.parquet(path).where(F.col("__sig").isin(probes))
+    return cosine_topk(indexed, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk_df(df: DataFrame, query_df: DataFrame, dims: int, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 n_planes: int = 12, multiprobe: bool = True,

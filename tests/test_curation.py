@@ -145,3 +145,21 @@ def test_lazy_ann_variants_agree(spark):
                                            n_planes=8).collect()]
             == [tuple(r) for r in lsh_topk(emb, q, k=5,
                                            n_planes=8).collect()])
+
+
+def test_lsh_index_persist_and_prune(spark, tmp_path):
+    """Persisted LSH index: query results match the on-the-fly lsh_topk,
+    and the scan is partition-pruned to the probed signature buckets."""
+    from legend_community_delta_spark.operators.similarity import (
+        build_lsh_index, lsh_topk, query_lsh_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, dims=64, n_planes=8)
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    got = query_lsh_index(spark, path, q, k=5)
+    expect = lsh_topk(emb, q, k=5, n_planes=8)
+    assert ([tuple(r) for r in got.collect()]
+            == [tuple(r) for r in expect.collect()])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__sig" in plan[plan.find("PartitionFilters"):][:300]
