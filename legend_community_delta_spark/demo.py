@@ -329,7 +329,8 @@ _ORACLE_MAPPING_ORDERS = """
 SELECT o_orderkey AS "orderKey", o_custkey AS "custKey",
        o_orderstatus AS "orderStatus", o_totalprice AS "totalPrice",
        o_orderdate AS "orderDate", o_orderpriority AS "orderPriority",
-       CAST(year(o_orderdate) AS INT) AS "orderYear"
+       CAST(year(o_orderdate) AS INT) AS "orderYear",
+       substring(o_orderpriority, 1, 1) AS "priorityClass"
 FROM orders
 WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
   AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL

@@ -99,6 +99,37 @@ def winnow_fingerprint(col: Column | str, k: int = 8, keep: int = 4) -> Column:
     return F.slice(F.array_sort(hashes), 1, keep)
 
 
+# PII patterns kept to syntax with identical semantics in Java regex and
+# RE2 (no lookaround, explicit classes) so metrics can be oracle-checked
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column | str, token: str = "[PII]",
+               kinds: list[str] | None = None) -> Column:
+    """Replace email/phone/SSN/IPv4-looking substrings with *token*.
+
+    Pure ``regexp_replace`` chain — narrow, codegen'd, runs at scan
+    speed; the pre-tokenization scrub a pretraining pipeline applies
+    before anything else sees the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in (kinds or list(_PII_PATTERNS)):
+        c = F.regexp_replace(c, _PII_PATTERNS[kind], token)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-kind PII match counts (for corpus audit metrics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(*[
+        F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(kind)
+        for kind, p in _PII_PATTERNS.items()])
+
+
 def language_id(col: Column | str) -> Column:
     """Heuristic language ID over common-word hits: returns the language
     whose marker-word list intersects the token set the most

@@ -254,3 +254,28 @@ def test_connected_components_long_chain_and_strings(spark):
     rows = connected_components(pairs).collect()
     assert len(rows) == 12
     assert {r["component"] for r in rows} == {"d00"}
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import Row
+    from legend_community_delta_spark.functions.text import (
+        pii_counts, redact_pii)
+    rows = [
+        Row(doc_id=1, text="mail bob.smith+x@ex-ample.org or 555-123-4567"),
+        Row(doc_id=2, text="ssn 123-45-6789 host 10.0.255.1 ok"),
+        Row(doc_id=3, text="clean text, no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", redact_pii("text").alias("red"),
+        pii_counts("text").alias("c")).collect()}
+    assert out[1]["red"] == "mail [PII] or [PII]"
+    assert out[2]["red"] == "ssn [PII] host [PII] ok"
+    assert out[3]["red"] == rows[2]["text"]
+    assert out[1]["c"]["email"] == 1 and out[1]["c"]["phone"] == 1
+    assert out[2]["c"]["ssn"] == 1 and out[2]["c"]["ipv4"] == 1
+    assert all(out[3]["c"][k] == 0 for k in ("email", "phone", "ssn", "ipv4"))
+    # kinds subset: only emails scrubbed
+    one = df.where("doc_id = 1").select(
+        redact_pii("text", kinds=["email"]).alias("r")).first()["r"]
+    assert one == "mail [PII] or 555-123-4567"
