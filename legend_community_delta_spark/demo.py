@@ -662,6 +662,93 @@ def _q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ROLLUP_SQL)
 
 
+# TPC-H Q4 shape: EXISTS correlated semi-join with a date window
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery -> left-semi join + count."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+# TPC-H Q12 shape: conditional CASE aggregation after a fact join.
+# Counts cast to BIGINT in both engines (DuckDB SUM(int) is HUGEINT).
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def _q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-partitioned counts over a fact join."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+# TPC-H Q14 shape: promo revenue share — ratio of two decimal-exact sums
+_Q14_SQL = """
+SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN volume
+                             ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS promo_revenue_pct
+FROM (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) AS volume,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+) t
+"""
+
+
+def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single-row ratio aggregate over a dim join."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
+
+
+# TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join
+# (no c_phone in the synthetic schema — grouped by market segment; the
+# anti-join is against *large* orders since every customer here orders)
+_Q22_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def _q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS + group."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
 # TPC-H Q7 volume-shipping shape on the synthetic domains (nations are
 # NATION_0..24 here): revenue flowing between two nations by ship year.
 # Join-heavy: lineitem⋈orders⋈customer⋈supplier + two nation dims.
@@ -1215,8 +1302,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": _q1_pricing_summary,
     "q3_topk_orders": _q3_topk_orders,
     "q5_region_revenue": _q5_region_revenue,
+    "q4_priority_exists": _q4_priority_exists,
     "q7_nation_volume": _q7_nation_volume,
     "q8_market_share": _q8_market_share,
+    "q12_priority_lines": _q12_priority_lines,
+    "q14_promo_share": _q14_promo_share,
+    "q22_idle_rich_customers": _q22_idle_rich_customers,
     "q10_returned_revenue": _q10_returned_revenue,
     "q6_forecast_revenue": _q6_forecast_revenue,
     "customers_without_orders": _q_customers_without_orders,
@@ -1258,8 +1349,12 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": _ORACLE_Q1,
     "q3_topk_orders": _ORACLE_Q3,
     "q5_region_revenue": _ORACLE_Q5,
+    "q4_priority_exists": _Q4_SQL,
     "q7_nation_volume": _Q7_SQL,
     "q8_market_share": _Q8_SQL,
+    "q12_priority_lines": _Q12_SQL,
+    "q14_promo_share": _Q14_SQL,
+    "q22_idle_rich_customers": _Q22_SQL,
     "q10_returned_revenue": _Q10_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "customers_without_orders": _ANTIJOIN_SQL,

@@ -116,16 +116,10 @@ def minhash_signature(text_col: str, num_hashes: int = 64, shingle_k: int = 5,
     return F.array(*mins)
 
 
-def minhash_signatures_df(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id", num_hashes: int = 64,
-                          shingle_k: int = 5, seed: int = 42) -> DataFrame:
-    """(id, signature array<long>) via explode + 64 min-aggregates.
-
-    Partial (map-side) aggregation computes per-partition minima before the
-    shuffle, so the exchange carries one 64-long buffer per (partition,
-    doc) — not the exploded shingles.  Every expression is a simple
-    arithmetic op inside whole-stage codegen.
-    """
+def _minhash_mins_df(df: DataFrame, text_col: str, id_col: str,
+                     num_hashes: int, shingle_k: int, seed: int) -> DataFrame:
+    """(__id, __m0..__m{n-1}) per-permutation minima — the flat frame both
+    the signature array and the band hashes are built from."""
     # hash shingles to longs BEFORE explode/dedup: the explode and the
     # distinct operate on 8-byte longs instead of strings (smaller rows,
     # cheaper comparisons), and the downstream aggregates read a column
@@ -137,16 +131,69 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
                        F.explode(hashes).alias("__h"))
     mins = [F.min(F.pmod(a * F.col("__h") + b, F.lit(_MERSENNE))).alias(f"__m{i}")
             for i, (a, b) in enumerate(_hash_params(num_hashes, seed))]
-    agg = hashed.groupBy("__id").agg(*mins)
-    return agg.select(
-        "__id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"))
+    return hashed.groupBy("__id").agg(*mins)
+
+
+def minhash_signatures_df(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 64,
+                          shingle_k: int = 5, seed: int = 42,
+                          method: str = "kperm") -> DataFrame:
+    """(id, signature array<long>) — two strategies, same output shape:
+
+    * ``kperm`` (default): classic k independent permutations, explode +
+      64 min-aggregates.  MEASURED fastest here: the 64 ``pmod(a*h+b)``
+      per exploded row fuse into one whole-stage-codegen loop, and the
+      aggregation has only |docs| groups (sf0.1: 9.4 s vs OPH's 12 s;
+      a higher-order-function OPH variant was 2.5x worse still).
+    * ``oph``: one-permutation hashing (Li/Owen/Zhang 2012) with bounded
+      rotational densification.  1 hash per shingle, but the (doc, slot)
+      aggregation carries 64x more groups — a better trade only when
+      signatures are much longer or per-row hashing is the true
+      bottleneck.  Same candidate pairs as kperm on the test corpora.
+    """
+    if method == "kperm":
+        agg = _minhash_mins_df(df, text_col, id_col, num_hashes,
+                               shingle_k, seed)
+        return agg.select(
+            "__id",
+            F.array(*[F.col(f"__m{i}")
+                      for i in range(num_hashes)]).alias("__sig"))
+    if method != "oph":
+        raise ValueError(f"unknown minhash method [{method}]")
+
+    hashes = F.array_distinct(F.transform(
+        char_shingles(text_col, shingle_k),
+        lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MERSENNE))))
+    exploded = df.select(F.col(id_col).alias("__id"),
+                         F.explode(hashes).alias("__h"))
+    # stage 1: min per (doc, slot) — ONE cheap expression per exploded
+    # row; map-side combine shrinks the exchange to <= num_hashes rows
+    # per doc.  stage 2 pivots the <=64 rows/doc to flat columns with
+    # conditional mins (codegen'd, tiny input).  Everything stays flat
+    # Column expressions: higher-order-function variants of the pivot/
+    # densify fell out of codegen and ran 2.5x SLOWER than kperm.
+    per_slot = (exploded
+                .groupBy("__id",
+                         F.pmod("__h", F.lit(num_hashes)).alias("__slot"))
+                .agg(F.min("__h").alias("__m")))
+    mins = per_slot.groupBy("__id").agg(*[
+        F.min(F.when(F.col("__slot") == i, F.col("__m"))).alias(f"__m{i}")
+        for i in range(num_hashes)])
+    # rotational densification, bounded borrow: an empty slot takes the
+    # next non-empty slot within 8, else the doc-wide min (only docs with
+    # < ~num_hashes distinct shingles ever hit the fallback)
+    doc_min = F.least(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    dense = [F.coalesce(*[F.col(f"__m{(i + j) % num_hashes}")
+                          for j in range(8)], doc_min)
+             for i in range(num_hashes)]
+    return mins.select("__id", F.array(*dense).alias("__sig"))
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 64, bands: int = 16,
                   shingle_k: int = 5, threshold: float = 0.7,
-                  seed: int = 42, max_bucket: int = 200) -> DataFrame:
+                  seed: int = 42, max_bucket: int = 200,
+                  method: str = "kperm") -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH banding.
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
@@ -166,18 +213,18 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     r = num_hashes // bands
 
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes,
-                                 shingle_k, seed)
+                                 shingle_k, seed, method)
 
+    # band bucket = one multi-arg xxhash64 over the band's signature
+    # slots — pure long arithmetic, no per-doc string building/joining
     banded = sigs.select(
         "__id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.array_join(
-                    F.transform(F.slice("__sig", b * r + 1, r),
-                                lambda x: x.cast("string")), ",")
-                ).alias("bucket")))).alias("__band"))
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("__sig", b * r + j + 1)
+                             for j in range(r)]).alias("bucket"))
+            for b in range(bands)])).alias("__band"))
 
     bucket_sizes = banded.groupBy("__band").agg(
         F.count(F.lit(1)).alias("__n"))

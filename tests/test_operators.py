@@ -279,3 +279,12 @@ def test_redact_pii_and_counts(spark):
     one = df.where("doc_id = 1").select(
         redact_pii("text", kinds=["email"]).alias("r")).first()["r"]
     assert one == "mail [PII] or 555-123-4567"
+
+
+def test_minhash_oph_agrees_with_kperm(docs):
+    from legend_community_delta_spark.operators.dedup import minhash_dedup
+    kp = {(r["id_a"], r["id_b"])
+          for r in minhash_dedup(docs, threshold=0.5, method="kperm").collect()}
+    op = {(r["id_a"], r["id_b"])
+          for r in minhash_dedup(docs, threshold=0.5, method="oph").collect()}
+    assert kp and kp == op
