@@ -864,6 +864,40 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EVENTS_HOURLY_SPARK)
 
 
+def _q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling-window aggregation through Structured Streaming:
+    readStream over the events data, watermarked window groupBy, complete
+    mode, driven with availableNow — and checked against the identical
+    batch oracle, proving stream/batch window semantics line up."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="legend_events_hourly_stream_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    (spark.table("events").select("ts", "event_type", "value")
+     .write.mode("overwrite").parquet(src))
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    # no watermark: complete-mode availableNow backfill retains all
+    # windows by design, and ts stays TIMESTAMP_NTZ (watermarks require
+    # TIMESTAMP; a live update-mode deployment would cast + watermark —
+    # covered by tests/test_streaming.py::test_windowed_dq_metrics)
+    agg = (stream
+           .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("__tv"))
+           .select(F.col("window.start").alias("hour_start"), "event_type",
+                   "n", F.col("__tv").cast("double").alias("total_value")))
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__events_hourly_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(sink)
+
+
 def _q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (crosstab) coverage: order counts by priority x status."""
     ensure_views(spark, sf_dir)
@@ -1313,6 +1347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": _q_customers_without_orders,
     "cube_lineitem": _q_cube_lineitem,
     "events_hourly": _q_events_hourly,
+    "events_hourly_stream": _q_events_hourly_stream,
     "window_top_orders": _q_window_top_orders,
     "sessionize_events": _q_sessionize_events,
     "sessionize_stream": _q_sessionize_stream,
@@ -1360,6 +1395,7 @@ ORACLES: dict[str, str] = {
     "customers_without_orders": _ANTIJOIN_SQL,
     "cube_lineitem": _CUBE_SQL,
     "events_hourly": _EVENTS_HOURLY_ORACLE,
+    "events_hourly_stream": _EVENTS_HOURLY_ORACLE,
     "window_top_orders": _WINDOW_SQL,
     "sessionize_events": _SESSIONIZE_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
