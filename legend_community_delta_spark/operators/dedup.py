@@ -350,6 +350,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                        F.explode(F.array_distinct(word_ngrams(text_col, n)))
                        .alias("gram")))
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # NOTE (measured): pre-filtering singleton grams with a count>=2
+    # semi-join before the self-join was tried and REVERTED — on corpora
+    # with heavy template reuse (like this one) most grams are shared, so
+    # the filter removes little while adding a full extra shuffle
+    # (8.3 s vs 6.0 s at sf0.1).  On a low-duplication corpus it would
+    # win; revisit if the gram-frequency profile changes.
     a = grams.select(F.col("__id").alias("id_a"), "gram")
     b = grams.select(F.col("__id").alias("id_b"), "gram")
     inter = (a.join(b, "gram")
