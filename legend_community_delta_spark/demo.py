@@ -749,6 +749,51 @@ def _q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# TPC-H Q16 shape: NOT IN subquery + COUNT(DISTINCT) over a dim join
+# (no partsupp table in the synthetic schema — lineitem is the
+# part-supplier relation)
+_Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_nationkey = 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT 20
+"""
+
+
+def _q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN anti-join + distinct-count grouping."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+# TPC-H Q18 shape: IN subquery with HAVING over a decimal-exact sum
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN + HAVING semi-join, deterministic top-k."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
 # TPC-H Q7 volume-shipping shape on the synthetic domains (nations are
 # NATION_0..24 here): revenue flowing between two nations by ship year.
 # Join-heavy: lineitem⋈orders⋈customer⋈supplier + two nation dims.
@@ -896,6 +941,21 @@ def _q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(sink)
+
+
+def _q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the cardinality/quantile path for 100 TB where
+    exact distinct/percentile shuffles are unaffordable: HLL++
+    approx_count_distinct and approx_percentile per event type.
+    Rows-only by nature (sketch estimates are engine-specific); the unit
+    test pins them within 5% of exact on this data."""
+    ensure_views(spark, sf_dir)
+    return (spark.table("events")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.expr("approx_percentile(value, 0.5)").alias("p50_value"),
+                 F.expr("approx_percentile(value, 0.99)").alias("p99_value"))
+            .orderBy("event_type"))
 
 
 def _q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,6 +1401,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": _q8_market_share,
     "q12_priority_lines": _q12_priority_lines,
     "q14_promo_share": _q14_promo_share,
+    "q16_supplier_variety": _q16_supplier_variety,
+    "q18_large_orders": _q18_large_orders,
     "q22_idle_rich_customers": _q22_idle_rich_customers,
     "q10_returned_revenue": _q10_returned_revenue,
     "q6_forecast_revenue": _q6_forecast_revenue,
@@ -1348,6 +1410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_lineitem": _q_cube_lineitem,
     "events_hourly": _q_events_hourly,
     "events_hourly_stream": _q_events_hourly_stream,
+    "events_sketch_stats": _q_events_sketch_stats,
     "window_top_orders": _q_window_top_orders,
     "sessionize_events": _q_sessionize_events,
     "sessionize_stream": _q_sessionize_stream,
@@ -1389,6 +1452,8 @@ ORACLES: dict[str, str] = {
     "q8_market_share": _Q8_SQL,
     "q12_priority_lines": _Q12_SQL,
     "q14_promo_share": _Q14_SQL,
+    "q16_supplier_variety": _Q16_SQL,
+    "q18_large_orders": _Q18_SQL,
     "q22_idle_rich_customers": _Q22_SQL,
     "q10_returned_revenue": _Q10_SQL,
     "q6_forecast_revenue": _Q6_SQL,

@@ -232,6 +232,53 @@ def query_lsh_index(spark, path: str, query_vec: list[float], k: int = 10,
     return cosine_topk(indexed, query_vec, k, vec_col, id_col)
 
 
+def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
+                    refine_iters: int = 2, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> list[list[float]]:
+    """Persist an IVF index: rows rewritten as parquet **partitioned by
+    centroid cell**; returns the centroids (driver-sized — persist them
+    with the index for query time).
+
+    Complements :func:`build_lsh_index` for corpora where k-means cells
+    beat random hyperplanes (clustered embedding spaces): a query scans
+    only its ``n_probe`` nearest cells via partition pruning.
+    """
+    centroids = kmeans_centroids(df, n_centroids, refine_iters,
+                                 vec_col, id_col)
+    sims = F.array(*[
+        F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    (df.withColumn("__cell", F.array_max(sims)["cell"])
+       .write.mode("overwrite").partitionBy("__cell").parquet(path))
+    meta = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
+    return centroids
+
+
+def query_ivf_index(spark, path: str, query_vec: list[float], k: int = 10,
+                    n_probe: int = 4, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Top-k against a :func:`build_ivf_index` index: rank the stored
+    centroids driver-side, read only the *n_probe* nearest cells
+    (partition-pruned IN-list), exact cosine inside."""
+    rows = spark.read.parquet(f"{path}__meta").collect()
+    centroids = {r["cell"]: list(r["centroid"]) for r in rows}
+
+    def _cos(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot_ / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probe = sorted(centroids,
+                   key=lambda c: -_cos(query_vec, centroids[c]))[:n_probe]
+    indexed = spark.read.parquet(path).where(F.col("__cell").isin(probe))
+    return cosine_topk(indexed, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk_df(df: DataFrame, query_df: DataFrame, dims: int, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 n_planes: int = 12, multiprobe: bool = True,

@@ -163,3 +163,41 @@ def test_lsh_index_persist_and_prune(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "__sig" in plan[plan.find("PartitionFilters"):][:300]
+
+
+def test_events_sketch_within_tolerance(spark):
+    from legend_community_delta_spark import demo
+    from pyspark.sql import functions as F
+    demo.ensure_views(spark, SF_DIR)
+    approx = {r["event_type"]: r for r in
+              demo.QUERIES["events_sketch_stats"](spark, SF_DIR).collect()}
+    exact = {r["event_type"]: r for r in
+             spark.table("events").groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("users"),
+                  F.expr("percentile(value, 0.5)").alias("p50")).collect()}
+    assert approx.keys() == exact.keys()
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a["approx_users"] - e["users"]) <= 0.05 * e["users"] + 1
+        if e["p50"] is not None:
+            spread = abs(e["p50"]) + 1e-9
+            assert abs(a["p50_value"] - e["p50"]) <= 0.25 * spread + 1e-6
+
+
+def test_ivf_index_persist_and_prune(spark, tmp_path):
+    from legend_community_delta_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, query_ivf_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, n_centroids=4, refine_iters=1)
+    q = [float(x) for x in emb.where("vec_id = 7").first()["embedding"]]
+    got = query_ivf_index(spark, path, q, k=3, n_probe=4)
+    # n_probe = all cells -> exact equivalence with brute force
+    assert ([tuple(r) for r in got.collect()]
+            == [tuple(r) for r in cosine_topk(emb, q, k=3).collect()])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__cell" in plan[plan.find("PartitionFilters"):][:300]
+    # pruned probe still finds the exact self-match at rank 1
+    top = query_ivf_index(spark, path, q, k=1, n_probe=1).first()
+    assert top["vec_id"] == 7
