@@ -237,6 +237,31 @@ TPCH_ENTITIES: list[dict] = [
                               _str("PriorityClass"))),
                     _int(12))]}}}},
     {"content": {
+        "_type": "service", "package": "tpch::service", "name": "orders_97_low",
+        "pattern": "/orders_97_low",
+        "execution": {
+            "_type": "pureSingleExecution",
+            "mapping": "tpch::mapping::orders_delta",
+            "func": {"_type": "lambda", "parameters": [], "body": [
+                _fn("take",
+                    _fn("sort",
+                        _fn("project",
+                            _fn("filter",
+                                _fn("getAll", {"_type": "packageableElementPtr",
+                                               "fullPath": "tpch::entity::order"}),
+                                _lam(_fn("and",
+                                         _fn("equal", _var("x", "orderYear"),
+                                             _int(1997)),
+                                         _fn("equal", _var("x", "priorityClass"),
+                                             _str("5"))))),
+                            _coll(_lam(_var("x", "orderKey")),
+                                  _lam(_var("x", "totalPrice")),
+                                  _lam(_var("x", "priorityClass"))),
+                            _coll(_str("OrderKey"), _str("Total"),
+                                  _str("Class"))),
+                        _coll(_fn("desc", _str("Total")), _str("OrderKey"))),
+                    _int(15))]}}}},
+    {"content": {
         "_type": "service", "package": "tpch::service", "name": "part_stats",
         "pattern": "/part_stats",
         "execution": {
@@ -372,6 +397,24 @@ SELECT CAST(year(o_orderdate) AS INT) AS "Year",
 FROM orders
 GROUP BY 1, 2
 ORDER BY "Year" DESC, "PriorityClass" LIMIT 12
+"""
+
+
+def _q_legend_service_orders_97_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service FILTER over derived (qualified) properties — the compile
+    path where the predicate itself references year()/substring
+    derivations rather than mapped columns."""
+    ensure_views(spark, sf_dir)
+    return build_legend(spark).query("tpch::service::orders_97_low")
+
+
+_ORACLE_ORDERS_97_LOW = """
+SELECT o_orderkey AS "OrderKey", o_totalprice AS "Total",
+       substring(o_orderpriority, 1, 1) AS "Class"
+FROM orders
+WHERE CAST(year(o_orderdate) AS INT) = 1997
+  AND substring(o_orderpriority, 1, 1) = '5'
+ORDER BY "Total" DESC, "OrderKey" LIMIT 15
 """
 
 
@@ -943,6 +986,46 @@ def _q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _q_dedup_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over the normalized content
+    hash on a readStream of the documents table (per source, so the
+    result is arrival-order-independent), then a complete-mode count —
+    matches the batch distinct-content oracle exactly."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .functions.text import content_hash
+
+    tmp = tempfile.mkdtemp(prefix="legend_dedup_stream_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    (spark.table("documents").select("doc_id", "source", "text")
+     .write.mode("overwrite").parquet(src))
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    deduped = (stream.withColumn("__key", content_hash("text"))
+               .dropDuplicates(["source", "__key"])
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("distinct_docs")))
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__dedup_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (deduped.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(sink)
+
+
+# mirrors content_hash normalization: whitespace-collapsed, trimmed,
+# lowercased text (COUNT DISTINCT of the normal form == distinct hashes)
+_ORACLE_DEDUP_STREAM = r"""
+SELECT source,
+       COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+         AS distinct_docs
+FROM documents GROUP BY source
+"""
+
+
 def _q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the cardinality/quantile path for 100 TB where
     exact distinct/percentile shuffles are unaffordable: HLL++
@@ -1391,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,
     "legend_service_orders_by_year": _q_legend_service_orders_by_year,
+    "legend_service_orders_97_low": _q_legend_service_orders_97_low,
     "legend_service_urgent_orders": _q_legend_service_urgent_orders,
     "legend_dq_lineitem": _q_legend_dq_lineitem,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -1411,6 +1495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": _q_events_hourly,
     "events_hourly_stream": _q_events_hourly_stream,
     "events_sketch_stats": _q_events_sketch_stats,
+    "dedup_stream_docs": _q_dedup_stream_docs,
     "window_top_orders": _q_window_top_orders,
     "sessionize_events": _q_sessionize_events,
     "sessionize_stream": _q_sessionize_stream,
@@ -1442,6 +1527,7 @@ ORACLES: dict[str, str] = {
     "legend_mapping_orders": _ORACLE_MAPPING_ORDERS,
     "legend_service_part_stats": _ORACLE_PART_STATS,
     "legend_service_orders_by_year": _ORACLE_ORDERS_BY_YEAR,
+    "legend_service_orders_97_low": _ORACLE_ORDERS_97_LOW,
     "legend_service_urgent_orders": _ORACLE_URGENT_ORDERS,
     "legend_dq_lineitem": _ORACLE_DQ_LINEITEM,
     "q1_pricing_summary": _ORACLE_Q1,
@@ -1461,6 +1547,7 @@ ORACLES: dict[str, str] = {
     "cube_lineitem": _CUBE_SQL,
     "events_hourly": _EVENTS_HOURLY_ORACLE,
     "events_hourly_stream": _EVENTS_HOURLY_ORACLE,
+    "dedup_stream_docs": _ORACLE_DEDUP_STREAM,
     "window_top_orders": _WINDOW_SQL,
     "sessionize_events": _SESSIONIZE_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
