@@ -217,14 +217,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     # band bucket = one multi-arg xxhash64 over the band's signature
     # slots — pure long arithmetic, no per-doc string building/joining
-    banded = sigs.select(
-        "__id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at("__sig", b * r + j + 1)
-                             for j in range(r)]).alias("bucket"))
-            for b in range(bands)])).alias("__band"))
+    banded = sigs.select("__id", _band_key("__sig", bands, r).alias("__band"))
 
     bucket_sizes = banded.groupBy("__band").agg(
         F.count(F.lit(1)).alias("__n"))
@@ -248,6 +241,97 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .withColumn("est_jaccard", est)
             .where(F.col("est_jaccard") >= threshold)
             .select("id_a", "id_b", "est_jaccard"))
+
+
+def _band_key(sig_col: str, bands: int, r: int) -> F.Column:
+    """Exploded (band, bucket) struct column over a signature array —
+    bucket is one multi-arg xxhash64 of the band's slots (long-only)."""
+    return F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at(sig_col, b * r + j + 1)
+                         for j in range(r)]).alias("bucket"))
+        for b in range(bands)]))
+
+
+def write_signature_store(df: DataFrame, path: str, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 64,
+                          shingle_k: int = 5, seed: int = 42,
+                          mode: str = "overwrite") -> None:
+    """Persist MinHash signatures as parquet ``(id, sig array<long>)``.
+
+    The store makes dedup *incremental*: a daily append batch computes
+    signatures only for its own docs and band-joins against the store —
+    the full corpus is never re-shingled (at 100 TB, re-shingling is the
+    whole cost).  Store parameters must match at query time; keep them
+    with the pipeline config.
+    """
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes,
+                                 shingle_k, seed)
+    (sigs.withColumnRenamed("__id", id_col)
+         .withColumnRenamed("__sig", "sig")
+         .write.mode(mode).parquet(path))
+
+
+def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_hashes: int = 64, bands: int = 16,
+                              shingle_k: int = 5, threshold: float = 0.7,
+                              seed: int = 42, max_bucket: int = 200,
+                              append: bool = True) -> DataFrame:
+    """Near-dup pairs where at least one side is a NEW doc: new-vs-store
+    plus new-vs-new, via the banded join against the signature store.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``; with
+    ``append=True`` the new signatures are added to the store afterwards
+    (so ``store pairs ∪ incremental pairs == full-batch pairs``).  Only
+    the new batch is shingled; the store side reads (id, sig) parquet.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+
+    new_sigs = minhash_signatures_df(new_docs, text_col, id_col,
+                                     num_hashes, shingle_k, seed)
+    new_sigs = new_sigs.localCheckpoint(eager=True)  # shingle ONCE
+    store = (spark.read.parquet(path)
+             .select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig")))
+    all_sigs = store.unionByName(new_sigs)
+
+    new_banded = new_sigs.select("__id", _band_key("__sig", bands, r)
+                                 .alias("__band"))
+    all_banded = all_sigs.select("__id", _band_key("__sig", bands, r)
+                                 .alias("__band"))
+    sizes = all_banded.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
+    cool = sizes.where(F.col("__n") <= max_bucket).select("__band")
+    left = (new_banded.join(cool, "__band")
+            .select(F.col("__id").alias("id_a"), "__band"))
+    right = (all_banded.join(cool, "__band")
+             .select(F.col("__id").alias("id_b"), "__band"))
+    pairs = (left.join(right, "__band")
+             .where(F.col("id_a") != F.col("id_b"))
+             .select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    sig_a = all_sigs.select(F.col("__id").alias("id_a"),
+                            F.col("__sig").alias("sig_a"))
+    sig_b = all_sigs.select(F.col("__id").alias("id_b"),
+                            F.col("__sig").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda a, b: a == b),
+                           lambda x: x)).cast("double")
+           / F.lit(float(num_hashes)))
+    out = (pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+           .withColumn("est_jaccard", est)
+           .where(F.col("est_jaccard") >= threshold)
+           .select("id_a", "id_b", "est_jaccard"))
+    if append:
+        out = out.localCheckpoint(eager=True)  # materialize before append
+        (new_sigs.withColumnRenamed("__id", id_col)
+                 .withColumnRenamed("__sig", "sig")
+                 .write.mode("append").parquet(path))
+    return out
 
 
 def simhash(text_col: str, ngram: int = 2, bits: int = 64) -> F.Column:

@@ -288,3 +288,28 @@ def test_minhash_oph_agrees_with_kperm(docs):
     op = {(r["id_a"], r["id_b"])
           for r in minhash_dedup(docs, threshold=0.5, method="oph").collect()}
     assert kp and kp == op
+
+
+def test_incremental_minhash_matches_full_batch(spark, tmp_path):
+    """Signature store + incremental pairs on an append batch must equal
+    the full-batch pair set: store(A) pairs ∪ incremental(B) pairs ==
+    minhash_dedup(A ∪ B), and only B gets re-shingled."""
+    from legend_community_delta_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_dedup, write_signature_store)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    first = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "sig_store")
+
+    write_signature_store(first, path)
+    initial = {(r["id_a"], r["id_b"])
+               for r in minhash_dedup(first, threshold=0.7).collect()}
+    incr = {(r["id_a"], r["id_b"])
+            for r in incremental_minhash_pairs(
+                spark, path, batch, threshold=0.7).collect()}
+    full = {(r["id_a"], r["id_b"])
+            for r in minhash_dedup(docs, threshold=0.7).collect()}
+    assert initial | incr == full
+    assert all(a % 2 == 1 or b % 2 == 1 for a, b in incr)
+    # store now holds every doc's signature (append happened)
+    assert spark.read.parquet(path).count() >= docs.count() - 1
