@@ -313,3 +313,16 @@ def test_incremental_minhash_matches_full_batch(spark, tmp_path):
     assert all(a % 2 == 1 or b % 2 == 1 for a, b in incr)
     # store now holds every doc's signature (append happened)
     assert spark.read.parquet(path).count() >= docs.count() - 1
+
+
+def test_connected_components_log_rounds(spark):
+    """Pointer jumping must collapse a 40-node chain within max_iter=8
+    (O(log diameter)); plain propagation would need ~40 rounds."""
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.graph import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(40)])
+    rows = connected_components(pairs, max_iter=8).collect()
+    assert len(rows) == 41
+    assert {r["component"] for r in rows} == {0}
