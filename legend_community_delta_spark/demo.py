@@ -633,6 +633,28 @@ FROM (
 """
 
 
+# analytic-function breadth: lag/lead/ntile/percent_rank/cume_dist over a
+# unique ordering (totalprice, orderkey) so every value is deterministic
+_WINDOW_SUITE_SQL = """
+SELECT o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def _q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic function suite: offset, tile, and distribution windows."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_WINDOW_SUITE_SQL)
+
+
 def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream sessionization (30-min gap) via lag window."""
     ensure_views(spark, sf_dir)
@@ -1497,6 +1519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sketch_stats": _q_events_sketch_stats,
     "dedup_stream_docs": _q_dedup_stream_docs,
     "window_top_orders": _q_window_top_orders,
+    "window_suite": _q_window_suite,
     "sessionize_events": _q_sessionize_events,
     "sessionize_stream": _q_sessionize_stream,
     "asof_views_purchases": _q_asof_views_purchases,
@@ -1549,6 +1572,7 @@ ORACLES: dict[str, str] = {
     "events_hourly_stream": _EVENTS_HOURLY_ORACLE,
     "dedup_stream_docs": _ORACLE_DEDUP_STREAM,
     "window_top_orders": _WINDOW_SQL,
+    "window_suite": _WINDOW_SUITE_SQL,
     "sessionize_events": _SESSIONIZE_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "asof_views_purchases": _ORACLE_ASOF,
