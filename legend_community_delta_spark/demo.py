@@ -814,6 +814,30 @@ def _q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# TPC-H Q9 shape: profit (revenue minus retail cost proxy — no partsupp
+# in the synthetic schema) by supplier nation and order year
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity
+                     AS DECIMAL(22,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+ORDER BY nation, o_year DESC
+"""
+
+
+def _q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-table profit rollup by nation and year."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
 # TPC-H Q16 shape: NOT IN subquery + COUNT(DISTINCT) over a dim join
 # (no partsupp table in the synthetic schema — lineitem is the
 # part-supplier relation)
@@ -1505,6 +1529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_exists": _q4_priority_exists,
     "q7_nation_volume": _q7_nation_volume,
     "q8_market_share": _q8_market_share,
+    "q9_profit": _q9_profit,
     "q12_priority_lines": _q12_priority_lines,
     "q14_promo_share": _q14_promo_share,
     "q16_supplier_variety": _q16_supplier_variety,
@@ -1559,6 +1584,7 @@ ORACLES: dict[str, str] = {
     "q4_priority_exists": _Q4_SQL,
     "q7_nation_volume": _Q7_SQL,
     "q8_market_share": _Q8_SQL,
+    "q9_profit": _Q9_SQL,
     "q12_priority_lines": _Q12_SQL,
     "q14_promo_share": _Q14_SQL,
     "q16_supplier_variety": _Q16_SQL,
