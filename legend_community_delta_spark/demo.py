@@ -1497,6 +1497,67 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
 """
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each view event gets the user's NEXT purchase
+    value at-or-after it (inclusive ties) — the mirror direction of
+    asof_views_purchases, against DuckDB's native forward ASOF."""
+    from .operators.asof import asof_join
+    ensure_views(spark, sf_dir)
+    events = spark.table("events")
+    views = events.where("event_type = 'view'") \
+        .select("user_id", "event_id", "ts")
+    purchases = (events.where("event_type = 'purchase'")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("value")))
+    return (asof_join(views, purchases, "user_id", "ts",
+                      value_cols=["value"], direction="forward")
+            .select("user_id", "event_id", "value_asof"))
+
+
+_ORACLE_ASOF_FORWARD = """
+SELECT v.user_id, v.event_id, p.value AS value_asof
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'purchase' GROUP BY 1, 2) p
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+"""
+
+
+def _q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bucket-equi-ized point-in-interval): how many 1-hour
+    post-purchase windows contain each view event, per user.  The oracle
+    is a plain inequality join in DuckDB — the operator must produce the
+    identical match set without ever planning a cross product."""
+    from .operators.asof import range_join
+    ensure_views(spark, sf_dir)
+    us = ("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+          "ts)")
+    ev = spark.table("events")
+    views = ev.where("event_type = 'view'") \
+        .selectExpr("user_id", "event_id", f"{us} AS p_us")
+    purch = (ev.where("event_type = 'purchase'")
+             .selectExpr("user_id", f"{us} AS start_us")
+             .distinct()
+             .withColumn("end_us", F.col("start_us") + F.lit(3_600_000_000)))
+    joined = range_join(views, purch, "p_us", "start_us", "end_us",
+                        on="user_id", bucket=3_600_000_000)
+    return (joined.groupBy("user_id", "event_id")
+            .agg(F.count(F.lit(1)).alias("n_windows")))
+
+
+_ORACLE_RANGE_JOIN = """
+SELECT v.user_id, v.event_id, COUNT(*) AS n_windows
+FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+      WHERE event_type = 'view') v
+JOIN (SELECT DISTINCT user_id, epoch_us(ts) AS start_us FROM events
+      WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND v.p_us >= p.start_us
+ AND v.p_us < p.start_us + 3600000000
+GROUP BY v.user_id, v.event_id
+"""
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: quality gate -> exact dedup -> near
     dedup -> (rows-only: stage composition is hash-seeded via MinHash)."""
@@ -1548,6 +1609,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": _q_sessionize_events,
     "sessionize_stream": _q_sessionize_stream,
     "asof_views_purchases": _q_asof_views_purchases,
+    "asof_forward_views": _q_asof_forward,
+    "range_join_windows": _q_range_join_windows,
     "rollup_lineitem": _q_rollup_lineitem,
     "setop_customers": _q_setop_customers,
     "distinct_agg": _q_distinct_agg,
@@ -1602,6 +1665,8 @@ ORACLES: dict[str, str] = {
     "sessionize_events": _SESSIONIZE_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "asof_views_purchases": _ORACLE_ASOF,
+    "asof_forward_views": _ORACLE_ASOF_FORWARD,
+    "range_join_windows": _ORACLE_RANGE_JOIN,
     "rollup_lineitem": _ROLLUP_SQL,
     "setop_customers": _SETOP_SQL,
     "distinct_agg": _DISTINCT_SQL,
