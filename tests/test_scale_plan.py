@@ -56,6 +56,16 @@ def test_q7_q8_join_strategy(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_range_and_asof_no_cross_product(spark):
+    """The bucket-equi-ized range join and both as-of directions must
+    never plan a cartesian/nested-loop product over the fact sides."""
+    demo.ensure_views(spark, SF_DIR)
+    for name in ("range_join_windows", "asof_views_purchases",
+                 "asof_forward_views"):
+        plan = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
 def test_topk_is_take_ordered(spark):
     demo.ensure_views(spark, SF_DIR)
     plan = _plan(demo.QUERIES["ann_cosine_topk"](spark, SF_DIR))
