@@ -1072,6 +1072,26 @@ FROM documents GROUP BY source
 """
 
 
+# value histogram via explicit floor-division binning — identical double
+# arithmetic on both engines (DuckDB has no width_bucket)
+_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(floor(value / 50.0) AS INT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bin_sum
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type, CAST(floor(value / 50.0) AS INT)
+"""
+
+
+def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram/binning (data profiling): fixed-width value bins with
+    per-bin counts and exact sums."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_HISTOGRAM_SQL)
+
+
 def _q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the cardinality/quantile path for 100 TB where
     exact distinct/percentile shuffles are unaffordable: HLL++
@@ -1603,6 +1623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": _q_events_hourly,
     "events_hourly_stream": _q_events_hourly_stream,
     "events_sketch_stats": _q_events_sketch_stats,
+    "events_histogram": _q_events_histogram,
     "dedup_stream_docs": _q_dedup_stream_docs,
     "window_top_orders": _q_window_top_orders,
     "window_suite": _q_window_suite,
@@ -1659,6 +1680,7 @@ ORACLES: dict[str, str] = {
     "cube_lineitem": _CUBE_SQL,
     "events_hourly": _EVENTS_HOURLY_ORACLE,
     "events_hourly_stream": _EVENTS_HOURLY_ORACLE,
+    "events_histogram": _HISTOGRAM_SQL,
     "dedup_stream_docs": _ORACLE_DEDUP_STREAM,
     "window_top_orders": _WINDOW_SQL,
     "window_suite": _WINDOW_SUITE_SQL,
