@@ -1579,13 +1579,84 @@ GROUP BY v.user_id, v.event_id
 
 
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed curation pipeline: quality gate -> exact dedup -> near
-    dedup -> (rows-only: stage composition is hash-seeded via MinHash)."""
+    """Composed curation pipeline, oracle-checked END-TO-END: quality gate
+    -> exact dedup -> exact-Jaccard near dedup (connected components) ->
+    token-budget cut.  The ``exact`` backend makes every stage
+    deterministic integer/decimal math, so the whole composition has a
+    DuckDB twin (the per-stage oracles composed as CTEs).  Production
+    runs swap ``near_dup_backend="minhash"`` for the sub-quadratic path —
+    the surrounding stages are identical."""
     from .operators.curation import curate_corpus
     ensure_views(spark, sf_dir)
     out, _ = curate_corpus(spark.table("documents"), min_quality=0.3,
-                           near_dup_threshold=0.8, collect_stats=False)
+                           near_dup_threshold=0.2, max_tokens=20_000,
+                           collect_stats=False,
+                           near_dup_backend="exact", ngram_n=5)
     return out
+
+
+# composes the proven per-stage oracles (_ORACLE_QUALITY formula,
+# _ORACLE_DEDUP normalized-text key, _ORACLE_NEAR_DUP_CLUSTERS recursive
+# reachability, prefix-sum budget) into one CTE chain mirroring
+# operators/curation.curate_corpus with near_dup_backend="exact"
+_ORACLE_CURATE = r"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents
+  WHERE round((
+      least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+      + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                             / length(text)) * 4)
+      + CASE WHEN (CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                                                t -> length(t))) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+'))) BETWEEN 2.0 AND 12.0
+             THEN 1.0 ELSE 0.3 END
+    ) / 3.0, 6) >= 0.3
+), exact AS (
+  SELECT * FROM gated
+  QUALIFY doc_id = MIN(doc_id) OVER (
+    PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM exact)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+near AS (
+  SELECT e.* FROM exact e
+  LEFT JOIN comp c ON e.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.doc_id = c.component
+),
+budget AS (
+  SELECT *, SUM(len(regexp_extract_all(text, '\S+'))) OVER (
+    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM near
+)
+SELECT doc_id, text, lang, source, n_chars FROM budget WHERE cum <= 20000
+"""
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,6 +1776,7 @@ ORACLES: dict[str, str] = {
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
     "embedding_dims_stats": _EMB_DIMS_ORACLE,
+    "curate_corpus_docs": _ORACLE_CURATE,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk:
     # approximate / hash-seeded operators — rows-only checks by design.
 }

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType, StringType
 
 from ..functions.text import quality_score, token_count
-from .dedup import exact_dedup, minhash_dedup
+from .dedup import exact_dedup, minhash_dedup, ngram_jaccard_pairs
 from .graph import drop_near_dups
 
 
@@ -93,7 +93,19 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                   near_dup_threshold: float = 0.8,
                   max_tokens: int | None = None,
                   collect_stats: bool = True,
+                  near_dup_backend: str = "minhash",
+                  ngram_n: int = 5,
                   ) -> tuple[DataFrame, dict[str, int]]:
+    """See module docstring.  ``near_dup_backend`` picks the candidate-pair
+    generator for stage 3:
+
+    * ``"minhash"`` (default) — MinHash/LSH banding, the sub-quadratic
+      100 TB path; *near_dup_threshold* is an **estimated** Jaccard.
+    * ``"exact"`` — :func:`ngram_jaccard_pairs` over word *ngram_n*-grams;
+      deterministic integer set math (SQL-expressible, so the composed
+      pipeline can be oracle-checked end-to-end), quadratic in shared-gram
+      bucket size — use on modest corpora or behind a pre-filter.
+    """
     stats: dict[str, int] = {}
 
     def n(stage: str, frame: DataFrame) -> DataFrame:
@@ -112,8 +124,16 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
 
     # 3. near dedup: connected components over the candidate-pair graph,
     # keep the min id of each component (transitive-correct)
-    pairs = minhash_dedup(exact, text_col, id_col,
-                          threshold=near_dup_threshold)
+    if near_dup_backend == "minhash":
+        pairs = minhash_dedup(exact, text_col, id_col,
+                              threshold=near_dup_threshold)
+    elif near_dup_backend == "exact":
+        pairs = ngram_jaccard_pairs(exact, text_col, id_col, n=ngram_n,
+                                    threshold=near_dup_threshold)
+    else:
+        raise ValueError(
+            f"unknown near_dup_backend [{near_dup_backend}]; "
+            "expected 'minhash' or 'exact'")
     near = n("after_near_dedup", drop_near_dups(exact, pairs, id_col))
 
     # 4. token budget: exact cumulative cutoff in id order via the

@@ -36,6 +36,34 @@ def test_curate_corpus(spark):
     assert kept == [1, 4]
 
 
+def test_curate_corpus_exact_backend(spark):
+    """The exact-Jaccard backend reproduces the same drops as MinHash on a
+    clear-cut corpus, is deterministic across runs, and rejects unknown
+    backend names."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the woods to find some food for the long cold winter")
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                           # exact dup
+        Row(doc_id=3, text=base.replace("runs", "walks")),  # near dup
+        Row(doc_id=4, text="the cat sat on a mat and looked out at the rain "
+                           "falling softly over the quiet grey town all day"),
+        Row(doc_id=5, text="x"),                            # fails quality
+    ]
+    df = spark.createDataFrame(rows)
+    out, stats = curate_corpus(df, min_quality=0.5, near_dup_threshold=0.5,
+                               near_dup_backend="exact", ngram_n=3)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 4]
+    assert stats["after_near_dedup"] == 2
+    out2, _ = curate_corpus(df, min_quality=0.5, near_dup_threshold=0.5,
+                            near_dup_backend="exact", ngram_n=3)
+    assert sorted(r["doc_id"] for r in out2.collect()) == kept
+
+    with pytest.raises(ValueError, match="near_dup_backend"):
+        curate_corpus(df, near_dup_backend="nope", collect_stats=False)
+
+
 def test_curate_token_budget(spark):
     rows = [Row(doc_id=i, text=f"word{i} " * 100) for i in range(1, 6)]
     df = spark.createDataFrame(rows)
