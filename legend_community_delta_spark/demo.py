@@ -1094,16 +1094,24 @@ def _q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the cardinality/quantile path for 100 TB where
-    exact distinct/percentile shuffles are unaffordable: HLL++
-    approx_count_distinct and approx_percentile per event type.
-    Rows-only by nature (sketch estimates are engine-specific); the unit
-    test pins them within 5% of exact on this data."""
+    exact distinct/percentile shuffles are unaffordable.  approx_users
+    exercises the MERGEABLE path: per-(event_type, day) DataSketches HLL
+    sketches unioned per event_type (operators/sketches.py) — the
+    store-and-merge shape incremental ingest replays; lossless vs a
+    single whole-corpus sketch (pinned in tests).  Rows-only by nature
+    (sketch estimates are engine-specific); the unit test pins them
+    within 5% of exact on this data."""
+    from .operators.sketches import merged_distinct
     ensure_views(spark, sf_dir)
-    return (spark.table("events")
-            .groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-                 F.expr("approx_percentile(value, 0.5)").alias("p50_value"),
-                 F.expr("approx_percentile(value, 0.99)").alias("p99_value"))
+    ev = spark.table("events")
+    users = merged_distinct(ev, "user_id", ["event_type"],
+                            shard_col=F.to_date("ts"))
+    pct = (ev.groupBy("event_type")
+           .agg(F.expr("approx_percentile(value, 0.5)").alias("p50_value"),
+                F.expr("approx_percentile(value, 0.99)").alias("p99_value")))
+    return (users.withColumnRenamed("approx_distinct", "approx_users")
+            .join(pct, "event_type")
+            .select("event_type", "approx_users", "p50_value", "p99_value")
             .orderBy("event_type"))
 
 

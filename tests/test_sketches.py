@@ -1,0 +1,87 @@
+"""Mergeable HLL sketch store: lossless shard-merge + incremental append."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legend_community_delta_spark.operators.sketches import (
+    hll_shard_sketches,
+    merged_distinct,
+    read_sketch_estimates,
+    write_sketch_store,
+)
+
+from conftest import SF_DIR
+
+
+def _events(spark):
+    from legend_community_delta_spark import demo
+    demo.ensure_views(spark, SF_DIR)
+    return spark.table("events")
+
+
+def test_shard_merge_is_lossless_and_accurate(spark):
+    """Union of per-day shard sketches == one whole-corpus sketch (HLL
+    merges are lossless at fixed lg_k), and both within 5% of exact."""
+    ev = _events(spark)
+    sharded = {r["event_type"]: r["approx_distinct"] for r in merged_distinct(
+        ev, "user_id", ["event_type"], shard_col=F.to_date("ts")).collect()}
+    whole = {r["event_type"]: r["approx_distinct"] for r in merged_distinct(
+        ev, "user_id", ["event_type"], shard_col=None).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert sharded == whole
+    for et, n in exact.items():
+        assert abs(sharded[et] - n) <= 0.05 * n + 1
+
+
+def test_sketch_store_roundtrip_and_incremental(spark, tmp_path):
+    """Store written in two appends answers identically to a one-shot
+    build — the incremental-ingest invariant."""
+    ev = _events(spark)
+    old = ev.where(F.dayofmonth("ts") <= 15)
+    new = ev.where(F.dayofmonth("ts") > 15)
+    assert old.count() > 0 and new.count() > 0
+
+    inc_path = str(tmp_path / "inc_store")
+    write_sketch_store(old, inc_path, "user_id", ["event_type"],
+                       shard_col=F.to_date("ts"))
+    write_sketch_store(new, inc_path, "user_id", ["event_type"],
+                       shard_col=F.to_date("ts"))
+    one_path = str(tmp_path / "one_store")
+    write_sketch_store(ev, one_path, "user_id", ["event_type"],
+                       shard_col=F.to_date("ts"), mode="overwrite")
+
+    inc = {tuple(r) for r in read_sketch_estimates(
+        spark, inc_path, ["event_type"]).collect()}
+    one = {tuple(r) for r in read_sketch_estimates(
+        spark, one_path, ["event_type"]).collect()}
+    assert inc == one
+
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for et, est in inc:
+        assert abs(est - exact[et]) <= 0.05 * exact[et] + 1
+
+
+def test_sketch_rows_are_metadata_sized(spark):
+    """One sketch row per (group, shard) — row count independent of the
+    base data volume underneath each shard."""
+    ev = _events(spark)
+    sk = hll_shard_sketches(ev, "user_id", ["event_type"],
+                            shard_col=F.to_date("ts"))
+    n_rows = sk.count()
+    n_groups = ev.select("event_type", F.to_date("ts")).distinct().count()
+    assert n_rows == n_groups
+
+
+def test_mixed_lgk_store_rejected(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "mixed")
+    write_sketch_store(ev, path, "user_id", ["event_type"], lg_k=12)
+    write_sketch_store(ev, path, "user_id", ["event_type"], lg_k=14)
+    with pytest.raises(ValueError, match="mixes lg_k"):
+        read_sketch_estimates(spark, path, ["event_type"])
