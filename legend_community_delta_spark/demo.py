@@ -883,6 +883,71 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18_SQL)
 
 
+# TPC-H Q17 shape: small-quantity revenue for selected parts, gated by a
+# correlated scalar AVG subquery per part (Catalyst decorrelates it into
+# an aggregate + join — no per-row re-execution).  p_size stands in for
+# the missing p_container; exact-sum/count instead of AVG keeps the
+# threshold bit-identical across engines.
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size <= 15
+  AND l_quantity < (
+    SELECT 0.5 * (CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-subquery threshold per part."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# TPC-H Q21 waiting-suppliers shape: the multi-EXISTS/NOT-EXISTS
+# decorrelation stressor.  "Late" = shipped > 60 days after the order
+# date (the synthetic schema has no receipt/commit dates); tz-free
+# µs-integer gap math via timestampdiff — the NTZ-safe idiom (epoch
+# functions reject TIMESTAMP_NTZ; casts apply the session tz).  The
+# NOT EXISTS correlates on l_orderkey equality alone (o3 re-joined
+# inside), which both Catalyst and DuckDB decorrelate to aggregate
+# joins — no per-row subquery.
+_LATE_US = 60 * 86400 * 1_000_000
+
+_Q21_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND timestampdiff(MICROSECOND, o_orderdate, l1.l_shipdate) > {_LATE_US}
+  AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND timestampdiff(MICROSECOND, o3.o_orderdate,
+                                      l3.l_shipdate) > {_LATE_US})
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+_Q21_ORACLE = _Q21_SQL.replace("timestampdiff(MICROSECOND,",
+                               "date_diff('microsecond',")
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact table."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
 # TPC-H Q7 volume-shipping shape on the synthetic domains (nations are
 # NATION_0..24 here): revenue flowing between two nations by ship year.
 # Join-heavy: lineitem⋈orders⋈customer⋈supplier + two nation dims.
@@ -1693,7 +1758,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_priority_lines": _q12_priority_lines,
     "q14_promo_share": _q14_promo_share,
     "q16_supplier_variety": _q16_supplier_variety,
+    "q17_small_quantity": _q17_small_quantity,
     "q18_large_orders": _q18_large_orders,
+    "q21_waiting_suppliers": _q21_waiting_suppliers,
     "q22_idle_rich_customers": _q22_idle_rich_customers,
     "q10_returned_revenue": _q10_returned_revenue,
     "q6_forecast_revenue": _q6_forecast_revenue,
@@ -1751,7 +1818,9 @@ ORACLES: dict[str, str] = {
     "q12_priority_lines": _Q12_SQL,
     "q14_promo_share": _Q14_SQL,
     "q16_supplier_variety": _Q16_SQL,
+    "q17_small_quantity": _Q17_SQL,
     "q18_large_orders": _Q18_SQL,
+    "q21_waiting_suppliers": _Q21_ORACLE,
     "q22_idle_rich_customers": _Q22_SQL,
     "q10_returned_revenue": _Q10_SQL,
     "q6_forecast_revenue": _Q6_SQL,

@@ -30,4 +30,4 @@ def test_entry_contract(spark):
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"minhash_pairs", "simhash_pairs",
                          "embedding_dedup_pairs", "lsh_ann_topk",
-                         "curate_corpus_docs", "events_sketch_stats"}
+                         "events_sketch_stats"}

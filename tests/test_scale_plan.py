@@ -56,6 +56,21 @@ def test_q7_q8_join_strategy(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_correlated_subqueries_decorrelate(spark):
+    """Q17 (correlated scalar AVG) and Q21 (EXISTS + NOT EXISTS) must
+    decorrelate into aggregate/semi/anti joins — never a per-row subquery
+    or a cartesian product; Q17's per-part threshold must aggregate before
+    joining (one pass over lineitem per side)."""
+    demo.ensure_views(spark, SF_DIR)
+    for name in ("q17_small_quantity", "q21_waiting_suppliers"):
+        plan = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Q21's EXISTS/NOT EXISTS become semi/anti joins
+    plan21 = _plan(demo.QUERIES["q21_waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+
+
 def test_range_and_asof_no_cross_product(spark):
     """The bucket-equi-ized range join and both as-of directions must
     never plan a cartesian/nested-loop product over the fact sides."""
