@@ -33,10 +33,60 @@ from .dedup import exact_dedup, minhash_dedup, ngram_jaccard_pairs
 from .graph import drop_near_dups
 
 
+def _string_quantile_bucket(df: DataFrame, id_col: str, n_buckets: int,
+                            sample_per_bucket: int = 64,
+                            ) -> F.Column | None:
+    """Order-preserving bucket index for string ids from sampled
+    quantile cut points — robust to shared prefixes (zero-padded
+    ``doc_000...`` ids collapse a fixed-prefix bucketing to one fat
+    bucket; quantile cuts split the corpus evenly no matter the id
+    shape).
+
+    Two metadata-sized driver steps: a count to size the sample
+    fraction, then a deterministic hash-threshold sample of ids
+    (``~sample_per_bucket * n_buckets`` strings) sorted on the driver
+    into evenly-spaced cut points.  Per-row assignment is a two-level
+    coarse/fine scan over literal arrays — O(2*sqrt(cuts)) string
+    comparisons, whole-stage-codegen, no join.  Returns ``None`` when
+    the sample is too small to cut (tiny corpora fall back to prefix
+    bucketing — a corpus of thousands of docs doesn't need buckets).
+    """
+    total = df.count()
+    if total == 0:
+        return None
+    target = sample_per_bucket * n_buckets
+    frac = min(1.0, target / total)
+    sampled = (df.select(id_col)
+               .where(F.pmod(F.xxhash64(id_col), F.lit(1_000_000))
+                      < int(frac * 1_000_000))
+               .collect())
+    ids = sorted({r[0] for r in sampled if r[0] is not None})
+    if len(ids) < 2 * n_buckets:
+        return None
+    step = len(ids) / n_buckets
+    cuts = sorted({ids[int((i + 1) * step)] for i in range(n_buckets - 1)})
+
+    col = F.col(id_col)
+    chunk_sz = max(1, math.isqrt(len(cuts)))
+    chunks = [cuts[i:i + chunk_sz] for i in range(0, len(cuts), chunk_sz)]
+    # coarse: which chunk the id lands past (its LAST cut <= id means the
+    # whole chunk's cuts are <= id); fine: count within the landing chunk
+    coarse_lasts = F.array(*[F.lit(c[-1]) for c in chunks])
+    ci = F.size(F.filter(coarse_lasts, lambda b: b <= col))
+    fine = F.array(*([F.array(*[F.lit(x) for x in c]) for c in chunks]
+                     + [F.array().cast("array<string>")]))  # ci==n sentinel
+    within = F.size(F.filter(F.element_at(fine, ci + 1), lambda b: b <= col))
+    offsets = F.array(*[F.lit(sum(len(c) for c in chunks[:i]))
+                        for i in range(len(chunks) + 1)])
+    # bucket = #cuts <= id, decomposed as full-chunks + landing-chunk part
+    return F.element_at(offsets, ci + 1) + within
+
+
 def token_budget_cut(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", max_tokens: int = 0,
                      n_buckets: int = 1024,
-                     prefix_len: int = 8) -> DataFrame:
+                     prefix_len: int = 8,
+                     string_bucketing: str = "quantile") -> DataFrame:
     """Keep the id-ordered prefix of the corpus whose cumulative token
     count fits ``max_tokens`` — EXACT, without a corpus-wide
     single-partition window.
@@ -44,8 +94,9 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
     Scalable two-level prefix sum:
 
     1. bucket every doc with an *order-preserving* function of the id
-       (numeric: fixed-width ranges; string: lexicographic prefix), so
-       bucket order == id order across buckets;
+       (numeric: fixed-width ranges; string: sampled quantile cuts, or
+       a lexicographic prefix), so bucket order == id order across
+       buckets;
     2. per-bucket token totals (one shuffled aggregate, ``n_buckets``
        output rows);
     3. exclusive running offsets across buckets — a window over only
@@ -56,7 +107,12 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
     5. keep rows where offset + within-bucket cumsum <= budget.
 
     The numeric path runs one metadata-sized min/max job to size the
-    bucket width.  Same selected set as a global
+    bucket width.  For string ids ``string_bucketing="quantile"``
+    (default) derives cut points from a deterministic id sample —
+    even buckets regardless of id shape (a fixed prefix degenerates to
+    one fat bucket on zero-padded sequential ids); ``"prefix"`` keeps
+    the zero-job ``substring`` bucketing for ids known to spread at
+    *prefix_len*.  Same selected set as a global
     ``Window.orderBy(id)`` running sum, at any scale.
     """
     dt = df.schema[id_col].dataType
@@ -67,8 +123,16 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
         width = max(1, math.ceil((int(hi) - int(lo) + 1) / n_buckets))
         bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width))
     elif isinstance(dt, StringType):
-        # prefix order is consistent with full lexicographic id order
-        bucket = F.substring(F.col(id_col), 1, prefix_len)
+        if string_bucketing not in ("quantile", "prefix"):
+            raise ValueError(
+                f"unknown string_bucketing [{string_bucketing}]; "
+                "expected 'quantile' or 'prefix'")
+        bucket = None
+        if string_bucketing == "quantile":
+            bucket = _string_quantile_bucket(df, id_col, n_buckets)
+        if bucket is None:
+            # prefix order is consistent with full lexicographic id order
+            bucket = F.substring(F.col(id_col), 1, prefix_len)
     else:
         raise TypeError(f"token_budget_cut: unsupported id type {dt}")
 
