@@ -13,13 +13,16 @@ halving).  Converges in O(log diameter) rounds; near-dup clusters
 equi-joins + one min-aggregate, all AQE-planned; ``localCheckpoint``
 truncates the iterative lineage so plans stay constant-size.  No
 driver-side graph materialization — the only per-round driver value is
-the convergence probe (a scalar label sum for numeric ids).
+the convergence probe (one scalar sum per round: exact label sum for
+integral ids, hash sum otherwise).
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import IntegralType
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
@@ -30,8 +33,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
     Only nodes appearing in at least one pair are returned (isolated
     docs are their own component by definition — callers left-join).
-    Stops at the fixpoint or after *max_iter* rounds, whichever is
-    first.
+    Stops at the fixpoint (warning if *max_iter* rounds exhaust first —
+    the returned labels would then be an unconverged over-segmentation).
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -41,17 +44,25 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("component", F.col("id")))
 
-    # convergence probe: labels only ever decrease, so for numeric ids an
-    # exact sum of labels is strictly monotone — equal sums across a round
-    # means fixpoint.  One scalar aggregate per round instead of a
-    # labels⋈labels changed-count join (2 jobs -> 1 cheap job per round).
-    numeric = isinstance(pairs.schema[src].dataType, NumericType)
+    # convergence probe — ONE scalar aggregate per round for every id
+    # type (r1 used a labels⋈labels changed-count join for strings:
+    # 2 jobs/round).  Integral ids: exact label sum; labels only ever
+    # decrease, so an equal sum strictly certifies the fixpoint.  All
+    # other types (strings, fractional numerics — decimal(38,0) would
+    # truncate those and declare convergence early): sum of
+    # xxhash64(label); any label change alters the hash multiset, so
+    # equal sums certify the fixpoint up to a ~2^-64 sum collision.
+    # decimal(38,0) accumulation keeps either sum exact under ANSI mode
+    # (no long overflow at any node count).
+    integral = isinstance(pairs.schema[src].dataType, IntegralType)
+    probe_col = (F.col("component") if integral
+                 else F.xxhash64("component"))
 
     def _label_sum(frame: DataFrame):
-        return frame.agg(F.sum(F.col("component").cast("decimal(38,0)"))
-                         ).first()[0]
+        return frame.agg(F.sum(probe_col.cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = _label_sum(labels) if numeric else None
+    converged = False
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = (edges.join(labels.select(F.col("id").alias("b"), "component"),
                           "b")
@@ -73,17 +84,18 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                                F.coalesce("__cc2", "component"))
                        .alias("component"))
                .localCheckpoint(eager=True))
-        if numeric:
-            cur_sum = _label_sum(new)
-            converged = cur_sum == prev_sum
-            prev_sum = cur_sum
-        else:
-            converged = (new.join(
-                labels.withColumnRenamed("component", "old"), "id")
-                .where(F.col("component") != F.col("old")).count()) == 0
+        cur_sum = _label_sum(new)
+        converged = cur_sum == prev_sum
+        prev_sum = cur_sum
         labels = new
         if converged:
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "rounds; returned labels may over-segment components — raise "
+            "max_iter (pointer jumping needs ~log2(diameter) rounds)",
+            RuntimeWarning, stacklevel=2)
     return labels
 
 

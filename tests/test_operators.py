@@ -326,3 +326,34 @@ def test_connected_components_log_rounds(spark):
     rows = connected_components(pairs, max_iter=8).collect()
     assert len(rows) == 41
     assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_fractional_ids(spark):
+    """ADVICE r2: a decimal(38,0)-cast label sum truncates fractional
+    ids — every round of a chain whose ids share one integer part sums
+    identically, so the old probe declared convergence after round 1.
+    The hash-sum probe must keep iterating to the true fixpoint."""
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.graph import (
+        connected_components)
+    ids = [1.0 + i / 64.0 for i in range(14)]       # all truncate to 1
+    pairs = spark.createDataFrame(
+        [Row(id_a=ids[i], id_b=ids[i + 1]) for i in range(13)])
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 14
+    assert {r["component"] for r in rows} == {1.0}
+
+
+def test_connected_components_max_iter_warns(spark):
+    """Exhausting max_iter without a fixpoint must warn, not return
+    silently-unconverged labels."""
+    import warnings as w
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.graph import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(60)])
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(pairs, max_iter=2).collect()
+    assert any("fixpoint" in str(c.message) for c in caught)
