@@ -257,20 +257,27 @@ def _band_key(sig_col: str, bands: int, r: int) -> F.Column:
 def write_signature_store(df: DataFrame, path: str, text_col: str = "text",
                           id_col: str = "doc_id", num_hashes: int = 64,
                           shingle_k: int = 5, seed: int = 42,
-                          mode: str = "overwrite") -> None:
+                          mode: str = "overwrite",
+                          method: str = "kperm") -> None:
     """Persist MinHash signatures as parquet ``(id, sig array<long>)``.
 
     The store makes dedup *incremental*: a daily append batch computes
     signatures only for its own docs and band-joins against the store —
     the full corpus is never re-shingled (at 100 TB, re-shingling is the
-    whole cost).  Store parameters must match at query time; keep them
-    with the pipeline config.
+    whole cost).  The signature parameters (method, num_hashes,
+    shingle_k, seed) are recorded in a ``__meta`` footer and validated
+    by :func:`incremental_minhash_pairs` — mismatched parameters would
+    silently band-join incompatible signatures.
     """
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes,
-                                 shingle_k, seed)
+                                 shingle_k, seed, method)
     (sigs.withColumnRenamed("__id", id_col)
          .withColumnRenamed("__sig", "sig")
          .write.mode(mode).parquet(path))
+    meta = df.sparkSession.createDataFrame(
+        [(method, int(num_hashes), int(shingle_k), int(seed))],
+        "method string, num_hashes int, shingle_k int, seed int")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 
 
 def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
@@ -284,15 +291,41 @@ def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
     plus new-vs-new, via the banded join against the signature store.
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``; with
-    ``append=True`` the new signatures are added to the store afterwards
-    (so ``store pairs ∪ incremental pairs == full-batch pairs``).  Only
+    ``append=True`` the new signatures are added to the store afterwards.
+    ``store pairs ∪ incremental pairs ⊇ full-batch pairs``, with exact
+    equality while band-bucket hotness is stable: the ``max_bucket``
+    guard is evaluated per run, so a bucket that was cool when the store
+    was built may cross the threshold in the combined corpus — earlier
+    runs then keep pairs a from-scratch run would have suppressed.  Only
     the new batch is shingled; the store side reads (id, sig) parquet.
+
+    The call validates its signature parameters against the store's
+    ``__meta`` footer (written by :func:`write_signature_store`) and
+    raises on mismatch — banding kperm against oph signatures, or two
+    different seeds, silently produces garbage candidates otherwise.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
 
+    try:
+        meta = spark.read.parquet(f"{path}__meta").first()
+    except Exception:
+        meta = None  # pre-metadata store: caller-supplied params stand
+    method = "kperm"
+    if meta is not None:
+        passed = {"num_hashes": num_hashes, "shingle_k": shingle_k,
+                  "seed": seed}
+        stored = {k: meta[k] for k in passed}
+        if stored != passed:
+            raise ValueError(
+                f"signature store at [{path}] was built with {stored} "
+                f"(method={meta['method']}); called with {passed} — "
+                "incompatible signatures would band-join as garbage. "
+                "Match the store parameters or rebuild the store.")
+        method = meta["method"]
+
     new_sigs = minhash_signatures_df(new_docs, text_col, id_col,
-                                     num_hashes, shingle_k, seed)
+                                     num_hashes, shingle_k, seed, method)
     new_sigs = new_sigs.localCheckpoint(eager=True)  # shingle ONCE
     store = (spark.read.parquet(path)
              .select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig")))
@@ -465,14 +498,18 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
     Random-hyperplane signature buckets candidates (narrow map + one
     equi-join); exact cosine verifies.  High thresholds keep buckets tight.
     Pass *dims* explicitly to keep the call fully lazy (otherwise one
-    metadata-sized ``.first()`` job sizes the hyperplanes).
+    metadata-sized ``.first()`` job sizes the hyperplanes).  Rows whose
+    vector length differs from *dims* are excluded — a wrong explicit
+    *dims* yields an empty result (loud) rather than signatures over
+    silently truncated vectors.
     """
     if dims is None:
         dims = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(n_planes)]
-    sigs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-                     hyperplane_signature(vec_col, planes).alias("__bucket"))
+    sigs = (df.where(F.size(F.col(vec_col)) == dims)
+            .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                    hyperplane_signature(vec_col, planes).alias("__bucket")))
     left = sigs.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"),
                        "__bucket")
     right = sigs.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"),

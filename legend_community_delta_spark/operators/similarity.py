@@ -290,17 +290,22 @@ def lsh_topk_df(df: DataFrame, query_df: DataFrame, dims: int, k: int = 10,
     The bucket probe becomes a broadcast join on hamming distance of the
     signatures (0 = same bucket, <=1 with *multiprobe*) — no driver
     ``.first()`` job to fetch the vector or compute its signature.
+
+    *dims* is trusted to size the hyperplanes, so both sides are
+    filtered to vectors of exactly that length — a wrong *dims* returns
+    no candidates (loudly empty) instead of silently degraded
+    signatures over truncated vectors.
     """
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dims)]
               for _ in range(n_planes)]
     qcol = query_vec_col or vec_col
-    q = query_df.select(
+    q = query_df.where(F.size(F.col(qcol)) == dims).select(
         F.col(qcol).alias("__qv"),
         hyperplane_signature(qcol, planes).alias("__qsig"))
     max_dist = 1 if multiprobe else 0
     sig = hyperplane_signature(vec_col, planes)
-    cand = df.withColumn("__sig", sig).join(
+    cand = df.where(F.size(F.col(vec_col)) == dims).withColumn("__sig", sig).join(
         F.broadcast(q),
         F.bit_count(F.col("__sig").bitwiseXOR(F.col("__qsig"))) <= max_dist)
     return (cand.select(F.col(id_col),

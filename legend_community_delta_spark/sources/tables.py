@@ -16,6 +16,8 @@ Delta when importable or degrades explicitly:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -56,7 +58,11 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
     Delta path: a real ``MERGE`` (row-level, transactional).  Parquet
     fallback: keep target rows whose key has no update (left_anti), union
     the updates, overwrite — correct end state, but a full-table rewrite;
-    fine for small/medium tables, use Delta for incremental scale.
+    fine for small/medium tables, use Delta for incremental scale.  The
+    fallback assumes a single writer per target table (a non-transactional
+    overwrite cannot serialize concurrent merges); the staging table name
+    is suffixed per invocation so a failed run never collides with a
+    later retry.
     """
     if _delta_available():
         from delta.tables import DeltaTable
@@ -74,9 +80,9 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
     # The overwrite plan would read the table being replaced, so the merged
     # rows are staged through a scratch table first — distributed writes
     # only; nothing ever materializes on the driver.
-    staging = f"{table}__merge_staging"
-    merged.write.mode("overwrite").saveAsTable(staging)
+    staging = f"{table}__merge_staging_{uuid.uuid4().hex[:12]}"
     try:
+        merged.write.mode("overwrite").saveAsTable(staging)
         spark.table(staging).write.mode("overwrite") \
             .insertInto(table, overwrite=True)
     finally:

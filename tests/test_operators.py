@@ -315,6 +315,38 @@ def test_incremental_minhash_matches_full_batch(spark, tmp_path):
     assert spark.read.parquet(path).count() >= docs.count() - 1
 
 
+def test_signature_store_validates_params(spark, tmp_path):
+    """ADVICE r2: a store built with one parameter set must refuse
+    incremental queries with another — banding mismatched signatures
+    silently produces garbage candidates."""
+    import pytest
+    from legend_community_delta_spark.operators.dedup import (
+        incremental_minhash_pairs, write_signature_store)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "store")
+    write_signature_store(docs.where("doc_id % 2 = 0"), path, seed=7)
+    with pytest.raises(ValueError, match="built with"):
+        incremental_minhash_pairs(spark, path,
+                                  docs.where("doc_id % 2 = 1"), seed=8)
+    # matching params pass and inherit the store's method
+    out = incremental_minhash_pairs(spark, path,
+                                    docs.where("doc_id % 2 = 1"), seed=7,
+                                    append=False)
+    assert out.columns == ["id_a", "id_b", "est_jaccard"]
+
+
+def test_wrong_dims_is_loudly_empty(spark):
+    """ADVICE r2: a wrong explicit dims must not silently truncate
+    vectors into degraded signatures — both LSH paths return empty."""
+    from legend_community_delta_spark.operators.dedup import embedding_dedup
+    from legend_community_delta_spark.operators.similarity import lsh_topk_df
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id = 0")
+    assert lsh_topk_df(emb, q, dims=64, k=5).count() >= 1
+    assert lsh_topk_df(emb, q, dims=48, k=5).count() == 0
+    assert embedding_dedup(emb, threshold=0.5, dims=48).count() == 0
+
+
 def test_connected_components_log_rounds(spark):
     """Pointer jumping must collapse a 40-node chain within max_iter=8
     (O(log diameter)); plain propagation would need ~40 rounds."""
