@@ -1741,6 +1741,23 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=10, n_planes=8)
 
 
+def _q_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the PERSISTED LSH index: build the signature-
+    partitioned parquet index, then query it — the scan prunes to the
+    probed buckets (``PartitionFilters: [__sig IN ...]``,
+    plan-asserted in tests/test_curation.py).  Rows-only: hash-seeded
+    bucketing.  The build cost amortizes over queries in production;
+    here it runs in-query against a scratch dir."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="legend_lsh_index_") + "/idx"
+    emb = spark.table("embeddings")
+    SIM.build_lsh_index(emb, path, dims=64, n_planes=8)
+    qv = [float(x) for x in
+          emb.where("vec_id = 0").first()["embedding"]]
+    return SIM.query_lsh_index(spark, path, qv, k=10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,
@@ -1798,6 +1815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash_pairs,
     "embedding_dedup_pairs": _q_embedding_dedup,
     "lsh_ann_topk": _q_lsh_ann,
+    "lsh_index_topk": _q_lsh_index_topk,
     "curate_corpus_docs": _q_curate_corpus,
 }
 

@@ -30,4 +30,4 @@ def test_entry_contract(spark):
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"minhash_pairs", "simhash_pairs",
                          "embedding_dedup_pairs", "lsh_ann_topk",
-                         "events_sketch_stats"}
+                         "lsh_index_topk", "events_sketch_stats"}
