@@ -16,22 +16,40 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import NumericType
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               ts_col: str, value_cols: list[str] | None = None,
               direction: str = "backward",
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              time_bucket: int | None = None) -> DataFrame:
     """Left as-of join: every left row + the nearest preceding (backward)
     or following (forward) right row's *value_cols* per *on* key.
 
     Ties at equal ``ts``: the right row is considered visible (inclusive).
     Right rows should be unique per (key, ts) — pre-aggregate if not.
     Unmatched left rows keep NULLs (left-join semantics).
+
+    **Skew knob**: the default plan windows ``partitionBy(key)`` — one
+    partition per key, ideal for high-cardinality keys (user_id) but a
+    single fat partition when few keys carry deep histories (telemetry
+    with a handful of series).  Pass *time_bucket* (a width in *ts_col*'s
+    units; numeric ts required — convert timestamps to epoch µs first)
+    to window ``partitionBy(key, floor(ts/width))`` instead, with a
+    boundary carry: per-(key, bucket) edge values aggregate to one row
+    per bucket, a metadata-sized per-key window computes each bucket's
+    carry-in, and within-bucket results coalesce with it.  Same output
+    as the default plan (pinned in tests), with partition size bounded
+    by bucket occupancy instead of key history length.  Leave ``None``
+    when keys are plentiful — the bucketed plan spends two extra
+    shuffles for parallelism the key count already provides.
     """
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = value_cols or [
         c for c in right.columns if c not in keys + [ts_col]]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     lhs = left.select(
         *[F.col(c) for c in left.columns],
@@ -47,25 +65,59 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols])
     unioned = lhs.unionByName(rhs)
 
-    if direction == "backward":
-        # right rows (side 0) sort before left rows at equal ts -> inclusive
-        w = (Window.partitionBy(*keys)
-             .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-        picked = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-                  .alias(f"{c}{suffix}") for c in value_cols]
-    elif direction == "forward":
-        w = (Window.partitionBy(*keys)
-             .orderBy(F.col(ts_col).desc(), F.col("__is_left").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-        picked = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-                  .alias(f"{c}{suffix}") for c in value_cols]
-    else:
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
+    # right rows (side 0) sort before left rows at equal ts -> inclusive
+    order = [F.col(ts_col).asc() if backward else F.col(ts_col).desc(),
+             F.col("__is_left").asc()]
 
-    out = unioned.select(
-        *[c for c in left.columns], "__is_left", *picked)
-    return out.where(F.col("__is_left") == 1).drop("__is_left")
+    if time_bucket is None:
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        picked = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+                  .alias(f"{c}{suffix}") for c in value_cols]
+        out = unioned.select(
+            *[c for c in left.columns], "__is_left", *picked)
+        return out.where(F.col("__is_left") == 1).drop("__is_left")
+
+    if not isinstance(unioned.schema[ts_col].dataType, NumericType):
+        raise TypeError(
+            f"time_bucket needs a numeric {ts_col!r} (bucket = "
+            "floor(ts/width)); convert timestamps to epoch µs first")
+
+    u = unioned.withColumn("__tb",
+                           F.floor(F.col(ts_col) / F.lit(time_bucket)))
+    w_in = (Window.partitionBy(*keys, "__tb").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    within = [F.last(f"{c}{suffix}", ignorenulls=True).over(w_in)
+              .alias(f"__w_{c}") for c in value_cols]
+    u = u.select(*u.columns, *within)
+
+    # boundary value each bucket exports: its last (backward) / first
+    # (forward) right row — ONE row per (key, bucket)
+    pick = F.max_by if backward else F.min_by
+    edges = (u.where(F.col("__is_left") == 0)
+             .groupBy(*keys, "__tb")
+             .agg(*[pick(F.col(f"{c}{suffix}"), F.col(ts_col))
+                    .alias(f"__b_{c}") for c in value_cols]))
+
+    # carry-in per bucket = nearest exporting bucket strictly before
+    # (after, forward) it — a per-key window over bucket COUNT rows
+    # (metadata-sized next to the row data)
+    buckets = u.select(*keys, "__tb").distinct()
+    w_carry = (Window.partitionBy(*keys)
+               .orderBy(F.col("__tb").asc() if backward
+                        else F.col("__tb").desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (buckets.join(edges, keys + ["__tb"], "left")
+             .select(*keys, "__tb",
+                     *[F.last(f"__b_{c}", ignorenulls=True).over(w_carry)
+                       .alias(f"__c_{c}") for c in value_cols]))
+
+    return (u.join(carry, keys + ["__tb"])
+            .where(F.col("__is_left") == 1)
+            .select(*[c for c in left.columns],
+                    *[F.coalesce(f"__w_{c}", f"__c_{c}")
+                      .alias(f"{c}{suffix}") for c in value_cols]))
 
 
 def range_join(points: DataFrame, intervals: DataFrame,
