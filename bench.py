@@ -30,7 +30,9 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "q7_nation_volume",
     "q8_market_share",
+    "q9_profit",
     "q10_returned_revenue",
+    "q18_large_orders",
     "window_top_orders",
     "sessionize_events",
     "asof_views_purchases",

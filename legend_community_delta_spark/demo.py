@@ -883,6 +883,144 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18_SQL)
 
 
+# TPC-H Q2 shape: min-cost supplier per part via a correlated scalar MIN
+# subquery over a reused CTE (no partsupp in the synthetic schema —
+# lineitem aggregates stand in for supply cost).  Ties keep all minimal
+# suppliers; ORDER BY (p_partkey, s_name) + LIMIT stays deterministic.
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS cost
+  FROM lineitem GROUP BY 1, 2)
+SELECT p_partkey, p_name, s_name, cost
+FROM ps
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size <= 5
+  AND cost = (SELECT MIN(ps2.cost) FROM ps ps2
+              WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY p_partkey, s_name
+LIMIT 50
+"""
+
+
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN over a reused CTE."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+# TPC-H Q11 shape: group totals kept only above a scalar fraction of the
+# same aggregation — the HAVING-vs-global-subquery pattern.  Both sides
+# cast the decimal-exact sum to double before comparing.
+_Q11_SQL = """
+SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1')
+ORDER BY val DESC, l_partkey
+LIMIT 50
+"""
+
+
+def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING above a scalar-subquery fraction."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# TPC-H Q13 shape: customer order-count distribution including
+# zero-order customers — LEFT OUTER JOIN with the filter in the join
+# condition (moving it to WHERE would silently drop the NULL row).
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count distribution with ON-clause filter."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+# TPC-H Q15 shape: top supplier by period revenue via a MAX scalar
+# subquery over a reused CTE (the view in the original).
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(22,6))) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: MAX scalar subquery over a reused CTE."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+# TPC-H Q19 shape: disjunctive multi-column predicates (brand x size x
+# quantity bands) — the OR-of-ANDs pushdown/reordering stressor.
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
+
+
+# TPC-H Q20 shape: nested IN over a grouped HAVING subquery (suppliers
+# who moved significant volume of matching parts — lineitem aggregates
+# stand in for partsupp availability).
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1' AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 50)
+ORDER BY s_name
+"""
+
+
+def _q20_significant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
 # TPC-H Q17 shape: small-quantity revenue for selected parts, gated by a
 # correlated scalar AVG subquery per part (Catalyst decorrelates it into
 # an aggregate + join — no per-row re-execution).  p_size stands in for
@@ -1779,6 +1917,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": _q18_large_orders,
     "q21_waiting_suppliers": _q21_waiting_suppliers,
     "q22_idle_rich_customers": _q22_idle_rich_customers,
+    "q2_min_cost_supplier": _q2_min_cost_supplier,
+    "q11_important_stock": _q11_important_stock,
+    "q13_customer_distribution": _q13_customer_distribution,
+    "q15_top_supplier": _q15_top_supplier,
+    "q19_discounted_revenue": _q19_discounted_revenue,
+    "q20_significant_suppliers": _q20_significant_suppliers,
     "q10_returned_revenue": _q10_returned_revenue,
     "q6_forecast_revenue": _q6_forecast_revenue,
     "customers_without_orders": _q_customers_without_orders,
@@ -1840,6 +1984,12 @@ ORACLES: dict[str, str] = {
     "q18_large_orders": _Q18_SQL,
     "q21_waiting_suppliers": _Q21_ORACLE,
     "q22_idle_rich_customers": _Q22_SQL,
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q11_important_stock": _Q11_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q19_discounted_revenue": _Q19_SQL,
+    "q20_significant_suppliers": _Q20_SQL,
     "q10_returned_revenue": _Q10_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "customers_without_orders": _ANTIJOIN_SQL,

@@ -62,7 +62,10 @@ def test_correlated_subqueries_decorrelate(spark):
     or a cartesian product; Q17's per-part threshold must aggregate before
     joining (one pass over lineitem per side)."""
     demo.ensure_views(spark, SF_DIR)
-    for name in ("q17_small_quantity", "q21_waiting_suppliers"):
+    for name in ("q17_small_quantity", "q21_waiting_suppliers",
+                 "q2_min_cost_supplier", "q11_important_stock",
+                 "q15_top_supplier", "q19_discounted_revenue",
+                 "q20_significant_suppliers", "q13_customer_distribution"):
         plan = _plan(demo.QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
