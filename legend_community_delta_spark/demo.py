@@ -1879,6 +1879,170 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=10, n_planes=8)
 
 
+def _q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: heuristic marker-word prediction vs
+    the table's labeled lang — the per-language accuracy audit a corpus
+    pipeline runs after ingest.  Column-algebra only; the DuckDB twin
+    mirrors the marker lists, the CJK codepoint check, and the
+    struct-max tie-break (score, then lexicographically largest lang).
+    """
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs.select("lang", TX.language_id("text").alias("lang_pred"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("docs")))
+
+
+def _lang_score_sql(lang: str, words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return ("len(list_intersect(list_transform(regexp_extract_all(text, "
+            fr"'\S+'), t -> lower(t)), [{quoted}])) AS s_{lang}")
+
+
+_ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+    {_lang_score_sql("en", TX._LANG_MARKERS["en"])},
+    {_lang_score_sql("de", TX._LANG_MARKERS["de"])},
+    {_lang_score_sql("fr", TX._LANG_MARKERS["fr"])},
+    {_lang_score_sql("es", TX._LANG_MARKERS["es"])}
+  FROM documents
+), labeled AS (
+  SELECT lang,
+    CASE WHEN cjk > 0 THEN 'zh'
+         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         ELSE 'de' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, COUNT(*) AS docs
+FROM labeled GROUP BY lang, lang_pred
+"""
+
+
+def _q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 lowercased whitespace tokens by
+    frequency — the first pass of tokenizer/vocab construction.  Exact
+    integer counts, deterministic (freq DESC, token) tie-break."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = docs.select(F.explode(
+        F.transform(TX.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    return (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "tok").limit(100))
+
+
+_ORACLE_VOCAB = r"""
+SELECT tok, COUNT(*) AS freq FROM (
+  SELECT unnest(list_transform(regexp_extract_all(text, '\S+'),
+                               t -> lower(t))) AS tok
+  FROM documents)
+GROUP BY tok ORDER BY freq DESC, tok LIMIT 100
+"""
+
+
+def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit: per-source counts of email/phone/SSN/IPv4 matches —
+    the scrub-coverage metric behind redact_pii.  The patterns are
+    written to identical semantics in Java regex and RE2 (no
+    lookaround), so the counts oracle-check exactly."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    c = TX.pii_counts("text")
+    return (docs.select("source", c.alias("__p"))
+            .groupBy("source")
+            .agg(*[F.sum(F.col(f"__p.{k}")).cast("long").alias(k)
+                   for k in ("email", "phone", "ssn", "ipv4")])
+            .orderBy("source"))
+
+
+_ORACLE_PII = r"""
+SELECT source,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS email,
+  CAST(SUM(len(regexp_extract_all(text,
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))) AS BIGINT) AS phone,
+  CAST(SUM(len(regexp_extract_all(text,
+    '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS ssn,
+  CAST(SUM(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS ipv4
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: a views STREAM joined to a purchases
+    STREAM per user within [purchase, purchase+1h) — the Structured
+    Streaming enrichment shape (two readStreams, time-bound join
+    condition, append sink).  availableNow backfill; the joined rows
+    land in a memory sink and the per-(user, event) window count is
+    checked against the equivalent batch inequality join in DuckDB —
+    stream/batch join semantics line up exactly."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="legend_ss_join_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    (spark.table("events").select("user_id", "event_id", "event_type", "ts")
+     .write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+
+    views = (spark.readStream.schema(schema).parquet(src)
+             .where("event_type = 'view'")
+             .select("user_id", "event_id", F.col("ts").alias("v_ts")))
+    purchases = (spark.readStream.schema(schema).parquet(src)
+                 .where("event_type = 'purchase'")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"))
+                 .dropDuplicates(["p_user", "p_ts"]))
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR")))
+
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__ss_join_{_STREAM_RUN_SEQ[0]}"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return (spark.table(sink)
+            .groupBy("user_id", "event_id")
+            .agg(F.count(F.lit(1)).alias("n_windows")))
+
+
+_ORACLE_SS_JOIN = """
+SELECT v.user_id, v.event_id, COUNT(*) AS n_windows
+FROM (SELECT user_id, event_id, epoch_us(ts) AS v_us FROM events
+      WHERE event_type = 'view') v
+JOIN (SELECT DISTINCT user_id, epoch_us(ts) AS p_us FROM events
+      WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND v.v_us >= p.p_us
+ AND v.v_us < p.p_us + 3600000000
+GROUP BY v.user_id, v.event_id
+"""
+
+
+def _q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the PERSISTED IVF index: k-means cells partitioned on
+    disk, query reads only the n_probe nearest cells (partition-pruned
+    IN-list).  Rows-only: centroid assignment is iteration-seeded."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="legend_ivf_index_") + "/idx"
+    emb = spark.table("embeddings")
+    SIM.build_ivf_index(emb, path, n_centroids=8)
+    qv = [float(x) for x in
+          emb.where("vec_id = 0").first()["embedding"]]
+    return SIM.query_ivf_index(spark, path, qv, k=10, n_probe=3)
+
+
 def _q_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the PERSISTED LSH index: build the signature-
     partitioned parquet index, then query it — the scan prunes to the
@@ -1960,7 +2124,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup_pairs": _q_embedding_dedup,
     "lsh_ann_topk": _q_lsh_ann,
     "lsh_index_topk": _q_lsh_index_topk,
+    "ivf_index_topk": _q_ivf_index_topk,
     "curate_corpus_docs": _q_curate_corpus,
+    "lang_id_confusion": _q_lang_id_confusion,
+    "vocab_top_tokens": _q_vocab_top_tokens,
+    "pii_stats_by_source": _q_pii_stats,
+    "stream_stream_join": _q_stream_stream_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2022,6 +2191,11 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": _ORACLE_ANN,
     "embedding_dims_stats": _EMB_DIMS_ORACLE,
     "curate_corpus_docs": _ORACLE_CURATE,
-    # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk:
-    # approximate / hash-seeded operators — rows-only checks by design.
+    "lang_id_confusion": _ORACLE_LANG_ID,
+    "vocab_top_tokens": _ORACLE_VOCAB,
+    "pii_stats_by_source": _ORACLE_PII,
+    "stream_stream_join": _ORACLE_SS_JOIN,
+    # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk /
+    # lsh_index_topk / ivf_index_topk: approximate / hash-seeded operators —
+    # rows-only checks by design.
 }

@@ -30,4 +30,5 @@ def test_entry_contract(spark):
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"minhash_pairs", "simhash_pairs",
                          "embedding_dedup_pairs", "lsh_ann_topk",
-                         "lsh_index_topk", "events_sketch_stats"}
+                         "lsh_index_topk", "ivf_index_topk",
+                         "events_sketch_stats"}
