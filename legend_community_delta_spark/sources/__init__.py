@@ -44,3 +44,7 @@ def write_table(df: DataFrame, table: str, mode: str = "append",
     if merge_schema:
         writer = writer.option("mergeSchema", "true")
     writer.saveAsTable(table)
+
+
+from .versioned import VersionedTable  # noqa: E402,F401 — re-export: the
+# no-Delta time-travel/history/merge surface (see sources/versioned.py)

@@ -12,6 +12,12 @@ Delta when importable or degrades explicitly:
 * :func:`merge_upsert` — Delta ``MERGE`` when available, otherwise an
   anti-join + union overwrite (same end state, full rewrite cost —
   documented as such).
+
+For REAL time-travel/history/merge semantics without the Delta runtime,
+use :class:`..sources.versioned.VersionedTable` — immutable parquet
+snapshots behind a JSON commit log (path-addressed rather than
+catalog-addressed, which is why it is a separate surface and not a
+silent fallback here).
 """
 
 from __future__ import annotations

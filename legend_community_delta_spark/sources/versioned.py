@@ -1,0 +1,153 @@
+"""Versioned parquet tables: real time travel / history / row-level merge
+without a Delta runtime.
+
+The reference's headline table services are Delta's (time travel,
+``DESCRIBE HISTORY``, ``MERGE`` — `databricks-scala.ipynb` drift cells;
+``Legend.scala:163-186`` createIfNotExists).  No delta-spark wheel exists
+in this environment, so :mod:`sources.tables` gates those behind pointed
+errors.  This module supplies the same *semantics* on plain parquet +
+a JSON commit log, Delta-style in miniature:
+
+::
+
+    path/
+      _versions/000000.json   {"version": 0, "ts": ..., "operation": ...}
+      _versions/000001.json
+      v=0/part-*.parquet      (immutable snapshot)
+      v=1/part-*.parquet
+
+* every write is a NEW immutable snapshot directory — readers of old
+  versions are never disturbed (snapshot isolation for free);
+* the commit log is one tiny JSON per version (metadata-sized; the
+  1000-executor cluster never lists data files to resolve a version);
+* ``merge`` reads the latest snapshot, anti-joins, and writes the next
+  snapshot — row-level upsert semantics with full lineage retained.
+
+This is NOT Delta (no concurrent-writer protocol, no file-level data
+skipping); it is the honest standalone re-expression of the reference's
+time-travel surface for environments without the Delta runtime.  When
+delta-spark IS importable, prefer :mod:`sources.tables`' Delta paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    """A parquet table with an append-only version log.
+
+    ``VersionedTable(spark, path)`` attaches to (or creates) the store at
+    *path*.  All methods are driver-light: version resolution reads one
+    directory listing of tiny JSON files; data moves only through
+    distributed parquet reads/writes.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._log_dir = f"{self.path}/_versions"
+
+    # -- commit log -------------------------------------------------------
+
+    def _commits(self) -> list[dict]:
+        if not os.path.isdir(self._log_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self._log_dir)):
+            if name.endswith(".json"):
+                with open(f"{self._log_dir}/{name}") as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def latest_version(self) -> int | None:
+        commits = self._commits()
+        return commits[-1]["version"] if commits else None
+
+    def _commit(self, version: int, operation: str, meta: dict) -> None:
+        os.makedirs(self._log_dir, exist_ok=True)
+        entry = {"version": version, "timestamp": time.time(),
+                 "operation": operation, **meta}
+        tmp = f"{self._log_dir}/.{version:06d}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        # atomic rename = the commit point (single-writer assumption,
+        # like tables.merge_upsert's parquet fallback)
+        os.replace(tmp, f"{self._log_dir}/{version:06d}.json")
+
+    # -- writes -----------------------------------------------------------
+
+    def write(self, df: DataFrame, operation: str = "WRITE",
+              meta: dict | None = None) -> int:
+        """Write *df* as the next immutable snapshot; returns its version."""
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        df.write.mode("errorifexists").parquet(f"{self.path}/v={version}")
+        self._commit(version, operation, meta or {})
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        """Append rows: next snapshot = previous snapshot ∪ *df*."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.write(df, "APPEND")
+        merged = self.read(latest).unionByName(df, allowMissingColumns=True)
+        return self.write(merged, "APPEND")
+
+    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+        """Row-level upsert: matched keys replaced, new keys inserted —
+        as a NEW version (the old snapshot stays queryable)."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.write(updates, "MERGE", {"keys": keys})
+        current = self.read(latest)
+        keep = current.join(updates.select(*keys), keys, "left_anti")
+        return self.write(keep.unionByName(updates), "MERGE",
+                          {"keys": keys})
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a snapshot (``VERSION AS OF``); latest when *version* is
+        omitted."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"versioned table at [{self.path}] is empty")
+        v = latest if version is None else version
+        if not 0 <= v <= latest:
+            raise ValueError(
+                f"version {v} out of range [0, {latest}] at [{self.path}]")
+        return self.spark.read.parquet(f"{self.path}/v={v}")
+
+    def history(self) -> DataFrame:
+        """``DESCRIBE HISTORY`` analogue: one row per version, newest
+        first — (version, timestamp, operation)."""
+        commits = self._commits()
+        if not commits:
+            raise ValueError(f"versioned table at [{self.path}] is empty")
+        rows = [(c["version"], float(c["timestamp"]), c["operation"])
+                for c in reversed(commits)]
+        return self.spark.createDataFrame(
+            rows, "version int, timestamp double, operation string")
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop snapshot directories older than the last *keep_last*
+        versions (the storage-cost control); returns dropped versions.
+        The commit log keeps every entry so history stays complete."""
+        import shutil
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        cutoff = latest - max(keep_last, 1) + 1
+        dropped = []
+        for c in self._commits():
+            v = c["version"]
+            snap = f"{self.path}/v={v}"
+            if v < cutoff and os.path.isdir(snap):
+                shutil.rmtree(snap)
+                dropped.append(v)
+        return dropped

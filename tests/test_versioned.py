@@ -1,0 +1,63 @@
+"""Versioned parquet tables: time travel, history, merge — no Delta."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from legend_community_delta_spark.sources.versioned import VersionedTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    v0 = t.write(spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]))
+    v1 = t.append(spark.createDataFrame([Row(id=3, v="c")]))
+    assert (v0, v1) == (0, 1)
+
+    # VERSION AS OF: the old snapshot is intact after the append
+    assert _rows(t.read(0)) == [(1, "a"), (2, "b")]
+    assert _rows(t.read(1)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(t.read()) == _rows(t.read(1))
+
+    hist = t.history().collect()
+    assert [r["version"] for r in hist] == [1, 0]          # newest first
+    assert [r["operation"] for r in hist] == ["APPEND", "WRITE"]
+    assert hist[0]["timestamp"] >= hist[1]["timestamp"]
+
+    with pytest.raises(ValueError, match="out of range"):
+        t.read(7)
+    with pytest.raises(ValueError, match="empty"):
+        VersionedTable(spark, str(tmp_path / "nope")).read()
+
+
+def test_merge_is_row_level_and_versioned(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]))
+    v = t.merge(spark.createDataFrame(
+        [Row(id=2, v="B"), Row(id=4, v="d")]), keys=["id"])
+    assert v == 1
+    # matched row replaced, new row inserted, untouched rows kept
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    # the pre-merge snapshot still answers queries (drift debugging)
+    assert _rows(t.read(0)) == [(1, "a"), (2, "b"), (3, "c")]
+    # idempotent re-merge: same end state, one more version
+    t.merge(spark.createDataFrame([Row(id=2, v="B")]), keys=["id"])
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert t.latest_version() == 2
+
+
+def test_vacuum_keeps_history_drops_old_snapshots(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(spark.createDataFrame([Row(id=i)]))
+    dropped = t.vacuum(keep_last=2)
+    assert dropped == [0, 1]
+    # history still lists everything; recent versions still readable
+    assert [r["version"] for r in t.history().collect()] == [3, 2, 1, 0]
+    assert len(t.read(2).collect()) == 3
+    assert len(t.read(3).collect()) == 4
