@@ -1879,6 +1879,35 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=10, n_planes=8)
 
 
+def _q_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation drop-stage labels (same parameters as
+    ``curate_corpus_docs``): kept / quality / exact_dup / near_dup /
+    budget — the one-action observability surface over the composed
+    pipeline.  Oracle: the curation CTE chain emitting a CASE label per
+    document instead of the surviving rows."""
+    from .operators.curation import curate_provenance
+    ensure_views(spark, sf_dir)
+    return curate_provenance(spark.table("documents"), min_quality=0.3,
+                             near_dup_threshold=0.2, max_tokens=20_000,
+                             near_dup_backend="exact", ngram_n=5)
+
+
+_ORACLE_PROVENANCE = _ORACLE_CURATE[:_ORACLE_CURATE.rindex("SELECT doc_id,")] + """
+SELECT d.doc_id,
+  CASE WHEN g.doc_id IS NULL THEN 'quality'
+       WHEN e.doc_id IS NULL THEN 'exact_dup'
+       WHEN n.doc_id IS NULL THEN 'near_dup'
+       WHEN b.doc_id IS NULL THEN 'budget'
+       ELSE 'kept' END AS drop_stage
+FROM documents d
+LEFT JOIN gated g ON d.doc_id = g.doc_id
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+LEFT JOIN near n ON d.doc_id = n.doc_id
+LEFT JOIN (SELECT doc_id FROM budget WHERE cum <= 20000) b
+       ON d.doc_id = b.doc_id
+"""
+
+
 def _q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: heuristic marker-word prediction vs
     the table's labeled lang — the per-language accuracy audit a corpus
@@ -2126,6 +2155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_index_topk": _q_lsh_index_topk,
     "ivf_index_topk": _q_ivf_index_topk,
     "curate_corpus_docs": _q_curate_corpus,
+    "curation_provenance": _q_curation_provenance,
     "lang_id_confusion": _q_lang_id_confusion,
     "vocab_top_tokens": _q_vocab_top_tokens,
     "pii_stats_by_source": _q_pii_stats,
@@ -2191,6 +2221,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": _ORACLE_ANN,
     "embedding_dims_stats": _EMB_DIMS_ORACLE,
     "curate_corpus_docs": _ORACLE_CURATE,
+    "curation_provenance": _ORACLE_PROVENANCE,
     "lang_id_confusion": _ORACLE_LANG_ID,
     "vocab_top_tokens": _ORACLE_VOCAB,
     "pii_stats_by_source": _ORACLE_PII,

@@ -151,6 +151,63 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
             .drop("__tok", "__b", "__off", "__cum"))
 
 
+def curate_provenance(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_quality: float = 0.5,
+                      near_dup_threshold: float = 0.8,
+                      max_tokens: int | None = None,
+                      near_dup_backend: str = "exact",
+                      ngram_n: int = 5) -> DataFrame:
+    """Per-doc curation provenance: ``(id, drop_stage)`` with
+    ``drop_stage ∈ {kept, quality, exact_dup, near_dup, budget}`` — the
+    FIRST stage of :func:`curate_corpus` that drops each doc.
+
+    Two jobs this earns at 100 TB:
+
+    * **observability in one action** — ``.groupBy("drop_stage").count()``
+      replaces :func:`curate_corpus`'s five per-stage ``count()``
+      materializations (``collect_stats=True`` runs the pipeline prefix
+      once per stage boundary);
+    * **drop debugging** — "why did doc X disappear" is a lookup, not a
+      pipeline re-run.
+
+    Stage membership is computed from the same lazy stage frames the
+    pipeline uses (left joins on ids only — payloads don't travel), so
+    the labels are exactly the pipeline's decisions, not a parallel
+    re-implementation.
+    """
+    gated = df.where(quality_score(text_col) >= min_quality)
+    exact = exact_dedup(gated, text_col, id_col)
+    if near_dup_backend == "minhash":
+        pairs = minhash_dedup(exact, text_col, id_col,
+                              threshold=near_dup_threshold)
+    elif near_dup_backend == "exact":
+        pairs = ngram_jaccard_pairs(exact, text_col, id_col, n=ngram_n,
+                                    threshold=near_dup_threshold)
+    else:
+        raise ValueError(
+            f"unknown near_dup_backend [{near_dup_backend}]; "
+            "expected 'minhash' or 'exact'")
+    near = drop_near_dups(exact, pairs, id_col)
+    final = (token_budget_cut(near, text_col, id_col, max_tokens)
+             if max_tokens is not None else near)
+
+    def ids(frame: DataFrame, flag: str) -> DataFrame:
+        return frame.select(id_col).withColumn(flag, F.lit(1))
+
+    return (df.select(id_col,
+                      (quality_score(text_col) >= min_quality).alias("__q"))
+            .join(ids(exact, "__e"), id_col, "left")
+            .join(ids(near, "__n"), id_col, "left")
+            .join(ids(final, "__f"), id_col, "left")
+            .select(id_col,
+                    F.when(~F.col("__q"), F.lit("quality"))
+                    .when(F.col("__e").isNull(), F.lit("exact_dup"))
+                    .when(F.col("__n").isNull(), F.lit("near_dup"))
+                    .when(F.col("__f").isNull(), F.lit("budget"))
+                    .otherwise(F.lit("kept")).alias("drop_stage")))
+
+
 def curate_corpus(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   min_quality: float = 0.5,

@@ -64,6 +64,33 @@ def test_curate_corpus_exact_backend(spark):
         curate_corpus(df, near_dup_backend="nope", collect_stats=False)
 
 
+def test_curate_provenance_matches_pipeline(spark):
+    """The one-action provenance labels must agree exactly with the
+    pipeline: 'kept' ids == curate_corpus output, and the label counts
+    reconcile with the per-stage collect_stats counters."""
+    from legend_community_delta_spark.operators.curation import (
+        curate_provenance)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kw = dict(min_quality=0.3, near_dup_threshold=0.2, max_tokens=2_000,
+              near_dup_backend="exact", ngram_n=5)
+    out, stats = curate_corpus(docs, **kw)
+    prov = curate_provenance(docs, **kw)
+    labels = {r["doc_id"]: r["drop_stage"] for r in prov.collect()}
+
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert sorted(i for i, s in labels.items() if s == "kept") == kept
+
+    from collections import Counter
+    n = Counter(labels.values())
+    assert len(labels) == stats["input"]
+    assert n["quality"] == stats["input"] - stats["after_quality"]
+    assert n["exact_dup"] == stats["after_quality"] - stats["after_exact_dedup"]
+    assert n["near_dup"] == stats["after_exact_dedup"] - stats["after_near_dedup"]
+    assert n["budget"] == stats["after_near_dedup"] - stats["output"]
+    assert n["kept"] == stats["output"] > 0
+    assert n["budget"] > 0     # the budget stage actually cut something
+
+
 def test_curate_token_budget(spark):
     rows = [Row(doc_id=i, text=f"word{i} " * 100) for i in range(1, 6)]
     df = spark.createDataFrame(rows)
