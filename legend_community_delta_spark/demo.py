@@ -1973,6 +1973,55 @@ GROUP BY tok ORDER BY freq DESC, tok LIMIT 100
 """
 
 
+def _q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by a PMI-style association score
+    ``n_ab² / (n_a·n_b)`` (log-free, so the ordering is exact rational
+    math — engine-portable, unlike ln()).  The phrase-detection pass a
+    tokenizer pipeline runs before merging multi-word units."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    lowered = F.lower(F.col("text"))
+    uni = (docs.select(F.explode(TX.tokens(lowered)).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    bi = (docs.select(F.explode(TX.word_ngrams(lowered, 2)).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+          .where(F.col("n_ab") >= 5))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    ua = uni.select(F.col("w").alias("__w1"), F.col("n").alias("__na"))
+    ub = uni.select(F.col("w").alias("__w2"), F.col("n").alias("__nb"))
+    return (bi.withColumn("__w1", w1).withColumn("__w2", w2)
+            .join(ua, "__w1").join(ub, "__w2")
+            .select("bigram", "n_ab",
+                    F.round(F.col("n_ab").cast("double") * F.col("n_ab")
+                            / (F.col("__na") * F.col("__nb")), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), "bigram").limit(50))
+
+
+_ORACLE_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT list_transform(regexp_extract_all(text, '\S+'),
+                        t -> lower(t)) AS ts
+  FROM documents
+), ucnt AS (
+  SELECT w, COUNT(*) AS n FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+), bcnt AS (
+  SELECT bg, COUNT(*) AS n_ab FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS bg
+    FROM toks) GROUP BY bg
+  HAVING COUNT(*) >= 5
+)
+SELECT bg AS bigram, n_ab,
+       round(CAST(n_ab AS DOUBLE) * n_ab / (ua.n * ub.n), 6) AS score
+FROM bcnt
+JOIN ucnt ua ON ua.w = split_part(bg, ' ', 1)
+JOIN ucnt ub ON ub.w = split_part(bg, ' ', 2)
+ORDER BY score DESC, bigram LIMIT 50
+"""
+
+
 def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII audit: per-source counts of email/phone/SSN/IPv4 matches —
     the scrub-coverage metric behind redact_pii.  The patterns are
@@ -2158,6 +2207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_provenance": _q_curation_provenance,
     "lang_id_confusion": _q_lang_id_confusion,
     "vocab_top_tokens": _q_vocab_top_tokens,
+    "bigram_collocations": _q_bigram_collocations,
     "pii_stats_by_source": _q_pii_stats,
     "stream_stream_join": _q_stream_stream_join,
 }
@@ -2224,6 +2274,7 @@ ORACLES: dict[str, str] = {
     "curation_provenance": _ORACLE_PROVENANCE,
     "lang_id_confusion": _ORACLE_LANG_ID,
     "vocab_top_tokens": _ORACLE_VOCAB,
+    "bigram_collocations": _ORACLE_COLLOCATIONS,
     "pii_stats_by_source": _ORACLE_PII,
     "stream_stream_join": _ORACLE_SS_JOIN,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk /

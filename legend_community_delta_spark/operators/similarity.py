@@ -313,3 +313,39 @@ def lsh_topk_df(df: DataFrame, query_df: DataFrame, dims: int, k: int = 10,
                         .alias("cosine"))
             .orderBy(F.desc("cosine"), F.col(id_col))
             .limit(k))
+
+
+def ann_recall(df: DataFrame, queries: DataFrame, approx_fn, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id_col: str = "query_id",
+               query_vec_col: str = "query_vec") -> DataFrame:
+    """Measured recall@k of an approximate search against exact
+    brute-force ground truth: ``(query_id, hits, recall)`` per query.
+
+    *approx_fn(one_query_df) -> DataFrame[(id_col, ...)]* runs the
+    approximate method for a single query row (e.g. a
+    :func:`lsh_topk_df` or :func:`query_ivf_index` closure).  Ground
+    truth comes from :func:`cosine_topk_many` over the same *queries*.
+
+    ANN knobs (n_planes, multiprobe, n_probe, n_centroids) trade
+    candidate-set size against recall; this is the harness that turns
+    that trade-off from a guess into a number.  Queries is small by
+    construction (it is the probe sample, not the corpus), so the
+    per-query loop drives one bounded Spark job each — measurement
+    tooling, not a hot path.
+    """
+    truth_sets: dict = {}
+    for r in cosine_topk_many(df, queries, k, vec_col, id_col,
+                              query_id_col, query_vec_col).collect():
+        truth_sets.setdefault(r[query_id_col], set()).add(r[id_col])
+
+    rows = []
+    for q in queries.collect():
+        got = {r[id_col] for r in approx_fn(
+            queries.where(F.col(query_id_col) == q[query_id_col])).collect()}
+        expect = truth_sets.get(q[query_id_col], set())
+        hits = len(got & expect)
+        rows.append((q[query_id_col], hits,
+                     hits / len(expect) if expect else 1.0))
+    return df.sparkSession.createDataFrame(
+        rows, f"{query_id_col} long, hits int, recall double")

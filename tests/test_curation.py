@@ -288,6 +288,40 @@ def test_events_sketch_within_tolerance(spark):
             assert abs(a["p50_value"] - e["p50"]) <= 0.25 * spread + 1e-6
 
 
+def test_ann_recall_harness(spark):
+    """ann_recall turns the ANN quality trade-off into a number: an
+    exact 'approximate' method must score recall 1.0; a real LSH run
+    reports a recall in (0, 1] that more probing can only improve."""
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.similarity import (
+        ann_recall, cosine_topk_df, lsh_topk_df)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.where("vec_id IN (0, 1, 2)")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+
+    exact = ann_recall(
+        emb, queries,
+        lambda q: cosine_topk_df(emb, q, k=5, query_vec_col="query_vec"),
+        k=5).collect()
+    assert len(exact) == 3
+    assert all(r["recall"] == 1.0 for r in exact)
+
+    lsh = {r["query_id"]: r["recall"] for r in ann_recall(
+        emb, queries,
+        lambda q: lsh_topk_df(emb, q, dims=64, k=5, n_planes=8,
+                              query_vec_col="query_vec"),
+        k=5).collect()}
+    lsh_more = {r["query_id"]: r["recall"] for r in ann_recall(
+        emb, queries,
+        lambda q: lsh_topk_df(emb, q, dims=64, k=5, n_planes=4,
+                              query_vec_col="query_vec"),
+        k=5).collect()}
+    assert all(0.0 <= v <= 1.0 for v in lsh.values())
+    # fewer planes => bigger buckets => recall can only go up per query
+    assert all(lsh_more[q] >= lsh[q] for q in lsh)
+
+
 def test_ivf_index_persist_and_prune(spark, tmp_path):
     from legend_community_delta_spark.operators.similarity import (
         build_ivf_index, cosine_topk, query_ivf_index)
