@@ -1,1 +1,65 @@
+"""Large-scale data-pipeline operators — flat re-exports for discoverability.
 
+Each family lives in its own module (full docs there); this namespace
+exposes the headline entry points so ``from
+legend_community_delta_spark.operators import minhash_dedup`` works
+without memorizing the module map.
+"""
+
+from .asof import asof_join, range_join
+from .curation import curate_corpus, curate_provenance, token_budget_cut
+from .dedup import (
+    dedup_stats,
+    deterministic_sample,
+    embedding_dedup,
+    exact_dedup,
+    incremental_minhash_pairs,
+    minhash_dedup,
+    minhash_signatures_df,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    stratified_sample,
+    write_signature_store,
+)
+from .graph import connected_components, drop_near_dups
+from .joins import broadcast_join, salted_join, write_bucketed
+from .multimodal import (
+    audio_features,
+    decode_images,
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
+from .similarity import (
+    ann_recall,
+    build_ivf_index,
+    build_lsh_index,
+    cosine_topk,
+    cosine_topk_many,
+    ivf_topk,
+    lsh_topk,
+    query_ivf_index,
+    query_lsh_index,
+)
+from .sketches import (
+    hll_shard_sketches,
+    merged_distinct,
+    read_sketch_estimates,
+    write_sketch_store,
+)
+
+__all__ = [
+    "ann_recall", "asof_join", "audio_features", "broadcast_join",
+    "build_ivf_index", "build_lsh_index", "connected_components",
+    "cosine_topk", "cosine_topk_many", "curate_corpus",
+    "curate_provenance", "decode_images", "dedup_stats",
+    "deterministic_sample", "drop_near_dups", "embedding_dedup",
+    "exact_dedup", "extract_image_features", "hll_shard_sketches",
+    "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
+    "merged_distinct", "minhash_dedup", "minhash_signatures_df",
+    "ngram_jaccard_pairs", "query_ivf_index", "query_lsh_index",
+    "range_join", "read_sketch_estimates", "resize_images",
+    "salted_join", "sample_video_frames", "simhash_dedup",
+    "stratified_sample", "token_budget_cut", "write_bucketed",
+    "write_signature_store", "write_sketch_store",
+]

@@ -90,13 +90,29 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan   # per-partition k, no global sort
 
 
+# queries whose callable runs eager jobs/writes when invoked (streaming
+# harnesses, index builds, iterative CC, provenance) — their UDF-freeness
+# is covered by their operators' own tests; everything else is pinned here
+_EAGER_QUERIES = {
+    "events_hourly_stream", "dedup_stream_docs", "sessionize_stream",
+    "stream_stream_join", "lsh_index_topk", "ivf_index_topk",
+    "near_dup_clusters", "curate_corpus_docs", "curation_provenance",
+}
+
+
 def test_no_python_udfs_anywhere(spark):
+    """EVERY lazily-plannable contract query stays JVM-side: no
+    row-at-a-time or Arrow Python evaluation anywhere in any plan."""
     demo.ensure_views(spark, SF_DIR)
-    for name in ["legend_mapping_orders", "q1_pricing_summary",
-                 "dedup_exact_docs", "text_quality_by_lang",
-                 "ann_cosine_topk", "sessionize_events"]:
-        plan = _plan(demo.QUERIES[name](spark, SF_DIR))
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    checked = 0
+    for name, fn in demo.QUERIES.items():
+        if name in _EAGER_QUERIES:
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        checked += 1
+    assert checked >= 60
 
 
 def test_bucketed_join_has_no_exchange(spark):
