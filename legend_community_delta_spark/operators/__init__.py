@@ -19,6 +19,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
     stratified_sample,
+    winnow_candidate_pairs,
     write_signature_store,
 )
 from .graph import connected_components, drop_near_dups
@@ -60,6 +61,6 @@ __all__ = [
     "ngram_jaccard_pairs", "query_ivf_index", "query_lsh_index",
     "range_join", "read_sketch_estimates", "resize_images",
     "salted_join", "sample_video_frames", "simhash_dedup",
-    "stratified_sample", "token_budget_cut", "write_bucketed",
-    "write_signature_store", "write_sketch_store",
+    "stratified_sample", "token_budget_cut", "winnow_candidate_pairs",
+    "write_bucketed", "write_signature_store", "write_sketch_store",
 ]

@@ -520,3 +520,35 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
             .withColumn("cosine", cosine("v_a", "v_b"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           keep: int = 4, min_shared: int = 1,
+                           max_bucket: int = 200) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: docs sharing
+    at least *min_shared* of their *keep* smallest k-shingle hashes
+    (``functions.text.winnow_fingerprint``).
+
+    The cheapest member of the dedup family: the fingerprint is ``keep``
+    longs per doc (vs 64 for MinHash), the join is equi-key on single
+    hash values, and there is no seed — fully deterministic.  Precision
+    is coarser than MinHash banding; use it as a fast first sieve or for
+    plagiarism-style containment detection (winnowing's original use).
+    Hot fingerprint buckets above *max_bucket* are dropped — same
+    boilerplate guard as the other pair generators.
+    """
+    from ..functions.text import winnow_fingerprint
+
+    fps = df.select(F.col(id_col).alias("__id"),
+                    F.explode(winnow_fingerprint(text_col, k, keep))
+                    .alias("__fp"))
+    sizes = fps.groupBy("__fp").agg(F.count(F.lit(1)).alias("__n"))
+    cool = fps.join(sizes.where(F.col("__n") <= max_bucket), "__fp")
+    left = cool.select(F.col("__id").alias("id_a"), "__fp")
+    right = cool.select(F.col("__id").alias("id_b"), "__fp")
+    return (left.join(right, "__fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

@@ -315,6 +315,31 @@ def test_incremental_minhash_matches_full_batch(spark, tmp_path):
     assert spark.read.parquet(path).count() >= docs.count() - 1
 
 
+def test_winnow_candidate_pairs(spark):
+    """Winnowing fingerprints: near-identical docs share smallest-hash
+    fingerprints, unrelated docs share none; deterministic (no seed)."""
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.dedup import (
+        winnow_candidate_pairs)
+    base = ("the quick brown fox jumps over the lazy dog while the cold "
+            "rain falls softly on the quiet grey town all through the day")
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " extra tail words here"),
+        Row(doc_id=3, text="completely different content about spark "
+                           "query planning and distributed aggregation"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_candidate_pairs(df, keep=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # deterministic across invocations (no seed anywhere)
+    again = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_candidate_pairs(df, keep=4).collect()}
+    assert again == pairs
+
+
 def test_signature_store_validates_params(spark, tmp_path):
     """ADVICE r2: a store built with one parameter set must refuse
     incremental queries with another — banding mismatched signatures
