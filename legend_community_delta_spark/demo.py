@@ -655,6 +655,39 @@ def _q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_WINDOW_SUITE_SQL)
 
 
+# rolling aggregates — the two frame kinds the analytic suite lacks:
+# a ROWS frame (last 5 events moving sum/avg; decimal-exact so the
+# rolling sums hash-match DuckDB) and a numeric RANGE frame (events in
+# the trailing hour, over tz-free epoch-µs longs — frame membership by
+# value, ties grouped, deterministic without a tie-break column).
+_ROLLING_SQL = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w5 AS DOUBLE) AS mv_sum,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w5 AS DOUBLE)
+    / COUNT(value) OVER w5 AS mv_avg,
+  CAST(COUNT(*) OVER wh AS BIGINT) AS n_last_hour
+FROM (SELECT user_id, event_id, value,
+        timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                      ts) AS us
+      FROM events WHERE user_id < 20)
+WINDOW w5 AS (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       wh AS (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+_ROLLING_ORACLE = _ROLLING_SQL.replace(
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',\n"
+    "                      ts)",
+    "date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)")
+
+
+def _q_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame aggregates: ROWS moving sum/avg + RANGE time window."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_ROLLING_SQL)
+
+
 def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream sessionization (30-min gap) via lag window."""
     ensure_views(spark, sf_dir)
@@ -2176,6 +2209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stream_docs": _q_dedup_stream_docs,
     "window_top_orders": _q_window_top_orders,
     "window_suite": _q_window_suite,
+    "rolling_windows": _q_rolling_windows,
     "sessionize_events": _q_sessionize_events,
     "sessionize_stream": _q_sessionize_stream,
     "asof_views_purchases": _q_asof_views_purchases,
@@ -2249,6 +2283,7 @@ ORACLES: dict[str, str] = {
     "dedup_stream_docs": _ORACLE_DEDUP_STREAM,
     "window_top_orders": _WINDOW_SQL,
     "window_suite": _WINDOW_SUITE_SQL,
+    "rolling_windows": _ROLLING_ORACLE,
     "sessionize_events": _SESSIONIZE_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "asof_views_purchases": _ORACLE_ASOF,
