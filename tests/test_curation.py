@@ -321,6 +321,16 @@ def test_ann_recall_harness(spark):
     # fewer planes => bigger buckets => recall can only go up per query
     assert all(lsh_more[q] >= lsh[q] for q in lsh)
 
+    # IVF: probing every cell IS exhaustive search -> recall exactly 1.0
+    from legend_community_delta_spark.operators.similarity import ivf_topk
+
+    def ivf_all_cells(q):
+        vec = [float(x) for x in q.first()["query_vec"]]
+        return ivf_topk(emb, vec, k=5, n_centroids=4, n_probe=4)
+
+    ivf = ann_recall(emb, queries, ivf_all_cells, k=5).collect()
+    assert all(r["recall"] == 1.0 for r in ivf)
+
 
 def test_ivf_index_persist_and_prune(spark, tmp_path):
     from legend_community_delta_spark.operators.similarity import (
