@@ -19,6 +19,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
     stratified_sample,
+    verified_near_dup_pairs,
     winnow_candidate_pairs,
     write_signature_store,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "ngram_jaccard_pairs", "query_ivf_index", "query_lsh_index",
     "range_join", "read_sketch_estimates", "resize_images",
     "salted_join", "sample_video_frames", "simhash_dedup",
-    "stratified_sample", "token_budget_cut", "winnow_candidate_pairs",
-    "write_bucketed", "write_signature_store", "write_sketch_store",
+    "stratified_sample", "token_budget_cut", "verified_near_dup_pairs",
+    "winnow_candidate_pairs", "write_bucketed", "write_signature_store",
+    "write_sketch_store",
 ]

@@ -552,3 +552,49 @@ def winnow_candidate_pairs(df: DataFrame, text_col: str = "text",
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def verified_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 5,
+                            threshold: float = 0.5,
+                            candidate_threshold: float | None = None,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 5, seed: int = 42,
+                            max_bucket: int = 200) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs, computed only for MinHash/LSH
+    candidates — the production near-dup shape at 100 TB.
+
+    :func:`ngram_jaccard_pairs` alone is exact but its gram self-join is
+    super-linear; :func:`minhash_dedup` alone is sub-quadratic but
+    approximate.  This composition gets both: LSH banding proposes
+    candidates (linear-ish in corpus size), then each candidate pair is
+    verified with exact set math over the two docs' distinct-gram hash
+    arrays — ``array_intersect`` on longs, JVM-side, per-pair cost
+    bounded by doc length, no gram shuffle at all.
+
+    *candidate_threshold* is the (estimated-Jaccard) recall knob for the
+    candidate stage; it defaults to ``threshold/2`` so banding over-
+    generates and exact verification decides.  Returns
+    ``(id_a, id_b, jaccard)`` — a SUBSET of the exact operator's output
+    (pairs LSH never proposes are missed; that is the documented trade).
+    """
+    if candidate_threshold is None:
+        candidate_threshold = threshold / 2
+    cands = minhash_dedup(df, text_col, id_col, num_hashes, bands,
+                          shingle_k, candidate_threshold, seed,
+                          max_bucket).select("id_a", "id_b")
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.transform(word_ngrams(text_col, n),
+                                     lambda g: F.xxhash64(g)))
+        .alias("__grams"))
+    ga = grams.select(F.col("__id").alias("id_a"),
+                      F.col("__grams").alias("__ga"))
+    gb = grams.select(F.col("__id").alias("id_b"),
+                      F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - inter
+    return (cands.join(ga, "id_a").join(gb, "id_b")
+            .withColumn("jaccard", inter.cast("double") / union)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

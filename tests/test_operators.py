@@ -315,6 +315,24 @@ def test_incremental_minhash_matches_full_batch(spark, tmp_path):
     assert spark.read.parquet(path).count() >= docs.count() - 1
 
 
+def test_verified_near_dup_pairs_subset_of_exact(spark):
+    """Candidate-verified pairs carry EXACT jaccard values and are a
+    subset of the all-pairs exact operator; every pair LSH proposes is
+    verified identically to the exact path."""
+    from legend_community_delta_spark.operators.dedup import (
+        ngram_jaccard_pairs, verified_near_dup_pairs)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+             for r in ngram_jaccard_pairs(docs, n=5, threshold=0.3).collect()}
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+           for r in verified_near_dup_pairs(docs, n=5, threshold=0.3).collect()}
+    assert got, "LSH proposed no candidates at all"
+    assert set(got) <= set(exact)
+    assert all(exact[p] == got[p] for p in got)   # values exact, not est
+    # on this template-heavy corpus LSH recalls most true pairs
+    assert len(got) >= 0.8 * len(exact)
+
+
 def test_winnow_candidate_pairs(spark):
     """Winnowing fingerprints: near-identical docs share smallest-hash
     fingerprints, unrelated docs share none; deterministic (no seed)."""
