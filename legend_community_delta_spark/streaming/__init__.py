@@ -52,6 +52,40 @@ def windowed_dq_metrics(df: DataFrame, expectations: dict[str, str],
             .agg(F.count(F.lit(1)).alias("violations")))
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         on: str | list[str], left_ts: str, right_ts: str,
+                         interval: str = "1 hour",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked stream-stream inner join: left rows matched to right
+    rows with the same key and ``right_ts <= left_ts < right_ts +
+    interval`` — the continuous-deployment twin of the availableNow
+    backfill in the demo's ``stream_stream_join``.
+
+    Both sides carry the watermark and the join condition bounds event
+    time from BOTH directions, so Spark can expire join state as the
+    watermark advances — without that, stream-stream state grows
+    forever.  Timestamps must be ``TIMESTAMP`` (watermarks reject
+    TIMESTAMP_NTZ; cast first — both sides shift identically so the
+    relative interval is preserved).  Inner-join results are complete
+    regardless of watermark (it bounds state, not matches); use outer
+    variants only with watermarks this helper already requires.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    renames = {k: f"__r_{k}" for k in keys}
+    for k, rk in renames.items():
+        rw = rw.withColumnRenamed(k, rk)
+    cond = F.lit(True)
+    for k, rk in renames.items():
+        cond = cond & (F.col(k) == F.col(rk))
+    cond = (cond
+            & (F.col(left_ts) >= F.col(right_ts))
+            & (F.col(left_ts) < F.col(right_ts)
+               + F.expr(f"INTERVAL {interval}")))
+    return lw.join(rw, cond).drop(*renames.values())
+
+
 def write_validated(df: DataFrame, target_table: str,
                     quarantine_table: str | None = None,
                     checkpoint: str | None = None,

@@ -136,3 +136,54 @@ def test_write_validated_quarantine(legend_spark, spark, tmp_path):
     assert [r["id"] for r in clean] == [1]
     assert [r["id"] for r in dirty] == [2]
     assert "legend" not in spark.table("stream_sink.clean").columns
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join emits exactly the batch
+    join's matches (inner joins are complete under any watermark — the
+    watermark bounds state, not results)."""
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.demo import ensure_views
+    from legend_community_delta_spark.streaming import interval_join_stream
+
+    ensure_views(spark, "/root/testdata/sf0.001")
+    # watermarks require TIMESTAMP: cast the NTZ column once for both
+    # sides (identical shift, relative interval preserved)
+    ev = spark.table("events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def views(df):
+        return (df.where("event_type = 'view'")
+                .select("user_id", "event_id", F.col("ts").alias("v_ts")))
+
+    def purchases(df):
+        return (df.where("event_type = 'purchase'")
+                .select("user_id", F.col("ts").alias("p_ts"))
+                .dropDuplicates(["user_id", "p_ts"]))
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = interval_join_stream(
+        views(stream), purchases(stream),
+        on="user_id", left_ts="v_ts", right_ts="p_ts",
+        interval="1 hour", watermark="30 minutes")
+    q = (joined.writeStream.format("memory").queryName("__ivj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    got = {(r["user_id"], r["event_id"], r["p_ts"])
+           for r in spark.table("__ivj").collect()}
+    batch = views(ev).alias("v").join(
+        purchases(ev).withColumnRenamed("user_id", "p_user"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR")))
+    expect = {(r["user_id"], r["event_id"], r["p_ts"])
+              for r in batch.collect()}
+    assert got == expect and len(expect) > 0
