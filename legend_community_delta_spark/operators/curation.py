@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType, StringType
 
 from ..functions.text import quality_score, token_count
-from .dedup import exact_dedup, minhash_dedup, ngram_jaccard_pairs
+from .dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    verified_near_dup_pairs,
+)
 from .graph import drop_near_dups
 
 
@@ -151,6 +156,24 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
             .drop("__tok", "__b", "__off", "__cum"))
 
 
+def _near_dup_pairs(exact: DataFrame, text_col: str, id_col: str,
+                    backend: str, threshold: float, ngram_n: int,
+                    ) -> DataFrame:
+    """Stage-3 candidate-pair generator shared by :func:`curate_corpus`
+    and :func:`curate_provenance` — one switch, identical decisions."""
+    if backend == "minhash":
+        return minhash_dedup(exact, text_col, id_col, threshold=threshold)
+    if backend == "minhash_verified":
+        return verified_near_dup_pairs(exact, text_col, id_col, n=ngram_n,
+                                       threshold=threshold)
+    if backend == "exact":
+        return ngram_jaccard_pairs(exact, text_col, id_col, n=ngram_n,
+                                   threshold=threshold)
+    raise ValueError(
+        f"unknown near_dup_backend [{backend}]; "
+        "expected 'minhash', 'minhash_verified', or 'exact'")
+
+
 def curate_provenance(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       min_quality: float = 0.5,
@@ -178,16 +201,8 @@ def curate_provenance(df: DataFrame, text_col: str = "text",
     """
     gated = df.where(quality_score(text_col) >= min_quality)
     exact = exact_dedup(gated, text_col, id_col)
-    if near_dup_backend == "minhash":
-        pairs = minhash_dedup(exact, text_col, id_col,
-                              threshold=near_dup_threshold)
-    elif near_dup_backend == "exact":
-        pairs = ngram_jaccard_pairs(exact, text_col, id_col, n=ngram_n,
-                                    threshold=near_dup_threshold)
-    else:
-        raise ValueError(
-            f"unknown near_dup_backend [{near_dup_backend}]; "
-            "expected 'minhash' or 'exact'")
+    pairs = _near_dup_pairs(exact, text_col, id_col, near_dup_backend,
+                            near_dup_threshold, ngram_n)
     near = drop_near_dups(exact, pairs, id_col)
     final = (token_budget_cut(near, text_col, id_col, max_tokens)
              if max_tokens is not None else near)
@@ -222,6 +237,11 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
 
     * ``"minhash"`` (default) — MinHash/LSH banding, the sub-quadratic
       100 TB path; *near_dup_threshold* is an **estimated** Jaccard.
+    * ``"minhash_verified"`` — LSH candidates verified with exact
+      per-pair n-gram Jaccard (:func:`verified_near_dup_pairs`): the
+      production shape when thresholds must mean true Jaccard but the
+      corpus forbids the all-pairs gram join.  Still sub-quadratic;
+      pairs LSH never proposes are missed (recall knob inside).
     * ``"exact"`` — :func:`ngram_jaccard_pairs` over word *ngram_n*-grams;
       deterministic integer set math (SQL-expressible, so the composed
       pipeline can be oracle-checked end-to-end), quadratic in shared-gram
@@ -245,16 +265,8 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
 
     # 3. near dedup: connected components over the candidate-pair graph,
     # keep the min id of each component (transitive-correct)
-    if near_dup_backend == "minhash":
-        pairs = minhash_dedup(exact, text_col, id_col,
-                              threshold=near_dup_threshold)
-    elif near_dup_backend == "exact":
-        pairs = ngram_jaccard_pairs(exact, text_col, id_col, n=ngram_n,
-                                    threshold=near_dup_threshold)
-    else:
-        raise ValueError(
-            f"unknown near_dup_backend [{near_dup_backend}]; "
-            "expected 'minhash' or 'exact'")
+    pairs = _near_dup_pairs(exact, text_col, id_col, near_dup_backend,
+                            near_dup_threshold, ngram_n)
     near = n("after_near_dedup", drop_near_dups(exact, pairs, id_col))
 
     # 4. token budget: exact cumulative cutoff in id order via the

@@ -63,6 +63,12 @@ def test_curate_corpus_exact_backend(spark):
     with pytest.raises(ValueError, match="near_dup_backend"):
         curate_corpus(df, near_dup_backend="nope", collect_stats=False)
 
+    # the production backend (LSH candidates + exact verification)
+    # reaches the same decisions on this clear-cut corpus
+    outv, _ = curate_corpus(df, min_quality=0.5, near_dup_threshold=0.5,
+                            near_dup_backend="minhash_verified", ngram_n=3)
+    assert sorted(r["doc_id"] for r in outv.collect()) == kept
+
 
 def test_curate_provenance_matches_pipeline(spark):
     """The one-action provenance labels must agree exactly with the
