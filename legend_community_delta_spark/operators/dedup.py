@@ -462,6 +462,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     bucket join, so at scale run this only behind MinHash candidates.
     Deterministic (integer set math + one double division) — this one IS
     SQL-expressible, so it carries a duckdb oracle in the harness.
+
+    NOTE (measured): hashing grams to xxhash64 longs before the
+    self-join (the ``shingle_stats`` trick) was tried and REVERTED — at
+    sf0.1 it ran 7.2-9.1 s vs 5.9-8.2 s for string grams: the per-gram
+    hash costs more than the shorter shuffle keys save when grams are
+    short and template-heavy.  Revisit only for corpora with long
+    grams (big n) where key width dominates the exchange.
     """
     grams = (df.select(F.col(id_col).alias("__id"),
                        F.explode(F.array_distinct(word_ngrams(text_col, n)))
