@@ -2055,6 +2055,55 @@ ORDER BY score DESC, bigram LIMIT 50
 """
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card: the summary a dataset release ships with —
+    docs, token total, distinct contents, languages, mean quality, PII
+    totals.  ONE narrow pass + ONE aggregate (no joins, no windows):
+    the shape that holds at any corpus size."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    q = TX.quality_score("text").cast("decimal(10,6)")
+    pii = TX.pii_counts("text")
+    return (docs.select(
+                TX.content_hash("text").alias("__h"),
+                TX.token_count("text").alias("__t"),
+                q.alias("__q"), pii.alias("__p"), "lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("__t").cast("bigint").alias("total_tokens"),
+                 F.countDistinct("__h").alias("distinct_contents"),
+                 F.countDistinct("lang").alias("languages"),
+                 (F.sum("__q").cast("double") / F.count(F.lit(1)))
+                 .alias("mean_quality"),
+                 F.sum(F.col("__p.email") + F.col("__p.phone")
+                       + F.col("__p.ssn") + F.col("__p.ipv4"))
+                 .cast("bigint").alias("pii_total")))
+
+
+_ORACLE_CORPUS_REPORT = r"""
+SELECT COUNT(*) AS docs,
+  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+  COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    AS distinct_contents,
+  COUNT(DISTINCT lang) AS languages,
+  CAST(SUM(CAST(round((
+      least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+      + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                             / length(text)) * 4)
+      + CASE WHEN (CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                                                t -> length(t))) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+'))) BETWEEN 2.0 AND 12.0
+             THEN 1.0 ELSE 0.3 END
+    ) / 3.0, 6) AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
+  CAST(SUM(
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+    + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+  ) AS BIGINT) AS pii_total
+FROM documents
+"""
+
+
 def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII audit: per-source counts of email/phone/SSN/IPv4 matches —
     the scrub-coverage metric behind redact_pii.  The patterns are
@@ -2242,6 +2291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": _q_lang_id_confusion,
     "vocab_top_tokens": _q_vocab_top_tokens,
     "bigram_collocations": _q_bigram_collocations,
+    "corpus_report": _q_corpus_report,
     "pii_stats_by_source": _q_pii_stats,
     "stream_stream_join": _q_stream_stream_join,
 }
@@ -2310,6 +2360,7 @@ ORACLES: dict[str, str] = {
     "lang_id_confusion": _ORACLE_LANG_ID,
     "vocab_top_tokens": _ORACLE_VOCAB,
     "bigram_collocations": _ORACLE_COLLOCATIONS,
+    "corpus_report": _ORACLE_CORPUS_REPORT,
     "pii_stats_by_source": _ORACLE_PII,
     "stream_stream_join": _ORACLE_SS_JOIN,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk /
