@@ -32,8 +32,11 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q9_profit",
     "q10_returned_revenue",
+    "q17_small_quantity",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "window_top_orders",
+    "rolling_windows",
     "sessionize_events",
     "asof_views_purchases",
     "rollup_lineitem",
