@@ -2055,6 +2055,51 @@ ORDER BY score DESC, bigram LIMIT 50
 """
 
 
+# event-sequence funnel: first-occurrence ordering semantics (each stage
+# counts only when its FIRST event lands after the previous stage's
+# first event).  One scan + one per-user aggregate + one global
+# aggregate — no joins, no windows; tz-free µs ints for the ordering.
+_FUNNEL_SQL = """
+WITH stages AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN
+      timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+    END) AS s_us,
+    MIN(CASE WHEN event_type = 'view' THEN
+      timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+    END) AS v_us,
+    MIN(CASE WHEN event_type = 'click' THEN
+      timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+    END) AS c_us,
+    MIN(CASE WHEN event_type = 'purchase' THEN
+      timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+    END) AS p_us
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS users,
+  CAST(SUM(CASE WHEN s_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS signed_up,
+  CAST(SUM(CASE WHEN v_us > s_us THEN 1 ELSE 0 END) AS BIGINT)
+    AS viewed_after_signup,
+  CAST(SUM(CASE WHEN v_us > s_us AND c_us > v_us THEN 1 ELSE 0 END)
+    AS BIGINT) AS clicked_after_view,
+  CAST(SUM(CASE WHEN v_us > s_us AND c_us > v_us AND p_us > c_us
+           THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM stages
+"""
+
+_FUNNEL_ORACLE = _FUNNEL_SQL.replace(
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)",
+    "date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)")
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the event stream: signup -> view -> click
+    -> purchase with first-occurrence ordering."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_FUNNEL_SQL)
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus card: the summary a dataset release ships with —
     docs, token total, distinct contents, languages, mean quality, PII
@@ -2292,6 +2337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_tokens": _q_vocab_top_tokens,
     "bigram_collocations": _q_bigram_collocations,
     "corpus_report": _q_corpus_report,
+    "event_funnel": _q_event_funnel,
     "pii_stats_by_source": _q_pii_stats,
     "stream_stream_join": _q_stream_stream_join,
 }
@@ -2361,6 +2407,7 @@ ORACLES: dict[str, str] = {
     "vocab_top_tokens": _ORACLE_VOCAB,
     "bigram_collocations": _ORACLE_COLLOCATIONS,
     "corpus_report": _ORACLE_CORPUS_REPORT,
+    "event_funnel": _FUNNEL_ORACLE,
     "pii_stats_by_source": _ORACLE_PII,
     "stream_stream_join": _ORACLE_SS_JOIN,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk /
