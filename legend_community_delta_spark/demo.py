@@ -2055,6 +2055,53 @@ ORDER BY score DESC, bigram LIMIT 50
 """
 
 
+# cohort retention: users grouped by signup week, counted in each later
+# activity week.  Week index = floor(epoch_µs / week_µs) — pure integer
+# math, immune to engine week-start conventions (date_trunc('week')
+# differs subtly across engines/locales).  FLOOR is explicit because
+# CAST(double AS BIGINT) truncates in Spark but ROUNDS in DuckDB —
+# exactly the silent half-week skew this query would otherwise hide.
+# Distinct-count per (cohort, offset) is one shuffle keyed by the pair.
+_RETENTION_SQL = """
+WITH signup AS (
+  SELECT user_id,
+         CAST(FLOOR(MIN(timestampdiff(MICROSECOND,
+                  TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))
+              / 604800000000) AS BIGINT) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(timestampdiff(MICROSECOND,
+              TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+              / 604800000000) AS BIGINT) AS act_week
+  FROM events
+)
+SELECT s.cohort_week,
+       CAST(a.act_week - s.cohort_week AS INT) AS week_offset,
+       COUNT(DISTINCT s.user_id) AS retained_users
+FROM signup s JOIN activity a
+  ON s.user_id = a.user_id AND a.act_week >= s.cohort_week
+GROUP BY s.cohort_week, CAST(a.act_week - s.cohort_week AS INT)
+ORDER BY cohort_week, week_offset
+"""
+
+_RETENTION_ORACLE = _RETENTION_SQL.replace(
+    "timestampdiff(MICROSECOND,\n"
+    "                  TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)",
+    "date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)"
+).replace(
+    "timestampdiff(MICROSECOND,\n"
+    "              TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)",
+    "date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)")
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-week cohorts x activity-week offsets (integer week math)."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_RETENTION_SQL)
+
+
 # event-sequence funnel: first-occurrence ordering semantics (each stage
 # counts only when its FIRST event lands after the previous stage's
 # first event).  One scan + one per-user aggregate + one global
@@ -2338,6 +2385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_collocations": _q_bigram_collocations,
     "corpus_report": _q_corpus_report,
     "event_funnel": _q_event_funnel,
+    "cohort_retention": _q_cohort_retention,
     "pii_stats_by_source": _q_pii_stats,
     "stream_stream_join": _q_stream_stream_join,
 }
@@ -2408,6 +2456,7 @@ ORACLES: dict[str, str] = {
     "bigram_collocations": _ORACLE_COLLOCATIONS,
     "corpus_report": _ORACLE_CORPUS_REPORT,
     "event_funnel": _FUNNEL_ORACLE,
+    "cohort_retention": _RETENTION_ORACLE,
     "pii_stats_by_source": _ORACLE_PII,
     "stream_stream_join": _ORACLE_SS_JOIN,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk /
