@@ -123,7 +123,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
 def range_join(points: DataFrame, intervals: DataFrame,
                point_col: str, start_col: str, end_col: str,
                on: str | list[str] | None = None,
-               bucket: int = 3600) -> DataFrame:
+               bucket: int = 3600,
+               max_buckets_per_interval: int = 10_000) -> DataFrame:
     """Join each point row to every interval containing it
     (``start <= point < end``), optionally also matching key columns *on*.
 
@@ -132,14 +133,32 @@ def range_join(points: DataFrame, intervals: DataFrame,
     bucket equi-join prunes candidates; the exact range predicate decides.
     Pick *bucket* near the median interval length: too small explodes the
     interval side, too large inflates candidate pairs.
+
+    **Explosion guard**: an interval spanning more than
+    *max_buckets_per_interval* buckets (a year-long outlier against a
+    1-second bucket, a sentinel end like 9999-12-31) fails the job with
+    a pointed error instead of silently materializing millions of
+    exploded rows per such interval — raise the limit deliberately if
+    genuinely-huge intervals are expected, or widen *bucket*.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     p = points.withColumn("__bucket",
                           F.floor(F.col(point_col) / F.lit(bucket)))
-    i = intervals.withColumn(
-        "__bucket",
-        F.explode(F.sequence(F.floor(F.col(start_col) / F.lit(bucket)),
-                             F.floor(F.col(end_col) / F.lit(bucket)))))
+    n_buckets = (F.floor(F.col(end_col) / F.lit(bucket))
+                 - F.floor(F.col(start_col) / F.lit(bucket)) + 1)
+    err_msg = F.concat(
+        F.lit(f"range_join: interval spans more than "
+              f"{max_buckets_per_interval} buckets of width {bucket} "
+              f"(start="),
+        F.col(start_col).cast("string"), F.lit(", end="),
+        F.col(end_col).cast("string"),
+        F.lit("); widen bucket= or raise max_buckets_per_interval="))
+    guard = F.when(
+        n_buckets <= F.lit(max_buckets_per_interval),
+        F.sequence(F.floor(F.col(start_col) / F.lit(bucket)),
+                   F.floor(F.col(end_col) / F.lit(bucket)))
+    ).otherwise(F.raise_error(err_msg).cast("array<bigint>"))
+    i = intervals.withColumn("__bucket", F.explode(guard))
     joined = p.join(i, keys + ["__bucket"])
     return (joined
             .where((F.col(point_col) >= F.col(start_col))

@@ -108,6 +108,21 @@ def test_asof_time_bucket_matches_default_plan(spark):
                   "k", "ts", time_bucket=100)
 
 
+def test_range_join_explosion_guard(spark):
+    """A pathological interval (sentinel end date) must fail loudly
+    instead of silently exploding to millions of bucket rows."""
+    points = spark.createDataFrame([Row(p=100)])
+    ok = spark.createDataFrame([Row(s=50, e=150)])
+    bad = spark.createDataFrame([Row(s=50, e=50_000_000)])
+    assert range_join(points, ok, "p", "s", "e", bucket=100).count() == 1
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(points, bad, "p", "s", "e", bucket=100,
+                   max_buckets_per_interval=1000).count()
+    # raising the limit deliberately lets the huge interval through
+    assert range_join(points, bad, "p", "s", "e", bucket=100,
+                      max_buckets_per_interval=600_000).count() == 1
+
+
 def test_range_join(spark):
     points = spark.createDataFrame(
         [Row(pid=1, t=50), Row(pid=2, t=150), Row(pid=3, t=9999)])
