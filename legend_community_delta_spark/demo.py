@@ -2147,6 +2147,58 @@ def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_FUNNEL_SQL)
 
 
+def _q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction: top-5 tokens by a LOG-FREE tf-idf
+    (tf x N/df — linear idf keeps the score exact rational math, so the
+    ranking oracle-checks across engines; ln() would be subject to libm
+    last-bit drift).  The per-group top-k runs as one window over the
+    (source, token) aggregate — topic signatures for corpus triage."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window
+    docs = spark.table("documents")
+    lowered = F.lower(F.col("text"))
+    tok = docs.select("source", "doc_id",
+                      F.explode(TX.tokens(lowered)).alias("tok"))
+    tf = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (tok.select("doc_id", "tok").distinct()
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = docs.count()
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.col("tok"))
+    return (tf.join(F.broadcast(df_), "tok")
+            .withColumn("score",
+                        F.round(F.col("tf").cast("double")
+                                * F.lit(float(n_docs)) / F.col("df"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("source", "tok", "tf", "df", "score", "rank"))
+
+
+_ORACLE_KEYWORDS = r"""
+WITH tok AS (
+  SELECT source, doc_id,
+         unnest(list_transform(regexp_extract_all(text, '\S+'),
+                               t -> lower(t))) AS tok
+  FROM documents
+), tf AS (
+  SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY source, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok)
+  GROUP BY tok
+), scored AS (
+  SELECT source, tok, tf, df,
+         round(CAST(tf AS DOUBLE)
+               * (SELECT COUNT(*) FROM documents) / df, 6) AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY round(CAST(tf AS DOUBLE)
+                                * (SELECT COUNT(*) FROM documents) / df, 6)
+                                DESC, tok) AS rank
+  FROM tf JOIN df USING (tok)
+)
+SELECT source, tok, tf, df, score, rank FROM scored WHERE rank <= 5
+"""
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus card: the summary a dataset release ships with —
     docs, token total, distinct contents, languages, mean quality, PII
@@ -2386,6 +2438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": _q_corpus_report,
     "event_funnel": _q_event_funnel,
     "cohort_retention": _q_cohort_retention,
+    "source_keywords": _q_source_keywords,
     "pii_stats_by_source": _q_pii_stats,
     "stream_stream_join": _q_stream_stream_join,
 }
@@ -2457,6 +2510,7 @@ ORACLES: dict[str, str] = {
     "corpus_report": _ORACLE_CORPUS_REPORT,
     "event_funnel": _FUNNEL_ORACLE,
     "cohort_retention": _RETENTION_ORACLE,
+    "source_keywords": _ORACLE_KEYWORDS,
     "pii_stats_by_source": _ORACLE_PII,
     "stream_stream_join": _ORACLE_SS_JOIN,
     # minhash_pairs / simhash_pairs / embedding_dedup_pairs / lsh_ann_topk /

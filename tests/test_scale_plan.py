@@ -74,6 +74,19 @@ def test_correlated_subqueries_decorrelate(spark):
     assert "LeftSemi" in plan21 and "LeftAnti" in plan21
 
 
+def test_event_analytics_plan_shapes(spark):
+    """Funnel and corpus report must stay join-free (scan -> aggregate);
+    cohort retention joins only on its equi-keys — no cartesian."""
+    demo.ensure_views(spark, SF_DIR)
+    for name in ("event_funnel", "corpus_report"):
+        plan = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(demo.QUERIES["cohort_retention"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_range_and_asof_no_cross_product(spark):
     """The bucket-equi-ized range join and both as-of directions must
     never plan a cartesian/nested-loop product over the fact sides."""
