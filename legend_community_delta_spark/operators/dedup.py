@@ -269,13 +269,31 @@ def write_signature_store(df: DataFrame, path: str, text_col: str = "text",
     by :func:`incremental_minhash_pairs` — mismatched parameters would
     silently band-join incompatible signatures.
     """
+    params = {"method": method, "num_hashes": int(num_hashes),
+              "shingle_k": int(shingle_k), "seed": int(seed)}
+    if mode == "append":
+        # appending signatures computed with different parameters would
+        # corrupt the store (mixed bands in one file set) — validate
+        # against the existing footer before writing anything
+        try:
+            existing = df.sparkSession.read.parquet(f"{path}__meta").first()
+        except Exception:
+            existing = None  # first write or pre-metadata store
+        if existing is not None:
+            stored = {k: existing[k] for k in params}
+            if stored != params:
+                raise ValueError(
+                    f"signature store at [{path}] was built with {stored}; "
+                    f"append called with {params} — mixed-parameter "
+                    "signatures are incompatible. Match the store or "
+                    "rebuild with mode='overwrite'.")
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes,
                                  shingle_k, seed, method)
     (sigs.withColumnRenamed("__id", id_col)
          .withColumnRenamed("__sig", "sig")
          .write.mode(mode).parquet(path))
     meta = df.sparkSession.createDataFrame(
-        [(method, int(num_hashes), int(shingle_k), int(seed))],
+        [tuple(params.values())],
         "method string, num_hashes int, shingle_k int, seed int")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 

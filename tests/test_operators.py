@@ -376,6 +376,13 @@ def test_signature_store_validates_params(spark, tmp_path):
                                     docs.where("doc_id % 2 = 1"), seed=7,
                                     append=False)
     assert out.columns == ["id_a", "id_b", "est_jaccard"]
+    # appending with different parameters is refused BEFORE writing
+    with pytest.raises(ValueError, match="mixed-parameter"):
+        write_signature_store(docs.where("doc_id % 2 = 1"), path,
+                              seed=9, mode="append")
+    # matching append succeeds
+    write_signature_store(docs.where("doc_id % 2 = 1"), path,
+                          seed=7, mode="append")
 
 
 def test_wrong_dims_is_loudly_empty(spark):
