@@ -34,3 +34,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every deterministic query."""
     return dict(demo.ORACLES)
+
+
+# Why the 7 rows-only entries have no oracle (driver records a rows-only
+# check for these; everything else is value-hashed against DuckDB):
+ROWS_ONLY_RATIONALE: dict[str, str] = {
+    "minhash_pairs": "MinHash estimate: pair set depends on 64 seeded "
+                     "hash permutations; no SQL-expressible equivalent.",
+    "simhash_pairs": "SimHash 64-bit fingerprint distance: seeded "
+                     "projection, hamming-ball membership is not "
+                     "reproducible from SQL set math.",
+    "embedding_dedup_pairs": "Random-hyperplane LSH buckets: candidate "
+                             "set is seed-dependent; cosine values are "
+                             "exact but the pair universe is not.",
+    "lsh_ann_topk": "Approximate NN: result is top-k over LSH-probed "
+                    "buckets, deliberately a (recall-pinned) subset of "
+                    "the exact scan.",
+    "lsh_index_topk": "Same as lsh_ann_topk, served from the persisted "
+                      "signature-partitioned index.",
+    "ivf_index_topk": "IVF probes n_probe k-means cells; k-means "
+                      "assignment is iterative and seed-dependent.",
+    "events_sketch_stats": "HyperLogLog estimates (engine-specific "
+                           "digests, pinned within 5% of exact in "
+                           "tests/test_sketches.py).",
+}

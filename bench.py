@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "shingle_stats",
     "minhash_pairs",
     "near_dup_clusters",
+    "verified_near_dup_pairs",
+    "verified_near_dup_clusters",
     "ann_cosine_topk",
 ]
 

@@ -1569,6 +1569,31 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def _q_verified_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup shape: MinHash/LSH proposes candidate pairs
+    (sub-quadratic), exact gram-hash ``array_intersect`` Jaccard verifies.
+    Always a subset of :func:`_q_ngram_jaccard` with identical jaccard
+    values (pinned in tests/test_operators.py); at the driver's sf0.01 the
+    pinned seed gives 100% recall, so it carries the exact operator's
+    oracle — any LSH regression that drops a true pair turns this row red."""
+    ensure_views(spark, sf_dir)
+    return DD.verified_near_dup_pairs(spark.table("documents"), n=5,
+                                      threshold=0.2)
+
+
+def _q_verified_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the VERIFIED (LSH-proposed, exactly-checked)
+    pair graph — the 100 TB clustering plan: no gram self-join anywhere,
+    pair generation is banded LSH with hot-bucket caps.  Same oracle as
+    ``near_dup_clusters`` (recall 1.0 at sf0.01 with the pinned seed)."""
+    ensure_views(spark, sf_dir)
+    from .operators.graph import connected_components
+    pairs = DD.verified_near_dup_pairs(spark.table("documents"), n=5,
+                                       threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 _ORACLE_NEAR_DUP_CLUSTERS = r"""
 WITH RECURSIVE grams AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2364,7 +2389,44 @@ def _q_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.query_lsh_index(spark, path, qv, k=10)
 
 
+# Entry order is deliberate: the correctness driver samples the FIRST 50
+# entries, so the round-5 rotation puts the 26 entries that rounds 1-4
+# never sampled (plus round-5 additions) ahead of the entries that already
+# hold green rows in CORRECTNESS_r0{1..4}.json.  See COVERAGE.md
+# "Driver-sample rotation".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-sampled before round 5 (20 oracle-backed) ----------
+    "quality_by_source": _q_quality_by_source,
+    "token_counts_by_source": _q_token_counts,
+    "shingle_stats": _q_shingle_stats,
+    "ngram_jaccard_dups": _q_ngram_jaccard,
+    "near_dup_clusters": _q_near_dup_clusters,
+    "events_json_stats": _q_events_json,
+    "events_variant_stats": _q_events_variant,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "embedding_dims_stats": _q_embedding_dims,
+    "curate_corpus_docs": _q_curate_corpus,
+    "curation_provenance": _q_curation_provenance,
+    "lang_id_confusion": _q_lang_id_confusion,
+    "vocab_top_tokens": _q_vocab_top_tokens,
+    "bigram_collocations": _q_bigram_collocations,
+    "corpus_report": _q_corpus_report,
+    "event_funnel": _q_event_funnel,
+    "cohort_retention": _q_cohort_retention,
+    "source_keywords": _q_source_keywords,
+    "pii_stats_by_source": _q_pii_stats,
+    "stream_stream_join": _q_stream_stream_join,
+    # -- round-5 additions: the production near-dup path, benched ---------
+    "verified_near_dup_pairs": _q_verified_near_dup,
+    "verified_near_dup_clusters": _q_verified_near_dup_clusters,
+    # -- never driver-sampled before round 5 (6 rows-only by nature) -----
+    "minhash_pairs": _q_minhash_pairs,
+    "simhash_pairs": _q_simhash_pairs,
+    "embedding_dedup_pairs": _q_embedding_dedup,
+    "lsh_ann_topk": _q_lsh_ann,
+    "lsh_index_topk": _q_lsh_index_topk,
+    "ivf_index_topk": _q_ivf_index_topk,
+    # -- previously-green rows kept inside the 50-row sample -------------
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,
     "legend_service_orders_by_year": _q_legend_service_orders_by_year,
@@ -2372,6 +2434,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "legend_service_urgent_orders": _q_legend_service_urgent_orders,
     "legend_dq_lineitem": _q_legend_dq_lineitem,
     "q1_pricing_summary": _q1_pricing_summary,
+    "asof_views_purchases": _q_asof_views_purchases,
+    "asof_forward_views": _q_asof_forward,
+    "range_join_windows": _q_range_join_windows,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "text_quality_by_lang": _q_text_quality,
+    "sessionize_events": _q_sessionize_events,
+    "sessionize_stream": _q_sessionize_stream,
+    "dedup_stream_docs": _q_dedup_stream_docs,
+    "events_hourly": _q_events_hourly,
+    "events_hourly_stream": _q_events_hourly_stream,
+    "window_suite": _q_window_suite,
+    "rolling_windows": _q_rolling_windows,
+    "percentiles_by_segment": _q_percentiles,
+    "pivot_orders": _q_pivot_orders,
+    "distinct_agg": _q_distinct_agg,
+    # -- previously-green rows rotated out of the 50-row sample ----------
     "q3_topk_orders": _q3_topk_orders,
     "q5_region_revenue": _q5_region_revenue,
     "q4_priority_exists": _q4_priority_exists,
@@ -2395,52 +2473,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6_forecast_revenue,
     "customers_without_orders": _q_customers_without_orders,
     "cube_lineitem": _q_cube_lineitem,
-    "events_hourly": _q_events_hourly,
-    "events_hourly_stream": _q_events_hourly_stream,
     "events_sketch_stats": _q_events_sketch_stats,
     "events_histogram": _q_events_histogram,
-    "dedup_stream_docs": _q_dedup_stream_docs,
     "window_top_orders": _q_window_top_orders,
-    "window_suite": _q_window_suite,
-    "rolling_windows": _q_rolling_windows,
-    "sessionize_events": _q_sessionize_events,
-    "sessionize_stream": _q_sessionize_stream,
-    "asof_views_purchases": _q_asof_views_purchases,
-    "asof_forward_views": _q_asof_forward,
-    "range_join_windows": _q_range_join_windows,
     "rollup_lineitem": _q_rollup_lineitem,
     "setop_customers": _q_setop_customers,
-    "distinct_agg": _q_distinct_agg,
-    "pivot_orders": _q_pivot_orders,
-    "percentiles_by_segment": _q_percentiles,
-    "dedup_exact_docs": _q_dedup_exact_docs,
-    "text_quality_by_lang": _q_text_quality,
-    "quality_by_source": _q_quality_by_source,
-    "token_counts_by_source": _q_token_counts,
-    "shingle_stats": _q_shingle_stats,
-    "ngram_jaccard_dups": _q_ngram_jaccard,
-    "near_dup_clusters": _q_near_dup_clusters,
-    "events_json_stats": _q_events_json,
-    "events_variant_stats": _q_events_variant,
-    "ann_cosine_topk": _q_ann_cosine_topk,
-    "embedding_dims_stats": _q_embedding_dims,
-    "minhash_pairs": _q_minhash_pairs,
-    "simhash_pairs": _q_simhash_pairs,
-    "embedding_dedup_pairs": _q_embedding_dedup,
-    "lsh_ann_topk": _q_lsh_ann,
-    "lsh_index_topk": _q_lsh_index_topk,
-    "ivf_index_topk": _q_ivf_index_topk,
-    "curate_corpus_docs": _q_curate_corpus,
-    "curation_provenance": _q_curation_provenance,
-    "lang_id_confusion": _q_lang_id_confusion,
-    "vocab_top_tokens": _q_vocab_top_tokens,
-    "bigram_collocations": _q_bigram_collocations,
-    "corpus_report": _q_corpus_report,
-    "event_funnel": _q_event_funnel,
-    "cohort_retention": _q_cohort_retention,
-    "source_keywords": _q_source_keywords,
-    "pii_stats_by_source": _q_pii_stats,
-    "stream_stream_join": _q_stream_stream_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2498,6 +2535,11 @@ ORACLES: dict[str, str] = {
     "shingle_stats": _ORACLE_SHINGLES,
     "ngram_jaccard_dups": _ORACLE_NGRAM_JACCARD,
     "near_dup_clusters": _ORACLE_NEAR_DUP_CLUSTERS,
+    # verified_* = LSH-proposed candidates + exact verification; recall is
+    # 1.0 at the driver's sf0.01 with the pinned seed, so the exact
+    # operators' oracles apply verbatim (subset+equality pinned in tests).
+    "verified_near_dup_pairs": _ORACLE_NGRAM_JACCARD,
+    "verified_near_dup_clusters": _ORACLE_NEAR_DUP_CLUSTERS,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

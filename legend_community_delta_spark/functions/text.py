@@ -83,7 +83,11 @@ def quality_score(col: Column | str) -> Column:
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4)
     mwl = mean_word_length(c)
     word_score = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
-    return F.round((len_score + punct_pen + word_score) / F.lit(3.0), 6)
+    # NULL text is minimum quality, not an accidental 0.77: least/greatest
+    # SKIP null args, so without the guard the null-propagating components
+    # silently drop out of the average and a NULL doc outscores real text
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(
+        F.round((len_score + punct_pen + word_score) / F.lit(3.0), 6))
 
 
 def content_hash(col: Column | str) -> Column:

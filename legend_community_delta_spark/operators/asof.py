@@ -92,12 +92,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               .alias(f"__w_{c}") for c in value_cols]
     u = u.select(*u.columns, *within)
 
-    # boundary value each bucket exports: its last (backward) / first
-    # (forward) right row — ONE row per (key, bucket)
+    # boundary value each bucket exports: per column, its last (backward)
+    # / first (forward) NON-NULL right value — ONE row per (key, bucket).
+    # NULL-valued rows get a NULL ordering key so max_by/min_by skip them;
+    # exporting the boundary ROW's value instead would export NULL and the
+    # carry window would then skip the whole bucket, diverging from the
+    # default plan's per-column last(ignorenulls=True).
     pick = F.max_by if backward else F.min_by
     edges = (u.where(F.col("__is_left") == 0)
              .groupBy(*keys, "__tb")
-             .agg(*[pick(F.col(f"{c}{suffix}"), F.col(ts_col))
+             .agg(*[pick(F.col(f"{c}{suffix}"),
+                         F.when(F.col(f"{c}{suffix}").isNotNull(),
+                                F.col(ts_col)))
                     .alias(f"__b_{c}") for c in value_cols]))
 
     # carry-in per bucket = nearest exporting bucket strictly before

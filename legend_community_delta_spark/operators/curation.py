@@ -216,7 +216,11 @@ def curate_provenance(df: DataFrame, text_col: str = "text",
             .join(ids(near, "__n"), id_col, "left")
             .join(ids(final, "__f"), id_col, "left")
             .select(id_col,
-                    F.when(~F.col("__q"), F.lit("quality"))
+                    # NULL quality (e.g. NULL text) is a quality drop too:
+                    # bare ~NULL is NULL and would fall through to the
+                    # exact_dup branch, mislabeling the doc
+                    F.when(F.col("__q").isNull() | ~F.col("__q"),
+                           F.lit("quality"))
                     .when(F.col("__e").isNull(), F.lit("exact_dup"))
                     .when(F.col("__n").isNull(), F.lit("near_dup"))
                     .when(F.col("__f").isNull(), F.lit("budget"))

@@ -72,12 +72,16 @@ def test_asof_time_bucket_matches_default_plan(spark):
     """VERDICT r2 hardening #3: the time-bucketed skew variant must give
     byte-identical results to the key-partitioned plan — across both
     directions, bucket widths smaller and larger than the data gaps,
-    and carries spanning several empty buckets."""
+    and carries spanning several empty buckets.  Every 5th right row has a
+    NULL value (ADVICE r3): when such a row lands on a bucket boundary the
+    bucket must still export its last NON-NULL value, not NULL (which the
+    carry window would skip, dropping the bucket's real contribution)."""
     import random
     rng = random.Random(7)
     left_rows = [Row(k=f"s{i % 2}", ts=rng.randrange(0, 10_000))
                  for i in range(300)]
-    right_rows = [Row(k=f"s{i % 2}", ts=t, px=float(i))
+    right_rows = [Row(k=f"s{i % 2}", ts=t,
+                      px=float(i) if i % 5 else None)
                   for i, t in enumerate(sorted(
                       rng.sample(range(0, 10_000), 40)))]
     left = spark.createDataFrame(left_rows)

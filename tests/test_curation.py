@@ -73,10 +73,18 @@ def test_curate_corpus_exact_backend(spark):
 def test_curate_provenance_matches_pipeline(spark):
     """The one-action provenance labels must agree exactly with the
     pipeline: 'kept' ids == curate_corpus output, and the label counts
-    reconcile with the per-stage collect_stats counters."""
+    reconcile with the per-stage collect_stats counters.  A NULL-text doc
+    is unioned in (ADVICE r3): quality_score(NULL) is 0.0, the quality
+    gate drops it, and provenance must label it 'quality' — before the
+    fixes it scored 0.77 (least/greatest skip NULLs) and sailed through
+    to a wrong downstream label."""
     from legend_community_delta_spark.operators.curation import (
         curate_provenance)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    null_doc = spark.createDataFrame(
+        [Row(doc_id=100_000, text=None, lang="en", source="synthetic",
+             n_chars=0)], schema=docs.schema)
+    docs = docs.unionByName(null_doc)
     kw = dict(min_quality=0.3, near_dup_threshold=0.2, max_tokens=2_000,
               near_dup_backend="exact", ngram_n=5)
     out, stats = curate_corpus(docs, **kw)
@@ -95,6 +103,7 @@ def test_curate_provenance_matches_pipeline(spark):
     assert n["budget"] == stats["after_near_dedup"] - stats["output"]
     assert n["kept"] == stats["output"] > 0
     assert n["budget"] > 0     # the budget stage actually cut something
+    assert labels[100_000] == "quality"   # NULL text == quality drop
 
 
 def test_curate_token_budget(spark):
