@@ -40,36 +40,47 @@ from .graph import drop_near_dups
 
 def _string_quantile_bucket(df: DataFrame, id_col: str, n_buckets: int,
                             sample_per_bucket: int = 64,
-                            ) -> F.Column | None:
+                            cut_len: int = 64) -> F.Column | None:
     """Order-preserving bucket index for string ids from sampled
     quantile cut points — robust to shared prefixes (zero-padded
     ``doc_000...`` ids collapse a fixed-prefix bucketing to one fat
     bucket; quantile cuts split the corpus evenly no matter the id
     shape).
 
-    Two metadata-sized driver steps: a count to size the sample
-    fraction, then a deterministic hash-threshold sample of ids
-    (``~sample_per_bucket * n_buckets`` strings) sorted on the driver
-    into evenly-spaced cut points.  Per-row assignment is a two-level
-    coarse/fine scan over literal arrays — O(2*sqrt(cuts)) string
-    comparisons, whole-stage-codegen, no join.  Returns ``None`` when
-    the sample is too small to cut (tiny corpora fall back to prefix
-    bucketing — a corpus of thousands of docs doesn't need buckets).
+    Cut selection is DISTRIBUTED: a deterministic hash-threshold sample
+    (``~sample_per_bucket * n_buckets`` ids, truncated to *cut_len*
+    chars — a truncated cut is still a valid order-preserving boundary)
+    is ``ntile``-d into even tiles and only each tile's max id reaches
+    the driver: ``n_buckets - 1`` strings of <= *cut_len* chars, bounded
+    bytes no matter how wide the corpus's ids are.  The ntile window is
+    single-partition over the sample only — bounded executor-side, the
+    same metadata class as the bucket-offsets window.  Per-row
+    assignment is a two-level coarse/fine scan over literal arrays —
+    O(2*sqrt(cuts)) string comparisons, whole-stage-codegen, no join.
+    Returns ``None`` when the sample is too small to cut (tiny corpora
+    fall back to prefix bucketing; so do pathological corpora whose
+    sampled ids all share a *cut_len*-char prefix).
     """
     total = df.count()
     if total == 0:
         return None
     target = sample_per_bucket * n_buckets
     frac = min(1.0, target / total)
-    sampled = (df.select(id_col)
-               .where(F.pmod(F.xxhash64(id_col), F.lit(1_000_000))
-                      < int(frac * 1_000_000))
-               .collect())
-    ids = sorted({r[0] for r in sampled if r[0] is not None})
-    if len(ids) < 2 * n_buckets:
+    sample = (df.select(F.substring(F.col(id_col), 1, cut_len).alias("__id"))
+              .where(F.col("__id").isNotNull())
+              .where(F.pmod(F.xxhash64("__id"), F.lit(1_000_000))
+                     < int(frac * 1_000_000))
+              .distinct())
+    if sample.count() < 2 * n_buckets:
         return None
-    step = len(ids) / n_buckets
-    cuts = sorted({ids[int((i + 1) * step)] for i in range(n_buckets - 1)})
+    w_tile = Window.orderBy("__id")
+    cut_rows = (sample.withColumn("__t", F.ntile(n_buckets).over(w_tile))
+                .where(F.col("__t") < n_buckets)
+                .groupBy("__t").agg(F.max("__id").alias("__c"))
+                .orderBy("__t").collect())
+    cuts = sorted({r["__c"] for r in cut_rows})
+    if not cuts:
+        return None
 
     col = F.col(id_col)
     chunk_sz = max(1, math.isqrt(len(cuts)))

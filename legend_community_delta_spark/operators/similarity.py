@@ -282,7 +282,7 @@ def query_ivf_index(spark, path: str, query_vec: list[float], k: int = 10,
 def lsh_topk_df(df: DataFrame, query_df: DataFrame, dims: int, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 n_planes: int = 12, multiprobe: bool = True,
-                seed: int = 42,
+                seed: int = 42, n_tables: int = 1,
                 query_vec_col: str | None = None) -> DataFrame:
     """:func:`lsh_topk` with the query vector in a 1-row DataFrame and an
     explicit *dims* (the hyperplanes are driver constants sized by it).
@@ -291,23 +291,37 @@ def lsh_topk_df(df: DataFrame, query_df: DataFrame, dims: int, k: int = 10,
     signatures (0 = same bucket, <=1 with *multiprobe*) — no driver
     ``.first()`` job to fetch the vector or compute its signature.
 
+    **Recall knobs.** Expected candidate count per single-table probe is
+    ``N * (1 + n_planes*multiprobe) / 2^n_planes`` — size *n_planes* so
+    that comfortably exceeds *k*.  When one table's recall tops out
+    (weak neighbor structure, aggressive n_planes), raise *n_tables*:
+    L independent hyperplane sets are probed and their candidates
+    unioned (classic OR-amplification), so per-pair miss probability
+    falls geometrically, ``(1 - p1)^L``.  Candidate volume grows ~L×;
+    recall floors for both knobs are pinned in
+    tests/test_curation.py::test_ann_recall_floors and PERF.md.
+
     *dims* is trusted to size the hyperplanes, so both sides are
     filtered to vectors of exactly that length — a wrong *dims* returns
     no candidates (loudly empty) instead of silently degraded
     signatures over truncated vectors.
     """
     rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dims)]
-              for _ in range(n_planes)]
+    tables = [[[rng.gauss(0, 1) for _ in range(dims)]
+               for _ in range(n_planes)] for _ in range(n_tables)]
     qcol = query_vec_col or vec_col
     q = query_df.where(F.size(F.col(qcol)) == dims).select(
         F.col(qcol).alias("__qv"),
-        hyperplane_signature(qcol, planes).alias("__qsig"))
+        *[hyperplane_signature(qcol, planes).alias(f"__qsig{t}")
+          for t, planes in enumerate(tables)])
     max_dist = 1 if multiprobe else 0
-    sig = hyperplane_signature(vec_col, planes)
-    cand = df.where(F.size(F.col(vec_col)) == dims).withColumn("__sig", sig).join(
-        F.broadcast(q),
-        F.bit_count(F.col("__sig").bitwiseXOR(F.col("__qsig"))) <= max_dist)
+    hit_any = None
+    for t, planes in enumerate(tables):
+        hit = (F.bit_count(hyperplane_signature(vec_col, planes)
+                           .bitwiseXOR(F.col(f"__qsig{t}"))) <= max_dist)
+        hit_any = hit if hit_any is None else (hit_any | hit)
+    cand = df.where(F.size(F.col(vec_col)) == dims).join(
+        F.broadcast(q), hit_any)
     return (cand.select(F.col(id_col),
                         F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
                         .alias("cosine"))

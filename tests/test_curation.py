@@ -347,6 +347,60 @@ def test_ann_recall_harness(spark):
     assert all(r["recall"] == 1.0 for r in ivf)
 
 
+def test_ann_recall_floors(spark):
+    """VERDICT r3 task: measured recall floors, pinned so a banding or
+    k-means change that silently degrades recall fails CI.  All inputs are
+    seeded/deterministic (fixed hyperplane seed, deterministic k-means
+    init, fixed query sample), so the measured numbers are exactly
+    reproducible; floors sit a margin below them (measured on sf0.001,
+    recorded in PERF.md):
+
+    * multiprobe LSH, n_planes=6, n_tables=8 (OR-amplification):
+      mean 0.90, min 0.70  ->  floors 0.85 / 0.60
+    * IVF n_centroids=16, refine_iters=2, n_probe=4:
+      mean 0.71, min 0.50  ->  floors 0.65 / 0.45
+    * IVF n_probe=16 probes every cell -> exhaustive, recall exactly 1.0
+    * OR-amplification never hurts: per-query recall(L=8) >= recall(L=1)
+    """
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.similarity import (
+        ann_recall, ivf_topk, lsh_topk_df)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id").isin(list(range(0, 100, 10))))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+
+    def lsh_recalls(n_tables):
+        rows = ann_recall(
+            emb, queries,
+            lambda q: lsh_topk_df(emb, q, dims=64, k=10, n_planes=6,
+                                  multiprobe=True, n_tables=n_tables,
+                                  query_vec_col="query_vec"),
+            k=10).collect()
+        return {r["query_id"]: r["recall"] for r in rows}
+
+    one, eight = lsh_recalls(1), lsh_recalls(8)
+    assert sum(eight.values()) / len(eight) >= 0.85
+    assert min(eight.values()) >= 0.60
+    assert all(eight[q] >= one[q] for q in one)
+
+    def ivf_fn(n_probe):
+        def f(q):
+            vec = [float(x) for x in q.first()["query_vec"]]
+            return ivf_topk(emb, vec, k=10, n_centroids=16,
+                            n_probe=n_probe, refine_iters=2)
+        return f
+
+    ivf4 = [r["recall"] for r in ann_recall(emb, queries, ivf_fn(4),
+                                            k=10).collect()]
+    assert sum(ivf4) / len(ivf4) >= 0.65
+    assert min(ivf4) >= 0.45
+
+    ivf16 = [r["recall"] for r in ann_recall(emb, queries, ivf_fn(16),
+                                             k=10).collect()]
+    assert all(r == 1.0 for r in ivf16)
+
+
 def test_ivf_index_persist_and_prune(spark, tmp_path):
     from legend_community_delta_spark.operators.similarity import (
         build_ivf_index, cosine_topk, query_ivf_index)
