@@ -315,6 +315,52 @@ def test_incremental_minhash_matches_full_batch(spark, tmp_path):
     assert spark.read.parquet(path).count() >= docs.count() - 1
 
 
+def test_incremental_hot_bucket_drift_superset(spark, tmp_path):
+    """dedup.py documents ``store ∪ incremental ⊇ full batch``, strict
+    exactly when a band bucket crosses max_bucket only in the combined
+    corpus (the cap is evaluated per run, so earlier runs keep pairs a
+    from-scratch run would suppress).  Pin both directions: group A
+    (3 store + 2 appended identical docs) crosses cap=3 only after the
+    append — its store-era pairs survive in the union while the full
+    batch suppresses them all; group B (2+1) stays under the cap — its
+    union pairs equal the full batch exactly."""
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_dedup, write_signature_store)
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = "one two three four five six seven eight nine ten eleven " * 3
+    first = spark.createDataFrame(
+        [Row(doc_id=i, text=a) for i in (1, 2, 3)]
+        + [Row(doc_id=i, text=b) for i in (10, 11)])
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, text=a) for i in (4, 5)]
+        + [Row(doc_id=12, text=b)])
+    cap = 3
+    path = str(tmp_path / "sig_store")
+
+    write_signature_store(first, path)
+    store_pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup(
+        first, threshold=0.7, max_bucket=cap).collect()}
+    incr = {(r["id_a"], r["id_b"]) for r in incremental_minhash_pairs(
+        spark, path, batch, threshold=0.7, max_bucket=cap).collect()}
+    full = {(r["id_a"], r["id_b"]) for r in minhash_dedup(
+        first.unionByName(batch), threshold=0.7, max_bucket=cap).collect()}
+    union = store_pairs | incr
+
+    assert union >= full                      # the documented relation
+    a_ids = {1, 2, 3, 4, 5}
+    # group A's buckets went hot only in the combined corpus: the full
+    # batch suppresses every A pair, the incremental run suppresses the
+    # append-era A pairs, but the store-era A pairs survive in the union
+    assert not {p for p in full if p[0] in a_ids}
+    assert not {p for p in incr if p[0] in a_ids and p[1] in a_ids}
+    assert {(1, 2), (1, 3), (2, 3)} <= union
+    # group B stayed cool throughout: union == full batch, non-trivially
+    b_pairs_full = {p for p in full if p[0] in {10, 11, 12}}
+    assert {p for p in union if p[0] in {10, 11, 12}} == b_pairs_full
+    assert b_pairs_full == {(10, 11), (10, 12), (11, 12)}
+
+
 def test_verified_near_dup_pairs_subset_of_exact(spark):
     """Candidate-verified pairs carry EXACT jaccard values and are a
     subset of the all-pairs exact operator; every pair LSH proposes is
