@@ -55,24 +55,30 @@ def write_sketch_store(df: DataFrame, path: str, value_col: str,
 
 def read_sketch_estimates(spark, path: str,
                           group_cols: list[str] | tuple[str, ...] = (),
-                          ) -> DataFrame:
+                          allow_mixed_lg_k: bool = False) -> DataFrame:
     """Merge the stored sketches and estimate distinct counts per group:
     ``(group..., approx_distinct)``.
 
     Reads only the sketch rows (kilobytes per shard) — the cost is
     independent of how much base data ever flowed through the store.
-    Raises if the store mixes ``lg_k`` values (union would silently
-    degrade to the coarsest precision).
+    A store that mixes ``lg_k`` values raises by default: the union
+    degrades every sketch to the coarsest precision present, which
+    should be a deliberate choice, not an accident of one mis-configured
+    ingest shard.  Pass ``allow_mixed_lg_k=True`` to opt in — the
+    DataSketches union downgrades legally (toward smaller lg_k) and the
+    estimate stays valid at the coarser error bound.
     """
     store = spark.read.parquet(path)
     lgks = [r[0] for r in store.select("lg_k").distinct().collect()]
-    if len(lgks) > 1:
+    if len(lgks) > 1 and not allow_mixed_lg_k:
         raise ValueError(
             f"sketch store at [{path}] mixes lg_k values {sorted(lgks)}; "
-            "rebuild shards at one precision before merging")
+            "rebuild shards at one precision, or pass "
+            "allow_mixed_lg_k=True to merge at the coarsest precision "
+            f"(lg_k={min(lgks)} error bounds)")
+    union = F.hll_union_agg("sketch", len(lgks) > 1)
     return (store.groupBy(*group_cols)
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-                 .alias("approx_distinct")))
+            .agg(F.hll_sketch_estimate(union).alias("approx_distinct")))
 
 
 def merged_distinct(df: DataFrame, value_col: str,

@@ -79,9 +79,24 @@ def test_sketch_rows_are_metadata_sized(spark):
 
 
 def test_mixed_lgk_store_rejected(spark, tmp_path):
+    """Mixed-precision stores raise by default, and merge legally at the
+    coarsest precision when explicitly allowed (the DataSketches union
+    downgrades toward smaller lg_k; estimates stay within the coarser
+    error bound)."""
     ev = _events(spark)
     path = str(tmp_path / "mixed")
     write_sketch_store(ev, path, "user_id", ["event_type"], lg_k=12)
     write_sketch_store(ev, path, "user_id", ["event_type"], lg_k=14)
     with pytest.raises(ValueError, match="mixes lg_k"):
         read_sketch_estimates(spark, path, ["event_type"])
+
+    approx = {r["event_type"]: r["approx_distinct"]
+              for r in read_sketch_estimates(
+                  spark, path, ["event_type"],
+                  allow_mixed_lg_k=True).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert approx.keys() == exact.keys()
+    for et, e in exact.items():
+        assert abs(approx[et] - e) <= 0.05 * e + 1
