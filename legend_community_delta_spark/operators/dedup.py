@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import char_shingles, content_hash, word_ngrams
 from ..functions.vectors import cosine, hyperplane_signature
@@ -473,21 +473,91 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for all colliding pairs.
+                        threshold: float = 0.5,
+                        method: str = "prefix") -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all qualifying pairs.
 
-    Shuffle cost is |distinct (ngram, doc)|; hot shingles can explode the
-    bucket join, so at scale run this only behind MinHash candidates.
     Deterministic (integer set math + one double division) — this one IS
-    SQL-expressible, so it carries a duckdb oracle in the harness.
+    SQL-expressible, so it carries a duckdb oracle in the harness.  Two
+    plans, byte-identical output (pinned in tests):
+
+    * ``"prefix"`` (default) — AllPairs/PPJoin prefix filtering
+      [Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06]: order grams
+      globally by (document frequency asc, gram), and join docs only on
+      the first ``|G| - ceil(t*|G|) + 1`` rarest grams of each side —
+      any pair with Jaccard >= t provably shares a gram in both
+      prefixes.  Hot template grams sort LAST, so they never generate
+      candidates: the quadratic hot-bucket blowup of the naive gram
+      join is gone while the result stays exact.  Candidates are then
+      verified with per-pair ``array_intersect`` over hashed-gram
+      arrays (bounded by doc length, no gram shuffle).
+    * ``"bucket"`` — the naive gram self-join; quadratic in shared-gram
+      bucket size.  Kept as the oracle-shaped reference plan and for
+      corpora whose gram-frequency profile is flat (prefix filtering
+      buys little there and spends two extra shuffles).
 
     NOTE (measured): hashing grams to xxhash64 longs before the
-    self-join (the ``shingle_stats`` trick) was tried and REVERTED — at
-    sf0.1 it ran 7.2-9.1 s vs 5.9-8.2 s for string grams: the per-gram
-    hash costs more than the shorter shuffle keys save when grams are
-    short and template-heavy.  Revisit only for corpora with long
-    grams (big n) where key width dominates the exchange.
+    bucket-method self-join was tried and REVERTED — at sf0.1 it ran
+    7.2-9.1 s vs 5.9-8.2 s for string grams: the per-gram hash costs
+    more than the shorter shuffle keys save when grams are short and
+    template-heavy.  (The prefix method's verify stage DOES hash —
+    there the arrays travel once per candidate pair, not once per
+    gram occurrence, so key width dominates.)
     """
+    if method == "bucket":
+        return _ngram_jaccard_bucket(df, text_col, id_col, n, threshold)
+    if method != "prefix":
+        raise ValueError(f"unknown method [{method}]; "
+                         "expected 'prefix' or 'bucket'")
+    grams = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(F.array_distinct(word_ngrams(text_col, n)))
+                       .alias("gram")))
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy("__id").orderBy("__df", "gram")
+    ranked = (grams.join(freq, "gram")
+              .select("__id", "gram",
+                      F.row_number().over(w_doc).alias("__rn"),
+                      F.count(F.lit(1)).over(Window.partitionBy("__id"))
+                      .alias("__ng")))
+    # ceil guards against double rounding (0.3*10 = 3.0000000000000004
+    # would shorten the prefix by one and MISS true pairs; the epsilon
+    # can only lengthen it, which stays exact).
+    pref = ranked.where(
+        F.col("__rn") <= F.col("__ng")
+        - F.ceil(F.lit(threshold) * F.col("__ng") - F.lit(1e-9)) + 1)
+    # Size filter (also exact): J(A,B) <= min(|G|)/max(|G|), so pairs
+    # whose gram-set sizes differ beyond the threshold ratio are pruned
+    # at candidate generation, before the dedup + verify stages.
+    cands = (pref.select(F.col("__id").alias("id_a"),
+                         F.col("__ng").alias("__na"), "gram")
+             .join(pref.select(F.col("__id").alias("id_b"),
+                               F.col("__ng").alias("__nb"), "gram"), "gram")
+             .where((F.col("id_a") < F.col("id_b"))
+                    & (F.least("__na", "__nb")
+                       >= F.lit(threshold) * F.greatest("__na", "__nb")
+                       - F.lit(1e-9)))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    garr = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.transform(word_ngrams(text_col, n),
+                                     lambda g: F.xxhash64(g)))
+        .alias("__grams"))
+    ga = garr.select(F.col("__id").alias("id_a"),
+                     F.col("__grams").alias("__ga"))
+    gb = garr.select(F.col("__id").alias("id_b"),
+                     F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - inter
+    return (cands.join(ga, "id_a").join(gb, "id_b")
+            .withColumn("jaccard", inter.cast("double") / union)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def _ngram_jaccard_bucket(df: DataFrame, text_col: str, id_col: str,
+                          n: int, threshold: float) -> DataFrame:
+    """The naive exact plan: gram self-join + per-pair counting."""
     grams = (df.select(F.col(id_col).alias("__id"),
                        F.explode(F.array_distinct(word_ngrams(text_col, n)))
                        .alias("gram")))

@@ -118,6 +118,30 @@ def test_ngram_jaccard(docs):
     assert 0.4 <= got[(1, 4)] < 1.0
 
 
+def test_ngram_jaccard_prefix_equals_bucket(spark):
+    """AllPairs/PPJoin prefix filtering is an exact optimization: on the
+    real corpus AND a boilerplate-heavy variant (every doc sharing one
+    hot sentence — the case prefix filtering exists for), both plans
+    return identical pair sets with identical jaccard values, including
+    thresholds where t*|G| lands on an integer (the ceil-rounding edge
+    guarded by the epsilon in the prefix-length predicate)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    boiler = docs.withColumn(
+        "text", F.concat("text", F.lit(
+            " terms of service privacy policy all rights reserved")))
+    for df, n, t in ((docs, 5, 0.2), (docs, 3, 0.3), (boiler, 5, 0.5)):
+        got = {}
+        for method in ("prefix", "bucket"):
+            got[method] = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in DD.ngram_jaccard_pairs(
+                    df, n=n, threshold=t, method=method).collect()}
+        assert got["prefix"], f"no pairs at n={n} t={t}"
+        assert got["prefix"] == got["bucket"]
+    with pytest.raises(ValueError):
+        DD.ngram_jaccard_pairs(docs, method="nope")
+
+
 def test_embedding_dedup_and_topk(spark):
     import random
     rng = random.Random(7)
