@@ -1594,6 +1594,114 @@ def _q_verified_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def _q_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: exact cross-corpus 5-gram Jaccard pairs
+    between a 'train' split (doc_id % 5 != 0) and an 'eval' split
+    (doc_id % 5 == 0) of the documents table — the check an LLM pipeline
+    runs before training to prove the eval set isn't in the training
+    data.  Prefix-filtered (never a self-join); oracle is the exact
+    cross-join set math in DuckDB."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return DD.cross_ngram_jaccard_pairs(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        n=5, threshold=0.2)
+
+
+_ORACLE_DECONTAMINATION = r"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_left, b.doc_id AS id_right, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+  GROUP BY 1, 2
+)
+SELECT id_left, id_right,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_left
+JOIN sizes sb ON sb.doc_id = id_right
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+"""
+
+
+def _q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition metrics (mode-token fraction,
+    duplicate-bigram fraction) with keep/drop flags — pure set/count
+    math, so it carries a full DuckDB oracle."""
+    ensure_views(spark, sf_dir)
+    from .operators.curation import repetition_metrics
+    return repetition_metrics(spark.table("documents"))
+
+
+_ORACLE_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+), dng AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2 THEN
+      1.0 - CAST(len(list_distinct(list_transform(
+        generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) / (len(toks) - 1)
+    ELSE 0.0 END AS dup_ngram_frac
+  FROM base
+), counts AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY 1, 2
+), perdoc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top,
+         count(*) AS nd
+  FROM counts GROUP BY 1
+)
+SELECT b.doc_id,
+  COALESCE(p.n_tokens, 0) AS n_tokens,
+  CASE WHEN COALESCE(p.n_tokens, 0) > 0
+       THEN CAST(p.nd AS DOUBLE) / p.n_tokens ELSE 0.0 END
+    AS distinct_token_frac,
+  CASE WHEN COALESCE(p.n_tokens, 0) > 0
+       THEN CAST(p.top AS DOUBLE) / p.n_tokens ELSE 0.0 END
+    AS top_token_frac,
+  d.dup_ngram_frac,
+  (CASE WHEN COALESCE(p.n_tokens, 0) > 0
+        THEN CAST(p.top AS DOUBLE) / p.n_tokens ELSE 0.0 END > 0.2)
+    OR (d.dup_ngram_frac > 0.2) AS repetitive
+FROM base b
+LEFT JOIN perdoc p USING (doc_id)
+JOIN dng d USING (doc_id)
+"""
+
+
+def _q_stratified_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-count stratified sample: 40 docs per language
+    (strata are uneven: en has ~4x the docs of fr at this SF, so the
+    rank cut genuinely selects) under the reproducible (md5(id), id)
+    order — auditable training-data mixture construction.  Both engines
+    compute the identical sample (md5 is engine-independent), so the
+    oracle checks exact row sets, not just counts."""
+    ensure_views(spark, sf_dir)
+    from .operators.curation import stratified_sample_exact
+    return stratified_sample_exact(
+        spark.table("documents"), "lang", 40).select(
+        "doc_id", "source", "lang", "n_chars")
+
+
+_ORACLE_STRATIFIED = """
+SELECT doc_id, source, lang, n_chars FROM (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
 _ORACLE_NEAR_DUP_CLUSTERS = r"""
 WITH RECURSIVE grams AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2419,6 +2527,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-5 additions: the production near-dup path, benched ---------
     "verified_near_dup_pairs": _q_verified_near_dup,
     "verified_near_dup_clusters": _q_verified_near_dup_clusters,
+    # -- round-5 additions: decontamination / repetition / sampling ------
+    "decontamination_pairs": _q_decontamination_pairs,
+    "repetition_flags": _q_repetition_flags,
+    "stratified_docs_sample": _q_stratified_docs_sample,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -2446,10 +2558,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_stream": _q_events_hourly_stream,
     "window_suite": _q_window_suite,
     "rolling_windows": _q_rolling_windows,
+    # -- previously-green rows rotated out of the 50-row sample ----------
     "percentiles_by_segment": _q_percentiles,
     "pivot_orders": _q_pivot_orders,
     "distinct_agg": _q_distinct_agg,
-    # -- previously-green rows rotated out of the 50-row sample ----------
     "q3_topk_orders": _q3_topk_orders,
     "q5_region_revenue": _q5_region_revenue,
     "q4_priority_exists": _q4_priority_exists,
@@ -2540,6 +2652,9 @@ ORACLES: dict[str, str] = {
     # operators' oracles apply verbatim (subset+equality pinned in tests).
     "verified_near_dup_pairs": _ORACLE_NGRAM_JACCARD,
     "verified_near_dup_clusters": _ORACLE_NEAR_DUP_CLUSTERS,
+    "decontamination_pairs": _ORACLE_DECONTAMINATION,
+    "repetition_flags": _ORACLE_REPETITION,
+    "stratified_docs_sample": _ORACLE_STRATIFIED,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

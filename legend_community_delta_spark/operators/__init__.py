@@ -7,8 +7,16 @@ without memorizing the module map.
 """
 
 from .asof import asof_join, range_join
-from .curation import curate_corpus, curate_provenance, token_budget_cut
+from .curation import (
+    curate_corpus,
+    curate_provenance,
+    repetition_metrics,
+    stratified_sample_exact,
+    token_budget_cut,
+)
 from .dedup import (
+    cross_ngram_jaccard_pairs,
+    decontaminate,
     dedup_stats,
     deterministic_sample,
     embedding_dedup,
@@ -53,16 +61,18 @@ from .sketches import (
 __all__ = [
     "ann_recall", "asof_join", "audio_features", "broadcast_join",
     "build_ivf_index", "build_lsh_index", "connected_components",
-    "cosine_topk", "cosine_topk_many", "curate_corpus",
-    "curate_provenance", "decode_images", "dedup_stats",
+    "cosine_topk", "cosine_topk_many", "cross_ngram_jaccard_pairs",
+    "curate_corpus", "curate_provenance", "decode_images",
+    "decontaminate", "dedup_stats",
     "deterministic_sample", "drop_near_dups", "embedding_dedup",
     "exact_dedup", "extract_image_features", "hll_shard_sketches",
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
     "ngram_jaccard_pairs", "query_ivf_index", "query_lsh_index",
-    "range_join", "read_sketch_estimates", "resize_images",
-    "salted_join", "sample_video_frames", "simhash_dedup",
-    "stratified_sample", "token_budget_cut", "verified_near_dup_pairs",
+    "range_join", "read_sketch_estimates", "repetition_metrics",
+    "resize_images", "salted_join", "sample_video_frames",
+    "simhash_dedup", "stratified_sample", "stratified_sample_exact",
+    "token_budget_cut", "verified_near_dup_pairs",
     "winnow_candidate_pairs", "write_bucketed", "write_signature_store",
     "write_sketch_store",
 ]

@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType, StringType
 
-from ..functions.text import quality_score, token_count
+from ..functions.text import quality_score, token_count, tokens, word_ngrams
 from .dedup import (
     exact_dedup,
     minhash_dedup,
@@ -165,6 +165,87 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
             .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_doc))
             .where(F.col("__cum") <= F.lit(max_tokens))
             .drop("__tok", "__b", "__off", "__cum"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", ngram_n: int = 2,
+                       max_top_token_frac: float = 0.2,
+                       max_dup_ngram_frac: float = 0.2) -> DataFrame:
+    """Per-doc repetition metrics in the style of the Gopher/MassiveText
+    quality rules [Rae et al. 2021, §A1.1]: heavily self-repeating docs
+    (keyword-stuffed pages, log spew, template loops) are low-value
+    training text even when per-token quality looks fine.
+
+    Returns ``(id, n_tokens, distinct_token_frac, top_token_frac,
+    dup_ngram_frac, repetitive)`` where
+
+    * ``top_token_frac`` — occurrences of the single most frequent token
+      over all tokens (mode fraction);
+    * ``dup_ngram_frac`` — fraction of word *ngram_n*-grams that are
+      repeats of an earlier gram (``1 − distinct/total``);
+    * ``repetitive`` — either fraction above its threshold.
+
+    Scale shape: ``dup_ngram_frac`` is pure Column algebra (array ops,
+    no shuffle); the mode needs one explode + two partial-aggregated
+    groupBys keyed by (id, token) then id — the same linear shuffle
+    class as ``token_counts``.  Empty docs score 0.0 on every fraction
+    (not NULL) so downstream boolean gates stay two-valued.
+    """
+    toks = tokens(text_col)
+    grams = word_ngrams(text_col, ngram_n)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+        F.when(F.size(grams) > 0,
+               F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
+               / F.size(grams))
+        .otherwise(F.lit(0.0)).alias("dup_ngram_frac"))
+    tok_counts = (base.select("__id", F.explode_outer("__toks").alias("__t"))
+                  .groupBy("__id", "__t")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .groupBy("__id")
+                  .agg(F.sum(F.when(F.col("__t").isNotNull(), F.col("__c"))
+                             .otherwise(F.lit(0))).alias("n_tokens"),
+                       F.max(F.when(F.col("__t").isNotNull(), F.col("__c"))
+                             .otherwise(F.lit(0))).alias("__top"),
+                       F.sum(F.when(F.col("__t").isNotNull(), 1)
+                             .otherwise(0)).alias("__nd")))
+    frac = lambda num: F.when(  # noqa: E731  (local shorthand)
+        F.col("n_tokens") > 0,
+        num.cast("double") / F.col("n_tokens")).otherwise(F.lit(0.0))
+    return (base.join(tok_counts, "__id")
+            .select(F.col("__id").alias(id_col),
+                    F.col("n_tokens"),
+                    frac(F.col("__nd")).alias("distinct_token_frac"),
+                    frac(F.col("__top")).alias("top_token_frac"),
+                    "dup_ngram_frac")
+            .withColumn(
+                "repetitive",
+                (F.col("top_token_frac") > F.lit(max_top_token_frac))
+                | (F.col("dup_ngram_frac") > F.lit(max_dup_ngram_frac))))
+
+
+def stratified_sample_exact(df: DataFrame, strata_col: str,
+                            n_per_stratum: int,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Deterministic exact-count stratified sample: the *n_per_stratum*
+    rows per stratum that rank first under a pseudo-random but
+    reproducible order — ``(md5(id), id)``.  Unlike ``df.sampleBy`` or
+    the fraction-based :func:`..dedup.stratified_sample` (both yield
+    approximate per-stratum counts), this hits the count exactly and
+    yields the SAME rows on every engine and every cluster layout,
+    so training-data mixtures are auditable and re-buildable.
+
+    Scale shape: one shuffle on *strata_col*; the ``row_number`` rank
+    filter compiles to Spark's WindowGroupLimit, so each task keeps a
+    running top-n per stratum instead of sorting whole strata.  Skewed
+    strata cost their own partition, not the cluster.
+    """
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.lit(n_per_stratum))
+            .drop("__rn"))
 
 
 def _near_dup_pairs(exact: DataFrame, text_col: str, id_col: str,

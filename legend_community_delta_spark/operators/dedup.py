@@ -584,6 +584,86 @@ def _ngram_jaccard_bucket(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+def cross_ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact cross-corpus word-n-gram Jaccard pairs — benchmark
+    decontamination: find every (left, right) doc pair with Jaccard >=
+    *threshold*, e.g. training docs that overlap an eval set.
+
+    Same AllPairs/PPJoin prefix + size filtering as
+    :func:`ngram_jaccard_pairs`, with the gram-frequency order computed
+    over the UNION of both corpora (the prefix guarantee only needs one
+    consistent global order applied to both sides), and candidates
+    generated by a left-prefix x right-prefix equi-join — never a
+    self-join, so a doc can't pair with its own side.  Hot boilerplate
+    grams sort last and generate no candidates; exact per-pair
+    ``array_intersect`` verification bounds work by candidate count.
+
+    Returns ``(id_left, id_right, jaccard)``.  For the common "flag and
+    drop contaminated training docs" step, anti-join ``left`` on
+    ``id_left``.
+    """
+    sides = []
+    for tag, df in (("l", left), ("r", right)):
+        sides.append(df.select(F.lit(tag).alias("__side"),
+                               F.col(id_col).alias("__id"),
+                               F.explode(F.array_distinct(
+                                   word_ngrams(text_col, n))).alias("gram")))
+    grams = sides[0].unionByName(sides[1])
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy("__side", "__id").orderBy("__df", "gram")
+    ranked = (grams.join(freq, "gram")
+              .select("__side", "__id", "gram",
+                      F.row_number().over(w_doc).alias("__rn"),
+                      F.count(F.lit(1))
+                      .over(Window.partitionBy("__side", "__id"))
+                      .alias("__ng")))
+    pref = ranked.where(
+        F.col("__rn") <= F.col("__ng")
+        - F.ceil(F.lit(threshold) * F.col("__ng") - F.lit(1e-9)) + 1)
+    cands = (pref.where(F.col("__side") == "l")
+             .select(F.col("__id").alias("id_left"),
+                     F.col("__ng").alias("__na"), "gram")
+             .join(pref.where(F.col("__side") == "r")
+                   .select(F.col("__id").alias("id_right"),
+                           F.col("__ng").alias("__nb"), "gram"), "gram")
+             .where(F.least("__na", "__nb")
+                    >= F.lit(threshold) * F.greatest("__na", "__nb")
+                    - F.lit(1e-9))
+             .select("id_left", "id_right")
+             .dropDuplicates(["id_left", "id_right"]))
+
+    def _garr(df: DataFrame, out_id: str, out_g: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(F.transform(word_ngrams(text_col, n),
+                                         lambda g: F.xxhash64(g)))
+            .alias(out_g))
+
+    ga = _garr(left, "id_left", "__ga")
+    gb = _garr(right, "id_right", "__gb")
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - inter
+    return (cands.join(ga, "id_left").join(gb, "id_right")
+            .withColumn("jaccard", inter.cast("double") / union)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_left", "id_right", "jaccard"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Drop training docs that near-duplicate any eval doc (exact
+    cross-corpus n-gram Jaccard via :func:`cross_ngram_jaccard_pairs`).
+    Returns *train* minus contaminated rows; the anti-join keys are
+    ids only, so nothing wide shuffles twice."""
+    hits = (cross_ngram_jaccard_pairs(train, eval_df, text_col, id_col,
+                                      n=n, threshold=threshold)
+            .select(F.col("id_left").alias(id_col)).distinct())
+    return train.join(hits, id_col, "left_anti")
+
+
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", threshold: float = 0.95,
                     n_planes: int = 16, seed: int = 42,

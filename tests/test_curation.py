@@ -418,3 +418,58 @@ def test_ivf_index_persist_and_prune(spark, tmp_path):
     # pruned probe still finds the exact self-match at rank 1
     top = query_ivf_index(spark, path, q, k=1, n_probe=1).first()
     assert top["vec_id"] == 7
+
+
+def test_repetition_metrics_values(spark):
+    """Exact metric values on authored docs: a keyword-stuffed doc flags
+    on mode fraction, a loop-template doc flags on dup-bigram fraction,
+    a normal doc passes, an empty doc scores 0.0 everywhere (not NULL)."""
+    from legend_community_delta_spark.operators.curation import (
+        repetition_metrics)
+    rows = [
+        Row(doc_id=1, text="buy cheap buy cheap buy cheap buy now"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text="a b c a b c a b c a b c"),
+    ]
+    out = {r["doc_id"]: r for r in
+           repetition_metrics(spark.createDataFrame(rows)).collect()}
+    # doc 1: 8 tokens, 'buy' x4 -> top 0.5; bigrams 7, distinct 3
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["top_token_frac"] == 0.5
+    assert abs(out[1]["dup_ngram_frac"] - 4 / 7) < 1e-12
+    assert out[1]["repetitive"]
+    # doc 2: 9 tokens, 'the' x2 -> top 2/9 > 0.2 is False? 2/9=0.222 >0.2
+    assert out[2]["n_tokens"] == 9
+    assert abs(out[2]["top_token_frac"] - 2 / 9) < 1e-12
+    assert out[2]["dup_ngram_frac"] == 0.0
+    # doc 3: empty -> all zeros, boolean not NULL
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["top_token_frac"] == 0.0
+    assert out[3]["dup_ngram_frac"] == 0.0
+    assert out[3]["repetitive"] is False
+    # doc 4: 12 tokens of 3 distinct; 11 bigrams, 3 distinct
+    assert out[4]["distinct_token_frac"] == 0.25
+    assert abs(out[4]["dup_ngram_frac"] - 8 / 11) < 1e-12
+    assert out[4]["repetitive"]
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from legend_community_delta_spark.operators.curation import (
+        stratified_sample_exact)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = 7
+    s1 = stratified_sample_exact(docs, "lang", n)
+    s2 = stratified_sample_exact(docs.repartition(13), "lang", n)
+    got1 = sorted((r["lang"], r["doc_id"]) for r in s1.collect())
+    got2 = sorted((r["lang"], r["doc_id"]) for r in s2.collect())
+    assert got1 == got2                      # layout-independent
+    full = {r["lang"]: r["c"] for r in
+            docs.groupBy("lang").count().withColumnRenamed("count", "c")
+            .collect()}
+    from collections import Counter
+    per = Counter(lang for lang, _ in got1)
+    assert dict(per) == {k: min(n, v) for k, v in full.items()}
+    # rank filter compiles to the running-top-n physical operator
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -403,6 +403,39 @@ def test_verified_near_dup_pairs_subset_of_exact(spark):
     assert len(got) >= 0.8 * len(exact)
 
 
+def test_cross_ngram_jaccard_matches_self_join_restriction(spark):
+    """Cross-corpus pairs == the self-join pair set restricted to
+    (left-split, right-split) memberships, with identical jaccard values
+    — and never a within-side pair."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    left = docs.where("doc_id % 5 != 0")
+    right = docs.where("doc_id % 5 = 0")
+    cross = {(r["id_left"], r["id_right"]): round(r["jaccard"], 9)
+             for r in DD.cross_ngram_jaccard_pairs(
+                 left, right, n=5, threshold=0.2).collect()}
+    full = {}
+    for r in DD.ngram_jaccard_pairs(docs, n=5, threshold=0.2).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 5 != 0 and b % 5 == 0:
+            full[(a, b)] = round(r["jaccard"], 9)
+        elif b % 5 != 0 and a % 5 == 0:
+            full[(b, a)] = round(r["jaccard"], 9)
+    assert cross == full and cross
+    assert all(a % 5 != 0 and b % 5 == 0 for a, b in cross)
+
+
+def test_decontaminate_drops_exactly_contaminated(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    left = docs.where("doc_id % 5 != 0")
+    right = docs.where("doc_id % 5 = 0")
+    hit_ids = {r["id_left"] for r in DD.cross_ngram_jaccard_pairs(
+        left, right, n=5, threshold=0.2).collect()}
+    kept = {r["doc_id"] for r in
+            DD.decontaminate(left, right, n=5, threshold=0.2).collect()}
+    all_left = {r["doc_id"] for r in left.select("doc_id").collect()}
+    assert kept == all_left - hit_ids and hit_ids
+
+
 def test_winnow_candidate_pairs(spark):
     """Winnowing fingerprints: near-identical docs share smallest-hash
     fingerprints, unrelated docs share none; deterministic (no seed)."""
