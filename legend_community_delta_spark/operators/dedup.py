@@ -488,7 +488,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       any pair with Jaccard >= t provably shares a gram in both
       prefixes.  Hot template grams sort LAST, so they never generate
       candidates: the quadratic hot-bucket blowup of the naive gram
-      join is gone while the result stays exact.  Candidates are then
+      join is gone while the result stays exact.  Size and positional
+      filters (PPJoin) prune candidates further — see inline comments;
+      all three filters are provably lossless.  Candidates are then
       verified with per-pair ``array_intersect`` over hashed-gram
       arrays (bounded by doc length, no gram shuffle).
     * ``"bucket"`` — the naive gram self-join; quadratic in shared-gram
@@ -528,14 +530,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # Size filter (also exact): J(A,B) <= min(|G|)/max(|G|), so pairs
     # whose gram-set sizes differ beyond the threshold ratio are pruned
     # at candidate generation, before the dedup + verify stages.
+    # Positional filter (PPJoin, also exact): a match at rank i of |A|
+    # and rank j of |B| can contribute at most 1 + min(|A|-i, |B|-j)
+    # overlap; J >= t needs overlap >= t/(1+t)*(|A|+|B|).  A true pair
+    # always survives via its FIRST common gram (every common gram
+    # ranks at or after it on both sides), so dropping rows that fail
+    # the bound before dedup loses no pair.
+    ov_req = (F.lit(threshold / (1.0 + threshold))
+              * (F.col("__na") + F.col("__nb")) - F.lit(1e-9))
     cands = (pref.select(F.col("__id").alias("id_a"),
-                         F.col("__ng").alias("__na"), "gram")
+                         F.col("__ng").alias("__na"),
+                         F.col("__rn").alias("__ra"), "gram")
              .join(pref.select(F.col("__id").alias("id_b"),
-                               F.col("__ng").alias("__nb"), "gram"), "gram")
+                               F.col("__ng").alias("__nb"),
+                               F.col("__rn").alias("__rb"), "gram"), "gram")
              .where((F.col("id_a") < F.col("id_b"))
                     & (F.least("__na", "__nb")
                        >= F.lit(threshold) * F.greatest("__na", "__nb")
-                       - F.lit(1e-9)))
+                       - F.lit(1e-9))
+                    & (F.lit(1) + F.least(F.col("__na") - F.col("__ra"),
+                                          F.col("__nb") - F.col("__rb"))
+                       >= ov_req))
              .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
     garr = df.select(
@@ -622,15 +637,23 @@ def cross_ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
     pref = ranked.where(
         F.col("__rn") <= F.col("__ng")
         - F.ceil(F.lit(threshold) * F.col("__ng") - F.lit(1e-9)) + 1)
+    ov_req = (F.lit(threshold / (1.0 + threshold))
+              * (F.col("__na") + F.col("__nb")) - F.lit(1e-9))
     cands = (pref.where(F.col("__side") == "l")
              .select(F.col("__id").alias("id_left"),
-                     F.col("__ng").alias("__na"), "gram")
+                     F.col("__ng").alias("__na"),
+                     F.col("__rn").alias("__ra"), "gram")
              .join(pref.where(F.col("__side") == "r")
                    .select(F.col("__id").alias("id_right"),
-                           F.col("__ng").alias("__nb"), "gram"), "gram")
-             .where(F.least("__na", "__nb")
-                    >= F.lit(threshold) * F.greatest("__na", "__nb")
-                    - F.lit(1e-9))
+                           F.col("__ng").alias("__nb"),
+                           F.col("__rn").alias("__rb"), "gram"), "gram")
+             .where((F.least("__na", "__nb")
+                     >= F.lit(threshold) * F.greatest("__na", "__nb")
+                     - F.lit(1e-9))
+                    # positional filter — see ngram_jaccard_pairs
+                    & (F.lit(1) + F.least(F.col("__na") - F.col("__ra"),
+                                          F.col("__nb") - F.col("__rb"))
+                       >= ov_req))
              .select("id_left", "id_right")
              .dropDuplicates(["id_left", "id_right"]))
 
