@@ -1631,6 +1631,46 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
 """
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PaLM-style contamination audit: per eval doc (doc_id % 5 == 0),
+    the fraction of its distinct 5-grams that appear anywhere in the
+    train split — inverted-index shape (train collapses to a distinct
+    gram set, eval semi-joins), no pairwise work."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return DD.contamination_report(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0), n=5)
+
+
+_ORACLE_CONTAMINATION_REPORT = r"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+), tg AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 5 != 0
+), eg AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % 5 = 0
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY 1
+), hit AS (
+  SELECT doc_id, count(*) AS n_hit FROM eg JOIN tg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(t.n_grams, 0) > 0
+            THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams
+            ELSE 0.0 END AS contamination_frac
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % 5 = 0
+"""
+
+
 def _q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-doc repetition metrics (mode-token fraction,
     duplicate-bigram fraction) with keep/drop flags — pure set/count
@@ -2529,6 +2569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "verified_near_dup_clusters": _q_verified_near_dup_clusters,
     # -- round-5 additions: decontamination / repetition / sampling ------
     "decontamination_pairs": _q_decontamination_pairs,
+    "contamination_report": _q_contamination_report,
     "repetition_flags": _q_repetition_flags,
     "stratified_docs_sample": _q_stratified_docs_sample,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
@@ -2653,6 +2694,7 @@ ORACLES: dict[str, str] = {
     "verified_near_dup_pairs": _ORACLE_NGRAM_JACCARD,
     "verified_near_dup_clusters": _ORACLE_NEAR_DUP_CLUSTERS,
     "decontamination_pairs": _ORACLE_DECONTAMINATION,
+    "contamination_report": _ORACLE_CONTAMINATION_REPORT,
     "repetition_flags": _ORACLE_REPETITION,
     "stratified_docs_sample": _ORACLE_STRATIFIED,
     "events_json_stats": _EVENTS_JSON_ORACLE,

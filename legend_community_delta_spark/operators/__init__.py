@@ -15,6 +15,7 @@ from .curation import (
     token_budget_cut,
 )
 from .dedup import (
+    contamination_report,
     cross_ngram_jaccard_pairs,
     decontaminate,
     dedup_stats,
@@ -61,7 +62,8 @@ from .sketches import (
 __all__ = [
     "ann_recall", "asof_join", "audio_features", "broadcast_join",
     "build_ivf_index", "build_lsh_index", "connected_components",
-    "cosine_topk", "cosine_topk_many", "cross_ngram_jaccard_pairs",
+    "contamination_report", "cosine_topk", "cosine_topk_many",
+    "cross_ngram_jaccard_pairs",
     "curate_corpus", "curate_provenance", "decode_images",
     "decontaminate", "dedup_stats",
     "deterministic_sample", "drop_near_dups", "embedding_dedup",

@@ -674,6 +674,43 @@ def cross_ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
             .select("id_left", "id_right", "jaccard"))
 
 
+def contamination_report(train: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 5) -> DataFrame:
+    """Per-eval-doc n-gram contamination fractions — the report-style
+    complement to :func:`cross_ngram_jaccard_pairs`: instead of pairwise
+    similarity it answers "what fraction of each eval doc's distinct
+    n-grams occur ANYWHERE in the training corpus" (the overlap metric
+    used for benchmark-contamination audits in LLM training reports).
+
+    Scale shape: the training side collapses to a distinct-gram set
+    (one linear aggregation — an inverted index key set, no doc ids
+    carried), and eval grams semi-join against it; no pairwise work at
+    all, so train size only affects the gram-set shuffle.  Eval docs
+    with no grams report ``n_grams = 0`` and fraction 0.0.
+
+    Returns ``(id, n_grams, n_hit, contamination_frac)``.
+    """
+    eg = eval_df.select(F.col(id_col).alias("__id"),
+                        F.explode(F.array_distinct(
+                            word_ngrams(text_col, n))).alias("gram"))
+    tg = (train.select(F.explode(F.array_distinct(
+        word_ngrams(text_col, n))).alias("gram")).distinct())
+    totals = eg.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (eg.join(tg, "gram", "left_semi")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_hit")))
+    return (eval_df.select(F.col(id_col).alias("__id"))
+            .join(totals, "__id", "left").join(hits, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+            .withColumn(
+                "contamination_frac",
+                F.when(F.col("n_grams") > 0,
+                       F.col("n_hit").cast("double") / F.col("n_grams"))
+                .otherwise(F.lit(0.0))))
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, threshold: float = 0.5) -> DataFrame:

@@ -424,6 +424,32 @@ def test_cross_ngram_jaccard_matches_self_join_restriction(spark):
     assert all(a % 5 != 0 and b % 5 == 0 for a, b in cross)
 
 
+def test_contamination_report_values(spark):
+    """Authored fixture: an eval doc fully inside train reports 1.0, a
+    half-overlapping doc the exact gram fraction, a disjoint doc 0.0,
+    an empty doc (0 grams) 0.0 — present in the output, not dropped."""
+    from pyspark.sql import Row
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=2, text="one two three four"),
+    ])
+    eval_df = spark.createDataFrame([
+        Row(doc_id=10, text="alpha beta gamma delta epsilon"),  # all in
+        Row(doc_id=11, text="one two three nine ten eleven"),   # partial
+        Row(doc_id=12, text="zz yy xx ww vv"),                  # none
+        Row(doc_id=13, text=""),                                # no grams
+    ])
+    out = {r["doc_id"]: r for r in DD.contamination_report(
+        train, eval_df, n=2).collect()}
+    assert out[10]["contamination_frac"] == 1.0 and out[10]["n_grams"] == 4
+    # doc 11 bigrams: one-two, two-three, three-nine, nine-ten, ten-eleven
+    # hits: one-two, two-three -> 2/5
+    assert out[11]["n_hit"] == 2 and out[11]["n_grams"] == 5
+    assert abs(out[11]["contamination_frac"] - 0.4) < 1e-12
+    assert out[12]["contamination_frac"] == 0.0 and out[12]["n_hit"] == 0
+    assert out[13]["n_grams"] == 0 and out[13]["contamination_frac"] == 0.0
+
+
 def test_decontaminate_drops_exactly_contaminated(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     left = docs.where("doc_id % 5 != 0")

@@ -218,3 +218,42 @@ def test_pure_parser_comparison_round_trip(a, b):
     ctx = Context(model=LegendModel())
     sql = to_sql(ast, ctx)
     assert sql == f"{a} + {b} > {b}"
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard == naive bucket plan, adversarial shapes
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+@st.composite
+def _doc_corpora(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=10))
+    docs = []
+    for i in range(n_docs):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=0,
+                              max_size=12))
+        docs.append((i, " ".join(words)))
+    thr = draw(st.sampled_from([0.1, 0.25, 1 / 3, 0.5, 2 / 3, 0.75, 0.9]))
+    return docs, thr
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus=_doc_corpora())
+def test_prefix_jaccard_fuzz_equals_bucket(spark, corpus):
+    """Differential fuzz for the AllPairs prefix+size+positional filters:
+    on tiny random corpora over a 6-word vocab (duplicate-heavy, empty
+    and single-gram docs included, thresholds incl. exact-integer t*|G|
+    boundaries) the filtered plan equals the naive bucket plan exactly."""
+    from legend_community_delta_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    docs, thr = corpus
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {}
+    for method in ("prefix", "bucket"):
+        out[method] = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, n=2, threshold=thr,
+                                         method=method).collect()}
+    assert out["prefix"] == out["bucket"]
