@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "verified_near_dup_pairs",
     "verified_near_dup_clusters",
+    "decontamination_pairs",
+    "contamination_report",
     "ann_cosine_topk",
 ]
 
