@@ -1671,6 +1671,66 @@ WHERE d.doc_id % 5 = 0
 """
 
 
+def _q_decontamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest screen: train docs (doc_id % 5 != 0) arrive as a
+    parquet stream and are scored against the static eval split's gram
+    set via one stream-static join + one stateful aggregation
+    (streaming/decontaminate_stream).  availableNow backfill == the
+    batch operator, so the DuckDB oracle is the same inverted-index SQL
+    with the splits' roles swapped."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .streaming import decontaminate_stream
+
+    docs = spark.table("documents")
+    tmp = tempfile.mkdtemp(prefix="legend_decontam_stream_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    (docs.where(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+     .write.mode("overwrite").parquet(src))
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    scored = decontaminate_stream(
+        stream, docs.where(F.col("doc_id") % 5 == 0), n=5)
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__decontam_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (scored.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(sink).select(
+        "doc_id", "n_grams", "n_hit", "contamination_frac")
+
+
+_ORACLE_DECONTAMINATION_STREAM = r"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+), eg AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 5 = 0
+), sg AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % 5 != 0
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM sg GROUP BY 1
+), hit AS (
+  SELECT doc_id, count(*) AS n_hit FROM sg JOIN eg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(t.n_grams, 0) > 0
+            THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams
+            ELSE 0.0 END AS contamination_frac
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % 5 != 0
+"""
+
+
 def _q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-doc repetition metrics (mode-token fraction,
     duplicate-bigram fraction) with keep/drop flags — pure set/count
@@ -2570,6 +2630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-5 additions: decontamination / repetition / sampling ------
     "decontamination_pairs": _q_decontamination_pairs,
     "contamination_report": _q_contamination_report,
+    "decontamination_stream": _q_decontamination_stream,
     "repetition_flags": _q_repetition_flags,
     "stratified_docs_sample": _q_stratified_docs_sample,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
@@ -2695,6 +2756,7 @@ ORACLES: dict[str, str] = {
     "verified_near_dup_clusters": _ORACLE_NEAR_DUP_CLUSTERS,
     "decontamination_pairs": _ORACLE_DECONTAMINATION,
     "contamination_report": _ORACLE_CONTAMINATION_REPORT,
+    "decontamination_stream": _ORACLE_DECONTAMINATION_STREAM,
     "repetition_flags": _ORACLE_REPETITION,
     "stratified_docs_sample": _ORACLE_STRATIFIED,
     "events_json_stats": _EVENTS_JSON_ORACLE,

@@ -110,3 +110,46 @@ def write_validated(df: DataFrame, target_table: str,
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def decontaminate_stream(stream: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 5,
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Continuous-ingest contamination screen: per-doc n-gram overlap of a
+    document STREAM against a static eval corpus — the streaming face of
+    :func:`..operators.dedup.contamination_report`.
+
+    The eval side collapses once to a distinct-gram batch DataFrame and
+    the exploded stream grams stream-static left-join against it (the
+    supported join class: stream on the left, bounded static on the
+    right), then one stateful aggregation keyed by doc produces
+    ``(id [, group_cols...], n_grams, n_hit, contamination_frac)``.
+    Zero-gram docs survive via ``explode_outer`` with fraction 0.0.
+
+    One stateful aggregation only (chained stream aggs are not generally
+    supported): write with ``outputMode("complete"/"update")``, or wrap
+    the downstream keep/drop filter in ``foreachBatch``.  State is one
+    row per doc — bounded by the micro-batch id space, and with
+    ``trigger(availableNow=True)`` backfills behave like the batch
+    operator (equality pinned against it in the contract oracle).
+    """
+    from ..functions.text import word_ngrams
+
+    keep = list(group_cols or [])
+    grams = stream.select(
+        F.col(id_col).alias("__id"), *keep,
+        F.explode_outer(F.array_distinct(word_ngrams(text_col, n)))
+        .alias("gram"))
+    tg = (eval_df.select(F.explode(F.array_distinct(
+        word_ngrams(text_col, n))).alias("gram"))
+        .distinct().withColumn("__hit", F.lit(1)))
+    return (grams.join(tg, "gram", "left")
+            .groupBy("__id", *keep)
+            .agg(F.count("gram").alias("n_grams"),
+                 F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"))
+            .select(F.col("__id").alias(id_col), *keep,
+                    "n_grams", "n_hit",
+                    F.when(F.col("n_grams") > 0,
+                           F.col("n_hit").cast("double") / F.col("n_grams"))
+                    .otherwise(F.lit(0.0)).alias("contamination_frac")))

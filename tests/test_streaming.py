@@ -187,3 +187,43 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     expect = {(r["user_id"], r["event_id"], r["p_ts"])
               for r in batch.collect()}
     assert got == expect and len(expect) > 0
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """availableNow streaming contamination screen == the batch
+    contamination_report with the corpus roles swapped (stream docs
+    scored against the static eval gram set), including a zero-gram doc
+    surviving with fraction 0.0."""
+    from pyspark.sql import Row, functions as F
+    from legend_community_delta_spark.operators.dedup import (
+        contamination_report)
+    from legend_community_delta_spark.streaming import decontaminate_stream
+
+    incoming = [
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="zz yy xx ww vv uu"),
+        Row(doc_id=3, text=""),
+    ]
+    eval_rows = [Row(doc_id=100, text="alpha beta gamma nine ten")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(incoming).write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    eval_df = spark.createDataFrame(eval_rows)
+    q = (decontaminate_stream(stream, eval_df, n=2)
+         .writeStream.format("memory").queryName("__decontam_t")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["doc_id"]: (r["n_grams"], r["n_hit"],
+                         round(r["contamination_frac"], 9))
+           for r in spark.table("__decontam_t").collect()}
+    want = {r["doc_id"]: (r["n_grams"], r["n_hit"],
+                          round(r["contamination_frac"], 9))
+            for r in contamination_report(
+                eval_df, spark.createDataFrame(incoming), n=2).collect()}
+    assert got == want
+    assert got[1] == (3, 2, round(2 / 3, 9))   # alpha-beta, beta-gamma hit
+    assert got[3] == (0, 0, 0.0)               # empty doc present, 0.0
