@@ -226,7 +226,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
 
 
 def stratified_sample_exact(df: DataFrame, strata_col: str,
-                            n_per_stratum: int,
+                            n_per_stratum: int | dict,
                             id_col: str = "doc_id") -> DataFrame:
     """Deterministic exact-count stratified sample: the *n_per_stratum*
     rows per stratum that rank first under a pseudo-random but
@@ -236,6 +236,11 @@ def stratified_sample_exact(df: DataFrame, strata_col: str,
     yields the SAME rows on every engine and every cluster layout,
     so training-data mixtures are auditable and re-buildable.
 
+    Pass a ``{stratum: count}`` dict to build a data MIXTURE with
+    per-stratum target counts (strata absent from the dict are
+    dropped) — the construction step after a mixture-weighting decision
+    (e.g. ``count**alpha`` temperature weights).
+
     Scale shape: one shuffle on *strata_col*; the ``row_number`` rank
     filter compiles to Spark's WindowGroupLimit, so each task keeps a
     running top-n per stratum instead of sorting whole strata.  Skewed
@@ -243,8 +248,17 @@ def stratified_sample_exact(df: DataFrame, strata_col: str,
     """
     w = (Window.partitionBy(strata_col)
          .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    if isinstance(n_per_stratum, dict):
+        for v in n_per_stratum.values():
+            if v < 0:
+                raise ValueError(f"negative stratum count [{v}]")
+        limit = F.create_map(*[
+            lit for k, v in n_per_stratum.items()
+            for lit in (F.lit(k), F.lit(int(v)))])[F.col(strata_col)]
+    else:
+        limit = F.lit(int(n_per_stratum))
     return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= F.lit(n_per_stratum))
+            .where(limit.isNotNull() & (F.col("__rn") <= limit))
             .drop("__rn"))
 
 

@@ -473,3 +473,24 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     # rank filter compiles to the running-top-n physical operator
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_exact_mixture_dict(spark):
+    """Dict mode builds a mixture with exact per-stratum targets; absent
+    strata drop; the selected rows for a stratum are the same rows the
+    int mode selects (same deterministic order, just per-stratum n)."""
+    from legend_community_delta_spark.operators.curation import (
+        stratified_sample_exact)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mix = {"en": 30, "fr": 5}
+    got = stratified_sample_exact(docs, "lang", mix).collect()
+    from collections import Counter
+    per = Counter(r["lang"] for r in got)
+    assert dict(per) == mix
+    flat10 = {(r["lang"], r["doc_id"]) for r in
+              stratified_sample_exact(docs, "lang", 30).collect()
+              if r["lang"] == "en"}
+    assert {(r["lang"], r["doc_id"]) for r in got
+            if r["lang"] == "en"} == flat10
+    with pytest.raises(ValueError):
+        stratified_sample_exact(docs, "lang", {"en": -1})

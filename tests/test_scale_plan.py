@@ -252,3 +252,20 @@ def test_stratified_sample(spark):
                               "lang", "doc_id")
     assert sorted(r["doc_id"] for r in out.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_contamination_family_plan_shapes(spark):
+    """Decontamination plans: candidate generation and the inverted-index
+    report are equi-join only — never a cartesian/nested-loop product,
+    and the report's train side reaches the join as a semi-join key set
+    (no doc ids carried)."""
+    demo.ensure_views(spark, SF_DIR)
+    for name in ("decontamination_pairs", "contamination_report",
+                 "repetition_flags", "stratified_docs_sample"):
+        plan = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    report = _plan(demo.QUERIES["contamination_report"](spark, SF_DIR))
+    assert "LeftSemi" in report
+    sample = _plan(demo.QUERIES["stratified_docs_sample"](spark, SF_DIR))
+    assert "WindowGroupLimit" in sample
