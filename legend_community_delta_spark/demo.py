@@ -1777,6 +1777,31 @@ JOIN dng d USING (doc_id)
 """
 
 
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture plan over languages (alpha=0.5
+    upsamples the small langs): weights fixed-point-quantized so both
+    engines emit bit-identical integer plans — a mixture plan is an
+    audit artifact, it must reproduce exactly."""
+    ensure_views(spark, sf_dir)
+    from .operators.curation import mixture_weights
+    return mixture_weights(spark.table("documents"), "lang",
+                           alpha=0.5, total_docs=300)
+
+
+_ORACLE_MIXTURE_PLAN = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+q AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / 1e-06) AS BIGINT) AS w
+  FROM c
+), t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM q)
+SELECT lang, n_docs,
+       CAST(floor(w * 1000000 / tw) AS BIGINT) AS weight_ppm,
+       CAST(floor(w * 300 / tw) AS BIGINT) AS target_docs
+FROM q, t
+"""
+
+
 def _q_stratified_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-count stratified sample: 40 docs per language
     (strata are uneven: en has ~4x the docs of fr at this SF, so the
@@ -2632,6 +2657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_report": _q_contamination_report,
     "decontamination_stream": _q_decontamination_stream,
     "repetition_flags": _q_repetition_flags,
+    "mixture_plan": _q_mixture_plan,
     "stratified_docs_sample": _q_stratified_docs_sample,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
@@ -2758,6 +2784,7 @@ ORACLES: dict[str, str] = {
     "contamination_report": _ORACLE_CONTAMINATION_REPORT,
     "decontamination_stream": _ORACLE_DECONTAMINATION_STREAM,
     "repetition_flags": _ORACLE_REPETITION,
+    "mixture_plan": _ORACLE_MIXTURE_PLAN,
     "stratified_docs_sample": _ORACLE_STRATIFIED,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,

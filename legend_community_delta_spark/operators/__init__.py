@@ -10,6 +10,7 @@ from .asof import asof_join, range_join
 from .curation import (
     curate_corpus,
     curate_provenance,
+    mixture_weights,
     repetition_metrics,
     stratified_sample_exact,
     token_budget_cut,
@@ -70,6 +71,7 @@ __all__ = [
     "exact_dedup", "extract_image_features", "hll_shard_sketches",
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
+    "mixture_weights",
     "ngram_jaccard_pairs", "query_ivf_index", "query_lsh_index",
     "range_join", "read_sketch_estimates", "repetition_metrics",
     "resize_images", "salted_join", "sample_video_frames",

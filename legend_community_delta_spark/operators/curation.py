@@ -262,6 +262,48 @@ def stratified_sample_exact(df: DataFrame, strata_col: str,
             .drop("__rn"))
 
 
+def mixture_weights(df: DataFrame, strata_col: str, alpha: float = 0.5,
+                    total_docs: int = 1_000_000,
+                    quantum: float = 1e-6) -> DataFrame:
+    """Temperature-weighted data-mixture plan: per-stratum target counts
+    proportional to ``count**alpha`` (alpha < 1 upsamples small strata —
+    the standard multilingual/multi-source temperature trick; alpha=1 is
+    proportional, alpha=0 uniform).
+
+    Weights are QUANTIZED to integer multiples of *quantum* before
+    normalization, so the whole plan is integer arithmetic after the
+    single ``pow``: the emitted ``(weight_ppm, target_docs)`` are
+    bit-identical on any engine, cluster layout, or summation order —
+    mixture plans are audit artifacts and must reproduce exactly.
+    (A raw ``sum(double)`` normalizer varies in the last ulp with
+    summation order; the fixed-point sum does not.)
+
+    Scale shape: one groupBy on *strata_col*; the normalizing window is
+    global but runs over one row per stratum — metadata-sized, the same
+    class as ``token_budget_cut``'s bucket-offset window.
+
+    Returns ``(strata_col, n_docs, weight_ppm, target_docs)``; feed
+    ``dict(rows)`` of ``(stratum, target_docs)`` to
+    :func:`stratified_sample_exact` to materialize the mixture.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if alpha == 0.5:
+        w = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        w = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    q = counts.withColumn(
+        "__w", F.floor(w / F.lit(float(quantum))).cast("long"))
+    tot = Window.partitionBy()
+    return (q.withColumn("__tw", F.sum("__w").over(tot))
+            .select(strata_col, "n_docs",
+                    F.floor(F.col("__w") * F.lit(1_000_000)
+                            / F.col("__tw")).cast("long")
+                    .alias("weight_ppm"),
+                    F.floor(F.col("__w") * F.lit(int(total_docs))
+                            / F.col("__tw")).cast("long")
+                    .alias("target_docs")))
+
+
 def _near_dup_pairs(exact: DataFrame, text_col: str, id_col: str,
                     backend: str, threshold: float, ngram_n: int,
                     ) -> DataFrame:

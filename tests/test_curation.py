@@ -494,3 +494,32 @@ def test_stratified_sample_exact_mixture_dict(spark):
             if r["lang"] == "en"} == flat10
     with pytest.raises(ValueError):
         stratified_sample_exact(docs, "lang", {"en": -1})
+
+
+def test_mixture_weights_end_to_end(spark):
+    """Temperature weighting: alpha=0.5 gives small strata a larger share
+    than proportional; the emitted targets feed stratified_sample_exact
+    and materialize exactly; ppm weights are integers summing to <= 1e6."""
+    from legend_community_delta_spark.operators.curation import (
+        mixture_weights, stratified_sample_exact)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = {r["lang"]: r for r in
+            mixture_weights(docs, "lang", alpha=0.5, total_docs=120)
+            .collect()}
+    n_total = sum(r["n_docs"] for r in plan.values())
+    smallest = min(plan.values(), key=lambda r: r["n_docs"])
+    largest = max(plan.values(), key=lambda r: r["n_docs"])
+    assert smallest["n_docs"] < largest["n_docs"]  # strata are uneven
+    # temperature: small stratum's share exceeds its proportional share,
+    # large stratum's falls below
+    assert (smallest["weight_ppm"] / 1e6
+            > smallest["n_docs"] / n_total)
+    assert (largest["weight_ppm"] / 1e6
+            < largest["n_docs"] / n_total)
+    assert sum(r["weight_ppm"] for r in plan.values()) <= 1_000_000
+    targets = {k: r["target_docs"] for k, r in plan.items()}
+    assert all(t <= plan[k]["n_docs"] for k, t in targets.items())
+    got = stratified_sample_exact(docs, "lang", targets).collect()
+    from collections import Counter
+    assert dict(Counter(r["lang"] for r in got)) == {
+        k: t for k, t in targets.items() if t > 0}

@@ -257,3 +257,18 @@ def test_prefix_jaccard_fuzz_equals_bucket(spark, corpus):
             for r in ngram_jaccard_pairs(df, n=2, threshold=thr,
                                          method=method).collect()}
     assert out["prefix"] == out["bucket"]
+    # cross-corpus variant: parity split must equal the bucket self-join
+    # restricted to (even, odd) memberships
+    from legend_community_delta_spark.operators.dedup import (
+        cross_ngram_jaccard_pairs)
+    cross = {(r["id_left"], r["id_right"]): round(r["jaccard"], 9)
+             for r in cross_ngram_jaccard_pairs(
+                 df.where("doc_id % 2 = 0"), df.where("doc_id % 2 = 1"),
+                 n=2, threshold=thr).collect()}
+    want = {}
+    for (a, b), j in out["bucket"].items():
+        if a % 2 == 0 and b % 2 == 1:
+            want[(a, b)] = j
+        elif a % 2 == 1 and b % 2 == 0:
+            want[(b, a)] = j
+    assert cross == want
