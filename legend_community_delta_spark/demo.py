@@ -1802,6 +1802,43 @@ FROM q, t
 """
 
 
+def _q_pack_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout: exact per-doc offsets and chunk spans in
+    the id-ordered concatenated token stream (chunk = 256 tokens) — the
+    concat+chunk step of training-data prep as an engine-side plan.
+    Oracle: naive global running-sum window in DuckDB; the Spark side
+    uses the bucketed two-level prefix sum (no global window)."""
+    ensure_views(spark, sf_dir)
+    from .operators.curation import pack_plan
+    return pack_plan(spark.table("documents"), chunk_tokens=256,
+                     n_buckets=16)
+
+
+_ORACLE_PACK_PLAN = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 256) AS BIGINT) AS chunk_first,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN floor((start_offset + n_tokens - 1) / 256)
+                 ELSE floor(start_offset / 256) END AS BIGINT) AS chunk_last,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN floor((start_offset + n_tokens - 1) / 256)
+                      - floor(start_offset / 256) + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks_spanned
+FROM c
+"""
+
+
 def _q_stratified_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-count stratified sample: 40 docs per language
     (strata are uneven: en has ~4x the docs of fr at this SF, so the
@@ -2658,6 +2695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_stream": _q_decontamination_stream,
     "repetition_flags": _q_repetition_flags,
     "mixture_plan": _q_mixture_plan,
+    "pack_plan_docs": _q_pack_plan_docs,
     "stratified_docs_sample": _q_stratified_docs_sample,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
@@ -2785,6 +2823,7 @@ ORACLES: dict[str, str] = {
     "decontamination_stream": _ORACLE_DECONTAMINATION_STREAM,
     "repetition_flags": _ORACLE_REPETITION,
     "mixture_plan": _ORACLE_MIXTURE_PLAN,
+    "pack_plan_docs": _ORACLE_PACK_PLAN,
     "stratified_docs_sample": _ORACLE_STRATIFIED,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,

@@ -11,6 +11,7 @@ from .curation import (
     curate_corpus,
     curate_provenance,
     mixture_weights,
+    pack_plan,
     repetition_metrics,
     stratified_sample_exact,
     token_budget_cut,
@@ -72,7 +73,8 @@ __all__ = [
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
     "mixture_weights",
-    "ngram_jaccard_pairs", "query_ivf_index", "query_lsh_index",
+    "ngram_jaccard_pairs", "pack_plan", "query_ivf_index",
+    "query_lsh_index",
     "range_join", "read_sketch_estimates", "repetition_metrics",
     "resize_images", "salted_join", "sample_video_frames",
     "simhash_dedup", "stratified_sample", "stratified_sample_exact",

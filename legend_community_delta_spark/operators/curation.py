@@ -131,11 +131,27 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
     *prefix_len*.  Same selected set as a global
     ``Window.orderBy(id)`` running sum, at any scale.
     """
+    cum = _id_ordered_cumsum(df, text_col, id_col, n_buckets,
+                             prefix_len, string_bucketing)
+    if cum is None:
+        return df
+    return (cum.where(F.col("__cum") <= F.lit(max_tokens))
+            .drop("__tok", "__b", "__off", "__cum"))
+
+
+def _id_ordered_cumsum(df: DataFrame, text_col: str, id_col: str,
+                       n_buckets: int, prefix_len: int,
+                       string_bucketing: str) -> DataFrame | None:
+    """Shared engine of :func:`token_budget_cut` / :func:`pack_plan`:
+    the bucketed two-level prefix sum.  Returns *df* plus ``__tok``
+    (per-doc token count) and ``__cum`` (INCLUSIVE id-ordered running
+    token total, exact at any scale — no corpus-wide single-partition
+    window), or ``None`` for an empty numeric-id frame."""
     dt = df.schema[id_col].dataType
     if isinstance(dt, NumericType):
         lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
         if lo is None:
-            return df
+            return None
         width = max(1, math.ceil((int(hi) - int(lo) + 1) / n_buckets))
         bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width))
     elif isinstance(dt, StringType):
@@ -150,7 +166,7 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
             # prefix order is consistent with full lexicographic id order
             bucket = F.substring(F.col(id_col), 1, prefix_len)
     else:
-        raise TypeError(f"token_budget_cut: unsupported id type {dt}")
+        raise TypeError(f"id-ordered cumsum: unsupported id type {dt}")
 
     with_tok = (df.withColumn("__tok", token_count(text_col).cast("long"))
                   .withColumn("__b", bucket))
@@ -162,9 +178,55 @@ def token_budget_cut(df: DataFrame, text_col: str = "text",
     w_doc = (Window.partitionBy("__b").orderBy(id_col)
              .rowsBetween(Window.unboundedPreceding, 0))
     return (with_tok.join(F.broadcast(offsets), "__b")
-            .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_doc))
-            .where(F.col("__cum") <= F.lit(max_tokens))
-            .drop("__tok", "__b", "__off", "__cum"))
+            .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_doc)))
+
+
+def pack_plan(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", chunk_tokens: int = 2048,
+              n_buckets: int = 1024, prefix_len: int = 8,
+              string_bucketing: str = "quantile") -> DataFrame:
+    """Sequence-packing plan: concatenate the corpus in id order into one
+    token stream and cut fixed ``chunk_tokens`` blocks — per doc, its
+    exact offsets and the chunk ids it lands in.  This is the layout
+    step of LLM training-data preparation (concat + chunk); emitting it
+    as a PLAN (rather than materializing token arrays) keeps it engine
+    work: writers consume ``(start_offset, chunk_first, chunk_last)``
+    per doc and slice locally.
+
+    Same scalable two-level prefix sum as :func:`token_budget_cut` —
+    exact id-ordered offsets with no corpus-wide single-partition
+    window.  Zero-token docs carry ``chunk_last = chunk_first`` and
+    ``n_chunks_spanned = 0``.
+
+    Returns ``(id, n_tokens, start_offset, chunk_first, chunk_last,
+    n_chunks_spanned)``.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive [{chunk_tokens}]")
+    cum = _id_ordered_cumsum(df, text_col, id_col, n_buckets,
+                             prefix_len, string_bucketing)
+    if cum is None:
+        return (df.select(F.col(id_col))
+                .withColumn("n_tokens", F.lit(0).cast("long"))
+                .withColumn("start_offset", F.lit(0).cast("long"))
+                .withColumn("chunk_first", F.lit(0).cast("long"))
+                .withColumn("chunk_last", F.lit(0).cast("long"))
+                .withColumn("n_chunks_spanned", F.lit(0).cast("long")))
+    start = F.col("__cum") - F.col("__tok")
+    first = F.floor(start / F.lit(chunk_tokens)).cast("long")
+    last = F.when(F.col("__tok") > 0,
+                  F.floor((F.col("__cum") - 1) / F.lit(chunk_tokens)))\
+        .otherwise(first).cast("long")
+    return (cum.select(F.col(id_col),
+                       F.col("__tok").alias("n_tokens"),
+                       start.alias("start_offset"),
+                       first.alias("chunk_first"),
+                       last.alias("chunk_last"))
+            .withColumn(
+                "n_chunks_spanned",
+                F.when(F.col("n_tokens") > 0,
+                       F.col("chunk_last") - F.col("chunk_first") + 1)
+                .otherwise(F.lit(0)).cast("long")))
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text",

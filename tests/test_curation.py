@@ -523,3 +523,44 @@ def test_mixture_weights_end_to_end(spark):
     from collections import Counter
     assert dict(Counter(r["lang"] for r in got)) == {
         k: t for k, t in targets.items() if t > 0}
+
+
+def test_pack_plan_stream_properties(spark):
+    """Packing invariants: doc offsets tile the concatenated stream with
+    no gaps or overlaps in id order, chunk ids cover exactly
+    ceil(total/L), zero-token docs span 0 chunks, and the plan is
+    partitioning-independent (bucketed prefix sum == global window)."""
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.curation import pack_plan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    empty_doc = spark.createDataFrame(
+        [Row(doc_id=100_000, text="", lang="en", source="synthetic",
+             n_chars=0)], schema=docs.schema)
+    docs = docs.unionByName(empty_doc)
+    L = 128
+    rows = sorted((r["doc_id"], r["n_tokens"], r["start_offset"],
+                   r["chunk_first"], r["chunk_last"], r["n_chunks_spanned"])
+                  for r in pack_plan(docs, chunk_tokens=L,
+                                     n_buckets=16).collect())
+    # offsets tile the stream in id order
+    expect_start = 0
+    for _, n_tok, start, first, last, spanned in rows:
+        assert start == expect_start
+        assert first == start // L
+        if n_tok > 0:
+            assert last == (start + n_tok - 1) // L
+            assert spanned == last - first + 1
+        else:
+            assert (last, spanned) == (first, 0)
+        expect_start += n_tok
+    total = expect_start
+    assert max(r[4] for r in rows) == (total - 1) // L
+    assert rows[-1][0] == 100_000 and rows[-1][5] == 0  # empty doc
+    # partitioning-independent
+    rows7 = sorted((r["doc_id"], r["n_tokens"], r["start_offset"],
+                    r["chunk_first"], r["chunk_last"], r["n_chunks_spanned"])
+                   for r in pack_plan(docs.repartition(7), chunk_tokens=L,
+                                      n_buckets=16).collect())
+    assert rows7 == rows
+    with pytest.raises(ValueError):
+        pack_plan(docs, chunk_tokens=0)
