@@ -229,6 +229,16 @@ def pack_plan(df: DataFrame, text_col: str = "text",
                 .otherwise(F.lit(0)).cast("long")))
 
 
+def _dup_ngram_frac(text_col: str, n: int) -> F.Column:
+    """Fraction of word n-grams that repeat an earlier gram — pure Column
+    algebra (array ops, no shuffle); 0.0 for empty/NULL text."""
+    grams = word_ngrams(text_col, n)
+    return (F.when(F.size(grams) > 0,
+                   F.lit(1.0) - F.size(F.array_distinct(grams))
+                   .cast("double") / F.size(grams))
+            .otherwise(F.lit(0.0)))
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", ngram_n: int = 2,
                        max_top_token_frac: float = 0.2,
@@ -254,14 +264,10 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     (not NULL) so downstream boolean gates stay two-valued.
     """
     toks = tokens(text_col)
-    grams = word_ngrams(text_col, ngram_n)
     base = df.select(
         F.col(id_col).alias("__id"),
         toks.alias("__toks"),
-        F.when(F.size(grams) > 0,
-               F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
-               / F.size(grams))
-        .otherwise(F.lit(0.0)).alias("dup_ngram_frac"))
+        _dup_ngram_frac(text_col, ngram_n).alias("dup_ngram_frac"))
     tok_counts = (base.select("__id", F.explode_outer("__toks").alias("__t"))
                   .groupBy("__id", "__t")
                   .agg(F.count(F.lit(1)).alias("__c"))
@@ -384,13 +390,24 @@ def _near_dup_pairs(exact: DataFrame, text_col: str, id_col: str,
         "expected 'minhash', 'minhash_verified', or 'exact'")
 
 
+def _gate_predicate(text_col: str, min_quality: float,
+                    max_dup_ngram_frac: float | None) -> F.Column:
+    """Stage-1 keep predicate shared by the pipeline and its provenance:
+    quality floor plus the optional repetition ceiling."""
+    keep = quality_score(text_col) >= min_quality
+    if max_dup_ngram_frac is not None:
+        keep = keep & (_dup_ngram_frac(text_col, 2) <= max_dup_ngram_frac)
+    return keep
+
+
 def curate_provenance(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       min_quality: float = 0.5,
                       near_dup_threshold: float = 0.8,
                       max_tokens: int | None = None,
                       near_dup_backend: str = "exact",
-                      ngram_n: int = 5) -> DataFrame:
+                      ngram_n: int = 5,
+                      max_dup_ngram_frac: float | None = None) -> DataFrame:
     """Per-doc curation provenance: ``(id, drop_stage)`` with
     ``drop_stage ∈ {kept, quality, exact_dup, near_dup, budget}`` — the
     FIRST stage of :func:`curate_corpus` that drops each doc.
@@ -409,7 +426,8 @@ def curate_provenance(df: DataFrame, text_col: str = "text",
     the labels are exactly the pipeline's decisions, not a parallel
     re-implementation.
     """
-    gated = df.where(quality_score(text_col) >= min_quality)
+    keep = _gate_predicate(text_col, min_quality, max_dup_ngram_frac)
+    gated = df.where(keep)
     exact = exact_dedup(gated, text_col, id_col)
     pairs = _near_dup_pairs(exact, text_col, id_col, near_dup_backend,
                             near_dup_threshold, ngram_n)
@@ -420,8 +438,7 @@ def curate_provenance(df: DataFrame, text_col: str = "text",
     def ids(frame: DataFrame, flag: str) -> DataFrame:
         return frame.select(id_col).withColumn(flag, F.lit(1))
 
-    return (df.select(id_col,
-                      (quality_score(text_col) >= min_quality).alias("__q"))
+    return (df.select(id_col, keep.alias("__q"))
             .join(ids(exact, "__e"), id_col, "left")
             .join(ids(near, "__n"), id_col, "left")
             .join(ids(final, "__f"), id_col, "left")
@@ -445,6 +462,7 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                   collect_stats: bool = True,
                   near_dup_backend: str = "minhash",
                   ngram_n: int = 5,
+                  max_dup_ngram_frac: float | None = None,
                   ) -> tuple[DataFrame, dict[str, int]]:
     """See module docstring.  ``near_dup_backend`` picks the candidate-pair
     generator for stage 3:
@@ -460,6 +478,11 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
       deterministic integer set math (SQL-expressible, so the composed
       pipeline can be oracle-checked end-to-end), quadratic in shared-gram
       bucket size — use on modest corpora or behind a pre-filter.
+
+    ``max_dup_ngram_frac`` (optional) adds the Gopher-style repetition
+    cut to the stage-1 gate: docs whose duplicate-bigram fraction
+    exceeds it drop with the quality failures.  It is pure Column
+    algebra (:func:`_dup_ngram_frac`), so the gate stays narrow.
     """
     stats: dict[str, int] = {}
 
@@ -470,9 +493,10 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
 
     n("input", df)
 
-    # 1. quality gate (narrow)
+    # 1. quality gate (narrow; optional repetition cut rides along)
     gated = n("after_quality",
-              df.where(quality_score(text_col) >= min_quality))
+              df.where(_gate_predicate(text_col, min_quality,
+                                       max_dup_ngram_frac)))
 
     # 2. exact dedup
     exact = n("after_exact_dedup", exact_dedup(gated, text_col, id_col))

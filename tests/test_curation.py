@@ -564,3 +564,27 @@ def test_pack_plan_stream_properties(spark):
     assert rows7 == rows
     with pytest.raises(ValueError):
         pack_plan(docs, chunk_tokens=0)
+
+
+def test_curate_corpus_repetition_gate(spark):
+    """Opt-in Gopher repetition cut rides the stage-1 gate: a
+    keyword-stuffed doc that passes the quality floor drops when
+    max_dup_ngram_frac is set; provenance labels it 'quality'; default
+    behavior (None) is unchanged."""
+    from legend_community_delta_spark.operators.curation import (
+        curate_provenance)
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the woods to find some food for winter")
+    spam = "buy cheap now " * 15
+    rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=spam)]
+    df = spark.createDataFrame(rows)
+    kw = dict(min_quality=0.2, near_dup_threshold=0.9,
+              near_dup_backend="exact", ngram_n=3)
+    out_default, _ = curate_corpus(df, **kw)
+    assert sorted(r["doc_id"] for r in out_default.collect()) == [1, 2]
+    out_gated, stats = curate_corpus(df, max_dup_ngram_frac=0.5, **kw)
+    assert sorted(r["doc_id"] for r in out_gated.collect()) == [1]
+    assert stats["after_quality"] == 1
+    labels = {r["doc_id"]: r["drop_stage"] for r in
+              curate_provenance(df, max_dup_ngram_frac=0.5, **kw).collect()}
+    assert labels == {1: "kept", 2: "quality"}
