@@ -588,3 +588,16 @@ def test_curate_corpus_repetition_gate(spark):
     labels = {r["doc_id"]: r["drop_stage"] for r in
               curate_provenance(df, max_dup_ngram_frac=0.5, **kw).collect()}
     assert labels == {1: "kept", 2: "quality"}
+
+
+def test_pack_plan_window_is_bucket_partitioned(spark):
+    """The packing offsets must come from the bucketed prefix sum: every
+    per-doc running-sum window is partitioned by the bucket column, and
+    no corpus-wide single-partition window appears in the plan."""
+    from legend_community_delta_spark.operators.curation import pack_plan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (pack_plan(docs, chunk_tokens=256, n_buckets=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    doc_windows = [ln for ln in plan.splitlines()
+                   if "windowspecdefinition" in ln and "doc_id" in ln]
+    assert doc_windows and all("__b" in ln for ln in doc_windows)
