@@ -34,7 +34,12 @@ from .dedup import (
     winnow_candidate_pairs,
     write_signature_store,
 )
-from .graph import connected_components, drop_near_dups
+from .graph import (
+    cluster_representatives,
+    connected_components,
+    drop_near_dups,
+    drop_near_dups_keep_best,
+)
 from .joins import broadcast_join, salted_join, write_bucketed
 from .multimodal import (
     audio_features,
@@ -54,6 +59,15 @@ from .similarity import (
     query_ivf_index,
     query_lsh_index,
 )
+from .scoring import (
+    boilerplate_ngrams,
+    boilerplate_stats,
+    chunk_docs,
+    source_tv_distance,
+    top_n_per_group,
+    unigram_counts,
+    unigram_surprisal,
+)
 from .sketches import (
     hll_shard_sketches,
     merged_distinct,
@@ -62,13 +76,16 @@ from .sketches import (
 )
 
 __all__ = [
-    "ann_recall", "asof_join", "audio_features", "broadcast_join",
-    "build_ivf_index", "build_lsh_index", "connected_components",
+    "ann_recall", "asof_join", "audio_features", "boilerplate_ngrams",
+    "boilerplate_stats", "broadcast_join",
+    "build_ivf_index", "build_lsh_index", "chunk_docs",
+    "cluster_representatives", "connected_components",
     "contamination_report", "cosine_topk", "cosine_topk_many",
     "cross_ngram_jaccard_pairs",
     "curate_corpus", "curate_provenance", "decode_images",
     "decontaminate", "dedup_stats",
-    "deterministic_sample", "drop_near_dups", "embedding_dedup",
+    "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
+    "embedding_dedup",
     "exact_dedup", "extract_image_features", "hll_shard_sketches",
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
@@ -77,8 +94,10 @@ __all__ = [
     "query_lsh_index",
     "range_join", "read_sketch_estimates", "repetition_metrics",
     "resize_images", "salted_join", "sample_video_frames",
-    "simhash_dedup", "stratified_sample", "stratified_sample_exact",
-    "token_budget_cut", "verified_near_dup_pairs",
+    "simhash_dedup", "source_tv_distance", "stratified_sample",
+    "stratified_sample_exact",
+    "token_budget_cut", "top_n_per_group", "unigram_counts",
+    "unigram_surprisal", "verified_near_dup_pairs",
     "winnow_candidate_pairs", "write_bucketed", "write_signature_store",
     "write_sketch_store",
 ]

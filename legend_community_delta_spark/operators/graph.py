@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import IntegralType
 
 
@@ -106,5 +106,62 @@ def drop_near_dups(df: DataFrame, pairs: DataFrame,
     labels — the transitive-correct version of keep-first pair drops."""
     comp = connected_components(pairs)
     losers = (comp.where(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
+def cluster_representatives(df: DataFrame, pairs: DataFrame,
+                            score_col: str,
+                            id_col: str = "doc_id") -> DataFrame:
+    """One row per near-dup component: the member that maximizes
+    *score_col* (ties broken by minimum id — deterministic on any
+    engine), plus the member count.  Returns ``(component, rep_id,
+    rep_score, n_members)``.
+
+    Min-id survivor selection (:func:`drop_near_dups`) throws away
+    information: when a cluster holds one clean page and nine mangled
+    re-crawls of it, a pipeline wants the CLEAN one.  Feeding a quality
+    score here keeps the best member per cluster instead of the
+    arbitrary smallest id.
+
+    Scale shape: component labels from :func:`connected_components`;
+    scores travel via one ids-only equi-join; the argmax is a
+    row_number window keyed by component that compiles to
+    WindowGroupLimit (running top-1 per task, no full cluster sort),
+    plus one metadata-light groupBy for member counts.
+    """
+    return _reps(connected_components(pairs), df, score_col, id_col)
+
+
+def _reps(comp: DataFrame, df: DataFrame, score_col: str,
+          id_col: str) -> DataFrame:
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc_nulls_last(), F.col("id"))
+    reps = (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("component", F.col("id").alias("rep_id"),
+                    F.col("__s").alias("rep_score")))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return reps.join(sizes, "component")
+
+
+def drop_near_dups_keep_best(df: DataFrame, pairs: DataFrame,
+                             score_col: str,
+                             id_col: str = "doc_id") -> DataFrame:
+    """:func:`drop_near_dups` with quality-aware survivor selection:
+    keep each component's maximum-*score_col* member (tie → min id)
+    instead of the minimum id; docs in no pair are untouched.  Same
+    anti-join shape — only the survivor choice differs.  Component
+    labels are computed ONCE and reused for both the argmax and the
+    loser set (the iterative CC rounds already localCheckpoint, so the
+    reuse is a cache hit, not a re-run)."""
+    comp = connected_components(pairs)
+    reps = _reps(comp, df, score_col, id_col)
+    losers = (comp.join(reps.select("component", "rep_id"), "component")
+              .where(F.col("id") != F.col("rep_id"))
               .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,254 @@
+"""Corpus-statistics scoring operators for training-data pipelines.
+
+Extension surface beyond the reference's query operators (the reference
+stops at schema/constraint validation — ``Legend.scala`` /
+``LegendDataFrame.scala``); these are the corpus-level statistics a
+pretraining pipeline runs between validation and tokenization:
+
+* :func:`unigram_surprisal` — per-doc mean negative log-probability
+  under the corpus's own unigram MLE model: the classic cheap
+  perplexity proxy for quality filtering (CCNet-style, without the
+  external KenLM model — the corpus is its own LM).
+* :func:`source_tv_distance` — per-source total-variation distance
+  between the source's token distribution and the corpus distribution:
+  distribution-drift monitoring for mixture decisions.
+* :func:`boilerplate_ngrams` / :func:`boilerplate_stats` — word n-grams
+  shared by an anomalous fraction of documents (templates, headers,
+  navigation chrome) and each doc's fraction of such grams — the
+  within-corpus counterpart of cross-corpus decontamination.
+* :func:`chunk_docs` — sliding-window chunking with overlap (size +
+  stride), the tokenizer-feeding layout when docs exceed the context
+  window; complements ``curation.pack_plan`` (concat-and-cut) with the
+  per-doc-window variant.
+* :func:`top_n_per_group` — quality-ordered per-group caps ("keep the
+  best N docs per domain"), the deterministic version of per-source
+  downsampling.
+
+All pure Column algebra + linear-shuffle aggregations — no Python UDFs,
+no driver materialization, every shuffle keyed by (id), (token) or
+(gram) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import tokens, word_ngrams
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram counts ``(token, n)`` — one explode + one
+    partial-aggregated groupBy keyed by token.  The MLE unigram model
+    every other function here prices tokens against."""
+    return (df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc mean surprisal (negative natural-log likelihood per token)
+    under the corpus unigram MLE model:
+
+    ``mean_neg_logprob = ln(N) − avg(ln(count(token)))``
+
+    where N is the corpus token total — low values ≈ common-word text,
+    high values ≈ rare-token text (both tails are quality signals: the
+    CCNet recipe keeps the middle).  Token-less docs get ``n_tokens=0``
+    and NULL surprisal (no distribution to price against — callers
+    decide; a silent 0.0 would rank empty docs as maximally fluent).
+
+    Scale shape: token table from :func:`unigram_counts` (linear);
+    pricing join keyed by token (linear shuffle, AQE may broadcast a
+    small vocab); per-doc aggregate keyed by id; the corpus total
+    enters as a one-row broadcast cross join — no collect, one plan.
+    """
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__N"))
+    per_doc = (toks.join(counts, "token")
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.avg(F.log("__c")).alias("__avg_ln_c")))
+    return (df.select(F.col(id_col))
+            .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+            .crossJoin(F.broadcast(total))
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    (F.log("__N") - F.col("__avg_ln_c"))
+                    .alias("mean_neg_logprob")))
+
+
+def source_tv_distance(df: DataFrame, strata_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Per-stratum total-variation distance between the stratum's token
+    distribution and the whole-corpus token distribution:
+
+    ``TV(s) = 0.5 * Σ_t |p_s(t) − p(t)|  ∈ [0, 1]``
+
+    0 = the source reads like the corpus; →1 = disjoint vocabulary.
+    The drift monitor behind mixture re-weighting decisions.
+
+    Tokens ABSENT from a stratum still contribute ``p(t)`` to its sum;
+    materializing the (stratum × vocab) cross product for them would be
+    quadratic, so the absent mass is folded in algebraically:
+
+    ``Σ_{t∉s} |0 − p(t)| = 1 − Σ_{t∈s} p(t)``
+
+    leaving only the per-(stratum, token) rows that actually exist.
+    Scale shape: two linear groupBys (stratum×token, token), one join
+    keyed by token, one-row broadcast for the corpus total.
+    """
+    toks = df.select(F.col(strata_col).alias("__s"),
+                     F.explode(tokens(text_col)).alias("token"))
+    st = toks.groupBy("__s", "token").agg(F.count(F.lit(1)).alias("__cst"))
+    tot_t = st.groupBy("token").agg(F.sum("__cst").alias("__ct"))
+    tot_s = st.groupBy("__s").agg(F.sum("__cst").alias("__ns"))
+    total = tot_t.agg(F.sum("__ct").alias("__N"))
+    p_s = F.col("__cst").cast("double") / F.col("__ns")
+    p_t = F.col("__ct").cast("double") / F.col("__N")
+    return (st.join(tot_t, "token")
+            .join(tot_s, "__s")
+            .crossJoin(F.broadcast(total))
+            .groupBy("__s", "__ns")
+            .agg(F.sum(F.abs(p_s - p_t)).alias("__present_diff"),
+                 F.sum(p_t).alias("__present_mass"))
+            .select(F.col("__s").alias(strata_col),
+                    F.col("__ns").cast("long").alias("n_tokens"),
+                    (F.lit(0.5) * (F.col("__present_diff")
+                                   + F.lit(1.0) - F.col("__present_mass")))
+                    .alias("tv_distance")))
+
+
+def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 5,
+                       min_doc_frac: float = 0.05) -> DataFrame:
+    """Word *n*-grams appearing in at least ``min_doc_frac`` of documents
+    — template/boilerplate text (headers, footers, navigation, license
+    blurbs) that repeats across documents without being an exact-dup or
+    near-dup signal.  Returns ``(gram, n_docs, doc_frac)``.
+
+    Scale shape: per-doc DISTINCT grams (array_distinct is narrow),
+    explode, one groupBy keyed by gram; the corpus doc count enters as
+    a one-row broadcast.  Linear in total gram volume.
+    """
+    grams = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(F.array_distinct(
+                           word_ngrams(text_col, n))).alias("gram"))
+             .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs")))
+    total = df.select(F.count(F.lit(1)).alias("__nd"))
+    return (grams.crossJoin(F.broadcast(total))
+            .withColumn("doc_frac",
+                        F.col("n_docs").cast("double") / F.col("__nd"))
+            .where(F.col("doc_frac") >= F.lit(float(min_doc_frac)))
+            .select("gram", "n_docs", "doc_frac"))
+
+
+def boilerplate_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5,
+                      min_doc_frac: float = 0.05) -> DataFrame:
+    """Per-doc boilerplate exposure: of the doc's distinct word *n*-grams,
+    the count and fraction that are corpus boilerplate per
+    :func:`boilerplate_ngrams`.  ``(id, n_grams, n_boiler, boiler_frac)``
+    — gram-less docs score 0.0 (not NULL) so threshold gates stay
+    two-valued.  The drop decision itself is a one-line ``where`` on the
+    result; keeping score and gate separate mirrors
+    ``curation.repetition_metrics``.
+
+    Scale shape: doc-gram explode joined to the (small, filtered)
+    boilerplate gram set keyed by gram, then one per-id aggregate —
+    linear; no gram×gram self-join anywhere.
+    """
+    boiler = boilerplate_ngrams(df, text_col, id_col, n, min_doc_frac)
+    doc_grams = df.select(F.col(id_col).alias("__id"),
+                          F.explode(F.array_distinct(
+                              word_ngrams(text_col, n))).alias("gram"))
+    hits = (doc_grams.join(boiler.select("gram"), "gram")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_boiler")))
+    per_doc = (doc_grams.groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_grams")))
+    return (df.select(F.col(id_col))
+            .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+            .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_boiler", F.lit(0)).cast("long")
+                    .alias("n_boiler"),
+                    F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                           F.coalesce("n_boiler", F.lit(0)).cast("double")
+                           / F.col("n_grams"))
+                    .otherwise(F.lit(0.0)).alias("boiler_frac")))
+
+
+def chunk_docs(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", size: int = 128,
+               stride: int | None = None) -> DataFrame:
+    """Sliding-window chunking: split each doc's token stream into
+    windows of ``size`` tokens starting every ``stride`` tokens (default
+    ``stride=size``: non-overlapping).  The final window is the partial
+    tail; docs shorter than ``size`` yield one chunk; token-less docs
+    yield none.  Returns ``(id, chunk_id, start_token, n_tokens,
+    chunk_text)`` with ``chunk_id`` 0-based per doc.
+
+    This is the per-doc-window layout (long-doc splitting for a fixed
+    context window, overlap for continuity); ``curation.pack_plan`` is
+    the cross-doc concat-and-cut layout — a pipeline typically chunks
+    oversize docs first, then packs.
+
+    Scale shape: pure Column algebra (sequence + transform + one
+    posexplode) — narrow, zero shuffle, whole-stage codegen; output is
+    partitioned exactly like the input.
+    """
+    if size <= 0:
+        raise ValueError(f"chunk size must be positive [{size}]")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"chunk stride must be positive [{stride}]")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # number of windows: 1 + ceil((n - size) / stride), min 1 for any
+    # non-empty doc; Spark's sequence() auto-steps DOWNWARD when stop <
+    # start, so the empty-doc case must be guarded, not left to sequence
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(
+            F.ceil((n - F.lit(size)).cast("double") / F.lit(stride)),
+            F.lit(0)).cast("int"))
+    idxs = F.when(n_chunks > 0,
+                  F.sequence(F.lit(0), n_chunks - F.lit(1)))\
+        .otherwise(F.array().cast("array<int>"))
+    start = F.col("chunk_id") * F.lit(stride)
+    return (df.select(F.col(id_col), toks.alias("__toks"),
+                      F.explode(idxs).alias("chunk_id"))
+            .select(id_col, "chunk_id",
+                    start.cast("long").alias("start_token"),
+                    F.least(F.lit(size), F.size("__toks") - start)
+                    .cast("long").alias("n_tokens"),
+                    F.array_join(F.slice("__toks", start + F.lit(1),
+                                         F.lit(size)), " ")
+                    .alias("chunk_text")))
+
+
+def top_n_per_group(df: DataFrame, group_col: str, n: int,
+                    order_col: str, id_col: str = "doc_id",
+                    descending: bool = True) -> DataFrame:
+    """Keep the top-``n`` rows of each group under ``order_col`` (ties
+    broken by ascending id — fully deterministic, engine-independent).
+    "Best 1000 docs per domain" / per-source caps: the quality-ordered
+    counterpart of ``curation.stratified_sample_exact``'s hash-ordered
+    sampling.
+
+    Scale shape: one shuffle keyed by *group_col*; the rank filter
+    compiles to WindowGroupLimit (per-task running top-n, no full group
+    sort — pinned in tests), so a skewed group costs its own partition,
+    not a cluster-wide sort.
+    """
+    if n <= 0:
+        raise ValueError(f"top_n_per_group needs n > 0 [{n}]")
+    order = (F.col(order_col).desc_nulls_last() if descending
+             else F.col(order_col).asc_nulls_last())
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.lit(int(n)))
+            .drop("__rn"))

@@ -1,0 +1,201 @@
+"""Unit tests for operators/scoring.py and the keep-best cluster
+functions in operators/graph.py — hand-computed goldens on tiny frames
+plus the plan-shape pins (WindowGroupLimit for the per-group caps)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from legend_community_delta_spark.operators.graph import (
+    cluster_representatives,
+    drop_near_dups,
+    drop_near_dups_keep_best,
+)
+from legend_community_delta_spark.operators.scoring import (
+    boilerplate_stats,
+    chunk_docs,
+    source_tv_distance,
+    top_n_per_group,
+    unigram_surprisal,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- surprisal
+
+def test_unigram_surprisal_hand_computed(spark):
+    # counts: a=3, b=2, c=1 -> N=6
+    df = _docs(spark, ["a a b", "a b c", ""])
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    ln = math.log
+    # doc 0: ln6 - (ln3 + ln3 + ln2)/3
+    assert out[0]["n_tokens"] == 3
+    assert abs(out[0]["mean_neg_logprob"]
+               - (ln(6) - (2 * ln(3) + ln(2)) / 3)) < 1e-12
+    # doc 1: ln6 - (ln3 + ln2 + ln1)/3
+    assert abs(out[1]["mean_neg_logprob"]
+               - (ln(6) - (ln(3) + ln(2)) / 3)) < 1e-12
+    # token-less doc: 0 tokens, NULL surprisal (documented; not 0.0)
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["mean_neg_logprob"] is None
+    # rare-token doc 1 is MORE surprising than common-token doc 0
+    assert out[1]["mean_neg_logprob"] > out[0]["mean_neg_logprob"]
+
+
+# ------------------------------------------------------------- TV distance
+
+def test_source_tv_distance_identity_and_split(spark):
+    rows = [Row(doc_id=1, source="only", text="a a b")]
+    one = spark.createDataFrame(rows)
+    got = source_tv_distance(one).collect()
+    assert len(got) == 1
+    assert abs(got[0]["tv_distance"]) < 1e-12  # single source == corpus
+
+    two = spark.createDataFrame([
+        Row(doc_id=1, source="A", text="a a"),
+        Row(doc_id=2, source="B", text="b b"),
+    ])
+    res = {r["source"]: r["tv_distance"]
+           for r in source_tv_distance(two).collect()}
+    # corpus: p(a)=p(b)=0.5; each source is a point mass -> TV = 0.5
+    assert abs(res["A"] - 0.5) < 1e-12
+    assert abs(res["B"] - 0.5) < 1e-12
+    for v in res.values():
+        assert 0.0 <= v <= 1.0
+
+
+# -------------------------------------------------------------- boilerplate
+
+def test_boilerplate_stats_template_detection(spark):
+    template = "all rights reserved by corp"
+    df = _docs(spark, [
+        f"{template} alpha beta gamma",
+        f"{template} delta epsilon zeta",
+        f"{template} eta theta iota",
+        "totally unrelated words only here",
+        "xy",  # fewer than n tokens -> zero grams -> 0.0 not NULL
+    ])
+    out = {r["doc_id"]: r for r in
+           boilerplate_stats(df, n=3, min_doc_frac=0.5).collect()}
+    # the 3 template grams appear in 3/5 = 0.6 >= 0.5 of docs
+    assert out[0]["n_boiler"] == 3
+    assert out[0]["n_grams"] == 6  # 8 tokens -> 6 trigrams
+    assert abs(out[0]["boiler_frac"] - 0.5) < 1e-12
+    assert out[3]["n_boiler"] == 0 and out[3]["boiler_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["boiler_frac"] == 0.0
+
+
+# ----------------------------------------------------------------- chunking
+
+def test_chunk_docs_windows(spark):
+    df = _docs(spark, ["t0 t1 t2 t3 t4", "s0 s1 s2", ""])
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"],
+         r["chunk_text"])
+        for r in chunk_docs(df, size=3, stride=2).collect())
+    assert got == [
+        (0, 0, 0, 3, "t0 t1 t2"),
+        (0, 1, 2, 3, "t2 t3 t4"),
+        (1, 0, 0, 3, "s0 s1 s2"),
+    ]  # empty doc emits no chunks
+
+
+def test_chunk_docs_partial_tail_and_reassembly(spark):
+    df = _docs(spark, ["a b c d"])
+    got = sorted((r["chunk_id"], r["n_tokens"], r["chunk_text"])
+                 for r in chunk_docs(df, size=3, stride=2).collect())
+    assert got == [(0, 3, "a b c"), (1, 2, "c d")]
+    # stride == size partitions the stream exactly: concat reassembles
+    packed = (chunk_docs(df, size=2).orderBy("chunk_id")
+              .agg(F.array_join(F.collect_list("chunk_text"), " "))
+              .first()[0])
+    assert packed == "a b c d"
+
+
+def test_chunk_every_token_covered(spark):
+    df = _docs(spark, ["w" + " w" * 76])  # 77 tokens
+    rows = chunk_docs(df, size=16, stride=10).collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r["start_token"],
+                             r["start_token"] + r["n_tokens"]))
+    assert covered == set(range(77))
+    assert all(r["n_tokens"] <= 16 for r in rows)
+
+
+# --------------------------------------------------------- per-group caps
+
+def test_top_n_per_group_caps_and_plan(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, grp=f"g{i % 3}", score=i * 7 % 11)
+         for i in range(30)])
+    out = top_n_per_group(df, "grp", 4, "score", id_col="doc_id")
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 4 for v in counts.values())
+    # per group, the kept scores are the 4 largest
+    for g in ("g0", "g1", "g2"):
+        kept = sorted(r["score"] for r in out.where(F.col("grp") == g)
+                      .collect())
+        best = sorted(r["score"] for r in df.where(F.col("grp") == g)
+                      .collect())[-4:]
+        assert kept == best
+    # rank filter must compile to the running top-n operator
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+# ------------------------------------------------- keep-best near-dup drop
+
+def _pairs(spark, edges):
+    schema = StructType([StructField("id_a", LongType()),
+                         StructField("id_b", LongType())])
+    return spark.createDataFrame(edges, schema)
+
+
+def test_cluster_representatives_argmax_and_sizes(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, q=10), Row(doc_id=2, q=99), Row(doc_id=3, q=10),
+        Row(doc_id=4, q=50), Row(doc_id=5, q=50),
+        Row(doc_id=6, q=1),  # isolated: not in any pair, not returned
+    ])
+    reps = {r["component"]: r for r in cluster_representatives(
+        df, _pairs(spark, [(1, 2), (2, 3), (4, 5)]), "q").collect()}
+    assert reps[1]["rep_id"] == 2 and reps[1]["rep_score"] == 99
+    assert reps[1]["n_members"] == 3
+    # tie on score 50 -> min id wins
+    assert reps[4]["rep_id"] == 4 and reps[4]["n_members"] == 2
+    assert set(reps) == {1, 4}
+
+
+def test_drop_near_dups_keep_best_vs_min_id(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, q=10), Row(doc_id=2, q=99), Row(doc_id=3, q=10),
+        Row(doc_id=4, q=7),
+    ])
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    best = sorted(r["doc_id"] for r in
+                  drop_near_dups_keep_best(df, pairs, "q").collect())
+    minid = sorted(r["doc_id"] for r in
+                   drop_near_dups(df, pairs).collect())
+    assert best == [2, 4]   # survivor = best quality
+    assert minid == [1, 4]  # survivor = min id
+    assert len(best) == len(minid)  # same one-per-component guarantee
+
+
+def test_drop_near_dups_keep_best_no_pairs_is_identity(spark):
+    df = spark.createDataFrame([Row(doc_id=1, q=1), Row(doc_id=2, q=2)])
+    out = drop_near_dups_keep_best(df, _pairs(spark, []), "q")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
