@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "decontamination_pairs",
     "contamination_report",
     "ann_cosine_topk",
+    "doc_surprisal",
+    "source_drift",
+    "boilerplate_docs",
+    "chunked_docs",
 ]
 
 

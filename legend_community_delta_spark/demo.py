@@ -2870,6 +2870,71 @@ FROM scored s JOIN sizes2 z USING (component) WHERE s.rn = 1
 """
 
 
+def _q_surprisal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest quality gate: documents arrive as a parquet
+    stream and are priced against the static corpus unigram model via
+    one stream-static join + one stateful aggregation
+    (streaming/surprisal_stream).  availableNow backfill over the full
+    corpus == the batch operator, so the oracle is ``doc_surprisal``'s
+    SQL verbatim."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .streaming import surprisal_stream
+
+    docs = spark.table("documents")
+    tmp = tempfile.mkdtemp(prefix="legend_surprisal_stream_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    scored = surprisal_stream(stream, docs)
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__surprisal_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (scored.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(sink).select(
+        "doc_id", "n_tokens",
+        F.round("mean_neg_logprob", 6).alias("mean_neg_logprob"))
+
+
+def _q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction by TOKENS: per-language token budgets filled
+    in the reproducible (md5(id), id) order — en capped hard, small langs
+    capped loosely, es/zh dropped (absent from the budget dict).  The
+    two-level md5-prefix prefix sum keeps every stratum parallel (no
+    one-partition-per-language window); selection is engine-independent,
+    so the whole mixture is auditable SQL."""
+    ensure_views(spark, sf_dir)
+    from .operators.curation import stratum_token_budget
+    return (stratum_token_budget(
+        spark.table("documents"), "lang",
+        {"en": 4000, "de": 2000, "fr": 9000})
+        .select("doc_id", "lang", "n_chars"))
+
+
+_ORACLE_TOKEN_BUDGET_MIXTURE = r"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         len(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_chars FROM c
+WHERE (lang = 'en' AND cum <= 4000)
+   OR (lang = 'de' AND cum <= 2000)
+   OR (lang = 'fr' AND cum <= 9000)
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -2915,6 +2980,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunked_docs": _q_chunked_docs,
     "best_per_source": _q_best_per_source,
     "near_dup_best_reps": _q_near_dup_best_reps,
+    "token_budget_mixture": _q_token_budget_mixture,
+    "surprisal_stream": _q_surprisal_stream,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3049,6 +3116,8 @@ ORACLES: dict[str, str] = {
     "chunked_docs": _ORACLE_CHUNKED_DOCS,
     "best_per_source": _ORACLE_BEST_PER_SOURCE,
     "near_dup_best_reps": _ORACLE_NEAR_DUP_BEST_REPS,
+    "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
+    "surprisal_stream": _ORACLE_DOC_SURPRISAL,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -14,6 +14,7 @@ from .curation import (
     pack_plan,
     repetition_metrics,
     stratified_sample_exact,
+    stratum_token_budget,
     token_budget_cut,
 )
 from .dedup import (
@@ -95,7 +96,7 @@ __all__ = [
     "range_join", "read_sketch_estimates", "repetition_metrics",
     "resize_images", "salted_join", "sample_video_frames",
     "simhash_dedup", "source_tv_distance", "stratified_sample",
-    "stratified_sample_exact",
+    "stratified_sample_exact", "stratum_token_budget",
     "token_budget_cut", "top_n_per_group", "unigram_counts",
     "unigram_surprisal", "verified_near_dup_pairs",
     "winnow_candidate_pairs", "write_bucketed", "write_signature_store",

@@ -330,6 +330,59 @@ def stratified_sample_exact(df: DataFrame, strata_col: str,
             .drop("__rn"))
 
 
+def stratum_token_budget(df: DataFrame, strata_col: str,
+                         budgets: int | dict, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum TOKEN budgets: keep docs of each stratum, in the
+    reproducible pseudo-random ``(md5(id), id)`` order, until the
+    stratum's cumulative token count exceeds its budget — mixture
+    construction by tokens rather than docs (training mixtures are
+    specified in tokens; :func:`stratified_sample_exact` counts docs).
+    Pass an int for a uniform budget or ``{stratum: max_tokens}`` (absent
+    strata are dropped).  The first doc that crosses the budget is
+    EXCLUDED (<= semantics, same contract as :func:`token_budget_cut`).
+
+    Deterministic on any engine/cluster layout: md5 order is data-derived,
+    so the same corpus always selects the same rows.
+
+    Scale shape: the naive plan (one window per stratum) serializes each
+    stratum onto one partition — a skewed language would bottleneck the
+    cluster.  Instead the same two-level prefix sum as
+    :func:`token_budget_cut`, keyed by stratum: md5-prefix buckets are
+    uniform BY CONSTRUCTION (no sampling pass needed), per-(stratum,
+    bucket) totals roll up in one shuffled aggregate, cross-bucket
+    offsets run in a window over ~256 rows per stratum (metadata-sized),
+    and the per-doc running sum is a window keyed by (stratum, bucket) —
+    parallel within every stratum.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    with_tok = (df.withColumn("__h", h)
+                .withColumn("__tok", token_count(text_col).cast("long"))
+                .withColumn("__b", F.substring("__h", 1, 2)))
+    totals = (with_tok.groupBy(strata_col, "__b")
+              .agg(F.sum("__tok").alias("__bt")))
+    w_off = (Window.partitionBy(strata_col).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        strata_col, "__b",
+        F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"))
+    w_doc = (Window.partitionBy(strata_col, "__b").orderBy("__h", id_col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    if isinstance(budgets, dict):
+        for v in budgets.values():
+            if v < 0:
+                raise ValueError(f"negative stratum budget [{v}]")
+        limit = F.create_map(*[
+            lit for k, v in budgets.items()
+            for lit in (F.lit(k), F.lit(int(v)))])[F.col(strata_col)]
+    else:
+        limit = F.lit(int(budgets))
+    return (with_tok.join(F.broadcast(offsets), [strata_col, "__b"])
+            .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_doc))
+            .where(limit.isNotNull() & (F.col("__cum") <= limit))
+            .drop("__h", "__tok", "__b", "__off", "__cum"))
+
+
 def mixture_weights(df: DataFrame, strata_col: str, alpha: float = 0.5,
                     total_docs: int = 1_000_000,
                     quantum: float = 1e-6) -> DataFrame:

@@ -156,21 +156,23 @@ def boilerplate_stats(df: DataFrame, text_col: str = "text",
     result; keeping score and gate separate mirrors
     ``curation.repetition_metrics``.
 
-    Scale shape: doc-gram explode joined to the (small, filtered)
-    boilerplate gram set keyed by gram, then one per-id aggregate —
-    linear; no gram×gram self-join anywhere.
+    Scale shape: ONE doc-gram explode, left-joined to the (filtered,
+    usually small) boilerplate gram set keyed by gram, then one per-id
+    aggregate producing total and hit counts together — linear; no
+    gram×gram self-join anywhere.
     """
     boiler = boilerplate_ngrams(df, text_col, id_col, n, min_doc_frac)
     doc_grams = df.select(F.col(id_col).alias("__id"),
                           F.explode(F.array_distinct(
                               word_ngrams(text_col, n))).alias("gram"))
-    hits = (doc_grams.join(boiler.select("gram"), "gram")
-            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_boiler")))
-    per_doc = (doc_grams.groupBy("__id")
-               .agg(F.count(F.lit(1)).alias("n_grams")))
+    per_doc = (doc_grams
+               .join(boiler.select("gram", F.lit(1).alias("__bp")),
+                     "gram", "left")
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.coalesce("__bp", F.lit(0))).alias("n_boiler")))
     return (df.select(F.col(id_col))
             .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
-            .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
             .select(id_col,
                     F.coalesce("n_grams", F.lit(0)).cast("long")
                     .alias("n_grams"),

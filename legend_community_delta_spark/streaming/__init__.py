@@ -153,3 +153,52 @@ def decontaminate_stream(stream: DataFrame, eval_df: DataFrame,
                     F.when(F.col("n_grams") > 0,
                            F.col("n_hit").cast("double") / F.col("n_grams"))
                     .otherwise(F.lit(0.0)).alias("contamination_frac")))
+
+
+def surprisal_stream(stream: DataFrame, model_df: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     oov_count: int = 1) -> DataFrame:
+    """Streaming quality gate: per-doc mean unigram surprisal of a
+    document STREAM priced against a STATIC reference corpus — the
+    streaming face of :func:`..operators.scoring.unigram_surprisal`
+    (continuous-ingest perplexity-proxy filtering).
+
+    The model side collapses once to a batch ``(token, count)`` frame;
+    exploded stream tokens stream-static left-join against it (stream
+    left, bounded static right — the supported class), then one stateful
+    aggregation keyed by doc.  Tokens ABSENT from the model are priced
+    at ``oov_count`` (default 1 — the hapax floor; the batch operator
+    never sees OOV because the corpus is its own model).  The model's
+    total token count is a plan-build scalar (metadata-sized driver
+    value, same class as the k-means centroids in similarity.py).
+
+    Token-less docs: ``n_tokens = 0`` and NULL surprisal, matching the
+    batch operator.  With ``trigger(availableNow=True)`` and a model
+    equal to the streamed corpus, backfills equal the batch operator
+    exactly — that equality is the contract oracle.
+    """
+    import math as _math
+
+    from ..functions.text import tokens as _tokens
+    from ..operators.scoring import unigram_counts
+
+    counts = unigram_counts(model_df, text_col)
+    total = counts.agg(F.sum("n")).first()[0] or 0
+    ln_total = _math.log(total) if total > 0 else 0.0
+    toks = stream.select(F.col(id_col).alias("__id"),
+                         F.explode_outer(_tokens(text_col)).alias("token"))
+    priced = toks.join(counts.withColumnRenamed("n", "__c"), "token", "left")
+    return (priced.groupBy("__id")
+            .agg(F.count("token").alias("n_tokens"),
+                 # null-token rows (empty docs) must NOT contribute a
+                 # fake ln(oov) term: leave them NULL so avg skips them
+                 F.avg(F.when(F.col("token").isNotNull(),
+                              F.log(F.coalesce(F.col("__c"),
+                                               F.lit(int(oov_count))))))
+                 .alias("__avg_ln_c"))
+            .select(F.col("__id").alias(id_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.lit(ln_total) - F.col("__avg_ln_c"))
+                    .otherwise(F.lit(None).cast("double"))
+                    .alias("mean_neg_logprob")))

@@ -601,3 +601,57 @@ def test_pack_plan_window_is_bucket_partitioned(spark):
     doc_windows = [ln for ln in plan.splitlines()
                    if "windowspecdefinition" in ln and "doc_id" in ln]
     assert doc_windows and all("__b" in ln for ln in doc_windows)
+
+
+def test_stratum_token_budget_matches_naive_window(spark):
+    """The md5-prefix two-level prefix sum selects EXACTLY the rows a
+    one-window-per-stratum plan would."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.functions.text import token_count
+    from legend_community_delta_spark.operators.curation import (
+        stratum_token_budget)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(r["doc_id"] for r in
+                 stratum_token_budget(docs, "lang", 900).collect())
+    w = (Window.partitionBy("lang")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    naive = (docs.withColumn("__cum",
+                             F.sum(token_count("text").cast("long")).over(w))
+             .where(F.col("__cum") <= 900))
+    want = sorted(r["doc_id"] for r in naive.collect())
+    assert got == want and got
+
+
+def test_stratum_token_budget_dict_drops_absent_strata(spark):
+    from pyspark.sql import Row
+    import pytest as _pytest
+    from legend_community_delta_spark.operators.curation import (
+        stratum_token_budget)
+    df = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text="a b c"),
+        Row(doc_id=2, lang="en", text="d e f g"),
+        Row(doc_id=3, lang="zz", text="h i"),
+    ])
+    out = stratum_token_budget(df, "lang", {"en": 3}, id_col="doc_id")
+    rows = out.collect()
+    assert all(r["lang"] == "en" for r in rows)  # zz absent -> dropped
+    # budget=3 keeps only the first doc in md5 order (3 tokens <= 3;
+    # adding the second crosses)
+    assert len(rows) == 1
+    with _pytest.raises(ValueError, match="negative"):
+        stratum_token_budget(df, "lang", {"en": -1})
+
+
+def test_stratum_token_budget_layout_independent(spark):
+    """Same selected set regardless of input partitioning — the
+    determinism contract mixtures need."""
+    from legend_community_delta_spark.operators.curation import (
+        stratum_token_budget)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(r["doc_id"] for r in stratum_token_budget(
+        docs.repartition(1), "lang", 500).collect())
+    b = sorted(r["doc_id"] for r in stratum_token_budget(
+        docs.repartition(13, "n_chars"), "lang", 500).collect())
+    assert a == b and a

@@ -227,3 +227,61 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert got[1] == (3, 2, round(2 / 3, 9))   # alpha-beta, beta-gamma hit
     assert got[3] == (0, 0, 0.0)               # empty doc present, 0.0
+
+
+def test_surprisal_stream_oov_and_batch_match(spark, tmp_path):
+    """availableNow streaming surprisal == the batch operator when the
+    model is the streamed corpus; OOV tokens priced at the hapax floor;
+    empty docs get NULL (not 0.0)."""
+    import math
+
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.scoring import (
+        unigram_surprisal)
+    from legend_community_delta_spark.streaming import surprisal_stream
+
+    incoming = [
+        Row(doc_id=1, text="a a b"),
+        Row(doc_id=2, text="a b unseen"),  # 'unseen' absent from model
+        Row(doc_id=3, text=""),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(incoming).write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    # model: counts a=2, b=1 -> N=3 ('unseen' is OOV)
+    model = spark.createDataFrame([Row(doc_id=9, text="a a b")])
+    q = (surprisal_stream(stream, model)
+         .writeStream.format("memory").queryName("__surprisal_t")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["doc_id"]: r for r in spark.table("__surprisal_t").collect()}
+    ln = math.log
+    assert abs(got[1]["mean_neg_logprob"]
+               - (ln(3) - (2 * ln(2)) / 3)) < 1e-12
+    # doc 2: ln3 - (ln2 + ln1 + ln(oov=1))/3
+    assert abs(got[2]["mean_neg_logprob"] - (ln(3) - ln(2) / 3)) < 1e-12
+    assert got[3]["n_tokens"] == 0 and got[3]["mean_neg_logprob"] is None
+    # streamed == batch when the model IS the streamed corpus
+    full = spark.createDataFrame(incoming)
+    q2 = (surprisal_stream(
+        (spark.readStream.schema(spark.read.parquet(src).schema)
+         .parquet(src)), full)
+        .writeStream.format("memory").queryName("__surprisal_t2")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    q2.stop()
+    got2 = {r["doc_id"]: (r["n_tokens"],
+                          None if r["mean_neg_logprob"] is None
+                          else round(r["mean_neg_logprob"], 9))
+            for r in spark.table("__surprisal_t2").collect()}
+    want = {r["doc_id"]: (r["n_tokens"],
+                          None if r["mean_neg_logprob"] is None
+                          else round(r["mean_neg_logprob"], 9))
+            for r in unigram_surprisal(full).collect()}
+    assert got2 == want
