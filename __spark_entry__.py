@@ -57,4 +57,8 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "events_sketch_stats": "HyperLogLog estimates (engine-specific "
                            "digests, pinned within 5% of exact in "
                            "tests/test_sketches.py).",
+    "pq_ann_topk": "Product-quantization ADC + exact re-rank: the "
+                   "shortlist depends on k-means codebooks (iterative, "
+                   "data-order-seeded); refined recall floors pinned in "
+                   "tests/test_curation.py.",
 }

@@ -2870,6 +2870,31 @@ FROM scored s JOIN sizes2 z USING (component) WHERE s.rn = 1
 """
 
 
+def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through a PERSISTED product-quantization index: unit-normalize,
+    train per-subspace codebooks, persist the compressed codes (m small
+    ints per vector — the 32x memory story at 100 TB), then ADC-shortlist
+    over codes only + exact cosine re-rank of the shortlist
+    (similarity.pq_topk_refined).  Rows-only: k-means codebooks are
+    iterative and data-order-seeded; refined recall floors are pinned in
+    tests/test_curation.py."""
+    import tempfile
+
+    from .functions.vectors import norm
+
+    ensure_views(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="legend_pq_index_") + "/idx"
+    unit = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x.cast("double") / norm("embedding"))
+        .alias("embedding"))
+    cb = SIM.build_pq_index(unit, path, dims=64, m=16, n_codes=16, iters=1)
+    qv = [float(x) for x in unit.where("vec_id = 0").first()["embedding"]]
+    return SIM.pq_topk_refined(unit, spark.read.parquet(path), qv, cb,
+                               k=10, refine_factor=10)
+
+
 def _q_surprisal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest quality gate: documents arrive as a parquet
     stream and are priced against the static corpus unigram model via
@@ -2989,6 +3014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": _q_lsh_ann,
     "lsh_index_topk": _q_lsh_index_topk,
     "ivf_index_topk": _q_ivf_index_topk,
+    "pq_ann_topk": _q_pq_ann_topk,
     # -- previously-green rows kept inside the 50-row sample -------------
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,

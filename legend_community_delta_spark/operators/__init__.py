@@ -53,12 +53,18 @@ from .similarity import (
     ann_recall,
     build_ivf_index,
     build_lsh_index,
+    build_pq_index,
     cosine_topk,
     cosine_topk_many,
     ivf_topk,
     lsh_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_refined,
+    pq_train,
     query_ivf_index,
     query_lsh_index,
+    query_pq_index,
 )
 from .scoring import (
     boilerplate_ngrams,
@@ -79,7 +85,7 @@ from .sketches import (
 __all__ = [
     "ann_recall", "asof_join", "audio_features", "boilerplate_ngrams",
     "boilerplate_stats", "broadcast_join",
-    "build_ivf_index", "build_lsh_index", "chunk_docs",
+    "build_ivf_index", "build_lsh_index", "build_pq_index", "chunk_docs",
     "cluster_representatives", "connected_components",
     "contamination_report", "cosine_topk", "cosine_topk_many",
     "cross_ngram_jaccard_pairs",
@@ -91,8 +97,9 @@ __all__ = [
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
     "mixture_weights",
-    "ngram_jaccard_pairs", "pack_plan", "query_ivf_index",
-    "query_lsh_index",
+    "ngram_jaccard_pairs", "pack_plan", "pq_encode", "pq_topk",
+    "pq_topk_refined", "pq_train", "query_ivf_index",
+    "query_lsh_index", "query_pq_index",
     "range_join", "read_sketch_estimates", "repetition_metrics",
     "resize_images", "salted_join", "sample_video_frames",
     "simhash_dedup", "source_tv_distance", "stratified_sample",

@@ -156,29 +156,28 @@ def boilerplate_stats(df: DataFrame, text_col: str = "text",
     result; keeping score and gate separate mirrors
     ``curation.repetition_metrics``.
 
-    Scale shape: ONE doc-gram explode, left-joined to the (filtered,
-    usually small) boilerplate gram set keyed by gram, then one per-id
-    aggregate producing total and hit counts together — linear; no
-    gram×gram self-join anywhere.
+    Scale shape: per-doc gram totals are NARROW (an array size — no
+    explode-aggregate over the corpus gram table); the only shuffle of
+    doc-keyed data is the hit count, and the exploded grams meet the
+    boilerplate set in an inner BROADCAST join (the set is small by
+    definition: doc-frequency >= the threshold caps it at ~1/min_doc_frac
+    template shapes), so non-boilerplate grams drop map-side and only
+    hits reach the aggregate.  No gram×gram self-join anywhere.
     """
     boiler = boilerplate_ngrams(df, text_col, id_col, n, min_doc_frac)
-    doc_grams = df.select(F.col(id_col).alias("__id"),
-                          F.explode(F.array_distinct(
-                              word_ngrams(text_col, n))).alias("gram"))
-    per_doc = (doc_grams
-               .join(boiler.select("gram", F.lit(1).alias("__bp")),
-                     "gram", "left")
-               .groupBy("__id")
-               .agg(F.count(F.lit(1)).alias("n_grams"),
-                    F.sum(F.coalesce("__bp", F.lit(0))).alias("n_boiler")))
-    return (df.select(F.col(id_col))
-            .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce("n_grams", F.lit(0)).cast("long")
-                    .alias("n_grams"),
+    hits = (df.select(F.col(id_col).alias("__id"),
+                      F.explode(F.array_distinct(
+                          word_ngrams(text_col, n))).alias("gram"))
+            .join(F.broadcast(boiler.select("gram")), "gram")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_boiler")))
+    return (df.select(F.col(id_col),
+                      F.size(F.array_distinct(word_ngrams(text_col, n)))
+                      .cast("long").alias("n_grams"))
+            .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+            .select(id_col, "n_grams",
                     F.coalesce("n_boiler", F.lit(0)).cast("long")
                     .alias("n_boiler"),
-                    F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.when(F.col("n_grams") > 0,
                            F.coalesce("n_boiler", F.lit(0)).cast("double")
                            / F.col("n_grams"))
                     .otherwise(F.lit(0.0)).alias("boiler_frac")))

@@ -363,3 +363,192 @@ def ann_recall(df: DataFrame, queries: DataFrame, approx_fn, k: int = 10,
                      hits / len(expect) if expect else 1.0))
     return df.sparkSession.createDataFrame(
         rows, f"{query_id_col} long, hits int, recall double")
+
+
+def _l2sq_col(a, b) -> F.Column:
+    """Squared L2 distance between two array columns — same
+    left-to-right deterministic summation as :func:`..functions.vectors.dot`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_train(df: DataFrame, dims: int, m: int = 8, n_codes: int = 16,
+             iters: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split *dims* into *m*
+    subspaces and run per-subspace k-means (L2) with *n_codes* centroids
+    each.  Returns ``codebooks[m][n_codes][dims/m]`` — driver-sized
+    metadata (m*n_codes*dims/m = n_codes*dims floats).
+
+    PQ is the memory story for 100 TB embedding search: a 64-dim float
+    vector (256 B) compresses to m code bytes (8 B at m=8, n_codes<=256)
+    — 32×, enough to hold a corpus's worth of codes where raw vectors
+    would spill.  Jegou et al., "Product Quantization for Nearest
+    Neighbor Search" (TPAMI 2011).
+
+    All m subspaces train in ONE distributed job per Lloyd iteration:
+    each vector explodes into its m subvectors tagged by subspace index,
+    assignment is an argmin over the (literal) subspace codebook, and
+    the new means come from one groupBy (subspace, code, position) —
+    linear shuffles keyed by small ints.  Init is deterministic (first
+    *n_codes* rows by id, sliced per subspace); empty cells keep their
+    previous centroid.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims [{dims}] must divide into m [{m}] subspaces")
+    d = dims // m
+    base = df.where(F.size(F.col(vec_col)) == dims)
+    init = base.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    if len(init) < n_codes:
+        raise ValueError(
+            f"need >= n_codes [{n_codes}] vectors of dims [{dims}]; "
+            f"found {len(init)}")
+    codebooks = [[[float(x) for x in r[1][j * d:(j + 1) * d]] for r in init]
+                 for j in range(m)]
+    for _ in range(iters):
+        cb = F.array(*[
+            F.array(*[F.array(*[F.lit(float(x)) for x in code])
+                      for code in codes_j])
+            for codes_j in codebooks])
+        subs = base.select(
+            F.posexplode(F.array(*[F.slice(F.col(vec_col), j * d + 1, d)
+                                   for j in range(m)]))
+            .alias("__sub", "__v"))
+        cents = F.element_at(cb, F.col("__sub") + 1)
+        dists = F.transform(cents, lambda c: _l2sq_col(c, F.col("__v")))
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        means = (subs.withColumn("__code", code)
+                 .select("__sub", "__code",
+                         F.posexplode("__v").alias("__pos", "__x"))
+                 .groupBy("__sub", "__code", "__pos")
+                 .agg(F.avg("__x").alias("__mean"))
+                 .collect())
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            acc.setdefault((r["__sub"], r["__code"]), {})[r["__pos"]] = \
+                r["__mean"]
+        for (j, c), by_pos in acc.items():
+            codebooks[j][c] = [by_pos[p] for p in sorted(by_pos)]
+    return codebooks
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, codes array<int>)`` with
+    ``codes[j]`` = index of the nearest subspace-*j* centroid.  Pure
+    Column algebra over the literal codebooks — narrow, no shuffle;
+    vectors of the wrong width are dropped (loudly absent, matching the
+    LSH dims contract).  The codes frame is what you persist: m small
+    ints per vector instead of the raw floats."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    dims = m * d
+    codes = []
+    for j in range(m):
+        sl = F.slice(F.col(vec_col), j * d + 1, d)
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in code])
+                          for code in codebooks[j]])
+        dists = F.transform(cents, lambda c: _l2sq_col(c, sl))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return (df.where(F.size(F.col(vec_col)) == dims)
+            .select(F.col(id_col), F.array(*codes).alias("codes")))
+
+
+def pq_topk(codes_df: DataFrame, query_vec: list[float],
+            codebooks: list[list[list[float]]], k: int = 10,
+            id_col: str = "vec_id", codes_col: str = "codes") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, each code looks its subspace distance up in a precomputed
+    ``m × n_codes`` table, the approximate distance is the sum of m
+    lookups.  Returns ``(id, adc_dist)`` ascending (squared L2 — on
+    unit-normalized vectors equivalent to cosine ranking, since
+    ``|a-b|² = 2 - 2·cos``).
+
+    The distance tables are driver-computed from the driver-sized query
+    (m*n_codes floats) and enter the plan as literals, so scoring is a
+    narrow map over the codes frame — no join, no shuffle — and the
+    ranking is ``TakeOrderedAndProject``.  This is the scan that runs
+    over compressed codes only; re-rank the top candidates against raw
+    vectors afterwards when exact order matters.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    if len(query_vec) != m * d:
+        raise ValueError(
+            f"query dims {len(query_vec)} != codebook dims {m * d}")
+    tables = [
+        [sum((float(query_vec[j * d + p]) - c[p]) ** 2 for p in range(d))
+         for c in codebooks[j]]
+        for j in range(m)]
+    tbl = F.array(*[F.array(*[F.lit(v) for v in row]) for row in tables])
+    score = None
+    for j in range(m):
+        term = F.element_at(F.element_at(tbl, j + 1),
+                            F.element_at(F.col(codes_col), j + 1) + 1)
+        score = term if score is None else score + term
+    return (codes_df.select(F.col(id_col),
+                            F.round(score, 6).alias("adc_dist"))
+            .orderBy("adc_dist", F.col(id_col))
+            .limit(k))
+
+
+def build_pq_index(df: DataFrame, path: str, dims: int, m: int = 8,
+                   n_codes: int = 16, iters: int = 3,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Train + encode + persist a PQ index: the codes frame as parquet
+    (m ints per vector — the 32× memory story) plus the codebooks in a
+    meta footer.  Returns the codebooks."""
+    codebooks = pq_train(df, dims, m, n_codes, iters, vec_col, id_col)
+    pq_encode(df, codebooks, vec_col, id_col)\
+        .write.mode("overwrite").parquet(path)
+    flat = [(j, c, [float(x) for x in code])
+            for j, codes_j in enumerate(codebooks)
+            for c, code in enumerate(codes_j)]
+    meta = df.sparkSession.createDataFrame(
+        flat, "sub int, code int, centroid array<double>")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
+    return codebooks
+
+
+def query_pq_index(spark, path: str, query_vec: list[float], k: int = 10,
+                   id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k against a :func:`build_pq_index` index: codebooks load
+    from the meta footer (driver-sized), the scan touches ONLY the
+    compressed codes parquet."""
+    rows = spark.read.parquet(f"{path}__meta").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], {})[r["code"]] = list(r["centroid"])
+    codebooks = [[by_sub[j][c] for c in sorted(by_sub[j])]
+                 for j in sorted(by_sub)]
+    return pq_topk(spark.read.parquet(path), query_vec, codebooks, k,
+                   id_col)
+
+
+def pq_topk_refined(df: DataFrame, codes_df: DataFrame,
+                    query_vec: list[float],
+                    codebooks: list[list[list[float]]], k: int = 10,
+                    refine_factor: int = 10, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """The production PQ pipeline: ADC over compressed codes shortlists
+    ``k * refine_factor`` candidates (cheap — m table lookups per
+    vector, scan touches codes only), then the shortlist re-ranks with
+    EXACT cosine against the raw vectors (expensive per row, but only
+    ``k * refine_factor`` rows fetch their floats).  Returns
+    ``(id, cosine)`` — the accuracy knob is *refine_factor*; recall
+    floors are pinned in tests.
+
+    Scale shape: the shortlist is k*refine_factor ids — broadcast into
+    a semi-join against the vector table (at production scale the
+    vector fetch is a point-lookup table; here a broadcast-hash join),
+    then TakeOrderedAndProject for the final k.
+    """
+    shortlist = pq_topk(codes_df, query_vec, codebooks,
+                        k * refine_factor, id_col).select(id_col)
+    cand = df.join(F.broadcast(shortlist), id_col, "left_semi")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -655,3 +655,75 @@ def test_stratum_token_budget_layout_independent(spark):
     b = sorted(r["doc_id"] for r in stratum_token_budget(
         docs.repartition(13, "n_chars"), "lang", 500).collect())
     assert a == b and a
+
+
+def test_pq_roundtrip_and_validation(spark, tmp_path):
+    """PQ mechanics: codes shape, dims validation, persisted-index
+    equality with the in-memory path."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.functions.vectors import norm
+    from legend_community_delta_spark.operators.similarity import (
+        build_pq_index, pq_encode, pq_topk, pq_train, query_pq_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x.cast("double") / norm("embedding"))
+        .alias("embedding"))
+    with _pytest.raises(ValueError, match="divide"):
+        pq_train(unit, dims=64, m=7)
+    path = str(tmp_path / "pq")
+    cb = build_pq_index(unit, path, dims=64, m=8, n_codes=8, iters=1)
+    codes = pq_encode(unit, cb)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 8 for c in row["codes"])
+    q = [float(x) for x in unit.where("vec_id = 0").first()["embedding"]]
+    direct = [(r["vec_id"], r["adc_dist"])
+              for r in pq_topk(codes, q, cb, k=5).collect()]
+    via_index = [(r["vec_id"], r["adc_dist"])
+                 for r in query_pq_index(spark, path, q, k=5).collect()]
+    assert direct == via_index
+    with _pytest.raises(ValueError, match="dims"):
+        pq_topk(codes, q[:32], cb)
+    # a vector quantizes near itself: its own id is in its ADC top-5
+    assert any(vid == 0 for vid, _ in direct)
+
+
+def test_pq_refined_recall_floors(spark):
+    """PQ ADC is the SHORTLIST stage; the production path re-ranks the
+    shortlist exactly.  Measured at sf0.001 with the deterministic
+    k-means init (m=16, n_codes=16, iters=2, refine_factor=10):
+    refined mean 0.95 / min 0.90 -> floors 0.85 / 0.70; ADC-only mean
+    0.45 -> floor 0.30 (it exists to feed the re-rank, not to rank)."""
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.functions.vectors import norm
+    from legend_community_delta_spark.operators.similarity import (
+        ann_recall, pq_encode, pq_topk, pq_topk_refined, pq_train)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x.cast("double") / norm("embedding"))
+        .alias("embedding"))
+    cb = pq_train(unit, dims=64, m=16, n_codes=16, iters=2)
+    codes = pq_encode(unit, cb)
+    queries = (unit.where(F.col("vec_id").isin(list(range(0, 100, 10))))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+
+    def run(fn):
+        rows = ann_recall(unit, queries, fn, k=10).collect()
+        rs = [r["recall"] for r in rows]
+        return sum(rs) / len(rs), min(rs)
+
+    def qvec(qdf):
+        return [float(x) for x in qdf.first()["query_vec"]]
+
+    mean_ref, min_ref = run(lambda qdf: pq_topk_refined(
+        unit, codes, qvec(qdf), cb, k=10, refine_factor=10))
+    assert mean_ref >= 0.85 and min_ref >= 0.70
+    mean_adc, _ = run(lambda qdf: pq_topk(codes, qvec(qdf), cb, k=10))
+    assert mean_adc >= 0.30
+    assert mean_ref >= mean_adc  # refinement never hurts on average
