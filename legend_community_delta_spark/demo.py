@@ -2960,6 +2960,93 @@ WHERE (lang = 'en' AND cum <= 4000)
 """
 
 
+def _q_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, distributed: remove every token covered by a
+    corpus-duplicated 15-token window (the fixed-width n-gram cover that
+    re-expresses Lee et al.'s suffix-array span removal at cluster
+    scale).  Wide stages carry 8-byte xxhash64 window keys only; the
+    rebuild is pure array algebra (operators/spans.py).  The oracle
+    reproduces the cover literally with DuckDB list lambdas and compares
+    the CLEANED TEXT itself — the strongest check available."""
+    ensure_views(spark, sf_dir)
+    from .operators.spans import duplicate_span_stats
+    return duplicate_span_stats(spark.table("documents"), n=15)
+
+
+_ORACLE_DUP_SPANS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+gg AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+  FROM t WHERE len(ts) >= 15
+), g2 AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram
+  FROM gg
+), d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+fl AS (SELECT doc_id, list(DISTINCT s) AS ss FROM g2 JOIN d USING (gram)
+       GROUP BY doc_id),
+r AS (SELECT t.doc_id, t.ts, coalesce(fl.ss, []) AS ss
+      FROM t LEFT JOIN fl USING (doc_id))
+SELECT doc_id, len(ts) AS n_tokens, len(ts) - len(kept) AS n_removed,
+       coalesce(array_to_string(list_transform(kept, p -> ts[p]), ' '), '')
+         AS clean_text
+FROM (
+  SELECT doc_id, ts,
+         list_filter(generate_series(1, len(ts)),
+                     p -> len(list_filter(ss, s -> p >= s AND p <= s + 14)) = 0)
+           AS kept
+  FROM r
+)
+"""
+
+
+def _q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al., NeurIPS 2023): score every
+    raw document by how much likelier its hashed unigram+bigram features
+    are under the trusted target slice (here: the ``lang='en'`` docs)
+    than under the raw corpus.  md5-prefix buckets (4096) make the
+    feature hash engine-portable, so the whole model — counts, Laplace
+    smoothing, log-ratios, per-doc means — is auditable SQL.  Spark plan:
+    two tiny bucket aggregations, then explode → broadcast-hash-join
+    (4096-row weight table, no shuffle of the exploded side) → one
+    groupBy(doc_id)."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import dsir_logratios, dsir_weights
+    docs = spark.table("documents")
+    lr = dsir_logratios(docs.where(F.col("lang") == "en"), docs)
+    return (dsir_weights(docs, lr)
+            .select("doc_id", "n_feats",
+                    F.round("logratio_avg", 6).alias("logratio_avg")))
+
+
+_ORACLE_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text,'\S+') AS ts FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         unnest(ts || list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i + 1])) AS g
+  FROM toks
+), b AS (SELECT doc_id, lang, substr(md5(g), 1, 3) AS bucket FROM feats),
+rc AS (SELECT bucket, count(*) AS r_n FROM b GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS t_n FROM b WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT (SELECT sum(r_n) FROM rc) AS r_tot,
+               (SELECT sum(t_n) FROM tc) AS t_tot),
+lr AS (
+  SELECT bucket,
+         ln(coalesce(t_n, 0) + 0.5) - ln(t_tot + 0.5 * 4096)
+         - ln(r_n + 0.5) + ln(r_tot + 0.5 * 4096) AS logratio
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+), agg AS (
+  SELECT b.doc_id, count(*) AS n_feats, sum(lr.logratio) AS s
+  FROM b JOIN lr USING (bucket) GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(agg.n_feats, 0) AS n_feats,
+       round(coalesce(agg.s / agg.n_feats, 0.0), 6) AS logratio_avg
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3007,6 +3094,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_best_reps": _q_near_dup_best_reps,
     "token_budget_mixture": _q_token_budget_mixture,
     "surprisal_stream": _q_surprisal_stream,
+    # -- round-7 additions: span dedup / importance / splits / shards ----
+    "dup_span_docs": _q_dup_span_docs,
+    "dsir_doc_weights": _q_dsir_doc_weights,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3144,6 +3234,8 @@ ORACLES: dict[str, str] = {
     "near_dup_best_reps": _ORACLE_NEAR_DUP_BEST_REPS,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "surprisal_stream": _ORACLE_DOC_SURPRISAL,
+    "dup_span_docs": _ORACLE_DUP_SPANS,
+    "dsir_doc_weights": _ORACLE_DSIR,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

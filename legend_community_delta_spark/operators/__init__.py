@@ -81,6 +81,7 @@ from .sketches import (
     read_sketch_estimates,
     write_sketch_store,
 )
+from .spans import dedup_spans, duplicate_span_stats
 
 __all__ = [
     "ann_recall", "asof_join", "audio_features", "boilerplate_ngrams",
@@ -90,7 +91,7 @@ __all__ = [
     "contamination_report", "cosine_topk", "cosine_topk_many",
     "cross_ngram_jaccard_pairs",
     "curate_corpus", "curate_provenance", "decode_images",
-    "decontaminate", "dedup_stats",
+    "decontaminate", "dedup_spans", "dedup_stats", "duplicate_span_stats",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",
     "exact_dedup", "extract_image_features", "hll_shard_sketches",

@@ -36,6 +36,112 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.text import tokens, word_ngrams
 
 
+def _feature_buckets(text_col: str, hex_chars: int) -> F.Column:
+    """Hashed n-gram feature buckets of a document: word unigrams plus
+    bigrams, each mapped to the first ``hex_chars`` hex digits of its
+    md5 — a 16**hex_chars-bucket feature space, engine-portable (md5 is
+    identical everywhere) and collision-tolerant by construction (DSIR's
+    hashing trick).  One bucket string per feature OCCURRENCE."""
+    unis = tokens(text_col)
+    bis = word_ngrams(text_col, 2)
+    return F.transform(
+        F.concat(unis, bis),
+        lambda g: F.substring(F.md5(g), 1, hex_chars),
+    )
+
+
+def dsir_logratios(target: DataFrame, raw: DataFrame,
+                   text_col: str = "text",
+                   hex_chars: int = 3,
+                   alpha: float = 0.5) -> DataFrame:
+    """Per-bucket importance log-ratios ``ln p_target(b) − ln p_raw(b)``
+    over hashed unigram+bigram features — the model behind Data Selection
+    via Importance Resampling (Xie et al., NeurIPS 2023): score raw docs
+    by how much more likely their features are under a small trusted
+    target corpus than under the raw corpus itself.
+
+    Both distributions are Laplace-smoothed with ``alpha`` over the full
+    ``16**hex_chars`` bucket space, so buckets unseen in the target get a
+    finite negative weight instead of −inf.  Returns ``(bucket,
+    logratio)`` with one row per bucket present in ``raw`` (features of
+    raw docs are by definition a subset of those buckets).
+
+    Scale shape: two explode→groupBy aggregations over at most
+    ``16**hex_chars`` keys (tiny shuffles with map-side combine), totals
+    attached via broadcast single-row crossJoins — fully lazy, nothing
+    collects to the driver.
+    """
+    n_buckets = 16 ** hex_chars
+
+    def _counts(df_: DataFrame, name: str) -> DataFrame:
+        return (df_.select(F.explode(_feature_buckets(text_col, hex_chars))
+                           .alias("bucket"))
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias(name)))
+
+    t_cnt = _counts(target, "t_n")
+    r_cnt = _counts(raw, "r_n")
+    t_tot = t_cnt.agg(F.sum("t_n").alias("t_tot"))
+    r_tot = r_cnt.agg(F.sum("r_n").alias("r_tot"))
+    a, b = F.lit(float(alpha)), F.lit(float(n_buckets))
+    return (r_cnt.join(t_cnt, "bucket", "left")
+            .crossJoin(F.broadcast(t_tot)).crossJoin(F.broadcast(r_tot))
+            .select(
+                "bucket",
+                (F.log(F.coalesce("t_n", F.lit(0)) + a)
+                 - F.log(F.col("t_tot") + a * b)
+                 - F.log(F.col("r_n") + a)
+                 + F.log(F.col("r_tot") + a * b)).alias("logratio")))
+
+
+def dsir_weights(df: DataFrame, logratios: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 hex_chars: int = 3) -> DataFrame:
+    """Per-document DSIR importance weights against a precomputed
+    bucket→logratio table (:func:`dsir_logratios`).
+
+    Returns ``(id_col, n_feats, logratio_sum, logratio_avg)`` — the
+    bag-of-features log importance weight and its per-feature mean
+    (the length-normalized score used for ranking).  Feature-less docs
+    score 0.0 by convention.
+
+    Scale shape: explode features → broadcast-hash-join against the
+    ≤16**hex_chars-row weight table (no shuffle of the exploded side)
+    → one partial-aggregated groupBy(id).  ``hex_chars`` must match the
+    table's construction.
+    """
+    feats = df.select(F.col(id_col),
+                      F.explode_outer(_feature_buckets(text_col, hex_chars))
+                      .alias("bucket"))
+    return (feats.join(F.broadcast(logratios), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.count("bucket").alias("n_feats"),
+                 F.coalesce(F.sum("logratio"), F.lit(0.0))
+                 .alias("logratio_sum"))
+            .select(id_col, "n_feats", "logratio_sum",
+                    F.when(F.col("n_feats") > 0,
+                           F.col("logratio_sum") / F.col("n_feats"))
+                    .otherwise(F.lit(0.0)).alias("logratio_avg")))
+
+
+def dsir_select(df: DataFrame, target: DataFrame, budget: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                hex_chars: int = 3, alpha: float = 0.5) -> DataFrame:
+    """Deterministic DSIR selection: keep the ``budget`` raw documents
+    with the highest length-normalized importance weight (ties broken by
+    md5(id) then id, reproducibly).  The paper resamples with Gumbel
+    noise; an engine needs the derandomized variant — same ranking
+    statistic, exact reproducibility.  Top-k is TakeOrderedAndProject
+    (no global sort materialization)."""
+    w = dsir_weights(df, dsir_logratios(target, df, text_col=text_col,
+                                        hex_chars=hex_chars, alpha=alpha),
+                     text_col=text_col, id_col=id_col, hex_chars=hex_chars)
+    ranked = df.join(w, id_col)
+    return (ranked
+            .orderBy(F.desc("logratio_avg"),
+                     F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(int(budget)))
+
+
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus unigram counts ``(token, n)`` — one explode + one
     partial-aggregated groupBy keyed by token.  The MLE unigram model

@@ -1,0 +1,138 @@
+"""Duplicate-span removal — distributed exact-substring dedup.
+
+The published result (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022) removes every substring of >= N
+tokens that appears more than once in the corpus, using a single-node
+suffix array.  A suffix array does not distribute; the standard
+scale-out re-expression (used by several open pretraining pipelines) is
+the *fixed-width n-gram cover*: a token position is removed iff some
+n-gram window covering it occurs >= ``min_count`` times corpus-wide.
+Every duplicated substring of length >= n is a union of duplicated
+n-grams, so the cover removes a superset of the suffix-array spans at
+width n (and nothing whose every covering window is unique).
+
+Spark-first plan (no UDFs, no driver materialization):
+
+1. tokenize (``regexp_extract_all``) and emit one ``(doc_id, start,
+   xxhash64(gram))`` row per n-gram window — the shuffle carries an
+   8-byte hash, not the n-token string;
+2. global window counts = one map-side-combined ``groupBy(gh)``;
+3. join flagged hashes back (long=long shuffle join) and
+   ``collect_set(start)`` per doc — flagged starts are bounded by doc
+   length, so the per-doc array is small;
+4. rebuild the document driver-free with pure array algebra:
+   ``filter(tokens, (t, i) -> !exists(starts, s -> s <= i+1 <= s+n-1))``
+   then ``concat_ws`` — whole-stage codegen, linear in doc length.
+
+At 100 TB the only wide stages are the window count and the hash join,
+both keyed on 8-byte longs; AQE handles the (rare) hot window keys.
+Reference repo has no such operator (its scope ends at Legend queries,
+`/root/reference/README.md`); this is part of the training-data
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as TX
+
+_SEP = "\x1f"
+
+
+def _window_grams(base: DataFrame, id_col: str, n: int) -> DataFrame:
+    """One (id, start, gram-hash) row per n-token window; 1-based starts."""
+    starts = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.xxhash64(F.concat_ws(_SEP, F.slice("__toks", s, n)))
+                    .alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.s").alias("s"), F.col("g.gh").alias("gh"))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span removal result.
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)`` where
+    ``clean_text`` is the document with every token covered by a
+    corpus-duplicated n-token window removed.  Window occurrences are
+    counted globally (a window repeated inside ONE document also counts
+    toward ``min_count`` — self-repetition is training-data noise too).
+
+    Documents shorter than ``n`` tokens are never touched.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    base = df.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = _window_grams(base, id_col, n)
+    flagged_windows = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("gh")
+    )
+    flagged = (
+        grams.join(flagged_windows, "gh")
+        .groupBy(id_col)
+        .agg(F.collect_set("s").alias("__starts"))
+    )
+    joined = base.join(flagged, id_col, "left")
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            starts, lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(n - 1))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 15,
+    min_count: int = 2,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Corpus with duplicated spans removed in place.
+
+    Replaces ``text_col`` with the cleaned text (other columns pass
+    through).  ``drop_empty=True`` (the production default) also drops
+    documents whose every token sat inside a duplicated span.
+    """
+    stats = duplicate_span_stats(
+        df, text_col=text_col, id_col=id_col, n=n, min_count=min_count
+    ).select(id_col, "clean_text", "n_removed")
+    out = df.join(stats, id_col).withColumn(
+        text_col, F.col("clean_text")
+    )
+    if drop_empty:
+        out = out.where(F.length(text_col) > 0)
+    return out.drop("clean_text", "n_removed")

@@ -28,7 +28,8 @@ def test_entry_contract(spark):
     # every deterministic query has an oracle; approximate ones are the
     # documented exceptions
     rows_only = set(qs) - set(oracles)
+    assert rows_only == set(mod.ROWS_ONLY_RATIONALE)
     assert rows_only == {"minhash_pairs", "simhash_pairs",
                          "embedding_dedup_pairs", "lsh_ann_topk",
                          "lsh_index_topk", "ivf_index_topk",
-                         "events_sketch_stats"}
+                         "pq_ann_topk", "events_sketch_stats"}

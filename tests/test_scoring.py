@@ -199,3 +199,50 @@ def test_drop_near_dups_keep_best_no_pairs_is_identity(spark):
     df = spark.createDataFrame([Row(doc_id=1, q=1), Row(doc_id=2, q=2)])
     out = drop_near_dups_keep_best(df, _pairs(spark, []), "q")
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+def _dsir_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_target_equals_raw_is_zero(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        dsir_logratios, dsir_weights)
+    df = _dsir_docs(spark, [(1, "alpha beta gamma"), (2, "delta beta")])
+    lr = dsir_logratios(df, df)
+    assert all(abs(r["logratio"]) < 1e-12 for r in lr.collect())
+    w = {r["doc_id"]: r for r in dsir_weights(df, lr).collect()}
+    assert abs(w[1]["logratio_avg"]) < 1e-12
+    # unigrams + bigrams: 3 + 2 for doc 1
+    assert w[1]["n_feats"] == 5 and w[2]["n_feats"] == 3
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        dsir_logratios, dsir_weights, dsir_select)
+    target = _dsir_docs(spark, [(100, "good clean prose here"),
+                                (101, "good clean words here")])
+    raw = _dsir_docs(spark, [(1, "good clean prose here"),
+                             (2, "spam junk noise garbage"),
+                             (3, "")])
+    lr = dsir_logratios(target, raw)
+    w = {r["doc_id"]: r for r in dsir_weights(raw, lr).collect()}
+    assert w[1]["logratio_avg"] > w[2]["logratio_avg"]
+    # feature-less doc scores 0 by convention, with 0 features
+    assert w[3]["n_feats"] == 0 and w[3]["logratio_avg"] == 0.0
+    picked = [r["doc_id"] for r in dsir_select(raw, target, 1).collect()]
+    assert picked == [1]
+
+
+def test_dsir_plan_broadcast_no_udf(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        dsir_logratios, dsir_weights)
+    df = _dsir_docs(spark, [(1, "a b c"), (2, "c d")])
+    plan = (dsir_weights(df, dsir_logratios(df, df))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,104 @@
+"""Duplicate-span removal (operators/spans.py) — fixtures + plan pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legend_community_delta_spark.operators.spans import (
+    dedup_spans,
+    duplicate_span_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SHARED = "a b c d e f g h i j"  # 10 tokens, duplicated across docs 1/2
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _docs(
+        spark,
+        [
+            (1, SHARED + " unique1 tail1"),
+            (2, SHARED + " unique2 tail2"),
+            (3, "totally different words only here once now ok fine yes"),
+            (4, "short doc"),  # shorter than n — untouched
+            (5, ""),  # empty — untouched
+        ],
+    )
+
+
+def test_shared_span_removed_unique_tail_kept(spark, corpus):
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(corpus, n=10).collect()
+    }
+    # Docs 1/2 share exactly one 10-token window (positions 1..10);
+    # those tokens go, the unique tails stay.
+    assert out[1]["clean_text"] == "unique1 tail1"
+    assert out[2]["clean_text"] == "unique2 tail2"
+    assert out[1]["n_removed"] == 10 and out[1]["n_tokens"] == 12
+    # Unique doc untouched.
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("totally different")
+    # Shorter-than-n and empty docs never touched.
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "short doc"
+    assert out[5]["n_tokens"] == 0 and out[5]["clean_text"] == ""
+
+
+def test_overlapping_windows_union_cover(spark):
+    # Docs share an 11-token run -> two overlapping 10-windows; the cover
+    # is their union (all 11 tokens), not double-counted.
+    run = "a b c d e f g h i j k"
+    df = _docs(spark, [(1, run + " x1"), (2, run + " x2")])
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, n=10).collect()}
+    assert out[1]["n_removed"] == 11
+    assert out[1]["clean_text"] == "x1"
+
+
+def test_self_repetition_counts_globally(spark):
+    # One doc repeating its own 10-gram twice trips min_count=2 alone.
+    df = _docs(spark, [(1, SHARED + " " + SHARED), (2, "other words")])
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, n=10).collect()}
+    assert out[1]["n_removed"] == 20 and out[1]["clean_text"] == ""
+    assert out[2]["n_removed"] == 0
+
+
+def test_min_count_three_requires_three_copies(spark, corpus):
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in duplicate_span_stats(corpus, n=10, min_count=3).collect()
+    }
+    assert all(v == 0 for v in out.values())
+
+
+def test_dedup_spans_rewrites_and_drops_empty(spark):
+    df = _docs(
+        spark,
+        [(1, SHARED + " keepme"), (2, SHARED + " metoo"), (3, SHARED)],
+    ).withColumn("lang", F.lit("en"))
+    out = dedup_spans(df, n=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # Doc 3 became empty and was dropped; passthrough column survives.
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == "keepme" and rows[1]["lang"] == "en"
+    kept_all = dedup_spans(df, n=10, drop_empty=False)
+    assert kept_all.count() == 3
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        duplicate_span_stats(corpus, n=0)
+    with pytest.raises(ValueError):
+        duplicate_span_stats(corpus, min_count=1)
+
+
+def test_plan_no_udf_and_hashed_shuffle(spark, corpus):
+    plan = duplicate_span_stats(corpus, n=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # The wide stages key on the xxhash64 long, not the gram string.
+    assert "xxhash64" in plan
