@@ -3047,6 +3047,90 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _q_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split unit is the
+    near-dup CLUSTER (connected component of the exact Jaccard pair
+    graph), hashed via md5 against hex-prefix boundaries, so no
+    near-duplicate of an eval doc can sit in train
+    (operators/splits.py).  Oracle: the recursive-CTE reachability from
+    ``near_dup_clusters`` + the identical md5 threshold rule — split
+    assignment is auditable SQL end-to-end."""
+    ensure_views(spark, sf_dir)
+    from .operators.splits import leakage_safe_split
+    docs = spark.table("documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=5, threshold=0.2)
+    return leakage_safe_split(docs, pairs).select("doc_id", "split")
+
+
+_ORACLE_LEAKAGE_SPLITS = r"""
+WITH RECURSIVE grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS component
+         FROM reach GROUP BY a),
+h AS (
+  SELECT d.doc_id,
+         substr(md5('split' ||
+                    CAST(coalesce(c.component, d.doc_id) AS VARCHAR)),
+                1, 8) AS hx
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN hx < 'cccccccc' THEN 'train'
+            WHEN hx < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side global shuffle: every doc gets an md5-prefix shard
+    (uniform by construction — no sampling pass) and a reproducible
+    1-based position inside the shard's (md5, id) order
+    (operators/splits.py).  No global sort is ever materialized: the
+    row_number window partitions on the shard, so ordering work is
+    per-shard-parallel — the layout that writes N independent training
+    shards at 100 TB."""
+    ensure_views(spark, sf_dir)
+    from .operators.splits import shuffle_shards
+    return (shuffle_shards(spark.table("documents"), hex_chars=2)
+            .select("doc_id", "shard", "shard_pos"))
+
+
+_ORACLE_SHUFFLE_SHARDS = """
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+         AS shard_pos
+FROM documents
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3097,6 +3181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-7 additions: span dedup / importance / splits / shards ----
     "dup_span_docs": _q_dup_span_docs,
     "dsir_doc_weights": _q_dsir_doc_weights,
+    "leakage_splits": _q_leakage_splits,
+    "shuffle_shards_plan": _q_shuffle_shards,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3236,6 +3322,8 @@ ORACLES: dict[str, str] = {
     "surprisal_stream": _ORACLE_DOC_SURPRISAL,
     "dup_span_docs": _ORACLE_DUP_SPANS,
     "dsir_doc_weights": _ORACLE_DSIR,
+    "leakage_splits": _ORACLE_LEAKAGE_SPLITS,
+    "shuffle_shards_plan": _ORACLE_SHUFFLE_SHARDS,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -82,6 +82,12 @@ from .sketches import (
     write_sketch_store,
 )
 from .spans import dedup_spans, duplicate_span_stats
+from .splits import (
+    leakage_safe_split,
+    shuffle_shards,
+    split_leakage_report,
+    write_training_shards,
+)
 
 __all__ = [
     "ann_recall", "asof_join", "audio_features", "boilerplate_ngrams",
@@ -92,6 +98,8 @@ __all__ = [
     "cross_ngram_jaccard_pairs",
     "curate_corpus", "curate_provenance", "decode_images",
     "decontaminate", "dedup_spans", "dedup_stats", "duplicate_span_stats",
+    "leakage_safe_split", "shuffle_shards", "split_leakage_report",
+    "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",
     "exact_dedup", "extract_image_features", "hll_shard_sketches",
