@@ -36,7 +36,7 @@ def oracle_sql() -> dict[str, str]:
     return dict(demo.ORACLES)
 
 
-# Why the 7 rows-only entries have no oracle (driver records a rows-only
+# Why the rows-only entries have no oracle (driver records a rows-only
 # check for these; everything else is value-hashed against DuckDB):
 ROWS_ONLY_RATIONALE: dict[str, str] = {
     "minhash_pairs": "MinHash estimate: pair set depends on 64 seeded "
@@ -61,4 +61,8 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
                    "shortlist depends on k-means codebooks (iterative, "
                    "data-order-seeded); refined recall floors pinned in "
                    "tests/test_curation.py.",
+    "semdedup_pairs": "SemDeDup within-cell cosine pairs: the candidate "
+                      "universe depends on iterative k-means cell "
+                      "assignment; subset-of-brute-force pinned in "
+                      "tests/test_semdedup.py.",
 }

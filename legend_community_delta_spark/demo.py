@@ -3131,6 +3131,25 @@ FROM documents
 """
 
 
+def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs via exact
+    cosine INSIDE k-means cells — the sub-quadratic embedding-dedup
+    shape for 100 TB corpora (similarity.semdedup_pairs).  Rows-only:
+    cell assignment depends on iterative, data-order-seeded k-means;
+    subset-of-brute-force and survivor-rule fixtures are pinned in
+    tests/test_semdedup.py."""
+    ensure_views(spark, sf_dir)
+    from .functions.vectors import norm
+    from .operators.similarity import semdedup_pairs as _sp
+    unit = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x.cast("double") / norm("embedding"))
+        .alias("embedding"))
+    return (_sp(unit, threshold=0.4, n_cells=8, iters=2)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3191,6 +3210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_index_topk": _q_lsh_index_topk,
     "ivf_index_topk": _q_ivf_index_topk,
     "pq_ann_topk": _q_pq_ann_topk,
+    "semdedup_pairs": _q_semdedup_pairs,
     # -- previously-green rows kept inside the 50-row sample -------------
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,

@@ -65,6 +65,8 @@ from .similarity import (
     query_ivf_index,
     query_lsh_index,
     query_pq_index,
+    semdedup,
+    semdedup_pairs,
 )
 from .scoring import (
     boilerplate_ngrams,
@@ -98,8 +100,8 @@ __all__ = [
     "cross_ngram_jaccard_pairs",
     "curate_corpus", "curate_provenance", "decode_images",
     "decontaminate", "dedup_spans", "dedup_stats", "duplicate_span_stats",
-    "leakage_safe_split", "shuffle_shards", "split_leakage_report",
-    "write_training_shards",
+    "leakage_safe_split", "semdedup", "semdedup_pairs", "shuffle_shards",
+    "split_leakage_report", "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",
     "exact_dedup", "extract_image_features", "hll_shard_sketches",

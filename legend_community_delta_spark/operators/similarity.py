@@ -552,3 +552,102 @@ def pq_topk_refined(df: DataFrame, codes_df: DataFrame,
                         k * refine_factor, id_col).select(id_col)
     cand = df.join(F.broadcast(shortlist), id_col, "left_semi")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication inside k-means cells
+# ---------------------------------------------------------------------------
+
+def _cell_col(centroids: list[list[float]], vec_col: str) -> F.Column:
+    """argmax-cosine cell assignment plus the winning similarity —
+    centroids are literals, so assignment is a narrow codegen map."""
+    sims = F.array(*[
+        F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    best = F.array_max(sims)
+    return F.struct(best["cell"].alias("cell"), best["sim"].alias("csim"))
+
+
+def semdedup_pairs(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.95,
+                   n_cells: int = 16, iters: int = 2,
+                   max_cell: int | None = None,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): k-means coarsely partitions the embedding space,
+    and exact pairwise cosine runs ONLY inside each cell — the
+    within-cell join replaces the corpus-quadratic all-pairs comparison
+    with per-cell work that shrinks as ``n_cells`` grows (the paper runs
+    ~100k cells at web scale; candidate recall is the pairs whose
+    endpoints land in the same cell, the documented approximation).
+
+    Returns ``(id_a, id_b, cos_sim, cell)`` with ``id_a < id_b`` and
+    ``cos_sim >= threshold``.  ``max_cell`` caps runaway cells (rows
+    beyond the cap — in deterministic id order — propose no pairs),
+    the same hot-bucket guard the LSH families use.
+
+    Scale shape: centroid matrix is driver-sized metadata (same
+    precedent as :func:`kmeans_centroids`); assignment is a narrow map;
+    the only shuffle keys on the cell id, and the self-join carries
+    (id, vector) for in-cell rows only.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(df, n_cells, iters, vec_col, id_col)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        _cell_col(centroids, vec_col).alias("__a")
+    ).select(id_col, vec_col,
+             F.col("__a.cell").alias("__cell"),
+             F.col("__a.csim").alias("__csim"))
+    if max_cell is not None:
+        w = Window.partitionBy("__cell").orderBy(id_col)
+        assigned = (assigned.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") <= max_cell).drop("__rn"))
+    a = assigned.select(F.col("__cell"),
+                        F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("__cell"),
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"))
+    return (a.join(b, "__cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim",
+                    F.col("__cell").alias("cell")))
+
+
+def semdedup(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", threshold: float = 0.95,
+             n_cells: int = 16, iters: int = 2,
+             max_cell: int | None = None,
+             keep: str = "farthest") -> DataFrame:
+    """Drop semantic near-duplicates, keeping one doc per duplicate
+    component.  ``keep='farthest'`` is the paper's rule — the survivor
+    is the member FARTHEST from its cell centroid (lowest centroid
+    cosine), which keeps the least-generic member of a duplicate
+    cluster; ``keep='min_id'`` is the deterministic baseline.
+
+    Transitive: survivors are chosen per connected component of the
+    pair graph, so chains of pairwise-similar docs collapse to one."""
+    from .graph import connected_components
+
+    centroids = kmeans_centroids(df, n_cells, iters, vec_col, id_col)
+    pairs = semdedup_pairs(df, vec_col, id_col, threshold, n_cells,
+                           iters, max_cell, centroids=centroids)
+    if keep == "min_id":
+        from .graph import drop_near_dups
+        return drop_near_dups(df, pairs, id_col)
+    if keep != "farthest":
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    scored = df.withColumn(
+        "__far", -_cell_col(centroids, vec_col)["csim"])
+    comp = connected_components(pairs)
+    labeled = scored.join(
+        comp.withColumnRenamed("id", id_col), id_col, "inner")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__far"), F.col(id_col))
+    losers = (labeled.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") > 1).select(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -32,4 +32,5 @@ def test_entry_contract(spark):
     assert rows_only == {"minhash_pairs", "simhash_pairs",
                          "embedding_dedup_pairs", "lsh_ann_topk",
                          "lsh_index_topk", "ivf_index_topk",
-                         "pq_ann_topk", "events_sketch_stats"}
+                         "pq_ann_topk", "semdedup_pairs",
+                         "events_sketch_stats"}
