@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "source_drift",
     "boilerplate_docs",
     "chunked_docs",
+    "dup_span_docs",
+    "dsir_doc_weights",
+    "leakage_splits",
+    "shuffle_shards_plan",
+    "semdedup_pairs",
 ]
 
 

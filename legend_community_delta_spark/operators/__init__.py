@@ -69,9 +69,14 @@ from .similarity import (
     semdedup_pairs,
 )
 from .scoring import (
+    bigram_surprisal,
     boilerplate_ngrams,
     boilerplate_stats,
     chunk_docs,
+    dsir_logratios,
+    dsir_select,
+    dsir_weights,
+    embedding_drift,
     source_tv_distance,
     top_n_per_group,
     unigram_counts,
@@ -100,8 +105,9 @@ __all__ = [
     "cross_ngram_jaccard_pairs",
     "curate_corpus", "curate_provenance", "decode_images",
     "decontaminate", "dedup_spans", "dedup_stats", "duplicate_span_stats",
-    "leakage_safe_split", "semdedup", "semdedup_pairs", "shuffle_shards",
-    "split_leakage_report", "write_training_shards",
+    "bigram_surprisal", "dsir_logratios", "dsir_select", "dsir_weights",
+    "embedding_drift", "leakage_safe_split", "semdedup", "semdedup_pairs",
+    "shuffle_shards", "split_leakage_report", "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",
     "exact_dedup", "extract_image_features", "hll_shard_sketches",

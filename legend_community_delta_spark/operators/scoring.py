@@ -186,6 +186,84 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
                     .alias("mean_neg_logprob")))
 
 
+def bigram_surprisal(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     alpha: float = 0.5) -> DataFrame:
+    """Per-doc mean CONDITIONAL surprisal under a Laplace-smoothed corpus
+    bigram model — the KenLM-shaped upgrade over :func:`unigram_surprisal`
+    (which prices tokens independently and so can't see scrambled word
+    order):
+
+    ``P(w2|w1) = (c(w1 w2) + α) / (c_left(w1) + α·V)``
+
+    where ``c_left`` counts bigram occurrences starting with ``w1`` and
+    ``V`` is the distinct unigram vocabulary.  Output is
+    ``(id, n_bigrams, mean_neg_logprob2)`` with NULL surprisal for docs
+    of fewer than two tokens (same convention as the unigram scorer).
+
+    Scale shape: bigram table explode + two partial-aggregated groupBys
+    (bigram, left-token); pricing joins keyed by bigram then left token
+    (AQE broadcasts small vocabs); vocab size enters as a one-row
+    broadcast cross join; per-doc aggregate keyed by id.  No UDFs.
+    """
+    bigs = df.select(F.col(id_col).alias("__id"),
+                     F.explode(word_ngrams(text_col, 2)).alias("bg"))
+    w1 = F.substring_index("bg", " ", 1)
+    bcnt = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("__cb"))
+    lcnt = (bigs.select(w1.alias("__w1"))
+            .groupBy("__w1").agg(F.count(F.lit(1)).alias("__cl")))
+    vocab = (df.select(F.explode(tokens(text_col)).alias("t"))
+             .agg(F.countDistinct("t").cast("double").alias("__V")))
+    a = F.lit(float(alpha))
+    per_doc = (bigs.join(bcnt, "bg")
+               .withColumn("__w1", w1)
+               .join(lcnt, "__w1")
+               .crossJoin(F.broadcast(vocab))
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    (-F.avg(F.log((F.col("__cb") + a)
+                                  / (F.col("__cl") + a * F.col("__V")))))
+                    .alias("mean_neg_logprob2")))
+    return (df.select(F.col(id_col))
+            .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    "mean_neg_logprob2"))
+
+
+def embedding_drift(df: DataFrame, group_col: str = "label",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-group SEMANTIC drift: ``1 − cosine(mean vector of the group,
+    mean vector of the corpus)`` — the embedding-space counterpart of
+    :func:`source_tv_distance` (which sees vocabulary, not meaning).
+    0 = the group's centroid points where the corpus centroid points.
+
+    Everything stays in aggregate space — the mean vectors are never
+    reassembled into arrays: posexplode to (group, pos, x), average per
+    (group, pos) and per pos, join on pos, and reduce the cosine's three
+    sums in one groupBy.  Shuffles are keyed by (group, pos) / (pos) /
+    (group) — all tiny (dims × groups rows).  No UDFs, no collect.
+    """
+    flat = df.select(F.col(group_col).alias("__g"),
+                     F.posexplode(vec_col).alias("__pos", "__x"))
+    gm = (flat.groupBy("__g", "__pos")
+          .agg(F.avg(F.col("__x").cast("double")).alias("__gm")))
+    glob = (flat.groupBy("__pos")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__glob")))
+    n_vecs = (df.groupBy(F.col(group_col).alias("__g"))
+              .agg(F.count(F.lit(1)).alias("n_vecs")))
+    cos = (F.sum(F.col("__gm") * F.col("__glob"))
+           / (F.sqrt(F.sum(F.col("__gm") * F.col("__gm")))
+              * F.sqrt(F.sum(F.col("__glob") * F.col("__glob")))))
+    return (gm.join(glob, "__pos")
+            .groupBy("__g")
+            .agg((1.0 - cos).alias("drift"))
+            .join(n_vecs, "__g")
+            .select(F.col("__g").alias(group_col), "n_vecs", "drift"))
+
+
 def source_tv_distance(df: DataFrame, strata_col: str = "source",
                        text_col: str = "text") -> DataFrame:
     """Per-stratum total-variation distance between the stratum's token

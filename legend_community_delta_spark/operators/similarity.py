@@ -15,7 +15,8 @@ import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine, hyperplane_signature, literal_vector
+from ..functions.vectors import (cosine, dot, hyperplane_signature,
+                                 literal_vector)
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -86,19 +87,31 @@ def cosine_topk_pandas(df: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def kmeans_centroids(df: DataFrame, n_centroids: int = 16, iters: int = 3,
-                     vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> list[list[float]]:
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     assume_normalized: bool = False) -> list[list[float]]:
     """A few Lloyd iterations over DataFrame ops (deterministic init:
     first n rows by id).  Centroid matrix is driver-sized
-    (n_centroids x dims); assignment stays distributed."""
+    (n_centroids x dims); assignment stays distributed.
+
+    *assume_normalized*: with unit-length input vectors the per-centroid
+    cosine can be computed as one dot against the driver-normalized
+    centroid (``dot(v, c/|c|) == cosine(v, c)`` — cosine is
+    scale-invariant in c), cutting assignment cost ~3x per iteration
+    without changing any argmax."""
     init = (df.select(id_col, vec_col).orderBy(id_col)
             .limit(n_centroids).collect())
     centroids = [[float(x) for x in r[1]] for r in init]
     for _ in range(iters):
-        sims = F.array(*[
-            F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
-                     F.lit(i).alias("cell"))
-            for i, c in enumerate(centroids)])
+        if assume_normalized:
+            sims = F.array(*[
+                F.struct(dot(F.col(vec_col), literal_vector(_unit(c)))
+                         .alias("sim"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)])
+        else:
+            sims = F.array(*[
+                F.struct(cosine(F.col(vec_col), literal_vector(c))
+                         .alias("sim"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)])
         assigned = df.select(F.col(vec_col).alias("__v"),
                              F.array_max(sims)["cell"].alias("__cell"))
         means = (assigned
@@ -558,13 +571,29 @@ def pq_topk_refined(df: DataFrame, codes_df: DataFrame,
 # SemDeDup — semantic deduplication inside k-means cells
 # ---------------------------------------------------------------------------
 
-def _cell_col(centroids: list[list[float]], vec_col: str) -> F.Column:
+def _unit(v: list[float]) -> list[float]:
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v] if n > 0 else list(v)
+
+
+def _cell_col(centroids: list[list[float]], vec_col: str,
+              assume_normalized: bool = False) -> F.Column:
     """argmax-cosine cell assignment plus the winning similarity —
-    centroids are literals, so assignment is a narrow codegen map."""
-    sims = F.array(*[
-        F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
-                 F.lit(i).alias("cell"))
-        for i, c in enumerate(centroids)])
+    centroids are literals, so assignment is a narrow map.  When the
+    input vectors are unit-normalized, ``dot(v, c/|c|) == cosine(v, c)``
+    exactly, so *assume_normalized* swaps each per-centroid cosine
+    (dot + two norms) for one dot against the driver-normalized
+    centroid — 3x fewer interpreted lambda evaluations in the scan."""
+    if assume_normalized:
+        sims = F.array(*[
+            F.struct(dot(F.col(vec_col), literal_vector(_unit(c)))
+                     .alias("sim"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)])
+    else:
+        sims = F.array(*[
+            F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
+                     F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)])
     best = F.array_max(sims)
     return F.struct(best["cell"].alias("cell"), best["sim"].alias("csim"))
 
@@ -573,7 +602,8 @@ def semdedup_pairs(df: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id", threshold: float = 0.95,
                    n_cells: int = 16, iters: int = 2,
                    max_cell: int | None = None,
-                   centroids: list[list[float]] | None = None) -> DataFrame:
+                   centroids: list[list[float]] | None = None,
+                   assume_normalized: bool = False) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): k-means coarsely partitions the embedding space,
     and exact pairwise cosine runs ONLY inside each cell — the
@@ -590,13 +620,20 @@ def semdedup_pairs(df: DataFrame, vec_col: str = "embedding",
     Scale shape: centroid matrix is driver-sized metadata (same
     precedent as :func:`kmeans_centroids`); assignment is a narrow map;
     the only shuffle keys on the cell id, and the self-join carries
-    (id, vector) for in-cell rows only.
+    (id, vector) for in-cell rows only.  In-cell parallelism equals
+    ``n_cells`` — size cells to a target occupancy (the paper runs
+    ~100k cells at web scale; beyond ~1k cells switch assignment from
+    the literal-array argmax to a broadcast-join argmin).  Pass
+    ``assume_normalized=True`` when vectors are pre-unit-normalized:
+    pair scoring then evaluates ONE dot product instead of
+    dot + two norms (3x less per-pair work in the quadratic stage).
     """
     if centroids is None:
-        centroids = kmeans_centroids(df, n_cells, iters, vec_col, id_col)
+        centroids = kmeans_centroids(df, n_cells, iters, vec_col, id_col,
+                                     assume_normalized=assume_normalized)
     assigned = df.select(
         F.col(id_col), F.col(vec_col),
-        _cell_col(centroids, vec_col).alias("__a")
+        _cell_col(centroids, vec_col, assume_normalized).alias("__a")
     ).select(id_col, vec_col,
              F.col("__a.cell").alias("__cell"),
              F.col("__a.csim").alias("__csim"))
@@ -610,9 +647,11 @@ def semdedup_pairs(df: DataFrame, vec_col: str = "embedding",
     b = assigned.select(F.col("__cell"),
                         F.col(id_col).alias("id_b"),
                         F.col(vec_col).alias("__vb"))
+    score = (dot(F.col("__va"), F.col("__vb")) if assume_normalized
+             else cosine(F.col("__va"), F.col("__vb")))
     return (a.join(b, "__cell")
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+            .withColumn("cos_sim", score)
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim",
                     F.col("__cell").alias("cell")))

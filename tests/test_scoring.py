@@ -246,3 +246,71 @@ def test_dsir_plan_broadcast_no_udf(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal + embedding drift
+# ---------------------------------------------------------------------------
+
+def test_bigram_surprisal_hand_computed(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        bigram_surprisal)
+    df = _dsir_docs(spark, [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")])
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    # corpus: c("a b")=3, c("b a")=1; left counts a=3, b=1; V=3
+    p_b_a = (3 + 0.5) / (3 + 0.5 * 3)
+    p_a_b = (1 + 0.5) / (1 + 0.5 * 3)
+    exp1 = -(2 * math.log(p_b_a) + math.log(p_a_b)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_neg_logprob2"] - exp1) < 1e-12
+    assert abs(out[2]["mean_neg_logprob2"] - (-math.log(p_b_a))) < 1e-12
+    # <2 tokens: zero bigrams, NULL surprisal (not a fake 0.0)
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_neg_logprob2"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["mean_neg_logprob2"] is None
+
+
+def test_bigram_vs_unigram_word_order(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        bigram_surprisal, unigram_surprisal)
+    # same bag of words, one doc scrambled relative to the dominant order
+    df = _dsir_docs(spark, [(1, "the cat sat"), (2, "the cat sat"),
+                            (3, "the cat sat"), (4, "sat the cat")])
+    uni = {r["doc_id"]: r["mean_neg_logprob"]
+           for r in unigram_surprisal(df).collect()}
+    bi = {r["doc_id"]: r["mean_neg_logprob2"]
+          for r in bigram_surprisal(df).collect()}
+    assert abs(uni[4] - uni[1]) < 1e-12       # unigram model is blind
+    assert bi[4] > bi[1]                      # bigram model is not
+
+
+def test_embedding_drift_identity_and_orthogonal(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        embedding_drift)
+    one = spark.createDataFrame(
+        [(0, "a", [1.0, 2.0]), (1, "a", [3.0, 4.0])],
+        "vec_id long, label string, embedding array<double>")
+    out = embedding_drift(one).collect()
+    assert len(out) == 1 and abs(out[0]["drift"]) < 1e-9
+    assert out[0]["n_vecs"] == 2
+
+    two = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0]), (1, "a", [1.0, 0.0]),
+         (2, "b", [0.0, 1.0]), (3, "b", [0.0, 1.0])],
+        "vec_id long, label string, embedding array<double>")
+    d = {r["label"]: r["drift"] for r in embedding_drift(two).collect()}
+    # group mean [1,0] vs corpus mean [.5,.5]: drift = 1 - 1/sqrt(2)
+    assert abs(d["a"] - (1 - 1 / math.sqrt(2))) < 1e-12
+    assert abs(d["a"] - d["b"]) < 1e-12  # symmetric fixture
+
+
+def test_scoring_plans_no_udf(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        bigram_surprisal, embedding_drift)
+    df = _dsir_docs(spark, [(1, "a b c"), (2, "c d")])
+    emb = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0])],
+        "vec_id long, label string, embedding array<double>")
+    for frame in (bigram_surprisal(df), embedding_drift(emb)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
