@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "leakage_splits",
     "shuffle_shards_plan",
     "semdedup_pairs",
+    "bigram_surprisal_docs",
+    "embedding_drift_stats",
 ]
 
 

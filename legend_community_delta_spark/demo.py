@@ -3237,6 +3237,29 @@ GROUP BY gm.label, nv.n_vecs
 """
 
 
+def _q_incremental_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest span dedup: the historical half of the corpus
+    is distilled into a persisted gram-count store (never re-tokenized
+    again); the append half cleans itself against store+batch merged
+    counts (spans.incremental_dup_spans).  Store ∪ batch == the full
+    corpus here, so the oracle is the batch span-removal SQL restricted
+    to the append ids — incremental == batch, verified by value."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .operators.spans import incremental_dup_spans, write_span_store
+    docs = spark.table("documents")
+    path = tempfile.mkdtemp(prefix="legend_span_store_") + "/store"
+    write_span_store(docs.where("doc_id < 250"), path, n=15)
+    return incremental_dup_spans(spark, path, docs.where("doc_id >= 250"))
+
+
+# batch span-removal SQL restricted to the append ids — valid because the
+# store half ∪ append half is exactly the full corpus
+_ORACLE_INCREMENTAL_SPANS = (_ORACLE_DUP_SPANS.rstrip()
+                             + "\nWHERE doc_id >= 250\n")
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3291,6 +3314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards_plan": _q_shuffle_shards,
     "bigram_surprisal_docs": _q_bigram_surprisal,
     "embedding_drift_stats": _q_embedding_drift,
+    "incremental_span_docs": _q_incremental_span_docs,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3435,6 +3459,7 @@ ORACLES: dict[str, str] = {
     "shuffle_shards_plan": _ORACLE_SHUFFLE_SHARDS,
     "bigram_surprisal_docs": _ORACLE_BIGRAM_SURPRISAL,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
+    "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -88,7 +88,12 @@ from .sketches import (
     read_sketch_estimates,
     write_sketch_store,
 )
-from .spans import dedup_spans, duplicate_span_stats
+from .spans import (
+    dedup_spans,
+    duplicate_span_stats,
+    incremental_dup_spans,
+    write_span_store,
+)
 from .splits import (
     leakage_safe_split,
     shuffle_shards,
@@ -106,6 +111,7 @@ __all__ = [
     "curate_corpus", "curate_provenance", "decode_images",
     "decontaminate", "dedup_spans", "dedup_stats", "duplicate_span_stats",
     "bigram_surprisal", "dsir_logratios", "dsir_select", "dsir_weights",
+    "incremental_dup_spans", "write_span_store",
     "embedding_drift", "leakage_safe_split", "semdedup", "semdedup_pairs",
     "shuffle_shards", "split_leakage_report", "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",

@@ -136,3 +136,85 @@ def dedup_spans(
     if drop_empty:
         out = out.where(F.length(text_col) > 0)
     return out.drop("clean_text", "n_removed")
+
+
+def write_span_store(df: DataFrame, path: str, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 15,
+                     mode: str = "overwrite") -> None:
+    """Persist per-window gram-hash counts as parquet ``(gh, cnt)`` so
+    span dedup becomes *incremental*: a daily batch counts only its own
+    windows and merges against the store — the historical corpus is
+    never re-tokenized (at 100 TB, re-tokenizing IS the cost; the store
+    is orders of magnitude smaller than the text).
+
+    ``mode='append'`` appends partial counts (the reader re-aggregates
+    by hash, so duplicate ``gh`` rows across file sets are fine — counts
+    are mergeable by construction, like the HLL sketch store).  The
+    window width ``n`` is recorded in a ``__meta`` footer and validated
+    on read: counts of different widths must never merge.
+    """
+    if mode == "append":
+        try:
+            existing = df.sparkSession.read.parquet(f"{path}__meta").first()
+        except Exception:
+            existing = None
+        if existing is not None and int(existing["n"]) != int(n):
+            raise ValueError(
+                f"span store at [{path}] holds n={existing['n']} window "
+                f"counts; append called with n={n} — different-width "
+                "windows are incompatible. Match the store or rebuild "
+                "with mode='overwrite'.")
+    base = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    counts = (_window_grams(base, id_col, n)
+              .groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")))
+    counts.write.mode(mode).parquet(path)
+    meta = df.sparkSession.createDataFrame([(int(n),)], "n int")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
+
+
+def incremental_dup_spans(spark, path: str, new_docs: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          min_count: int = 2) -> DataFrame:
+    """Duplicate-span removal for an append batch against a persisted
+    span store: a window in a NEW doc is removed iff its corpus-wide
+    count (store + this batch) reaches ``min_count``.  Equals the batch
+    operator run over (historical ∪ new) restricted to the new docs —
+    without touching historical text.
+
+    Returns the same ``(id, n_tokens, n_removed, clean_text)`` schema as
+    :func:`duplicate_span_stats`.  Scale shape: one aggregation over the
+    batch's windows, one outer merge keyed on the 8-byte hash against
+    the store counts (which AQE broadcasts while the store is small),
+    then the usual flagged-start collect + array rebuild."""
+    meta = spark.read.parquet(f"{path}__meta").first()
+    n = int(meta["n"])
+    # appends leave multiple partial-count rows per hash — re-aggregate
+    # before merging or the left join would replicate batch counts
+    store = (spark.read.parquet(path)
+             .groupBy("gh").agg(F.sum("cnt").alias("cnt")))
+    base = new_docs.select(F.col(id_col),
+                           TX.tokens(F.col(text_col)).alias("__toks"))
+    grams = _window_grams(base, id_col, n)
+    batch_counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__bc"))
+    merged = (batch_counts.join(store, "gh", "left")
+              .select("gh", (F.col("__bc")
+                             + F.coalesce("cnt", F.lit(0))).alias("__cnt"))
+              .where(F.col("__cnt") >= min_count)
+              .select("gh"))
+    flagged = (grams.join(merged, "gh")
+               .groupBy(id_col)
+               .agg(F.collect_set("s").alias("__starts")))
+    joined = base.join(flagged, id_col, "left")
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            starts, lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(n - 1))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

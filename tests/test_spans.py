@@ -102,3 +102,58 @@ def test_plan_no_udf_and_hashed_shuffle(spark, corpus):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # The wide stages key on the xxhash64 long, not the gram string.
     assert "xxhash64" in plan
+
+
+# ---------------------------------------------------------------------------
+# persisted span store + incremental removal
+# ---------------------------------------------------------------------------
+
+def test_incremental_equals_batch_on_union(spark, tmp_path):
+    from legend_community_delta_spark.operators.spans import (
+        incremental_dup_spans, write_span_store)
+    hist = _docs(spark, [(1, SHARED + " old1"), (3, "nothing shared here")])
+    new = _docs(spark, [(10, SHARED + " new1"), (11, "fresh unique words")])
+    path = str(tmp_path / "store")
+    write_span_store(hist, path, n=10)
+    inc = {r["doc_id"]: r for r in
+           incremental_dup_spans(spark, path, new).collect()}
+    # batch over the union, restricted to the new ids, must agree
+    batch = {r["doc_id"]: r for r in
+             duplicate_span_stats(hist.union(new), n=10).collect()
+             if r["doc_id"] >= 10}
+    assert set(inc) == set(batch) == {10, 11}
+    for k in inc:
+        assert inc[k]["n_removed"] == batch[k]["n_removed"]
+        assert inc[k]["clean_text"] == batch[k]["clean_text"]
+    # the shared 10-gram appears once in store + once in batch -> removed
+    assert inc[10]["clean_text"] == "new1"
+    assert inc[11]["n_removed"] == 0
+
+
+def test_span_store_append_merges_counts(spark, tmp_path):
+    from legend_community_delta_spark.operators.spans import (
+        incremental_dup_spans, write_span_store)
+    path = str(tmp_path / "store")
+    # the duplicated window is split across two appends: each store batch
+    # holds ONE copy, so only the merged counts can flag it
+    write_span_store(_docs(spark, [(1, SHARED + " a1")]), path, n=10)
+    write_span_store(_docs(spark, [(2, SHARED + " a2")]), path, n=10,
+                     mode="append")
+    new = _docs(spark, [(10, "totally fresh text with no overlap")])
+    out = {r["doc_id"]: r for r in
+           incremental_dup_spans(spark, path, new, min_count=2).collect()}
+    assert out[10]["n_removed"] == 0
+    # a new doc repeating the stored window IS flagged (store already >= 2)
+    out2 = {r["doc_id"]: r["n_removed"] for r in
+            incremental_dup_spans(
+                spark, path, _docs(spark, [(20, SHARED + " n2")])).collect()}
+    assert out2[20] == 10
+
+
+def test_span_store_width_mismatch_refused(spark, tmp_path):
+    from legend_community_delta_spark.operators.spans import write_span_store
+    path = str(tmp_path / "store")
+    write_span_store(_docs(spark, [(1, SHARED)]), path, n=10)
+    with pytest.raises(ValueError):
+        write_span_store(_docs(spark, [(2, SHARED)]), path, n=12,
+                         mode="append")
