@@ -3177,7 +3177,9 @@ def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import bigram_surprisal
-    return (bigram_surprisal(spark.table("documents"))
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return (bigram_surprisal(docs)
             .select("doc_id", "n_bigrams",
                     F.round("mean_neg_logprob2", 6)
                     .alias("mean_neg_logprob2")))
@@ -3260,6 +3262,87 @@ _ORACLE_INCREMENTAL_SPANS = (_ORACLE_DUP_SPANS.rstrip()
                              + "\nWHERE doc_id >= 250\n")
 
 
+def _q_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest span gate: streamed docs clean themselves
+    against the persisted span store via ONE stream-static join on the
+    8-byte window hash + one stateful aggregation
+    (streaming.span_dedup_stream).  Store built from the streamed corpus
+    + availableNow backfill == the batch operator, so the oracle is
+    ``dup_span_docs``'s SQL verbatim."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .operators.spans import write_span_store
+    from .streaming import span_dedup_stream
+
+    docs = spark.table("documents")
+    tmp = tempfile.mkdtemp(prefix="legend_span_stream_")
+    store, src, ckpt = f"{tmp}/store", f"{tmp}/src", f"{tmp}/ckpt"
+    write_span_store(docs, store, n=15)
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    cleaned = span_dedup_stream(stream, spark, store)
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__span_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (cleaned.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(sink)
+
+
+def _q_dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized DSIR selection: the 100 raw docs with the highest
+    length-normalized importance weight vs the ``lang='en'`` target
+    slice, ties broken by (md5(id), id) — TakeOrderedAndProject, no
+    global sort materialization (scoring.dsir_select).  The full
+    ranking statistic reproduces in SQL, so selection is oracle-checked
+    end-to-end."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import dsir_select
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return (dsir_select(docs, docs.where(F.col("lang") == "en"), 100)
+            .select("doc_id", "n_feats",
+                    F.round("logratio_avg", 6).alias("logratio_avg")))
+
+
+_ORACLE_DSIR_SELECT = r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text,'\S+') AS ts FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         unnest(ts || list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i + 1])) AS g
+  FROM toks
+), b AS (SELECT doc_id, lang, substr(md5(g), 1, 3) AS bucket FROM feats),
+rc AS (SELECT bucket, count(*) AS r_n FROM b GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS t_n FROM b WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT (SELECT sum(r_n) FROM rc) AS r_tot,
+               (SELECT sum(t_n) FROM tc) AS t_tot),
+lr AS (
+  SELECT bucket,
+         ln(coalesce(t_n, 0) + 0.5) - ln(t_tot + 0.5 * 4096)
+         - ln(r_n + 0.5) + ln(r_tot + 0.5 * 4096) AS logratio
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+), agg AS (
+  SELECT b.doc_id, count(*) AS n_feats, sum(lr.logratio) AS s
+  FROM b JOIN lr USING (bucket) GROUP BY b.doc_id
+), w AS (
+  SELECT d.doc_id, coalesce(agg.n_feats, 0) AS n_feats,
+         coalesce(agg.s / agg.n_feats, 0.0) AS avg_w
+  FROM documents d LEFT JOIN agg USING (doc_id)
+)
+SELECT doc_id, n_feats, round(avg_w, 6) AS logratio_avg
+FROM w
+ORDER BY avg_w DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3315,6 +3398,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal_docs": _q_bigram_surprisal,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
+    "span_dedup_stream": _q_span_dedup_stream,
+    "dsir_selected_docs": _q_dsir_selected_docs,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3460,6 +3545,8 @@ ORACLES: dict[str, str] = {
     "bigram_surprisal_docs": _ORACLE_BIGRAM_SURPRISAL,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
+    "span_dedup_stream": _ORACLE_DUP_SPANS,
+    "dsir_selected_docs": _ORACLE_DSIR_SELECT,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

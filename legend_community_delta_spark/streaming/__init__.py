@@ -202,3 +202,64 @@ def surprisal_stream(stream: DataFrame, model_df: DataFrame,
                            F.lit(ln_total) - F.col("__avg_ln_c"))
                     .otherwise(F.lit(None).cast("double"))
                     .alias("mean_neg_logprob")))
+
+
+def span_dedup_stream(stream: DataFrame, spark: SparkSession,
+                      store_path: str, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_count: int = 2) -> DataFrame:
+    """Streaming duplicate-span gate: documents arriving on a stream are
+    cleaned against a PERSISTED span store (``spans.write_span_store``)
+    — the continuous-ingest face of ``spans.duplicate_span_stats``.
+
+    A window in a streamed doc is removed iff the store already holds it
+    ``min_count``-plus times; the flagged-window set is a bounded static
+    side (store counts filtered once at plan build), so the hot path is
+    one stream-static join on the 8-byte window hash plus one stateful
+    aggregation keyed by doc.  Within-STREAM repetition is deliberately
+    not counted (that would need unbounded cross-batch window state) —
+    the batch/incremental operators own exact merge semantics; this gate
+    prices arrivals against history.
+
+    With the store built from the streamed corpus itself and
+    ``trigger(availableNow=True)``, the backfill equals the batch
+    operator exactly — that equality is the contract oracle.  Returns
+    the batch schema ``(id, n_tokens, n_removed, clean_text)``.
+    """
+    from ..functions.text import tokens as _tokens
+
+    meta = spark.read.parquet(f"{store_path}__meta").first()
+    n = int(meta["n"])
+    flagged = (spark.read.parquet(store_path)
+               .groupBy("gh").agg(F.sum("cnt").alias("__cnt"))
+               .where(F.col("__cnt") >= min_count)
+               .select("gh", F.lit(1).alias("__dup")))
+    base = stream.select(F.col(id_col).alias("__id"),
+                         _tokens(text_col).alias("__toks"))
+    starts = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    windows = base.select(
+        "__id", "__toks",
+        F.explode_outer(F.transform(starts, lambda s: F.struct(
+            s.alias("s"),
+            F.xxhash64(F.concat_ws("\x1f", F.slice("__toks", s, n)))
+            .alias("gh")))).alias("g"))
+    priced = (windows
+              .withColumn("gh", F.col("g.gh"))
+              .join(flagged, "gh", "left")
+              .groupBy("__id")
+              .agg(F.first("__toks").alias("__toks"),
+                   F.collect_set(F.when(F.col("__dup") == 1, F.col("g.s")))
+                   .alias("__starts")))
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            F.col("__starts"),
+            lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(n - 1))))
+    return priced.select(
+        F.col("__id").alias(id_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"))

@@ -285,3 +285,63 @@ def test_surprisal_stream_oov_and_batch_match(spark, tmp_path):
                           else round(r["mean_neg_logprob"], 9))
             for r in unigram_surprisal(full).collect()}
     assert got2 == want
+
+
+def test_span_dedup_stream_matches_batch_and_history_only(spark, tmp_path):
+    """availableNow streaming span gate == the batch operator when the
+    store holds the streamed corpus; a window repeating only WITHIN the
+    stream (absent from the store) is deliberately not removed."""
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.spans import (
+        duplicate_span_stats, write_span_store)
+    from legend_community_delta_spark.streaming import span_dedup_stream
+
+    shared = "a b c d e f g h i j"
+    rows = [Row(doc_id=1, text=shared + " u1"),
+            Row(doc_id=2, text=shared + " u2"),
+            Row(doc_id=3, text="short one"),
+            Row(doc_id=4, text="")]
+    corpus = spark.createDataFrame(rows)
+    store = str(tmp_path / "store")
+    # store n=10: the shared window is duplicated in history
+    write_span_store(corpus, store, n=10)
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    q = (span_dedup_stream(stream, spark, store)
+         .writeStream.format("memory").queryName("__span_t")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["doc_id"]: r for r in spark.table("__span_t").collect()}
+    batch = {r["doc_id"]: r for r in
+             duplicate_span_stats(corpus, n=10).collect()}
+    assert set(got) == set(batch) == {1, 2, 3, 4}
+    for k in got:
+        assert got[k]["clean_text"] == batch[k]["clean_text"]
+        assert got[k]["n_removed"] == batch[k]["n_removed"]
+    assert got[1]["clean_text"] == "u1"
+    assert got[4]["n_tokens"] == 0 and got[4]["clean_text"] == ""
+
+    # history-only: a NEW window pair arriving in the stream, unknown to
+    # the store, passes the gate untouched (batch/incremental own that)
+    novel = "z y x w v u t s r q"
+    rows2 = [Row(doc_id=10, text=novel + " n1"),
+             Row(doc_id=11, text=novel + " n2")]
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(rows2).write.parquet(src2)
+    stream2 = (spark.readStream
+               .schema(spark.read.parquet(src2).schema).parquet(src2))
+    q2 = (span_dedup_stream(stream2, spark, store)
+          .writeStream.format("memory").queryName("__span_t2")
+          .outputMode("complete")
+          .option("checkpointLocation", str(tmp_path / "ckpt2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    q2.stop()
+    got2 = {r["doc_id"]: r["n_removed"]
+            for r in spark.table("__span_t2").collect()}
+    assert got2 == {10: 0, 11: 0}
