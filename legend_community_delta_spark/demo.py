@@ -3343,6 +3343,44 @@ LIMIT 100
 """
 
 
+def _q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable deterministic quantiles: a bottom-k-by-md5 (KMV) sample
+    per order priority — uniform yet reproducible in any engine, and
+    per-shard samples merge losslessly (bottom-k of unions == bottom-k
+    of per-shard bottom-k's) — then type-1 quantiles of the sample with
+    integer rank math (sketches.bottomk_sample / sample_quantiles).  The
+    sampling rule IS SQL, so the whole estimate is oracle-checked, not
+    rows-only like the HLL store."""
+    ensure_views(spark, sf_dir)
+    from .operators.sketches import bottomk_sample, sample_quantiles
+    s = bottomk_sample(spark.table("orders"), "o_totalprice", "o_orderkey",
+                       ["o_orderpriority"], k=256)
+    return sample_quantiles(s, [0.25, 0.5, 0.9], ["o_orderpriority"])
+
+
+_ORACLE_SAMPLE_QUANTILES = """
+WITH s AS (
+  SELECT o_orderpriority,
+         md5(CAST(o_orderkey AS VARCHAR)) AS h,
+         o_orderkey AS id, o_totalprice AS value,
+         row_number() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+  FROM orders
+), ss AS (SELECT * FROM s WHERE rn <= 256),
+r AS (
+  SELECT o_orderpriority, value, id,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY value, id) AS rn2,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM ss
+)
+SELECT o_orderpriority, CAST(p.prob AS DOUBLE) AS prob, value AS quantile
+FROM r JOIN (VALUES (0.25), (0.5), (0.9)) AS p(prob)
+  ON rn2 = greatest(1, CAST(ceil(p.prob * n) AS INT))
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3400,6 +3438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
     "dsir_selected_docs": _q_dsir_selected_docs,
+    "sample_quantile_stats": _q_sample_quantiles,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3547,6 +3586,7 @@ ORACLES: dict[str, str] = {
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,
     "dsir_selected_docs": _ORACLE_DSIR_SELECT,
+    "sample_quantile_stats": _ORACLE_SAMPLE_QUANTILES,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

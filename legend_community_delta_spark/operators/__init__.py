@@ -83,9 +83,13 @@ from .scoring import (
     unigram_surprisal,
 )
 from .sketches import (
+    bottomk_sample,
     hll_shard_sketches,
     merged_distinct,
+    read_sample,
     read_sketch_estimates,
+    sample_quantiles,
+    write_sample_store,
     write_sketch_store,
 )
 from .spans import (
@@ -111,7 +115,8 @@ __all__ = [
     "curate_corpus", "curate_provenance", "decode_images",
     "decontaminate", "dedup_spans", "dedup_stats", "duplicate_span_stats",
     "bigram_surprisal", "dsir_logratios", "dsir_select", "dsir_weights",
-    "incremental_dup_spans", "write_span_store",
+    "incremental_dup_spans", "write_span_store", "bottomk_sample",
+    "read_sample", "sample_quantiles", "write_sample_store",
     "embedding_drift", "leakage_safe_split", "semdedup", "semdedup_pairs",
     "shuffle_shards", "split_leakage_report", "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",

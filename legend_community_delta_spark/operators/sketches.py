@@ -92,3 +92,98 @@ def merged_distinct(df: DataFrame, value_col: str,
             .groupBy(*group_cols)
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
                  .alias("approx_distinct")))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sample store — mergeable deterministic uniform samples
+# ---------------------------------------------------------------------------
+
+def bottomk_sample(df: DataFrame, value_col: str, id_col: str,
+                   group_cols: list[str] | tuple[str, ...] = (),
+                   k: int = 256) -> DataFrame:
+    """The k rows with the SMALLEST ``md5(id)`` per group — a
+    deterministic uniform sample (md5 order is indistinguishable from a
+    random permutation but reproducible in any engine) with the KMV
+    bottom-k sketch's defining property: **bottom-k of a union equals
+    bottom-k of the per-shard bottom-k's**, so samples merge losslessly
+    without re-reading base data (Cohen & Kaplan's bottom-k sketches).
+
+    Returns ``(group..., __h, id, value)`` rows (normalized column
+    names so stores written from different tables merge).  One
+    WindowGroupLimit per group — no global sort.
+    """
+    from pyspark.sql import Window
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         if group_cols else Window.partitionBy(F.lit(1)))
+    rn = F.row_number().over(w.orderBy(F.col("__h"), F.col("id")))
+    return (df.select(*group_cols, h.alias("__h"),
+                      F.col(id_col).alias("id"),
+                      F.col(value_col).alias("value"))
+            .withColumn("__rn", rn)
+            .where(F.col("__rn") <= k)
+            .drop("__rn"))
+
+
+def write_sample_store(df: DataFrame, path: str, value_col: str,
+                       id_col: str,
+                       group_cols: list[str] | tuple[str, ...] = (),
+                       k: int = 256, mode: str = "append") -> None:
+    """Persist a per-batch bottom-k sample to a parquet store.
+
+    ``mode='append'`` is the incremental path: each ingest batch writes
+    only its own bottom-k rows (k rows per group per batch, regardless
+    of batch size); the reader re-applies the bottom-k cut over the
+    union, which by the KMV merge property equals the bottom-k of all
+    data ever written — an always-fresh uniform sample of the full
+    corpus in O(k·batches) stored rows."""
+    (bottomk_sample(df, value_col, id_col, group_cols, k)
+     .withColumn("__k", F.lit(int(k)))
+     .write.mode(mode).parquet(path))
+
+
+def read_sample(spark, path: str,
+                group_cols: list[str] | tuple[str, ...] = (),
+                k: int | None = None) -> DataFrame:
+    """Merge the store back into THE bottom-k sample of everything ever
+    written (ids deduplicated — re-ingesting a batch is idempotent).
+    ``k`` defaults to the smallest k any writer used (the only merge-
+    safe choice: a union is a valid bottom-k' sample for k' <= min k)."""
+    stored = spark.read.parquet(path)
+    if k is None:
+        k = stored.agg(F.min("__k")).first()[0]
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         if group_cols else Window.partitionBy(F.lit(1)))
+    dedup = stored.dropDuplicates(list(group_cols) + ["id"] if group_cols
+                                  else ["id"])
+    rn = F.row_number().over(w.orderBy(F.col("__h"), F.col("id")))
+    return (dedup.withColumn("__rn", rn)
+            .where(F.col("__rn") <= k).drop("__rn", "__k"))
+
+
+def sample_quantiles(sample: DataFrame, probs: list[float],
+                     group_cols: list[str] | tuple[str, ...] = (),
+                     ) -> DataFrame:
+    """Exact quantiles OF THE SAMPLE per group (type-1 / lower
+    interpolation — engine-portable integer rank math, no float
+    interpolation): ``(group..., prob, quantile)``.  With a bottom-k
+    sample of n rows the estimate converges at O(1/sqrt(k)) like any
+    uniform-sample quantile."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         if group_cols else Window.partitionBy(F.lit(1)))
+    ranked = (sample
+              .withColumn("__rn", F.row_number().over(
+                  w.orderBy(F.col("value"), F.col("id"))))
+              .withColumn("__n", F.count(F.lit(1)).over(w)))
+    out = None
+    for p in probs:
+        # type-1 quantile: value at rank ceil(p*n), clamped to [1, n]
+        target = F.greatest(F.lit(1), F.ceil(F.lit(float(p))
+                                             * F.col("__n")).cast("int"))
+        part = (ranked.where(F.col("__rn") == target)
+                .select(*group_cols, F.lit(float(p)).alias("prob"),
+                        F.col("value").alias("quantile")))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -100,3 +100,65 @@ def test_mixed_lgk_store_rejected(spark, tmp_path):
     assert approx.keys() == exact.keys()
     for et, e in exact.items():
         assert abs(approx[et] - e) <= 0.05 * e + 1
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV) sample store
+# ---------------------------------------------------------------------------
+
+def test_bottomk_merge_property(spark, tmp_path):
+    from legend_community_delta_spark.operators.sketches import (
+        bottomk_sample, read_sample, write_sample_store)
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 2 == 0 else "g2", float(i)) for i in range(200)],
+        "id_ long, grp string, val double")
+    path = str(tmp_path / "samples")
+    # two append batches = the incremental ingest path
+    write_sample_store(df.where("id_ < 100"), path, "val", "id_",
+                       ["grp"], k=16)
+    write_sample_store(df.where("id_ >= 100"), path, "val", "id_",
+                       ["grp"], k=16)
+    merged = {(r["grp"], r["id"]) for r in
+              read_sample(spark, path, ["grp"]).collect()}
+    direct = {(r["grp"], r["id"]) for r in
+              bottomk_sample(df, "val", "id_", ["grp"], k=16).collect()}
+    # bottom-k of per-batch bottom-k's == bottom-k of everything
+    assert merged == direct
+    assert len(merged) == 32  # 16 per group
+
+
+def test_bottomk_reingest_idempotent(spark, tmp_path):
+    from legend_community_delta_spark.operators.sketches import (
+        read_sample, write_sample_store)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id_ long, val double")
+    path = str(tmp_path / "samples")
+    write_sample_store(df, path, "val", "id_", k=8)
+    once = sorted(r["id"] for r in read_sample(spark, path).collect())
+    write_sample_store(df, path, "val", "id_", k=8)  # same batch again
+    twice = sorted(r["id"] for r in read_sample(spark, path).collect())
+    assert once == twice and len(once) == 8
+
+
+def test_sample_quantiles_type1_hand_computed(spark):
+    from legend_community_delta_spark.operators.sketches import (
+        bottomk_sample, sample_quantiles)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id_ long, val double")
+    s = bottomk_sample(df, "val", "id_", k=10)  # sample == population
+    q = {r["prob"]: r["quantile"]
+         for r in sample_quantiles(s, [0.1, 0.5, 1.0]).collect()}
+    # type-1 (lower) quantile at rank ceil(p*10) over values 1..10
+    assert q[0.1] == 1.0 and q[0.5] == 5.0 and q[1.0] == 10.0
+
+
+def test_read_sample_uses_min_k_across_writers(spark, tmp_path):
+    from legend_community_delta_spark.operators.sketches import (
+        read_sample, write_sample_store)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id_ long, val double")
+    path = str(tmp_path / "samples")
+    write_sample_store(df.where("id_ < 50"), path, "val", "id_", k=32)
+    write_sample_store(df.where("id_ >= 50"), path, "val", "id_", k=8)
+    # merge-safe k is the writers' minimum
+    assert read_sample(spark, path).count() == 8
