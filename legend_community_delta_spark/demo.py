@@ -3381,6 +3381,53 @@ FROM r JOIN (VALUES (0.25), (0.5), (0.9)) AS p(prob)
 """
 
 
+def _q_robust_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust normalization of the quality score: median/IQR
+    z, winsorized at ±3 (scoring.robust_scores) — one global quality
+    threshold only means something after per-source normalization, and
+    median/IQR resists the heavy tails that wreck mean/stddev.  Exact
+    percentiles use the same linear interpolation in both engines."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import robust_scores
+    docs = spark.table("documents")
+    return (robust_scores(docs, TX.quality_score("text"))
+            .select("doc_id", "source", "score",
+                    F.round("robust_z", 6).alias("robust_z")))
+
+
+_ORACLE_ROBUST_QUALITY = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+    CASE WHEN text IS NULL THEN 0.0 ELSE round((
+      least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+      + greatest(0.0, 1.0 - CASE WHEN length(text) > 0 THEN
+          (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / length(text)) * 4 ELSE 0.0 END)
+      + CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                  AND (CAST(list_sum(list_transform(
+                          regexp_extract_all(text, '\S+'),
+                          t -> length(t))) AS DOUBLE)
+                       / len(regexp_extract_all(text, '\S+')))
+                      BETWEEN 2.0 AND 12.0
+             THEN 1.0 ELSE 0.3 END
+    ) / 3.0, 6) END AS score
+  FROM documents
+), stats AS (
+  SELECT source,
+         quantile_cont(score, 0.5) AS med,
+         quantile_cont(score, 0.25) AS p25,
+         quantile_cont(score, 0.75) AS p75
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source, s.score,
+       round(greatest(-3.0, least(3.0,
+           CASE WHEN (st.p75 - st.p25) > 0
+                THEN (s.score - st.med) / (st.p75 - st.p25)
+                ELSE 0.0 END)), 6) AS robust_z
+FROM scored s JOIN stats st USING (source)
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3439,6 +3486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup_stream": _q_span_dedup_stream,
     "dsir_selected_docs": _q_dsir_selected_docs,
     "sample_quantile_stats": _q_sample_quantiles,
+    "robust_quality_docs": _q_robust_quality,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3587,6 +3635,7 @@ ORACLES: dict[str, str] = {
     "span_dedup_stream": _ORACLE_DUP_SPANS,
     "dsir_selected_docs": _ORACLE_DSIR_SELECT,
     "sample_quantile_stats": _ORACLE_SAMPLE_QUANTILES,
+    "robust_quality_docs": _ORACLE_ROBUST_QUALITY,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

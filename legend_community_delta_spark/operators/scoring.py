@@ -437,3 +437,36 @@ def top_n_per_group(df: DataFrame, group_col: str, n: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= F.lit(int(n)))
             .drop("__rn"))
+
+
+def robust_scores(df: DataFrame, score, group_col: str = "source",
+                  id_col: str = "doc_id", clip: float = 3.0) -> DataFrame:
+    """Per-group ROBUST normalization of a quality score: median/IQR
+    z-scores, winsorized at ±``clip`` — the step that makes one global
+    quality threshold meaningful across sources whose score
+    distributions differ (a 0.6 from a clean-prose source and a 0.6
+    from a forum dump are not the same signal; normalizing per source
+    before thresholding is the standard fix, and median/IQR resists the
+    heavy tails that mean/stddev are wrecked by).
+
+    ``score`` is a Column expression (or column name).  Groups with
+    zero IQR (constant scores) get z = 0.  Returns
+    ``(id, group, score, robust_z)``.
+
+    Scale shape: one exact-percentile aggregation per group (groups are
+    few — the stats frame broadcasts), then a narrow map.  No second
+    pass over the data, no window over the full corpus.
+    """
+    s = F.col(score) if isinstance(score, str) else score
+    base = df.select(F.col(id_col), F.col(group_col), s.alias("score"))
+    stats = base.groupBy(group_col).agg(
+        F.expr("percentile(score, 0.5)").alias("__med"),
+        F.expr("percentile(score, 0.25)").alias("__p25"),
+        F.expr("percentile(score, 0.75)").alias("__p75"))
+    iqr = F.col("__p75") - F.col("__p25")
+    z = F.when(iqr > 0, (F.col("score") - F.col("__med")) / iqr) \
+         .otherwise(F.lit(0.0))
+    c = F.lit(float(clip))
+    return (base.join(F.broadcast(stats), group_col)
+            .select(id_col, group_col, "score",
+                    F.greatest(-c, F.least(c, z)).alias("robust_z")))

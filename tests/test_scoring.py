@@ -314,3 +314,28 @@ def test_scoring_plans_no_udf(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_robust_scores_median_iqr_and_clip(spark):
+    from legend_community_delta_spark.operators.scoring import robust_scores
+    df = spark.createDataFrame(
+        # group a: values 1..5 (med 3, p25 2, p75 4, iqr 2)
+        [(i, "a", float(i)) for i in range(1, 6)]
+        # group b: constant -> iqr 0 -> z 0
+        + [(10 + i, "b", 7.0) for i in range(3)]
+        # group c: extreme outlier clipped at +-3
+        + [(20, "c", 0.0), (21, "c", 1.0), (22, "c", 2.0),
+           (23, "c", 1000.0)],
+        "doc_id long, source string, q double")
+    out = {r["doc_id"]: r for r in
+           robust_scores(df, "q").collect()}
+    assert out[3]["robust_z"] == 0.0            # the median itself
+    assert abs(out[5]["robust_z"] - 1.0) < 1e-12  # (5-3)/2
+    assert abs(out[1]["robust_z"] + 1.0) < 1e-12
+    assert all(out[10 + i]["robust_z"] == 0.0 for i in range(3))
+    assert out[23]["robust_z"] == 3.0           # winsorized
+    assert out[20]["robust_z"] >= -3.0
+    plan = robust_scores(df, "q")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
