@@ -65,4 +65,9 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
                       "universe depends on iterative k-means cell "
                       "assignment; subset-of-brute-force pinned in "
                       "tests/test_semdedup.py.",
+    "semantic_contamination_pairs": "Cross-corpus within-cell cosine "
+                                    "screen: k-means cells again; "
+                                    "planted-leak recall and "
+                                    "subset-of-brute-force pinned in "
+                                    "tests/test_semdedup.py.",
 }

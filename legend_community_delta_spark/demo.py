@@ -3428,6 +3428,30 @@ FROM scored s JOIN stats st USING (source)
 """
 
 
+def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: eval vectors (here: the vec_id <
+    50 slice, a planted full leak) screened against the train corpus via
+    SemDeDup-shaped within-cell exact cosine
+    (similarity.semantic_contamination) — catches paraphrase-level leaks
+    the exact n-gram decontamination family cannot.  Rows-only: k-means
+    cells; planted-leak and subset-of-brute-force pinned in
+    tests/test_semdedup.py."""
+    ensure_views(spark, sf_dir)
+    from .functions.vectors import norm
+    from .operators.similarity import semantic_contamination
+    unit = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x.cast("double") / norm("embedding"))
+        .alias("embedding")).localCheckpoint(eager=True)
+    evals = unit.where("vec_id < 50")
+    return (semantic_contamination(unit, evals, threshold=0.999,
+                                   n_cells=8, iters=2,
+                                   assume_normalized=True)
+            .select("eval_id", "train_id",
+                    F.round("cos_sim", 6).alias("cos_sim")))
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3496,6 +3520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_index_topk": _q_ivf_index_topk,
     "pq_ann_topk": _q_pq_ann_topk,
     "semdedup_pairs": _q_semdedup_pairs,
+    "semantic_contamination_pairs": _q_semantic_contamination,
     # -- previously-green rows kept inside the 50-row sample -------------
     "legend_mapping_orders": _q_legend_mapping_orders,
     "legend_service_part_stats": _q_legend_service_part_stats,

@@ -65,6 +65,7 @@ from .similarity import (
     query_ivf_index,
     query_lsh_index,
     query_pq_index,
+    semantic_contamination,
     semdedup,
     semdedup_pairs,
 )
@@ -118,7 +119,7 @@ __all__ = [
     "bigram_surprisal", "dsir_logratios", "dsir_select", "dsir_weights",
     "incremental_dup_spans", "write_span_store", "bottomk_sample",
     "read_sample", "robust_scores", "sample_quantiles", "write_sample_store",
-    "embedding_drift", "leakage_safe_split", "semdedup", "semdedup_pairs",
+    "embedding_drift", "leakage_safe_split", "semantic_contamination", "semdedup", "semdedup_pairs",
     "shuffle_shards", "split_leakage_report", "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",

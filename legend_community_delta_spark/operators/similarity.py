@@ -690,3 +690,45 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     losers = (labeled.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") > 1).select(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_contamination(train: DataFrame, eval_df: DataFrame,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           threshold: float = 0.9,
+                           n_cells: int = 16, iters: int = 2,
+                           assume_normalized: bool = False) -> DataFrame:
+    """Cross-corpus SEMANTIC contamination screen: eval items whose
+    embedding is near-identical to a training item — the paraphrase-
+    level leak that exact n-gram decontamination
+    (``dedup.cross_ngram_jaccard_pairs``) cannot see.
+
+    Same sub-quadratic shape as SemDeDup, applied across two corpora:
+    k-means cells are trained on the TRAIN side (the big one — eval
+    items quantize into train's space), both sides assign cells as a
+    narrow map, and exact cosine runs only on same-cell
+    (eval × train) candidates.  Returns
+    ``(eval_id, train_id, cos_sim, cell)``; feed the eval_ids into an
+    anti-join to quarantine, or the train_ids to scrub the train set.
+
+    Candidate recall is same-cell co-location (the documented SemDeDup
+    approximation — raise ``n_cells``/``iters`` to tighten cells); a
+    contaminated pair missed by cells at threshold t is one whose
+    members quantized differently despite cosine >= t.
+    """
+    centroids = kmeans_centroids(train, n_cells, iters, vec_col, id_col,
+                                 assume_normalized=assume_normalized)
+    def _assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec),
+            _cell_col(centroids, vec_col, assume_normalized)["cell"]
+            .alias("__cell"))
+    ev = _assign(eval_df, "eval_id", "__ve")
+    tr = _assign(train, "train_id", "__vt")
+    score = (dot(F.col("__ve"), F.col("__vt")) if assume_normalized
+             else cosine(F.col("__ve"), F.col("__vt")))
+    return (ev.join(tr, "__cell")
+            .withColumn("cos_sim", score)
+            .where(F.col("cos_sim") >= threshold)
+            .select("eval_id", "train_id", "cos_sim",
+                    F.col("__cell").alias("cell")))

@@ -33,4 +33,5 @@ def test_entry_contract(spark):
                          "embedding_dedup_pairs", "lsh_ann_topk",
                          "lsh_index_topk", "ivf_index_topk",
                          "pq_ann_topk", "semdedup_pairs",
+                         "semantic_contamination_pairs",
                          "events_sketch_stats"}

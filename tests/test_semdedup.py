@@ -98,3 +98,48 @@ def test_plan_no_udf_join_on_cell(spark, vecs):
     plan = (semdedup_pairs(vecs, threshold=0.99, n_cells=4, iters=1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_contamination_finds_planted_leak(spark):
+    from legend_community_delta_spark.operators.similarity import (
+        semantic_contamination)
+    train = spark.createDataFrame(
+        [(0, _unit([0.0, 0.0, 1.0, 0.0])),
+         (1, _unit([0.0, 0.0, 0.0, 1.0])),
+         (2, _unit([1.0, 0.01, 0.0, 0.0])),
+         (3, _unit([0.0, 1.0, 0.01, 0.0]))],
+        "vec_id long, embedding array<double>")
+    evals = spark.createDataFrame(
+        [(100, _unit([1.0, 0.015, 0.0, 0.0])),   # paraphrase of train 2
+         (101, _unit([0.5, 0.5, 0.5, 0.5]))],    # genuinely novel
+        "vec_id long, embedding array<double>")
+    got = semantic_contamination(train, evals, threshold=0.99,
+                                 n_cells=4, iters=2,
+                                 assume_normalized=True).collect()
+    pairs = {(r["eval_id"], r["train_id"]) for r in got}
+    assert pairs == {(100, 2)}
+    assert all(r["cos_sim"] >= 0.99 for r in got)
+
+
+def test_semantic_contamination_subset_of_bruteforce(spark):
+    from legend_community_delta_spark.functions.vectors import cosine
+    from legend_community_delta_spark.operators.similarity import (
+        semantic_contamination)
+    import random
+    rng = random.Random(7)
+    train = spark.createDataFrame(
+        [(i, _unit([rng.gauss(0, 1) for _ in range(8)])) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    evals = spark.createDataFrame(
+        [(100 + i, _unit([rng.gauss(0, 1) for _ in range(8)]))
+         for i in range(10)],
+        "vec_id long, embedding array<double>")
+    brute = {(r["eval_id"], r["train_id"]) for r in
+             evals.selectExpr("vec_id AS eval_id", "embedding AS ve")
+             .crossJoin(train.selectExpr("vec_id AS train_id",
+                                         "embedding AS vt"))
+             .where(cosine(F.col("ve"), F.col("vt")) >= 0.5).collect()}
+    semd = {(r["eval_id"], r["train_id"]) for r in
+            semantic_contamination(train, evals, threshold=0.5,
+                                   n_cells=4, iters=2).collect()}
+    assert semd <= brute
