@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "semdedup_pairs",
     "bigram_surprisal_docs",
     "embedding_drift_stats",
+    "incremental_span_docs",
+    "sample_quantile_stats",
+    "robust_quality_docs",
 ]
 
 
