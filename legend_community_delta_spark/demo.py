@@ -3452,6 +3452,53 @@ def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cos_sim", 6).alias("cos_sim")))
 
 
+def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-reference-model scoring: the ``lang='en'`` slice is
+    persisted as a unigram LM store (mergeable counts), then the WHOLE
+    corpus prices against it with OOV tokens at the hapax floor
+    (scoring.write_lm_store / lm_surprisal) — the production shape of
+    the perplexity-proxy gate, where the model is NOT the data being
+    scored.  Counts, totals, OOV handling and the log all reproduce in
+    SQL."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .operators.scoring import lm_surprisal, write_lm_store
+    docs = spark.table("documents")
+    path = tempfile.mkdtemp(prefix="legend_lm_store_") + "/lm"
+    write_lm_store(docs.where(F.col("lang") == "en"), path)
+    return (lm_surprisal(spark, path, docs)
+            .select("doc_id", "n_tokens", "oov_tokens",
+                    F.round("mean_neg_logprob", 6)
+                    .alias("mean_neg_logprob")))
+
+
+_ORACLE_LM_SURPRISAL = r"""
+WITH model AS (
+  SELECT t AS token, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(text,'\S+')) AS t
+        FROM documents WHERE lang = 'en')
+  GROUP BY 1
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,'\S+')) AS token
+  FROM documents
+), per AS (
+  SELECT toks.doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_tokens,
+         avg(ln(CAST(coalesce(m.c, 1) AS DOUBLE))) AS avg_ln
+  FROM toks LEFT JOIN model m USING (token)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.oov_tokens, 0) AS oov_tokens,
+       round(ln(tot.n) - per.avg_ln, 6) AS mean_neg_logprob
+FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3511,6 +3558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_selected_docs": _q_dsir_selected_docs,
     "sample_quantile_stats": _q_sample_quantiles,
     "robust_quality_docs": _q_robust_quality,
+    "lm_surprisal_docs": _q_lm_surprisal,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3661,6 +3709,7 @@ ORACLES: dict[str, str] = {
     "dsir_selected_docs": _ORACLE_DSIR_SELECT,
     "sample_quantile_stats": _ORACLE_SAMPLE_QUANTILES,
     "robust_quality_docs": _ORACLE_ROBUST_QUALITY,
+    "lm_surprisal_docs": _ORACLE_LM_SURPRISAL,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

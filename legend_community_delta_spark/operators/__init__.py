@@ -78,9 +78,11 @@ from .scoring import (
     dsir_select,
     dsir_weights,
     embedding_drift,
+    lm_surprisal,
     robust_scores,
     source_tv_distance,
     top_n_per_group,
+    write_lm_store,
     unigram_counts,
     unigram_surprisal,
 )
@@ -118,7 +120,7 @@ __all__ = [
     "decontaminate", "dedup_spans", "dedup_stats", "duplicate_span_stats",
     "bigram_surprisal", "dsir_logratios", "dsir_select", "dsir_weights",
     "incremental_dup_spans", "write_span_store", "bottomk_sample",
-    "read_sample", "robust_scores", "sample_quantiles", "write_sample_store",
+    "lm_surprisal", "read_sample", "robust_scores", "write_lm_store", "sample_quantiles", "write_sample_store",
     "embedding_drift", "leakage_safe_split", "semantic_contamination", "semdedup", "semdedup_pairs",
     "shuffle_shards", "split_leakage_report", "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",

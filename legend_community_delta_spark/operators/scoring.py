@@ -470,3 +470,51 @@ def robust_scores(df: DataFrame, score, group_col: str = "source",
     return (base.join(F.broadcast(stats), group_col)
             .select(id_col, group_col, "score",
                     F.greatest(-c, F.least(c, z)).alias("robust_z")))
+
+
+def write_lm_store(df: DataFrame, path: str, text_col: str = "text",
+                   mode: str = "overwrite") -> None:
+    """Persist the corpus unigram model as parquet ``(token, n)`` counts
+    — mergeable by construction (counts re-aggregate on read), so
+    ``mode='append'`` accumulates an ever-fresher reference model from
+    ingest batches without re-tokenizing history.  The frozen-model
+    counterpart of :func:`unigram_surprisal` (which prices a corpus
+    against itself): production quality gates price NEW data against a
+    REFERENCE model."""
+    unigram_counts(df, text_col).write.mode(mode).parquet(path)
+
+
+def lm_surprisal(spark, path: str, df: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 oov_count: int = 1) -> DataFrame:
+    """Per-doc mean surprisal against a PERSISTED unigram model
+    (:func:`write_lm_store`).  Tokens absent from the model are priced
+    at ``oov_count`` (the hapax floor — unseen ≈ rarest-seen).  Returns
+    ``(id, n_tokens, oov_tokens, mean_neg_logprob)``; token-less docs
+    get NULL surprisal, matching :func:`unigram_surprisal`.
+
+    Scale shape: the model re-aggregates per token (append-mode stores
+    hold partial counts), the pricing join keys on token (AQE broadcasts
+    small vocabs), one groupBy(id); the model total enters as a one-row
+    broadcast cross join — fully lazy, no driver scalars.
+    """
+    model = (spark.read.parquet(path)
+             .groupBy("token").agg(F.sum("n").alias("__c")))
+    total = model.agg(F.sum("__c").cast("double").alias("__N"))
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode_outer(tokens(text_col)).alias("token"))
+    priced = toks.join(model, "token", "left")
+    return (priced.groupBy("__id")
+            .agg(F.count("token").alias("n_tokens"),
+                 F.sum(F.when(F.col("token").isNotNull()
+                              & F.col("__c").isNull(), 1).otherwise(0))
+                 .alias("oov_tokens"),
+                 F.avg(F.when(F.col("token").isNotNull(),
+                              F.log(F.coalesce(F.col("__c").cast("double"),
+                                               F.lit(float(oov_count))))))
+                 .alias("__avg_ln_c"))
+            .crossJoin(F.broadcast(total))
+            .select(F.col("__id").alias(id_col),
+                    "n_tokens", "oov_tokens",
+                    (F.log("__N") - F.col("__avg_ln_c"))
+                    .alias("mean_neg_logprob")))

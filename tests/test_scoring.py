@@ -339,3 +339,46 @@ def test_robust_scores_median_iqr_and_clip(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_store_oov_and_self_model_equivalence(spark, tmp_path):
+    import math
+    from legend_community_delta_spark.operators.scoring import (
+        lm_surprisal, unigram_surprisal, write_lm_store)
+    corpus = _dsir_docs(spark, [(1, "a a b"), (2, "b a"), (3, "")])
+    path = str(tmp_path / "lm")
+    write_lm_store(corpus, path)
+    # pricing the corpus against its own persisted model == the
+    # self-referential operator (zero OOV by construction)
+    stored = {r["doc_id"]: r for r in
+              lm_surprisal(spark, path, corpus).collect()}
+    live = {r["doc_id"]: r for r in unigram_surprisal(corpus).collect()}
+    for k in stored:
+        assert stored[k]["oov_tokens"] == 0
+        if live[k]["mean_neg_logprob"] is None:
+            assert stored[k]["mean_neg_logprob"] is None
+        else:
+            assert abs(stored[k]["mean_neg_logprob"]
+                       - live[k]["mean_neg_logprob"]) < 1e-12
+    # OOV pricing: 'zzz' absent from the model -> hapax floor ln(1)=0
+    new = _dsir_docs(spark, [(9, "a zzz")])
+    out = lm_surprisal(spark, path, new).collect()[0]
+    assert out["oov_tokens"] == 1 and out["n_tokens"] == 2
+    # counts: a=3, b=2, N=5; doc = [a(3), zzz(oov->1)]
+    want = math.log(5) - (math.log(3) + math.log(1)) / 2
+    assert abs(out["mean_neg_logprob"] - want) < 1e-12
+
+
+def test_lm_store_append_merges(spark, tmp_path):
+    from legend_community_delta_spark.operators.scoring import (
+        lm_surprisal, write_lm_store)
+    path = str(tmp_path / "lm")
+    write_lm_store(_dsir_docs(spark, [(1, "a a b")]), path)
+    write_lm_store(_dsir_docs(spark, [(2, "b a")]), path, mode="append")
+    merged = {r["doc_id"]: r for r in
+              lm_surprisal(spark, path,
+                           _dsir_docs(spark, [(9, "a b")])).collect()}
+    import math
+    # merged counts a=3, b=2, N=5
+    want = math.log(5) - (math.log(3) + math.log(2)) / 2
+    assert abs(merged[9]["mean_neg_logprob"] - want) < 1e-12
