@@ -269,3 +269,39 @@ def test_contamination_family_plan_shapes(spark):
     assert "LeftSemi" in report
     sample = _plan(demo.QUERIES["stratified_docs_sample"](spark, SF_DIR))
     assert "WindowGroupLimit" in sample
+
+
+def test_round7_family_plan_shapes(spark):
+    """Plan pins for the span/DSIR/splits/sample families: column
+    pruning reaches every scan, joins broadcast (no SortMergeJoin on
+    these key sizes), no global sort, zero Python UDFs."""
+    demo.ensure_views(spark, SF_DIR)
+
+    plan = _plan(demo.QUERIES["dup_span_docs"](spark, SF_DIR))
+    # scans carry only (doc_id, text); the wide join keys on xxhash64
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(demo.QUERIES["shuffle_shards_plan"](spark, SF_DIR))
+    # id-only scan; per-shard window, never a single-partition sort
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "SinglePartition" not in plan
+
+    plan = _plan(demo.QUERIES["sample_quantile_stats"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(demo.QUERIES["robust_quality_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    plan = _plan(demo.QUERIES["dsir_doc_weights"](spark, SF_DIR))
+    # the 4096-bucket weight table broadcasts; exploded side not shuffled
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    for name in ("dup_span_docs", "shuffle_shards_plan",
+                 "sample_quantile_stats", "robust_quality_docs",
+                 "dsir_doc_weights", "bigram_surprisal_docs",
+                 "embedding_drift_stats", "leakage_splits"):
+        p = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
