@@ -18,6 +18,7 @@ from .curation import (
     token_budget_cut,
 )
 from .dedup import (
+    hamming_pairs,
     contamination_report,
     cross_ngram_jaccard_pairs,
     decontaminate,
@@ -43,6 +44,8 @@ from .graph import (
 )
 from .joins import broadcast_join, salted_join, write_bucketed
 from .multimodal import (
+    image_ahash,
+    image_near_dup_pairs,
     audio_features,
     decode_images,
     extract_image_features,
@@ -125,7 +128,8 @@ __all__ = [
     "shuffle_shards", "split_leakage_report", "write_training_shards",
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",
-    "exact_dedup", "extract_image_features", "hll_shard_sketches",
+    "exact_dedup", "extract_image_features", "hamming_pairs", "hll_shard_sketches",
+    "image_ahash", "image_near_dup_pairs",
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
     "mixture_weights",

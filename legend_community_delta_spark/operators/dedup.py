@@ -436,19 +436,25 @@ def hamming64(a: F.Column | str, b: F.Column | str) -> F.Column:
     return F.bit_count(ca.bitwiseXOR(cb))
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, ngram: int = 2,
+def hamming_pairs(sigs: DataFrame, id_col: str = "__id",
+                  sig_col: str = "__sim", max_hamming: int = 3,
                   max_bucket: int = 200) -> DataFrame:
-    """Near-dup pairs with SimHash hamming distance <= *max_hamming*.
+    """Near-dup pairs over ANY (id, 64-bit signature) frame with hamming
+    distance <= *max_hamming* — the candidate machinery shared by text
+    SimHash and perceptual image hashes.
 
-    Candidates come from banding the 64-bit hash into four 16-bit chunks
-    (pigeonhole: any pair within distance 3 shares at least one chunk), so
-    the join is equi-key, never a cross product.  Chunk buckets larger
+    Candidates come from banding the 64-bit signature into four 16-bit
+    chunks (pigeonhole: any pair within distance 3 shares at least one
+    chunk), so the join is equi-key, never a cross product.  For
+    ``max_hamming > 3`` the chunk guarantee weakens (a distance-4 pair
+    can differ in all four chunks) — the result is then a documented
+    high-recall-not-exhaustive candidate family.  Chunk buckets larger
     than *max_bucket* are dropped (boilerplate guard — same rationale as
     :func:`minhash_dedup`).
     """
-    sigs = simhash_df(df, text_col, id_col, ngram)
-    chunks = sigs.select(
+    base = sigs.select(F.col(id_col).alias("__id"),
+                       F.col(sig_col).alias("__sim"))
+    chunks = base.select(
         "__id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk"),
@@ -463,12 +469,24 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
-    sim_a = sigs.select(F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"))
-    sim_b = sigs.select(F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"))
+    sim_a = base.select(F.col("__id").alias("id_a"),
+                        F.col("__sim").alias("sim_a"))
+    sim_b = base.select(F.col("__id").alias("id_b"),
+                        F.col("__sim").alias("sim_b"))
     return (pairs.join(sim_a, "id_a").join(sim_b, "id_b")
             .withColumn("hamming", hamming64("sim_a", "sim_b"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, ngram: int = 2,
+                  max_bucket: int = 200) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= *max_hamming* —
+    :func:`simhash_df` signatures through the shared
+    :func:`hamming_pairs` pigeonhole chunk join."""
+    return hamming_pairs(simhash_df(df, text_col, id_col, ngram),
+                         max_hamming=max_hamming, max_bucket=max_bucket)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

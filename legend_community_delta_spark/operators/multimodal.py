@@ -415,3 +415,68 @@ def sample_video_frames(df: DataFrame, every_ms: int,
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ahash", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def image_ahash_bytes(payload: bytes, grid: int = 8) -> int:
+    """Average-hash of decoded pixels: grayscale, nearest-resize to
+    ``grid``x``grid``, threshold at the mean → a 64-bit signed int
+    (row-major bit order).  Deterministic, codec-free, and robust to
+    re-encoding / resizing — the standard cheap perceptual fingerprint."""
+    px = decode_image_bytes(payload).astype(np.float64)
+    gray = px.mean(axis=2) if px.ndim == 3 else px
+    h0, w0 = gray.shape
+    yi = (np.arange(grid) * h0 // grid)
+    xi = (np.arange(grid) * w0 // grid)
+    small = gray[yi][:, xi]
+    bits = (small > small.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    # wrap to signed 64-bit (Spark LongType)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_ahash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", grid: int = 8) -> DataFrame:
+    """Per-image perceptual average-hash over Arrow batches
+    (``mapInPandas`` — the only Python hop; everything downstream is
+    Column algebra).  Corrupt payloads surface in ``decode_error``
+    instead of failing the job, matching the decode family."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rows.append((mid, image_ahash_bytes(bytes(p), grid),
+                                 None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((mid, None, str(e)))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "ahash", "decode_error"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(df: DataFrame, payload_col: str = "payload",
+                         id_col: str = "media_id", max_hamming: int = 3,
+                         max_bucket: int = 200) -> DataFrame:
+    """Perceptual image dedup: average-hash signatures through the same
+    pigeonhole 16-bit-chunk hamming join the text SimHash family uses
+    (``dedup.hamming_pairs``) — re-encoded/renamed copies of an image
+    collide, the join stays equi-key, and undecodable payloads simply
+    propose no pairs.  Returns ``(id_a, id_b, hamming)``."""
+    from .dedup import hamming_pairs
+    sigs = (image_ahash(df, payload_col, id_col)
+            .where(F.col("decode_error").isNull()))
+    return hamming_pairs(sigs, id_col="media_id", sig_col="ahash",
+                         max_hamming=max_hamming, max_bucket=max_bucket)

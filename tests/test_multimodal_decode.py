@@ -170,3 +170,47 @@ def test_no_notimplementederror_left():
     hits = [p for p in root.rglob("*.py")
             if "NotImplementedError" in p.read_text()]
     assert hits == []
+
+
+# ---------------------------------------------------------------------------
+# perceptual average-hash + image near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _img(rng_seed: int, h: int = 32, w: int = 32) -> np.ndarray:
+    rng = np.random.RandomState(rng_seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+
+
+def test_image_ahash_invariances_and_sensitivity():
+    from legend_community_delta_spark.operators.multimodal import (
+        image_ahash_bytes)
+    px = _img(0)
+    base = image_ahash_bytes(encode_pnm(px))
+    # re-encoding (BMP vs PPM) of identical pixels: identical hash
+    assert image_ahash_bytes(make_bmp(px)) == base
+    # 2x nearest upscale keeps the 8x8 average structure (distance small)
+    up = px.repeat(2, axis=0).repeat(2, axis=1)
+    d_up = bin((image_ahash_bytes(encode_pnm(up)) ^ base)
+               & ((1 << 64) - 1)).count("1")
+    assert d_up <= 3
+    # a different image is far away
+    other = image_ahash_bytes(encode_pnm(_img(7)))
+    d_other = bin((other ^ base) & ((1 << 64) - 1)).count("1")
+    assert d_other > 10
+
+
+def test_image_near_dup_pairs_finds_reencoded_copy(spark):
+    from legend_community_delta_spark.operators.multimodal import (
+        image_near_dup_pairs)
+    px = _img(3)
+    rows = [
+        (1, bytearray(encode_pnm(px))),          # original (PPM)
+        (2, bytearray(make_bmp(px))),            # same pixels, BMP
+        (3, bytearray(encode_pnm(_img(11)))),    # unrelated image
+        (4, bytearray(b"\x00garbage")),          # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = image_near_dup_pairs(df, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 0
