@@ -44,6 +44,8 @@ from .graph import (
 )
 from .joins import broadcast_join, salted_join, write_bucketed
 from .multimodal import (
+    audio_fingerprint,
+    audio_near_dup_pairs,
     image_ahash,
     image_near_dup_pairs,
     audio_features,
@@ -129,7 +131,7 @@ __all__ = [
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",
     "exact_dedup", "extract_image_features", "hamming_pairs", "hll_shard_sketches",
-    "image_ahash", "image_near_dup_pairs",
+    "image_ahash", "image_near_dup_pairs", "audio_fingerprint", "audio_near_dup_pairs",
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
     "mixture_weights",

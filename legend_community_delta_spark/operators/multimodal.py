@@ -480,3 +480,83 @@ def image_near_dup_pairs(df: DataFrame, payload_col: str = "payload",
             .where(F.col("decode_error").isNull()))
     return hamming_pairs(sigs, id_col="media_id", sig_col="ahash",
                          max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+AUDIO_HASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("audio_hash", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def _wav_samples(payload: bytes) -> np.ndarray:
+    """WAV/PCM bytes -> float64 sample vector (channels interleaved)."""
+    with wave.open(io.BytesIO(payload)) as wv:
+        sw, nf = wv.getsampwidth(), wv.getnframes()
+        raw = wv.readframes(nf)
+    if sw == 1:
+        return np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+    if sw == 2:
+        return np.frombuffer(raw, "<i2").astype(np.float64)
+    if sw == 4:
+        return np.frombuffer(raw, "<i4").astype(np.float64)
+    raise ValueError(f"unsupported WAV sample width {sw}")
+
+
+def audio_energy_hash_bytes(payload: bytes, windows: int = 64) -> int:
+    """Energy-profile fingerprint: split the track into ``windows`` equal
+    windows, bit i = window energy above the median window energy —
+    amplitude-scaling invariant (gain changes multiply every window
+    equally) and robust to re-encoding; the audio counterpart of
+    :func:`image_ahash_bytes`."""
+    arr = _wav_samples(payload)
+    if arr.size == 0:
+        return 0
+    n = (arr.size // windows) * windows
+    if n == 0:  # shorter than one sample per window: pad with zeros
+        pad = np.zeros(windows, np.float64)
+        pad[:arr.size] = arr
+        arr, n = pad, windows
+    e = (arr[:n].reshape(windows, -1) ** 2).sum(axis=1)
+    bits = e > np.median(e)
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id",
+                      windows: int = 64) -> DataFrame:
+    """Per-track energy-profile hash over Arrow batches; corrupt
+    payloads surface in ``decode_error``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rows.append((mid,
+                                 audio_energy_hash_bytes(bytes(p), windows),
+                                 None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((mid, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "audio_hash", "decode_error"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=AUDIO_HASH_SCHEMA)
+
+
+def audio_near_dup_pairs(df: DataFrame, payload_col: str = "payload",
+                         id_col: str = "media_id", max_hamming: int = 3,
+                         max_bucket: int = 200) -> DataFrame:
+    """Audio dedup through the shared pigeonhole hamming join
+    (``dedup.hamming_pairs``): gain-adjusted or re-encoded copies of a
+    track collide; the join never plans a cross product."""
+    from .dedup import hamming_pairs
+    sigs = (audio_fingerprint(df, payload_col, id_col)
+            .where(F.col("decode_error").isNull()))
+    return hamming_pairs(sigs, id_col="media_id", sig_col="audio_hash",
+                         max_hamming=max_hamming, max_bucket=max_bucket)

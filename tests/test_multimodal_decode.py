@@ -214,3 +214,26 @@ def test_image_near_dup_pairs_finds_reencoded_copy(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == 0
+
+
+def test_audio_energy_hash_gain_invariant_and_pairs(spark):
+    from legend_community_delta_spark.operators.multimodal import (
+        audio_energy_hash_bytes, audio_near_dup_pairs)
+    rng = np.random.RandomState(5)
+    sig = (np.sin(np.linspace(0, 60, 8000)) * 8000
+           + rng.randn(8000) * 50).astype("<i2")
+    quiet = (sig.astype(np.float64) * 0.25).astype("<i2")  # gain change
+    other = (rng.randn(8000) * 3000).astype("<i2")
+    h1 = audio_energy_hash_bytes(make_wav(sig))
+    h2 = audio_energy_hash_bytes(make_wav(quiet))
+    h3 = audio_energy_hash_bytes(make_wav(other))
+    d12 = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    d13 = bin((h1 ^ h3) & ((1 << 64) - 1)).count("1")
+    assert d12 <= 3 < d13
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(sig))), (2, bytearray(make_wav(quiet))),
+         (3, bytearray(make_wav(other))), (4, bytearray(b"notwav"))],
+        "media_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             audio_near_dup_pairs(df).collect()}
+    assert pairs == {(1, 2)}
