@@ -48,6 +48,8 @@ from .multimodal import (
     audio_near_dup_pairs,
     image_ahash,
     image_near_dup_pairs,
+    video_frame_hashes,
+    video_near_dup_pairs,
     audio_features,
     decode_images,
     extract_image_features,
@@ -131,7 +133,7 @@ __all__ = [
     "deterministic_sample", "drop_near_dups", "drop_near_dups_keep_best",
     "embedding_dedup",
     "exact_dedup", "extract_image_features", "hamming_pairs", "hll_shard_sketches",
-    "image_ahash", "image_near_dup_pairs", "audio_fingerprint", "audio_near_dup_pairs",
+    "image_ahash", "image_near_dup_pairs", "audio_fingerprint", "audio_near_dup_pairs", "video_frame_hashes", "video_near_dup_pairs",
     "incremental_minhash_pairs", "ivf_topk", "lsh_topk",
     "merged_distinct", "minhash_dedup", "minhash_signatures_df",
     "mixture_weights",

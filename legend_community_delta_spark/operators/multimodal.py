@@ -560,3 +560,97 @@ def audio_near_dup_pairs(df: DataFrame, payload_col: str = "payload",
             .where(F.col("decode_error").isNull()))
     return hamming_pairs(sigs, id_col="media_id", sig_col="audio_hash",
                          max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+FRAME_HASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("ahash", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def video_frame_hashes(df: DataFrame, every_ms: int = 1000,
+                       payload_col: str = "payload",
+                       id_col: str = "media_id") -> DataFrame:
+    """Sampled-frame perceptual hashes: ``sample_video_frames`` → one
+    average-hash per sampled luma frame — the unit of video identity
+    (``(media_id, frame_idx, ahash)``)."""
+    frames = sample_video_frames(df, every_ms, payload_col, id_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, fi, fp, err in zip(pdf["media_id"], pdf["frame_idx"],
+                                        pdf["frame_payload"],
+                                        pdf["decode_error"]):
+                if err is not None or fp is None:
+                    rows.append((mid, None, None, err))
+                    continue
+                try:
+                    rows.append((mid, int(fi),
+                                 image_ahash_bytes(bytes(fp)), None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((mid, int(fi), None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "ahash", "decode_error"])
+
+    return frames.mapInPandas(batches, schema=FRAME_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(df: DataFrame, every_ms: int = 1000,
+                         min_shared: float = 0.5, max_hamming: int = 3,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id",
+                         max_bucket: int = 200) -> DataFrame:
+    """Video dedup by frame-hash containment: two videos are near-dups
+    when at least ``min_shared`` of the shorter one's sampled frames
+    have a hamming-close (≤ ``max_hamming``) counterpart in the other —
+    catches re-encodes, trims, and watermark-level edits that exact
+    payload hashing misses.
+
+    Pipeline is a composition of existing machinery: frame sampling →
+    per-frame average-hash → the pigeonhole hamming join over frames
+    (frame identity = ``media_id * 2**20 + frame_idx``; sampled frame
+    counts must stay below 2**20) → per-video-pair containment
+    aggregate.  Returns ``(id_a, id_b, shared_frames, shared_frac)``.
+    """
+    from .dedup import hamming_pairs
+    fh = (video_frame_hashes(df, every_ms, payload_col, id_col)
+          .where(F.col("ahash").isNotNull())
+          .withColumn("__fid", F.col("media_id") * F.lit(1 << 20)
+                      + F.col("frame_idx")))
+    counts = fh.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("__n_frames"))
+    fpairs = hamming_pairs(fh, id_col="__fid", sig_col="ahash",
+                           max_hamming=max_hamming, max_bucket=max_bucket)
+    vid = lambda c: F.shiftright(F.col(c), 20)  # exact, no float hop  # noqa: E731
+    cross = (fpairs
+             .select(vid("id_a").alias("va"), F.col("id_a").alias("fa"),
+                     vid("id_b").alias("vb"), F.col("id_b").alias("fb"))
+             .where(F.col("va") != F.col("vb")))
+    # orient every pair (smaller video id first) and count distinct
+    # matched frames of the SHORTER side
+    oriented = cross.select(
+        F.least("va", "vb").alias("id_a"),
+        F.greatest("va", "vb").alias("id_b"),
+        F.when(F.col("va") < F.col("vb"), F.col("fa")).otherwise(F.col("fb"))
+        .alias("fa"),
+        F.when(F.col("va") < F.col("vb"), F.col("fb")).otherwise(F.col("fa"))
+        .alias("fb"))
+    agg = (oriented.groupBy("id_a", "id_b")
+           .agg(F.countDistinct("fa").alias("__ma"),
+                F.countDistinct("fb").alias("__mb")))
+    na = counts.select(F.col("media_id").alias("id_a"),
+                       F.col("__n_frames").alias("__na"))
+    nb = counts.select(F.col("media_id").alias("id_b"),
+                       F.col("__n_frames").alias("__nb"))
+    return (agg.join(na, "id_a").join(nb, "id_b")
+            .withColumn("shared_frames",
+                        F.greatest("__ma", "__mb"))
+            .withColumn("shared_frac",
+                        F.greatest(F.col("__ma") / F.col("__na"),
+                                   F.col("__mb") / F.col("__nb")))
+            .where(F.col("shared_frac") >= min_shared)
+            .select("id_a", "id_b", "shared_frames",
+                    F.round("shared_frac", 6).alias("shared_frac")))

@@ -237,3 +237,25 @@ def test_audio_energy_hash_gain_invariant_and_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              audio_near_dup_pairs(df).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_video_near_dup_pairs_reencode_and_trim(spark):
+    from legend_community_delta_spark.operators.multimodal import (
+        video_near_dup_pairs)
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8).astype(np.uint8)
+              for _ in range(6)]
+    other = [rng.randint(0, 256, (16, 16), dtype=np.uint8).astype(np.uint8)
+             for _ in range(6)]
+    rows = [
+        (1, bytearray(make_y4m(frames, fps=1))),        # original
+        (2, bytearray(make_y4m(frames[:3], fps=1))),    # trimmed copy
+        (3, bytearray(make_y4m(other, fps=1))),         # unrelated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           video_near_dup_pairs(df, every_ms=1000,
+                                min_shared=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    # every sampled frame of the trimmed copy exists in the original
+    assert got[(1, 2)]["shared_frac"] == 1.0
