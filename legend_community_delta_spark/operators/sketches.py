@@ -109,18 +109,22 @@ def bottomk_sample(df: DataFrame, value_col: str, id_col: str,
     without re-reading base data (Cohen & Kaplan's bottom-k sketches).
 
     Returns ``(group..., __h, id, value)`` rows (normalized column
-    names so stores written from different tables merge).  One
-    WindowGroupLimit per group — no global sort.
+    names so stores written from different tables merge).  Grouped:
+    one WindowGroupLimit per group — no global sort.  Ungrouped: a
+    global bottom-k is exactly ``orderBy(h).limit(k)``, which Spark
+    plans as TakeOrderedAndProject (per-partition k + driver merge),
+    never a single-partition sort.
     """
     from pyspark.sql import Window
     h = F.md5(F.col(id_col).cast("string"))
-    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
-         if group_cols else Window.partitionBy(F.lit(1)))
+    base = df.select(*group_cols, h.alias("__h"),
+                     F.col(id_col).alias("id"),
+                     F.col(value_col).alias("value"))
+    if not group_cols:
+        return base.orderBy(F.col("__h"), F.col("id")).limit(k)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols])
     rn = F.row_number().over(w.orderBy(F.col("__h"), F.col("id")))
-    return (df.select(*group_cols, h.alias("__h"),
-                      F.col(id_col).alias("id"),
-                      F.col(value_col).alias("value"))
-            .withColumn("__rn", rn)
+    return (base.withColumn("__rn", rn)
             .where(F.col("__rn") <= k)
             .drop("__rn"))
 
