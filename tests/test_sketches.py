@@ -162,3 +162,13 @@ def test_read_sample_uses_min_k_across_writers(spark, tmp_path):
     write_sample_store(df.where("id_ >= 50"), path, "val", "id_", k=8)
     # merge-safe k is the writers' minimum
     assert read_sample(spark, path).count() == 8
+
+
+def test_bottomk_ungrouped_plans_take_ordered(spark):
+    from legend_community_delta_spark.operators.sketches import (
+        bottomk_sample)
+    df = spark.range(100).selectExpr("id AS id_", "CAST(id AS DOUBLE) AS v")
+    plan = (bottomk_sample(df, "v", "id_", k=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
