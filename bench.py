@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "incremental_span_docs",
     "sample_quantile_stats",
     "robust_quality_docs",
+    "bm25_topk_docs",
+    "nb_lang_confusion",
+    "cms_token_freq",
+    "pagerank_near_dups",
 ]
 
 

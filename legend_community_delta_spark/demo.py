@@ -3499,6 +3499,247 @@ FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
 """
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 docs per keyword query (retrieval.bm25_topk)
+    — the corpus-probing path for decontamination triage / topic audit.
+    Query terms broadcast-filter the postings BEFORE any shuffle; corpus
+    scalars ride a one-row broadcast; per-query top-k is a window over
+    the query partition.  Scores round to 6 decimals pre-rank so the
+    ordering is engine-exact."""
+    ensure_views(spark, sf_dir)
+    from .operators.retrieval import bm25_topk
+    docs = spark.table("documents")
+    queries = spark.createDataFrame(
+        [("q1", "spark hash join"), ("q2", "window sort table"),
+         ("q3", "merge batch value"), ("q4", "slow scan row")],
+        "query_id string, query string")
+    return bm25_topk(docs, queries, k=10)
+
+
+_ORACLE_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text,'\S+'))) AS tok,
+         len(regexp_extract_all(text,'\S+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs,
+         avg(len(regexp_extract_all(text,'\S+'))) AS avgdl
+  FROM documents
+), qterms AS (
+  SELECT * FROM (VALUES ('q1','spark'),('q1','hash'),('q1','join'),
+                        ('q2','window'),('q2','sort'),('q2','table'),
+                        ('q3','merge'),('q3','batch'),('q3','value'),
+                        ('q4','slow'),('q4','scan'),('q4','row'))
+       AS t(query_id, tok)
+), tf AS (
+  SELECT doc_id, tok, dl, count(*) AS tf FROM toks
+  WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.tok, tf.doc_id,
+         ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * (1.2::DOUBLE + 1)
+            / (tf.tf + 1.2::DOUBLE
+               * (1 - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl / s.avgdl)))
+           AS w
+  FROM tf JOIN dfreq d USING (tok) CROSS JOIN stats s
+), scored AS (
+  SELECT q.query_id, c.doc_id, round(sum(c.w), 6) AS score
+  FROM contrib c JOIN qterms q USING (tok)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable corpus classifier: multinomial Naive Bayes TRAINED on
+    the ``doc_id % 5 != 0`` split (label = lang) and evaluated on the
+    held-out 20% — confusion matrix ``(label, pred_label, docs)``.  The
+    fastText-style quality/domain-filter shape with training = two count
+    aggregations (classify.nb_train / nb_confusion); every statistic
+    incl. the smoothed log-posteriors reproduces in SQL (argmax on
+    scores rounded to 6)."""
+    ensure_views(spark, sf_dir)
+    from .operators.classify import nb_confusion, nb_train
+    docs = spark.table("documents")
+    model, stats = nb_train(docs.where(F.col("doc_id") % 5 != 0), "lang")
+    return nb_confusion(docs.where(F.col("doc_id") % 5 == 0),
+                        model, stats, "lang")
+
+
+_ORACLE_NB_CONFUSION = r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+toks AS (
+  SELECT lang AS label,
+         lower(unnest(regexp_extract_all(text,'\S+'))) AS tok
+  FROM train
+), tok_counts AS (
+  SELECT label, tok, count(*) AS n_lt FROM toks GROUP BY 1, 2
+), vocab AS (SELECT DISTINCT tok FROM toks),
+v AS (SELECT count(*) AS v FROM vocab),
+class_tok AS (SELECT label, count(*) AS n_l FROM toks GROUP BY 1),
+class_docs AS (SELECT lang AS label, count(*) AS docs FROM train GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM train),
+class_stats AS (
+  SELECT ct.label, ln(cd.docs / nd.n_docs) AS log_prior,
+         ln(CAST(1 AS DOUBLE) / (ct.n_l + v.v)) AS log_oov,
+         ct.n_l + v.v AS denom
+  FROM class_tok ct JOIN class_docs cd USING (label)
+  CROSS JOIN v CROSS JOIN nd
+), model AS (
+  SELECT cs.label, vo.tok,
+         ln((coalesce(tc.n_lt, 0) + 1) / cs.denom) AS logp
+  FROM vocab vo CROSS JOIN class_stats cs
+  LEFT JOIN tok_counts tc ON tc.label = cs.label AND tc.tok = vo.tok
+), ttoks AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text,'\S+'))) AS tok
+  FROM test
+), tcnt AS (SELECT doc_id, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+dlen AS (SELECT doc_id, sum(cnt) AS n_tok FROM tcnt GROUP BY 1),
+known AS (
+  SELECT t.doc_id, m.label, sum(t.cnt * m.logp) AS known_sum,
+         sum(t.cnt) AS known_cnt
+  FROM tcnt t JOIN model m USING (tok) GROUP BY 1, 2
+), scored AS (
+  SELECT b.doc_id, cs.label,
+         round(cs.log_prior + coalesce(k.known_sum, 0)
+               + (coalesce(d.n_tok, 0) - coalesce(k.known_cnt, 0))
+                 * cs.log_oov, 6) AS score
+  FROM (SELECT doc_id FROM test) b CROSS JOIN class_stats cs
+  LEFT JOIN dlen d USING (doc_id)
+  LEFT JOIN known k ON k.doc_id = b.doc_id AND k.label = cs.label
+), pred AS (
+  SELECT doc_id, label AS pred_label,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rn
+  FROM scored
+)
+SELECT t.lang AS label, p.pred_label, count(*) AS docs
+FROM test t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
+GROUP BY 1, 2
+"""
+
+
+def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: the exact top-20 tokens with their CMS
+    frequency estimates side by side (sketches.cms_cells / cms_estimate,
+    d=4 x 4096 md5-hex cells).  The mergeable-counter path for tracking
+    heavy hitters over append-only corpora; the md5 cell hash makes the
+    whole sketch engine-portable, so even the ESTIMATES oracle-check
+    exactly (est >= freq always; equal absent collisions)."""
+    ensure_views(spark, sf_dir)
+    from .operators.sketches import cms_cells, cms_estimate
+    docs = spark.table("documents")
+    toks = docs.select(F.explode(F.transform(
+        TX.tokens("text"), lambda t: F.lower(t))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = exact.orderBy(F.desc("freq"), "tok").limit(20)
+    cms = cms_cells(toks, "tok", d=4, prefix_len=3)
+    est = cms_estimate(cms, top.select("tok"), "tok", d=4, prefix_len=3)
+    return (top.join(est, top["tok"] == est["value"])
+            .select("tok", "freq", "est"))
+
+
+_ORACLE_CMS = r"""
+WITH toks AS (
+  SELECT lower(unnest(regexp_extract_all(text,'\S+'))) AS tok
+  FROM documents
+), exact AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+top AS (SELECT tok, freq FROM exact ORDER BY freq DESC, tok LIMIT 20),
+cells AS (
+  SELECT i AS row, substr(md5('cms' || i || ':' || tok), 1, 3) AS cell,
+         count(*) AS n
+  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+  GROUP BY 1, 2
+), keys AS (
+  SELECT tok, freq, i AS row,
+         substr(md5('cms' || i || ':' || tok), 1, 3) AS cell
+  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+)
+SELECT k.tok, k.freq, min(coalesce(c.n, 0)) AS est
+FROM keys k LEFT JOIN cells c ON c.row = k.row AND c.cell = k.cell
+GROUP BY 1, 2
+"""
+
+
+def _q_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over the exact near-dup pair graph: 3-iteration
+    PageRank (graph.pagerank, damping 0.85) — ranks each cluster's
+    "authority" doc (the template the others are copies of).  A FIXED
+    iteration count keeps the lineage bounded and makes the whole
+    computation SQL-unrollable, so even the float ranks oracle-check
+    (rounded to 6)."""
+    ensure_views(spark, sf_dir)
+    from .operators.graph import pagerank
+    pairs = DD.ngram_jaccard_pairs(spark.table("documents"), n=5,
+                                   threshold=0.2)
+    return (pagerank(pairs, "id_a", "id_b", iters=3, damping=0.85)
+            .select(F.col("id").alias("doc_id"),
+                    F.round("r", 6).alias("rank")))
+
+
+_ORACLE_PAGERANK = r"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT a, count(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.b AS id, sum(r.r / d.outdeg) AS s
+       FROM edges e JOIN r0 r ON r.id = e.a JOIN deg d ON d.a = e.a
+       GROUP BY 1),
+r1 AS (SELECT n.id,
+              (1 - 0.85::DOUBLE) / nn.n + 0.85::DOUBLE * coalesce(c.s, 0)
+                AS r
+       FROM nodes n CROSS JOIN nn LEFT JOIN c1 c ON c.id = n.id),
+c2 AS (SELECT e.b AS id, sum(r.r / d.outdeg) AS s
+       FROM edges e JOIN r1 r ON r.id = e.a JOIN deg d ON d.a = e.a
+       GROUP BY 1),
+r2 AS (SELECT n.id,
+              (1 - 0.85::DOUBLE) / nn.n + 0.85::DOUBLE * coalesce(c.s, 0)
+                AS r
+       FROM nodes n CROSS JOIN nn LEFT JOIN c2 c ON c.id = n.id),
+c3 AS (SELECT e.b AS id, sum(r.r / d.outdeg) AS s
+       FROM edges e JOIN r2 r ON r.id = e.a JOIN deg d ON d.a = e.a
+       GROUP BY 1),
+r3 AS (SELECT n.id,
+              (1 - 0.85::DOUBLE) / nn.n + 0.85::DOUBLE * coalesce(c.s, 0)
+                AS r
+       FROM nodes n CROSS JOIN nn LEFT JOIN c3 c ON c.id = n.id)
+SELECT id AS doc_id, round(r, 6) AS rank FROM r3
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3559,6 +3800,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quantile_stats": _q_sample_quantiles,
     "robust_quality_docs": _q_robust_quality,
     "lm_surprisal_docs": _q_lm_surprisal,
+    # -- round-8 additions: retrieval / classifier / CMS sketch ----------
+    "bm25_topk_docs": _q_bm25_topk,
+    "nb_lang_confusion": _q_nb_lang_confusion,
+    "cms_token_freq": _q_cms_token_freq,
+    "pagerank_near_dups": _q_pagerank_near_dups,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3710,6 +3956,10 @@ ORACLES: dict[str, str] = {
     "sample_quantile_stats": _ORACLE_SAMPLE_QUANTILES,
     "robust_quality_docs": _ORACLE_ROBUST_QUALITY,
     "lm_surprisal_docs": _ORACLE_LM_SURPRISAL,
+    "bm25_topk_docs": _ORACLE_BM25,
+    "nb_lang_confusion": _ORACLE_NB_CONFUSION,
+    "cms_token_freq": _ORACLE_CMS,
+    "pagerank_near_dups": _ORACLE_PAGERANK,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -39,6 +39,7 @@ from .dedup import (
 from .graph import (
     cluster_representatives,
     connected_components,
+    pagerank,
     drop_near_dups,
     drop_near_dups_keep_best,
 )
@@ -93,7 +94,14 @@ from .scoring import (
     unigram_counts,
     unigram_surprisal,
 )
+from .classify import nb_confusion, nb_score, nb_train
+from .retrieval import bm25_topk, doc_postings
 from .sketches import (
+    cms_cells,
+    cms_estimate,
+    cms_merge,
+    read_cms,
+    write_cms_store,
     bottomk_sample,
     hll_shard_sketches,
     merged_distinct,
@@ -148,4 +156,8 @@ __all__ = [
     "unigram_surprisal", "verified_near_dup_pairs",
     "winnow_candidate_pairs", "write_bucketed", "write_signature_store",
     "write_sketch_store",
+    "bm25_topk", "doc_postings", "nb_confusion", "nb_score", "nb_train",
+    "pagerank",
+    "cms_cells", "cms_estimate", "cms_merge", "read_cms",
+    "write_cms_store",
 ]

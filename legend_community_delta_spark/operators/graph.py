@@ -99,6 +99,52 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return labels
 
 
+def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+             iters: int = 3, damping: float = 0.85,
+             directed: bool = False) -> DataFrame:
+    """Fixed-iteration PageRank over a pair/edge list: ``(id, r)``.
+
+    Centrality over the near-dup graph ranks cluster "authority" docs
+    (the template everything else is a mangled copy of) and, over a
+    citation/link table, feeds quality priors for curation.  Undirected
+    input (the near-dup case) symmetrizes the edges first.
+
+    The iteration count is a FIXED parameter, not a convergence probe —
+    each round is one equi-join + one aggregate, the lineage stays
+    ``iters`` deep, and a fixed unrolling is exactly reproducible in SQL
+    (the oracle unrolls the same rounds), unlike converge-to-epsilon
+    loops whose round count is data-dependent.  Isolated nodes (no
+    edges) are out of scope by definition — callers union them at the
+    baseline ``(1-d)/N`` if needed.  Every node here has degree >= 1, so
+    there is no dangling-mass correction term.
+
+    Scale: ranks and degrees shuffle on node id; the one-row node count
+    rides a broadcast; nothing materializes on the driver.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = e.distinct().localCheckpoint(eager=True)  # reused every round
+    nodes = edges.select(F.col("a").alias("id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = (nodes.crossJoin(F.broadcast(nn))
+             .select("id", (F.lit(1.0) / F.col("n")).alias("r")))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(ranks.withColumnRenamed("id", "a"), "a")
+                   .join(deg, "a")
+                   .groupBy("b")
+                   .agg(F.sum(F.col("r") / F.col("outdeg")).alias("s")))
+        ranks = (nodes.crossJoin(F.broadcast(nn))
+                 .join(contrib.withColumnRenamed("b", "id"), "id", "left")
+                 .select("id",
+                         ((F.lit(1.0) - damping) / F.col("n")
+                          + damping * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("r")))
+    return ranks
+
+
 def drop_near_dups(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one doc per near-dup component (the minimum id);

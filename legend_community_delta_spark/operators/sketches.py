@@ -166,6 +166,101 @@ def read_sample(spark, path: str,
             .where(F.col("__rn") <= k).drop("__rn", "__k"))
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimates (heavy hitters)
+# ---------------------------------------------------------------------------
+
+def cms_cells(df: DataFrame, value_col: str, d: int = 4,
+              prefix_len: int = 3,
+              group_cols: list[str] | tuple[str, ...] = ()) -> DataFrame:
+    """Count-min sketch of *value_col* as ``(group..., row, cell, n)``.
+
+    *d* hash rows x ``16**prefix_len`` cells per row (md5 hex-prefix
+    cells — engine-portable, so estimates are fully oracle-checkable).
+    The sketch is a COUNTER MATRIX, hence linearly mergeable: the CMS of
+    a union is the cell-wise SUM of the per-shard sketches — the
+    heavy-hitter companion to the HLL store above (frequency, not
+    cardinality), sized ``d * 16**prefix_len`` rows no matter how much
+    data flowed through.
+
+    Standard CMS guarantees: estimate >= true count always (counters
+    only over-count on collisions); overestimate <= eN/w with
+    probability 1 - (1/2)^d for w cells.
+    """
+    v = F.col(value_col).cast("string")
+    rc = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), v)),
+                        1, prefix_len).alias("cell"))
+        for i in range(d)])).alias("__rc")
+    return (df.select(*group_cols, rc)
+            .select(*group_cols, F.col("__rc.row").alias("row"),
+                    F.col("__rc.cell").alias("cell"))
+            .groupBy(*group_cols, "row", "cell")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cms_merge(cms: DataFrame,
+              group_cols: list[str] | tuple[str, ...] = ()) -> DataFrame:
+    """Merge sketch shards cell-wise (the linearity of CMS): input may
+    hold many shards' cells; output has one row per (group, row, cell)."""
+    return (cms.groupBy(*group_cols, "row", "cell")
+            .agg(F.sum("n").alias("n")))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str,
+                 d: int = 4, prefix_len: int = 3) -> DataFrame:
+    """Estimate each probe value's frequency from a (merged) sketch:
+    ``(value, est)`` with ``est = min over rows of the probe's cell``.
+
+    The sketch side is d x w counters — kilobytes — so it BROADCASTS to
+    the probe side (left join, probes preserved: a probe whose cell is
+    absent from the sketch scores 0 — never seen)."""
+    v = F.col(value_col).cast("string")
+    keys = probes.select(
+        v.alias("value"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), v)),
+                            1, prefix_len).alias("cell"))
+            for i in range(d)])).alias("__rc"))
+    keys = keys.select("value", F.col("__rc.row").alias("row"),
+                       F.col("__rc.cell").alias("cell"))
+    return (keys.join(F.broadcast(cms), ["row", "cell"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")))
+
+
+def write_cms_store(df: DataFrame, path: str, value_col: str,
+                    d: int = 4, prefix_len: int = 3,
+                    group_cols: list[str] | tuple[str, ...] = (),
+                    mode: str = "append") -> None:
+    """Persist a batch's CMS cells (``mode='append'`` = incremental: each
+    ingest batch appends its own d x w counters; the reader's cell-wise
+    sum reconstructs THE sketch of everything ever written)."""
+    (cms_cells(df, value_col, d, prefix_len, group_cols)
+     .withColumn("__d", F.lit(int(d)))
+     .withColumn("__w", F.lit(int(16 ** prefix_len)))
+     .write.mode(mode).parquet(path))
+
+
+def read_cms(spark, path: str,
+             group_cols: list[str] | tuple[str, ...] = ()) -> DataFrame:
+    """Merge a CMS store back into one sketch.  Mixed (d, w) parameters
+    raise — cells from differently-shaped sketches must never be summed
+    (same rule as the signature and HLL stores)."""
+    store = spark.read.parquet(path)
+    shapes = [tuple(r) for r in
+              store.select("__d", "__w").distinct().collect()]
+    if len(shapes) > 1:
+        raise ValueError(
+            f"CMS store at [{path}] mixes sketch shapes {sorted(shapes)}; "
+            "rebuild with one (d, w)")
+    return cms_merge(store.drop("__d", "__w"), group_cols)
+
+
 def sample_quantiles(sample: DataFrame, probs: list[float],
                      group_cols: list[str] | tuple[str, ...] = (),
                      ) -> DataFrame:

@@ -263,3 +263,47 @@ def span_dedup_stream(stream: DataFrame, spark: SparkSession,
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"))
+
+
+def nb_score_stream(stream: DataFrame, model_wide: DataFrame,
+                    stats_rows: list, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Streaming classifier gate: documents arriving on a stream are
+    scored against a FROZEN Naive Bayes model (``classify.nb_train`` /
+    ``nb_model_wide``) — the continuous-ingest face of
+    ``classify.nb_score``: quality/domain-filter every batch with a
+    model trained once on a labeled seed set.
+
+    Shape: explode tokens (``explode_outer`` so empty docs survive at
+    the prior), ONE stream-static broadcast join against the pivoted
+    per-token log-prob columns, ONE stateful aggregation (per-class
+    sums; OOV tokens coalesce to the per-class floor), then a stateless
+    argmax fold — scores rounded to 6, ties to the ascending label,
+    exactly the batch operator's rule.  Returns ``(doc_id, pred_label,
+    score)``; write with ``outputMode("complete"/"update")`` or wrap
+    the keep/drop filter in ``foreachBatch``.
+    """
+    from ..functions.text import tokens as _tokens
+
+    toks = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.transform(_tokens(text_col),
+                                    lambda t: F.lower(t))).alias("tok"))
+    joined = toks.join(F.broadcast(model_wide), "tok", "left")
+    aggs = []
+    for i, r in enumerate(stats_rows):
+        per_tok = F.when(F.col("tok").isNull(), F.lit(0.0)).otherwise(
+            F.coalesce(F.col(r.label), F.lit(float(r.log_oov))))
+        aggs.append(F.sum(per_tok).alias(f"__s{i}"))
+    agg = joined.groupBy("doc_id").agg(*aggs)
+    pred = None
+    for i, r in enumerate(stats_rows):  # ascending label order
+        cand = F.struct(
+            F.round(F.col(f"__s{i}") + F.lit(float(r.log_prior)), 6)
+            .alias("score"),
+            F.lit(r.label).alias("label"))
+        # strictly-greater keeps the earlier (smaller) label on ties
+        pred = cand if pred is None else F.when(
+            cand["score"] > pred["score"], cand).otherwise(pred)
+    return agg.select("doc_id", pred["label"].alias("pred_label"),
+                      pred["score"].alias("score"))

@@ -1,0 +1,298 @@
+"""BM25 retrieval, Naive Bayes classifier, and count-min sketch:
+hand-computed goldens, algebraic invariants, store semantics, plan pins.
+
+(The end-to-end DuckDB parity of the three contract entries is covered
+by test_oracle_parity.py's parametrized sweep.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from legend_community_delta_spark.operators.classify import (
+    nb_confusion,
+    nb_score,
+    nb_train,
+)
+from legend_community_delta_spark.operators.retrieval import (
+    bm25_topk,
+    doc_postings,
+)
+from legend_community_delta_spark.operators.sketches import (
+    cms_cells,
+    cms_estimate,
+    cms_merge,
+    read_cms,
+    write_cms_store,
+)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computed(spark):
+    docs = _docs(spark, [
+        (1, "spark spark join"),
+        (2, "join table"),
+        (3, "sort sort sort sort"),
+    ])
+    queries = spark.createDataFrame([("q", "spark")],
+                                    "query_id string, query string")
+    out = bm25_topk(docs, queries, k=10).collect()
+    # only doc 1 contains 'spark'
+    assert [(r.doc_id, r.rank) for r in out] == [(1, 1)]
+    n, df, tf, dl, avgdl, k1, b = 3, 1, 2, 3, 3.0, 1.2, 0.75
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    w = idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+    assert out[0].score == round(w, 6)
+
+
+def test_bm25_rarer_term_outranks_common(spark):
+    # 'rare' appears in 1 of 4 docs, 'common' in all: the rare-term doc
+    # must outrank a common-term doc for the two-term query
+    docs = _docs(spark, [
+        (1, "common rare"),
+        (2, "common x"),
+        (3, "common y"),
+        (4, "common z"),
+    ])
+    queries = spark.createDataFrame([("q", "common rare")],
+                                    "query_id string, query string")
+    out = {r.doc_id: r.rank for r in
+           bm25_topk(docs, queries, k=10).collect()}
+    assert out[1] == 1 and len(out) == 4
+
+
+def test_bm25_query_term_absent_from_corpus_is_ignored(spark):
+    docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+    q = spark.createDataFrame([("q", "alpha zzz_never_seen")],
+                              "query_id string, query string")
+    out = bm25_topk(docs, q, k=10).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_doc_postings_counts_all_occurrences(spark):
+    docs = _docs(spark, [(1, "A a b")])
+    rows = {(r.tok): (r.tf, r.dl)
+            for r in doc_postings(docs).collect()}
+    assert rows == {"a": (2, 3), "b": (1, 3)}
+
+
+def test_bm25_plan_no_smj_no_udf_no_single_partition_topk(spark):
+    docs = _docs(spark, [(i, f"tok{i} shared") for i in range(20)])
+    q = spark.createDataFrame([("q1", "shared"), ("q2", "tok3")],
+                              "query_id string, query string")
+    plan = bm25_topk(docs, q, k=5)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes
+# ---------------------------------------------------------------------------
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, y string")
+
+
+def test_nb_separable_classes(spark):
+    train = _labeled(spark, [
+        (1, "cat cat purr", "animal"), (2, "cat purr paw", "animal"),
+        (3, "bolt nut wrench", "tool"), (4, "wrench bolt", "tool"),
+    ])
+    test = _labeled(spark, [(10, "cat purr", "animal"),
+                            (11, "bolt wrench nut", "tool")])
+    model, stats = nb_train(train, "y")
+    preds = {r.doc_id: r.pred_label
+             for r in nb_score(test, model, stats).collect()}
+    assert preds == {10: "animal", 11: "tool"}
+    conf = {(r.label, r.pred_label): r.docs
+            for r in nb_confusion(test, model, stats, "y").collect()}
+    assert conf == {("animal", "animal"): 1, ("tool", "tool"): 1}
+
+
+def test_nb_model_is_complete_vocab_x_class_cross(spark):
+    train = _labeled(spark, [(1, "aa bb", "x"), (2, "cc", "y")])
+    model, _ = nb_train(train, "y")
+    rows = {(r.label, r.tok) for r in model.collect()}
+    assert rows == {(lbl, t) for lbl in ("x", "y")
+                    for t in ("aa", "bb", "cc")}
+
+
+def test_nb_hand_computed_logp(spark):
+    # class x: tokens [aa aa bb] -> n_l=3, V=3 (aa,bb,cc)
+    train = _labeled(spark, [(1, "aa aa bb", "x"), (2, "cc", "y")])
+    model, stats = nb_train(train, "y")
+    logp = {(r.label, r.tok): r.logp for r in model.collect()}
+    assert logp[("x", "aa")] == pytest.approx(math.log(3 / 6))
+    assert logp[("x", "cc")] == pytest.approx(math.log(1 / 6))
+    st = {r.label: (r.log_prior, r.log_oov) for r in stats.collect()}
+    assert st["x"][0] == pytest.approx(math.log(0.5))
+    assert st["y"][1] == pytest.approx(math.log(1 / 4))
+
+
+def test_nb_empty_doc_falls_back_to_prior_with_label_tiebreak(spark):
+    # equal priors, empty test doc -> tie -> ascending label wins
+    train = _labeled(spark, [(1, "aa", "x"), (2, "bb", "y")])
+    model, stats = nb_train(train, "y")
+    test = _labeled(spark, [(10, "", "x")])
+    out = nb_score(test, model, stats).collect()
+    assert [(r.doc_id, r.pred_label) for r in out] == [(10, "x")]
+
+
+def test_nb_oov_tokens_use_per_class_floor(spark):
+    # doc of only-OOV tokens: class with FEWER training tokens has the
+    # higher floor ln(1/(n_l+V)) and must win under equal priors
+    train = _labeled(spark, [(1, "aa aa aa aa aa", "big"),
+                             (2, "bb", "small")])
+    model, stats = nb_train(train, "y")
+    test = _labeled(spark, [(10, "zz zz", "small")])
+    out = nb_score(test, model, stats).collect()
+    assert out[0].pred_label == "small"
+
+
+def test_nb_plan_no_python_udfs(spark):
+    train = _labeled(spark, [(1, "aa bb", "x"), (2, "cc", "y")])
+    model, stats = nb_train(train, "y")
+    plan = nb_score(train, model, stats)._jdf.queryExecution(
+        ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def _toks(spark, toks):
+    return spark.createDataFrame([(t,) for t in toks], "tok string")
+
+
+def test_cms_estimate_dominates_exact_counts(spark):
+    toks = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + list("defghij")
+    df = _toks(spark, toks)
+    cms = cms_cells(df, "tok")
+    probes = df.distinct()
+    est = {r.value: r.est
+           for r in cms_estimate(cms, probes, "tok").collect()}
+    from collections import Counter
+    exact = Counter(toks)
+    for t, c in exact.items():
+        assert est[t] >= c, t
+    # 4096 cells vs 10 distinct values: no collisions, estimates exact
+    assert est == dict(exact)
+
+
+def test_cms_unseen_value_estimates_zero(spark):
+    cms = cms_cells(_toks(spark, ["a", "b"]), "tok")
+    probes = _toks(spark, ["zzz"])
+    assert cms_estimate(cms, probes, "tok").collect()[0].est == 0
+
+
+def test_cms_merge_is_cellwise_linear(spark):
+    left = _toks(spark, ["a", "a", "b"])
+    right = _toks(spark, ["a", "c"])
+    merged = cms_merge(cms_cells(left, "tok")
+                       .unionByName(cms_cells(right, "tok")))
+    full = cms_cells(left.unionByName(right), "tok")
+    assert (sorted(tuple(r) for r in merged.collect())
+            == sorted(tuple(r) for r in full.collect()))
+
+
+def test_cms_store_roundtrip_incremental(spark, tmp_path):
+    path = str(tmp_path / "cms")
+    write_cms_store(_toks(spark, ["a", "a", "b"]), path, "tok")
+    write_cms_store(_toks(spark, ["a", "c"]), path, "tok")
+    merged = read_cms(spark, path)
+    est = {r.value: r.est
+           for r in cms_estimate(merged,
+                                 _toks(spark, ["a", "b", "c"]),
+                                 "tok").collect()}
+    assert est == {"a": 3, "b": 1, "c": 1}
+
+
+def test_cms_store_rejects_mixed_shapes(spark, tmp_path):
+    path = str(tmp_path / "cms")
+    write_cms_store(_toks(spark, ["a"]), path, "tok", d=4)
+    write_cms_store(_toks(spark, ["b"]), path, "tok", d=2)
+    with pytest.raises(ValueError, match="mixes sketch shapes"):
+        read_cms(spark, path)
+
+
+def test_cms_store_is_metadata_sized(spark, tmp_path):
+    # one batch's store rows are bounded by d * 16**prefix_len, not by
+    # the input row count
+    path = str(tmp_path / "cms")
+    many = _toks(spark, [f"t{i % 7}" for i in range(1000)])
+    write_cms_store(many, path, "tok", d=4, prefix_len=3)
+    assert spark.read.parquet(path).count() <= 4 * 16 ** 3
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_pagerank_symmetric_graphs_stay_uniform(spark):
+    from legend_community_delta_spark.operators.graph import pagerank
+    # a single edge and a triangle are vertex-transitive: ranks stay at
+    # the uniform 1/N through every iteration
+    two = {r.id: r.r for r in pagerank(_pairs(spark, [(1, 2)])).collect()}
+    assert two[1] == pytest.approx(0.5) and two[2] == pytest.approx(0.5)
+    tri = {r.id: r.r for r in
+           pagerank(_pairs(spark, [(1, 2), (2, 3), (1, 3)])).collect()}
+    assert all(v == pytest.approx(1 / 3) for v in tri.values())
+
+
+def test_pagerank_star_hand_computed(spark):
+    from legend_community_delta_spark.operators.graph import pagerank
+    # star: hub 0 joined to leaves 1..3; replicate the fixed iteration
+    # in plain python and compare exactly (same IEEE ops)
+    edges = [(0, 1), (0, 2), (0, 3)]
+    got = {r.id: r.r
+           for r in pagerank(_pairs(spark, edges), iters=3).collect()}
+    d, n = 0.85, 4
+    r = {v: 1.0 / n for v in range(4)}
+    deg = {0: 3, 1: 1, 2: 1, 3: 1}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in range(4)}
+        for a, b in edges + [(b, a) for a, b in edges]:
+            contrib[b] += r[a] / deg[a]
+        r = {v: (1.0 - d) / n + d * contrib[v] for v in range(4)}
+    for v in range(4):
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+    assert got[0] > got[1]  # hub outranks leaves
+
+
+def test_pagerank_mass_is_conserved(spark):
+    from legend_community_delta_spark.operators.graph import pagerank
+    # undirected graph, no dangling nodes: total rank stays 1
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    total = (pagerank(_pairs(spark, edges), iters=4)
+             .agg(F.sum("r")).first()[0])
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_directed_mode_keeps_edge_direction(spark):
+    from legend_community_delta_spark.operators.graph import pagerank
+    # 1 -> 2 directed: 2 receives 1's mass, 1 only keeps the baseline
+    got = {r.id: r.r for r in
+           pagerank(_pairs(spark, [(1, 2), (2, 1)]), iters=2,
+                    directed=True).collect()}
+    sym = {r.id: r.r for r in
+           pagerank(_pairs(spark, [(1, 2)]), iters=2).collect()}
+    assert got == pytest.approx(sym)  # 2-cycle == symmetrized edge
