@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "nb_lang_confusion",
     "cms_token_freq",
     "pagerank_near_dups",
+    "containment_dup_pairs",
 ]
 
 

@@ -19,6 +19,7 @@ from .curation import (
 )
 from .dedup import (
     hamming_pairs,
+    containment_pairs,
     contamination_report,
     cross_ngram_jaccard_pairs,
     decontaminate,
@@ -159,5 +160,5 @@ __all__ = [
     "bm25_topk", "doc_postings", "nb_confusion", "nb_score", "nb_train",
     "pagerank",
     "cms_cells", "cms_estimate", "cms_merge", "read_cms",
-    "write_cms_store",
+    "write_cms_store", "containment_pairs",
 ]

@@ -588,6 +588,75 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5,
+                      threshold: float = 0.8) -> DataFrame:
+    """Exact ASYMMETRIC near-dup pairs by n-gram containment:
+    ``|grams(A) ∩ grams(B)| / |grams(A)| >= threshold`` — finds docs
+    CONTAINED in others (quotes, excerpts, page-in-page syndication,
+    prompt-in-completion leakage) that symmetric Jaccard misses: a
+    100-word excerpt inside a 10k-word page has Jaccard ~0.01 but
+    containment 1.0.
+
+    Returns ``(id_a, id_b, containment)`` with **id_a the contained
+    doc** (both directions emitted when containment is mutual).
+
+    Scale shape — the asymmetric variant of the AllPairs prefix filter:
+    only the CONTAINED side is prefix-reduced (first
+    ``|G_A| - ceil(t*|G_A|) + 1`` globally-rarest grams; if every
+    common gram sat outside that prefix, the overlap could be at most
+    ``ceil(t*|G_A|) - 1 < t*|G_A|`` — so a true pair always meets the
+    join), the container side joins on ALL its grams.  Candidates are
+    pruned by the exact size bound ``|G_B| >= t*|G_A|`` (overlap can't
+    exceed ``|G_B|``) and the positional bound ``1 + |G_A| - rank_A >=
+    t*|G_A|``, then verified with per-pair ``array_intersect`` over
+    hashed-gram arrays.  Hot template grams rank last and never enter
+    the A-side prefix, so the candidate join stays sub-quadratic on
+    skewed corpora.
+    """
+    grams = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(F.array_distinct(word_ngrams(text_col, n)))
+                       .alias("gram")))
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy("__id").orderBy("__df", "gram")
+    ranked = (grams.join(freq, "gram")
+              .select("__id", "gram",
+                      F.row_number().over(w_doc).alias("__rn"),
+                      F.count(F.lit(1)).over(Window.partitionBy("__id"))
+                      .alias("__ng")))
+    pref_a = ranked.where(
+        F.col("__rn") <= F.col("__ng")
+        - F.ceil(F.lit(threshold) * F.col("__ng") - F.lit(1e-9)) + 1)
+    cands = (pref_a.select(F.col("__id").alias("id_a"),
+                           F.col("__ng").alias("__na"),
+                           F.col("__rn").alias("__ra"), "gram")
+             .join(ranked.select(F.col("__id").alias("id_b"),
+                                 F.col("__ng").alias("__nb"), "gram"),
+                   "gram")
+             .where((F.col("id_a") != F.col("id_b"))
+                    & (F.col("__nb")
+                       >= F.lit(threshold) * F.col("__na") - F.lit(1e-9))
+                    & (F.lit(1) + F.col("__na") - F.col("__ra")
+                       >= F.lit(threshold) * F.col("__na") - F.lit(1e-9)))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    garr = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.transform(word_ngrams(text_col, n),
+                                     lambda g: F.xxhash64(g)))
+        .alias("__grams"))
+    ga = garr.select(F.col("__id").alias("id_a"),
+                     F.col("__grams").alias("__ga"))
+    gb = garr.select(F.col("__id").alias("id_b"),
+                     F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    return (cands.join(ga, "id_a").join(gb, "id_b")
+            .withColumn("containment",
+                        inter.cast("double") / F.size("__ga"))
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))
+
+
 def _ngram_jaccard_bucket(df: DataFrame, text_col: str, id_col: str,
                           n: int, threshold: float) -> DataFrame:
     """The naive exact plan: gram self-join + per-pair counting."""

@@ -296,3 +296,150 @@ def test_pagerank_directed_mode_keeps_edge_direction(spark):
     sym = {r.id: r.r for r in
            pagerank(_pairs(spark, [(1, 2)]), iters=2).collect()}
     assert got == pytest.approx(sym)  # 2-cycle == symmetrized edge
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index / NB model store / streaming gate
+# ---------------------------------------------------------------------------
+
+def test_bm25_index_equals_inflight_and_prunes_partitions(spark, tmp_path):
+    from legend_community_delta_spark.operators.retrieval import (
+        query_bm25_index, write_bm25_index)
+    docs = _docs(spark, [(i, f"alpha tok{i % 5} beta") for i in range(40)])
+    q = spark.createDataFrame([("q1", "alpha tok3"), ("q2", "beta")],
+                              "query_id string, query string")
+    path = str(tmp_path / "idx")
+    write_bm25_index(docs, path)
+    via_index = query_bm25_index(spark, path, q, k=7)
+    inflight = bm25_topk(docs, q, k=7)
+    assert (sorted(map(tuple, via_index.collect()))
+            == sorted(map(tuple, inflight.collect())))
+    plan = via_index._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "PartitionFilters" in plan and "__bkt" in plan
+
+
+def test_nb_model_store_roundtrip(spark, tmp_path):
+    from legend_community_delta_spark.operators.classify import (
+        read_nb_model, write_nb_model)
+    train = _labeled(spark, [(1, "aa bb", "x"), (2, "cc", "y")])
+    model, stats = nb_train(train, "y")
+    write_nb_model(model, stats, str(tmp_path / "nb"))
+    m2, s2 = read_nb_model(spark, str(tmp_path / "nb"))
+    assert (sorted(map(tuple, m2.collect()))
+            == sorted(map(tuple, model.collect())))
+    assert (sorted(map(tuple, s2.collect()))
+            == sorted(map(tuple, stats.collect())))
+
+
+def test_nb_stream_matches_batch_scorer(spark, tmp_path):
+    from legend_community_delta_spark.operators.classify import (
+        nb_model_wide)
+    from legend_community_delta_spark.streaming import nb_score_stream
+    train = _labeled(spark, [
+        (1, "cat cat purr", "animal"), (2, "cat paw", "animal"),
+        (3, "bolt nut wrench", "tool"), (4, "wrench bolt", "tool"),
+    ])
+    # includes an empty doc (prior fallback) and an OOV-only doc
+    test = _labeled(spark, [(10, "cat purr zz", "animal"),
+                            (11, "bolt", "tool"),
+                            (12, "", "animal"),
+                            (13, "zz qq", "tool")])
+    model, stats = nb_train(train, "y")
+    wide, stats_rows = nb_model_wide(model, stats)
+    src = str(tmp_path / "src")
+    test.select("doc_id", "text").write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    q = (nb_score_stream(stream, wide, stats_rows)
+         .writeStream.format("memory").queryName("__nb_test_sink")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {r.doc_id: (r.pred_label, r.score)
+           for r in spark.table("__nb_test_sink").collect()}
+    want = {r.doc_id: (r.pred_label, r.score)
+            for r in nb_score(test, model, stats).collect()}
+    assert {k: v[0] for k, v in got.items()} == \
+        {k: v[0] for k, v in want.items()}
+    for k in want:
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+
+
+def test_nb_model_wide_pivots_every_class(spark):
+    from legend_community_delta_spark.operators.classify import (
+        nb_model_wide)
+    train = _labeled(spark, [(1, "aa", "x"), (2, "bb", "y"),
+                             (3, "aa cc", "z")])
+    model, stats = nb_train(train, "y")
+    wide, stats_rows = nb_model_wide(model, stats)
+    assert [r.label for r in stats_rows] == ["x", "y", "z"]
+    assert set(wide.columns) == {"tok", "x", "y", "z"}
+    assert wide.count() == 3  # one row per vocab token
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    from legend_community_delta_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    base = " ".join(f"w{i}" for i in range(8))          # the excerpt
+    long = base + " " + " ".join(f"x{i}" for i in range(40))
+    docs = _docs(spark, [(1, base), (2, long)])
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(docs, n=5, threshold=0.9).collect()}
+    # excerpt fully contained in the long doc; reverse direction absent
+    assert got == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(docs, n=5, threshold=0.9).collect()
+    assert jac == []  # symmetric jaccard misses it
+
+
+def test_containment_identical_docs_both_directions(spark):
+    from legend_community_delta_spark.operators.dedup import (
+        containment_pairs)
+    t = " ".join(f"w{i}" for i in range(10))
+    docs = _docs(spark, [(1, t), (2, t)])
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(docs, n=5, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_matches_bruteforce(spark):
+    from legend_community_delta_spark.operators.dedup import (
+        containment_pairs)
+    import itertools
+    import random
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(6, 18)))
+             for _ in range(15)]
+    docs = _docs(spark, list(enumerate(texts)))
+
+    def gramset(s, n=4):
+        w = s.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for a, b in itertools.permutations(range(15), 2):
+        ga, gb = gramset(texts[a]), gramset(texts[b])
+        if ga and len(ga & gb) / len(ga) >= 0.5:
+            want[(a, b)] = len(ga & gb) / len(ga)
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(docs, n=4, threshold=0.5).collect()}
+    assert got == pytest.approx(want)
+
+
+def test_containment_plan_no_cartesian(spark):
+    from legend_community_delta_spark.operators.dedup import (
+        containment_pairs)
+    docs = _docs(spark, [(i, f"a b c d e f{i} g h") for i in range(10)])
+    plan = containment_pairs(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
