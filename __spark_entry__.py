@@ -70,4 +70,12 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
                                     "planted-leak recall and "
                                     "subset-of-brute-force pinned in "
                                     "tests/test_semdedup.py.",
+    "bpe_merge_table": "BPE training: the greedy left-to-right merge "
+                       "fold is iterative (one round per merge), not "
+                       "one-query SQL; merge table pinned EXACTLY "
+                       "against an independent pure-python BPE in "
+                       "tests/test_tokenize.py.",
+    "bpe_token_stats": "Same fold: per-word segmentations come from the "
+                       "iterative merge rounds; end-to-end goldens in "
+                       "tests/test_tokenize.py.",
 }

@@ -3878,6 +3878,37 @@ WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.6
 """
 
 
+def _q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 12 BPE merges learned from the
+    corpus (tokenize.bpe_train) — per-round work is vocabulary-sized
+    (distinct words weighted by corpus frequency), one single-row driver
+    fetch per round for the argmax pair.  Deterministic merge rule
+    (max count, ties by (left, right) ascending); rows-only by nature
+    (the greedy merge fold is iterative, not one-query SQL) — the merge
+    table is pinned exactly against an independent pure-python BPE in
+    tests/test_tokenize.py."""
+    ensure_views(spark, sf_dir)
+    from .operators.tokenize import bpe_train
+    merges, _ = bpe_train(spark.table("documents"), n_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "step int, left string, right string, pair_count long")
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus priced in trained-tokenizer tokens: per-doc word/char/BPE
+    token counts after 12 merges (tokenize.bpe_encode_stats) — encoding
+    is an equi-join against the vocabulary segmentation table, never a
+    per-token fold, so the corpus-sized pass stays in codegen.
+    Rows-only (same fold rationale); end-to-end goldens in
+    tests/test_tokenize.py."""
+    ensure_views(spark, sf_dir)
+    from .operators.tokenize import bpe_encode_stats, bpe_train
+    docs = spark.table("documents")
+    _, seg = bpe_train(docs, n_merges=12)
+    return bpe_encode_stats(docs, seg)
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3946,6 +3977,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_index_topk": _q_bm25_index_topk,
     "nb_stream_preds": _q_nb_stream_preds,
     "containment_dup_pairs": _q_containment_pairs,
+    # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
+    "bpe_merge_table": _q_bpe_merge_table,
+    "bpe_token_stats": _q_bpe_token_stats,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
