@@ -3508,7 +3508,9 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is engine-exact."""
     ensure_views(spark, sf_dir)
     from .operators.retrieval import bm25_topk
-    docs = spark.table("documents")
+    # single-file input arrives as one split; spread the tokenize work
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
     queries = spark.createDataFrame(
         [("q1", "spark hash join"), ("q2", "window sort table"),
          ("q3", "merge batch value"), ("q4", "slow scan row")],
@@ -3909,6 +3911,137 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(docs, seg)
 
 
+def _q_weighted_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized weighted sampling without replacement
+    (curation.weighted_sample, Efraimidis-Spirakis A-Res): 100 docs
+    drawn with probability tracking ``n_chars``, via md5-derived
+    uniforms — reproducible on any engine, ranked on round-9 keys, and
+    planned as TakeOrderedAndProject (no global sort)."""
+    ensure_views(spark, sf_dir)
+    from .operators.curation import weighted_sample
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    return (weighted_sample(docs, "n_chars", k=100)
+            .select("doc_id", "n_chars", F.col("__key").alias("key")))
+
+
+_ORACLE_WEIGHTED_SAMPLE = r"""
+SELECT doc_id, n_chars,
+       round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   ::UBIGINT + 1) / 4503599627370497.0)
+             / n_chars, 9) AS key
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY key DESC, doc_id LIMIT 100
+"""
+
+
+_SESSION_PATHS_SPARK = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN timestampdiff(MICROSECOND, lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), ts)
+                IS NULL
+              OR timestampdiff(MICROSECOND, lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), ts)
+                > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), p AS (
+  SELECT array_join(slice(transform(
+           array_sort(collect_list(struct(ts, event_id, event_type))),
+           x -> x.event_type), 1, 5), '>') AS path
+  FROM s GROUP BY user_id, sess
+)
+SELECT path, COUNT(*) AS sessions
+FROM p GROUP BY path ORDER BY sessions DESC, path LIMIT 20
+"""
+
+_SESSION_PATHS_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+                > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), p AS (
+  SELECT array_to_string(list_slice(
+           list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+  FROM s GROUP BY user_id, sess
+)
+SELECT path, COUNT(*) AS sessions
+FROM p GROUP BY path ORDER BY sessions DESC, path LIMIT 20
+"""
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common session ENTRY paths
+    (first 5 event types per 30-min-gap session, '>'-joined) — the
+    journey-analysis companion to the funnel/retention entries.  Session
+    assignment is the sessionize window chain; per-session ordering is
+    deterministic ((ts, event_id) struct sort), so the whole path table
+    oracle-checks."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_SESSION_PATHS_SPARK)
+
+
+def _q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift monitor: daily PSI of the event ``value``
+    distribution against the frozen day-one baseline
+    (scoring.psi_drift, 10 fixed bins, add-one smoothing) — the scalar
+    companion to source_drift (tokens) and embedding_drift (vectors).
+    Integer-ratio math + ln, round 6 — full oracle."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import psi_drift
+    ev = spark.table("events")
+    baseline = ev.where(F.to_date("ts") == F.lit("2024-01-01"))
+    return psi_drift(ev, baseline, "value", F.to_date("ts"),
+                     n_bins=10, lo=0.0, hi=500.0)
+
+
+_ORACLE_PSI = r"""
+WITH cur AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS period,
+         CAST(least(greatest(floor(("value" - 0) / 50.0), 0), 9) AS INT)
+           AS bin
+  FROM events
+), cc AS (SELECT period, bin, count(*) AS n FROM cur GROUP BY 1, 2),
+ct AS (SELECT period, sum(n) AS nt FROM cc GROUP BY 1),
+b AS (
+  SELECT CAST(least(greatest(floor(("value" - 0) / 50.0), 0), 9) AS INT)
+           AS bin
+  FROM events
+  WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-01'
+), bc AS (SELECT bin, count(*) AS m FROM b GROUP BY 1),
+bt AS (SELECT sum(m) AS mt FROM bc),
+bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+f AS (
+  SELECT ct.period,
+         (coalesce(cc.n, 0) + 1) / (ct.nt + 10) AS p,
+         (coalesce(bc.m, 0) + 1) / (bt.mt + 10) AS q
+  FROM ct CROSS JOIN bins
+  LEFT JOIN cc ON cc.period = ct.period AND cc.bin = bins.bin
+  LEFT JOIN bc ON bc.bin = bins.bin
+  CROSS JOIN bt
+)
+SELECT period, round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM f GROUP BY 1
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -3977,6 +4110,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_index_topk": _q_bm25_index_topk,
     "nb_stream_preds": _q_nb_stream_preds,
     "containment_dup_pairs": _q_containment_pairs,
+    "weighted_docs_sample": _q_weighted_docs_sample,
+    "session_paths": _q_session_paths,
+    "events_psi_drift": _q_events_psi_drift,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4138,6 +4274,9 @@ ORACLES: dict[str, str] = {
     "bm25_index_topk": _ORACLE_BM25,
     "nb_stream_preds": _ORACLE_NB_STREAM,
     "containment_dup_pairs": _ORACLE_CONTAINMENT,
+    "weighted_docs_sample": _ORACLE_WEIGHTED_SAMPLE,
+    "session_paths": _SESSION_PATHS_ORACLE,
+    "events_psi_drift": _ORACLE_PSI,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -567,3 +567,41 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
         out = token_budget_cut(near, text_col, id_col, max_tokens)
     n("output", out)
     return out, stats
+
+
+def weighted_sample(df: DataFrame, weight_col: str,
+                    id_col: str = "doc_id", k: int = 100,
+                    group_cols: list[str] | tuple[str, ...] = (),
+                    ) -> DataFrame:
+    """Derandomized weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): the k rows with the largest ``ln(u)/w`` keys, where
+    ``u`` is a uniform in (0,1] derived from ``md5(id)`` — every row's
+    inclusion probability tracks its weight, yet the sample is exactly
+    reproducible on any engine (the md5 "uniform" replaces the RNG, the
+    same derandomization the stratified/DSIR samplers use).
+
+    Returns the input rows plus ``__key`` (rounded to 9 — ranking
+    happens on the rounded key, ties by id, so the ordering is
+    engine-portable).  Rows with NULL or non-positive weight are
+    EXCLUDED (a zero-weight row must never be sampled; ln(u)/w would
+    flip its ordering).
+
+    Scale: ungrouped top-k plans as TakeOrderedAndProject (per-partition
+    k + driver merge); grouped, a WindowGroupLimit per group — no
+    single-partition sort either way.
+    """
+    sid = F.col(id_col).cast("string")
+    h = F.conv(F.substring(F.md5(sid), 1, 13), 16, 10).cast("long")
+    # (h+1)/(2^52+1): u in (0, 1] — dyadic numerator keeps the division
+    # a single correctly-rounded IEEE op on both engines
+    u = (h + F.lit(1)).cast("double") / F.lit(4503599627370497.0)
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    base = (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+            .withColumn("__key", key))
+    if not group_cols:
+        return base.orderBy(F.desc("__key"), F.col(id_col)).limit(k)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.desc("__key"), F.col(id_col))
+    return (base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))

@@ -518,3 +518,50 @@ def lm_surprisal(spark, path: str, df: DataFrame,
                     "n_tokens", "oov_tokens",
                     (F.log("__N") - F.col("__avg_ln_c"))
                     .alias("mean_neg_logprob")))
+
+
+def psi_drift(df: DataFrame, baseline: DataFrame, value_col: str,
+              period_col, n_bins: int = 10, lo: float = 0.0,
+              hi: float = 500.0) -> DataFrame:
+    """Population Stability Index per period against a FROZEN baseline:
+    ``(period, psi)`` — the numeric-feature drift monitor (the
+    credit-scoring classic; >0.2 conventionally means the distribution
+    moved).  Complements `source_tv_distance` (token distributions) and
+    `embedding_drift` (vector space) with the scalar-feature case.
+
+    ``PSI = sum_i (p_i - q_i) * ln(p_i / q_i)`` over *n_bins* fixed-width
+    bins on ``[lo, hi)`` (outliers clamp to the edge bins), with add-one
+    smoothing on BOTH sides so empty bins stay finite AND the whole
+    statistic stays integer-ratio math + ln — fully oracle-checkable.
+
+    Scale: two bin-count aggregations (shuffles keyed on (period, bin)
+    and bin), a bins-frame broadcast, one 10-term sum per period.  The
+    baseline is typically a fixed reference slice (launch week, the
+    training corpus) that does NOT grow with the monitored stream.
+    """
+    width = (hi - lo) / n_bins
+    per = (F.col(period_col) if isinstance(period_col, str)
+           else period_col)
+
+    def _bin(c):
+        return F.least(
+            F.greatest(F.floor((F.col(c) - lo) / width), F.lit(0)),
+            F.lit(n_bins - 1)).cast("int")
+
+    cur = (df.select(per.alias("period"), _bin(value_col).alias("bin"))
+           .groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n")))
+    cur_tot = cur.groupBy("period").agg(F.sum("n").alias("nt"))
+    base = (baseline.select(_bin(value_col).alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("m")))
+    base_tot = base.agg(F.sum("m").alias("mt"))
+    bins = (df.sparkSession.range(n_bins)
+            .select(F.col("id").cast("int").alias("bin")))
+    frame = (cur_tot.crossJoin(F.broadcast(bins))
+             .join(cur, ["period", "bin"], "left")
+             .join(F.broadcast(base), "bin", "left")
+             .crossJoin(F.broadcast(base_tot)))
+    p = (F.coalesce(F.col("n"), F.lit(0)) + 1) / (F.col("nt") + n_bins)
+    q = (F.coalesce(F.col("m"), F.lit(0)) + 1) / (F.col("mt") + n_bins)
+    term = (p - q) * F.log(p / q)
+    return (frame.groupBy("period")
+            .agg(F.round(F.sum(term), 6).alias("psi")))

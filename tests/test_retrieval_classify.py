@@ -443,3 +443,122 @@ def test_containment_plan_no_cartesian(spark):
             "formatted"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+def _wdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, w double")
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+    from legend_community_delta_spark.operators.curation import (
+        weighted_sample)
+    rows = [(i, float(1 + i % 7)) for i in range(200)]
+    got = [(r.doc_id, r["__key"]) for r in
+           weighted_sample(_wdocs(spark, rows), "w", k=30).collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        u = float(h + 1) / 4503599627370497.0
+        return round(math.log(u) / w, 9)
+
+    want = sorted(((i, key(i, w)) for i, w in rows),
+                  key=lambda t: (-t[1], t[0]))[:30]
+    assert got == want
+
+
+def test_weighted_sample_tracks_weights(spark):
+    from legend_community_delta_spark.operators.curation import (
+        weighted_sample)
+    # 500 heavy (w=10) + 500 light (w=1): heavy rows dominate the sample
+    rows = ([(i, 10.0) for i in range(500)]
+            + [(i + 500, 1.0) for i in range(500)])
+    out = weighted_sample(_wdocs(spark, rows), "w", k=200).collect()
+    heavy = sum(1 for r in out if r.doc_id < 500)
+    assert heavy > 150  # E[heavy] ~ 191 under A-Res; light-only would be 100
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from legend_community_delta_spark.operators.curation import (
+        weighted_sample)
+    rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)]
+    out = weighted_sample(_wdocs(spark, rows), "w", k=10).collect()
+    assert sorted(r.doc_id for r in out) == [1, 5]
+
+
+def test_weighted_sample_grouped_k_per_group(spark):
+    from legend_community_delta_spark.operators.curation import (
+        weighted_sample)
+    df = spark.createDataFrame(
+        [(i, 1.0 + i % 3, "g" + str(i % 2)) for i in range(40)],
+        "doc_id long, w double, g string")
+    out = weighted_sample(df, "w", k=5, group_cols=("g",)).collect()
+    from collections import Counter
+    assert Counter(r.g for r in out) == {"g0": 5, "g1": 5}
+
+
+def test_weighted_sample_plans(spark):
+    from legend_community_delta_spark.operators.curation import (
+        weighted_sample)
+    df = _wdocs(spark, [(i, 1.0 + i) for i in range(50)])
+    plan = weighted_sample(df, "w", k=5)._jdf.queryExecution(
+        ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "TakeOrderedAndProject" in plan
+    gdf = spark.createDataFrame(
+        [(i, 1.0, "g" + str(i % 3)) for i in range(50)],
+        "doc_id long, w double, g string")
+    gplan = weighted_sample(gdf, "w", k=5, group_cols=("g",))._jdf \
+        .queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "SinglePartition" not in gplan
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+def test_psi_zero_when_current_equals_baseline(spark):
+    from legend_community_delta_spark.operators.scoring import psi_drift
+    df = spark.createDataFrame(
+        [("p1", float(v)) for v in range(0, 500, 5)],
+        "period string, value double")
+    out = psi_drift(df, df, "value", "period",
+                    n_bins=10, lo=0.0, hi=500.0).collect()
+    # identical distributions: every p_i == q_i exactly -> psi == 0.0
+    assert [(r.period, r.psi) for r in out] == [("p1", 0.0)]
+
+
+def test_psi_grows_with_shift_and_clamps_outliers(spark):
+    from legend_community_delta_spark.operators.scoring import psi_drift
+    base = spark.createDataFrame([("b", 10.0 + i) for i in range(100)],
+                                 "period string, value double")
+    near = spark.createDataFrame([("cur", 30.0 + i) for i in range(100)],
+                                 "period string, value double")
+    far = spark.createDataFrame(
+        [("cur", 400.0 + i * 3) for i in range(100)],  # incl. >hi outliers
+        "period string, value double")
+    psi_near = psi_drift(near, base, "value", "period",
+                         n_bins=10, lo=0.0, hi=500.0).first().psi
+    psi_far = psi_drift(far, base, "value", "period",
+                        n_bins=10, lo=0.0, hi=500.0).first().psi
+    assert 0 < psi_near < psi_far
+
+
+def test_psi_one_row_per_period(spark):
+    from legend_community_delta_spark.operators.scoring import psi_drift
+    cur = spark.createDataFrame(
+        [(f"p{i % 3}", float(i % 490)) for i in range(300)],
+        "period string, value double")
+    base = cur.where("period = 'p0'")
+    out = psi_drift(cur, base, "value", "period").collect()
+    assert sorted(r.period for r in out) == ["p0", "p1", "p2"]
+    p0 = {r.period: r.psi for r in out}["p0"]
+    assert p0 == 0.0  # baseline vs itself
