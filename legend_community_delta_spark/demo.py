@@ -4042,6 +4042,62 @@ FROM f GROUP BY 1
 """
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-regression diff (sources.versioned.snapshot_diff): a v2
+    corpus is synthesized deterministically (drop doc_id%13==0, edit
+    %17==0, re-add %11==0 under shifted ids), then v1→v2 changes are
+    classified added/removed/changed via one full-outer join on content
+    md5s (NULL-sentinel'd, engine-portable) and aggregated per source.
+    The "what moved between snapshots" primitive behind the versioned
+    table's diff_versions."""
+    ensure_views(spark, sf_dir)
+    from .sources.versioned import snapshot_diff
+    docs = spark.table("documents")
+    v2 = (docs.where(F.col("doc_id") % 13 != 0)
+          .withColumn("text", F.when(
+              F.col("doc_id") % 17 == 0,
+              F.concat(F.col("text"), F.lit(" v2")))
+              .otherwise(F.col("text")))
+          .unionByName(docs.where(F.col("doc_id") % 11 == 0)
+                       .withColumn("doc_id",
+                                   F.col("doc_id") + F.lit(1000000))))
+    d = snapshot_diff(docs, v2, ["doc_id"], compare_cols=["text"])
+    src = (docs.select("doc_id", "source")
+           .unionByName(v2.select("doc_id", "source"))
+           .dropDuplicates(["doc_id"]))
+    return (d.join(src, "doc_id")
+            .groupBy("source", "change")
+            .agg(F.count(F.lit(1)).alias("docs")))
+
+
+_ORACLE_CORPUS_DIFF = r"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END
+           AS text,
+         source
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source
+  FROM documents WHERE doc_id % 11 = 0
+),
+o AS (SELECT doc_id, md5(coalesce(text, chr(31) || 'NULL')) AS h, source
+      FROM documents),
+n AS (SELECT doc_id, md5(coalesce(text, chr(31) || 'NULL')) AS h, source
+      FROM v2),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.h IS NULL THEN 'added'
+              WHEN n.h IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'changed' END AS change,
+         coalesce(o.source, n.source) AS source
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT source, change, count(*) AS docs
+FROM d WHERE change IS NOT NULL GROUP BY 1, 2
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4113,6 +4169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_docs_sample": _q_weighted_docs_sample,
     "session_paths": _q_session_paths,
     "events_psi_drift": _q_events_psi_drift,
+    "corpus_diff_stats": _q_corpus_diff,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4277,6 +4334,7 @@ ORACLES: dict[str, str] = {
     "weighted_docs_sample": _ORACLE_WEIGHTED_SAMPLE,
     "session_paths": _SESSION_PATHS_ORACLE,
     "events_psi_drift": _ORACLE_PSI,
+    "corpus_diff_stats": _ORACLE_CORPUS_DIFF,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -151,3 +151,59 @@ class VersionedTable:
                 shutil.rmtree(snap)
                 dropped.append(v)
         return dropped
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level diff of two table snapshots: one row per key whose
+    content changed — ``(keys..., change)`` with ``change`` in
+    ``added | removed | changed``; unchanged rows drop out.
+
+    Content equality is an md5 over the *compare_cols* (default: every
+    shared non-key column) joined on the ``\\x1f`` unit separator with
+    explicit NULL sentinels, so the hash is engine-portable
+    (oracle-checkable), NULL != '', and adjacent columns can't collide
+    — the dataset-regression primitive behind "what moved between
+    corpus v1 and v2".
+
+    Scale: one full-outer equi-join on the keys; the per-side hash is
+    computed in the scan projection (no extra pass), and unchanged rows
+    — the overwhelming majority between adjacent snapshots — are
+    filtered before anything else sees them.
+    """
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+
+    _SEP = chr(31)  # unit separator: cannot appear in the values' text
+
+    def _h(df):
+        return F.md5(F.concat_ws(
+            _SEP,
+            *[F.coalesce(F.col(c).cast("string"), F.lit(_SEP + "NULL"))
+              for c in compare_cols]))
+
+    o = old.select(*keys, _h(old).alias("__h_old"))
+    n = new.select(*keys, _h(new).alias("__h_new"))
+    change = (F.when(F.col("__h_old").isNull(), F.lit("added"))
+              .when(F.col("__h_new").isNull(), F.lit("removed"))
+              .when(F.col("__h_old") != F.col("__h_new"),
+                    F.lit("changed")))
+    return (o.join(n, keys, "full_outer")
+            .withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(*keys, "change"))
+
+
+def diff_versions(table: VersionedTable, v_old: int, v_new: int,
+                  keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """:func:`snapshot_diff` between two committed versions of a
+    :class:`VersionedTable` — "what changed between version 3 and 7"
+    answered with one join, the time-travel companion to the
+    reference's Delta drift workflow (DESCRIBE HISTORY + manual
+    compare, databricks-scala.ipynb)."""
+    return snapshot_diff(table.read(v_old), table.read(v_new), keys,
+                         compare_cols)

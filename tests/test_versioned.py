@@ -61,3 +61,42 @@ def test_vacuum_keeps_history_drops_old_snapshots(spark, tmp_path):
     assert [r["version"] for r in t.history().collect()] == [3, 2, 1, 0]
     assert len(t.read(2).collect()) == 3
     assert len(t.read(3).collect()) == 4
+
+
+def test_snapshot_diff_classifies_rows(spark):
+    from legend_community_delta_spark.sources.versioned import (
+        snapshot_diff)
+    old = spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c"),
+         Row(id=4, v=None)])
+    new = spark.createDataFrame(
+        [Row(id=1, v="a"),          # unchanged -> absent from output
+         Row(id=2, v="B"),          # changed
+         Row(id=4, v="NULL"),       # NULL -> the STRING 'NULL': changed
+         Row(id=5, v="e")])         # added; id=3 removed
+    got = {r.id: r.change
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_separator_prevents_column_smearing(spark):
+    from legend_community_delta_spark.sources.versioned import (
+        snapshot_diff)
+    # ("ab", "") vs ("a", "b") concatenate identically without a
+    # separator; the \x1f join must keep them distinct
+    old = spark.createDataFrame([Row(id=1, x="ab", y="")])
+    new = spark.createDataFrame([Row(id=1, x="a", y="b")])
+    got = snapshot_diff(old, new, ["id"]).collect()
+    assert [(r.id, r.change) for r in got] == [(1, "changed")]
+
+
+def test_diff_versions_over_versioned_table(spark, tmp_path):
+    from legend_community_delta_spark.sources.versioned import (
+        diff_versions)
+    t = VersionedTable(spark, str(tmp_path / "difftbl"))
+    t.write(spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]))
+    t.merge(spark.createDataFrame([Row(id=2, v="B"), Row(id=3, v="c")]),
+            keys=["id"])
+    got = {r.id: r.change
+           for r in diff_versions(t, 0, 1, ["id"]).collect()}
+    assert got == {2: "changed", 3: "added"}
