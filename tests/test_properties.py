@@ -272,3 +272,53 @@ def test_prefix_jaccard_fuzz_equals_bucket(spark, corpus):
         elif a % 2 == 1 and b % 2 == 0:
             want[(b, a)] = j
     assert cross == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus=_doc_corpora())
+def test_containment_prefix_fuzz_equals_bruteforce(spark, corpus):
+    """Differential fuzz for the ASYMMETRIC prefix filter: on the same
+    tiny random corpora, containment_pairs equals the brute-force
+    all-ordered-pairs computation exactly (including empty docs,
+    duplicate docs, and integer t*|G| boundaries)."""
+    from legend_community_delta_spark.operators.dedup import (
+        containment_pairs)
+    docs, thr = corpus
+    n = 2
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): round(r.containment, 9)
+           for r in containment_pairs(sdf, n=n, threshold=thr).collect()}
+
+    def gramset(s):
+        w = s.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for a, ta in docs:
+        for b, tb in docs:
+            if a == b:
+                continue
+            ga, gb = gramset(ta), gramset(tb)
+            if ga and len(ga & gb) / len(ga) >= thr:
+                want[(a, b)] = round(len(ga & gb) / len(ga), 9)
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(word=st.text(alphabet="abcd", min_size=1, max_size=12),
+       pair=st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")))
+def test_bpe_merge_fold_fuzz_vs_python(spark, word, pair):
+    """The F.aggregate merge fold equals the plain-python greedy
+    left-to-right merge on arbitrary words (overlap runs included)."""
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.tokenize import merge_pair
+    a, b = pair
+    got = spark.createDataFrame([(word,)], "w string").select(
+        merge_pair(F.split("w", ""), a, b).alias("m")).first().m
+    out = []
+    for c in word:
+        if out and out[-1] == a and c == b:
+            out[-1] = a + b
+        else:
+            out.append(c)
+    assert got == out

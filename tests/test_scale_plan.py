@@ -305,3 +305,43 @@ def test_round7_family_plan_shapes(spark):
                  "embedding_drift_stats", "leakage_splits"):
         p = _plan(demo.QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_round8_family_plan_shapes(spark):
+    """Plan pins for the retrieval/classifier/sketch/graph/diff
+    families: pruned scans, broadcast-only joins where sizes demand it,
+    no single-partition sorts, zero Python UDFs."""
+    demo.ensure_views(spark, SF_DIR)
+
+    # nb confusion: model-building joins broadcast at this scale; the
+    # whole plan is Column algebra
+    plan = _plan(demo.QUERIES["nb_lang_confusion"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # cms: sketch side broadcasts to the probe side, no SMJ anywhere
+    plan = _plan(demo.QUERIES["cms_token_freq"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # weighted sample: ungrouped top-k must be TakeOrderedAndProject
+    plan = _plan(demo.QUERIES["weighted_docs_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+    # psi drift: bins frame + baseline ride broadcasts
+    plan = _plan(demo.QUERIES["events_psi_drift"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # corpus diff: the hash scans carry only (doc_id, text) and the
+    # source-map scans only (doc_id, source) — each pruned separately
+    plan = _plan(demo.QUERIES["corpus_diff_stats"](spark, SF_DIR))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+    assert "CartesianProduct" not in plan
+
+    for name in ("bm25_topk_docs", "pagerank_near_dups",
+                 "containment_dup_pairs", "session_paths"):
+        p = _plan(demo.QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \
+            name
+        assert "CartesianProduct" not in p, name
