@@ -4098,6 +4098,56 @@ FROM d WHERE change IS NOT NULL GROUP BY 1, 2
 """
 
 
+def _q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality axis (scoring.char_entropy_stats):
+    per-doc Shannon entropy of the char distribution in nats — binary
+    junk scores high, template floods score low; both tails are corpus
+    gate cut points.  Integer-ratio math + ln, round 6 — full oracle."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import char_entropy_stats
+    return char_entropy_stats(spark.table("documents"))
+
+
+_ORACLE_CHAR_ENTROPY = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+  FROM documents
+), cnt AS (SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(n) AS nt FROM cnt GROUP BY 1),
+ent AS (
+  SELECT c.doc_id, t.nt AS n_chars_counted,
+         round(-sum((c.n / t.nt) * ln(c.n / t.nt)), 6) AS char_entropy
+  FROM cnt c JOIN tot t USING (doc_id) GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       coalesce(e.n_chars_counted, 0) AS n_chars_counted,
+       e.char_entropy
+FROM documents d LEFT JOIN ent e USING (doc_id)
+"""
+
+
+def _q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis (joins.key_skew_report): the heaviest
+    groupBy/join keys with their row share — the report a 1000-executor
+    operator runs FIRST when a shuffle stage straggles, feeding the
+    salted_join / broadcast-isolate fix.  One count aggregate + top-k;
+    full oracle."""
+    ensure_views(spark, sf_dir)
+    from .operators.joins import key_skew_report
+    return key_skew_report(spark.table("events"), ["event_type"],
+                           top_n=10)
+
+
+_ORACLE_KEY_SKEW = r"""
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT count(*) AS tt FROM events)
+SELECT event_type, n, round(n / t.tt, 6) AS frac,
+       CAST(row_number() OVER (ORDER BY n DESC, event_type) AS INT)
+         AS rank
+FROM c CROSS JOIN t ORDER BY n DESC, event_type LIMIT 10
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4170,6 +4220,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_paths": _q_session_paths,
     "events_psi_drift": _q_events_psi_drift,
     "corpus_diff_stats": _q_corpus_diff,
+    "doc_char_entropy": _q_doc_char_entropy,
+    "event_key_skew": _q_event_key_skew,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4335,6 +4387,8 @@ ORACLES: dict[str, str] = {
     "session_paths": _SESSION_PATHS_ORACLE,
     "events_psi_drift": _ORACLE_PSI,
     "corpus_diff_stats": _ORACLE_CORPUS_DIFF,
+    "doc_char_entropy": _ORACLE_CHAR_ENTROPY,
+    "event_key_skew": _ORACLE_KEY_SKEW,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -58,3 +58,33 @@ def write_bucketed(df: DataFrame, table: str, key: str | list[str],
     if sort:
         writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str] | tuple[str, ...],
+                    top_n: int = 20) -> DataFrame:
+    """Shuffle-skew diagnosis: the *top_n* heaviest join/groupBy keys
+    with their row share — ``(key..., n, frac, rank)``, frac rounded
+    to 6, rank by (n desc, keys asc).
+
+    The first thing to run when a shuffle stage straggles at scale: a
+    key holding >1/partitions of the rows WILL serialize that partition,
+    and the fix (salt it via :func:`salted_join`, or isolate it into a
+    broadcast branch) needs the offender list this produces.  One
+    count aggregate + a TakeOrderedAndProject over (count, keys) — the
+    report itself never shuffles more than the key frequencies.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [F.col(c) for c in key_cols]
+    total = df.agg(F.count(F.lit(1)).alias("__t"))
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    ranked = (counts.crossJoin(F.broadcast(total))
+              .select(*key_cols,
+                      "n",
+                      F.round(F.col("n") / F.col("__t"), 6).alias("frac"))
+              .orderBy(F.desc("n"), *key_cols)
+              .limit(top_n))
+    from pyspark.sql import Window
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("n"), *[F.col(c) for c in key_cols]))
+    return ranked.withColumn("rank", rn)

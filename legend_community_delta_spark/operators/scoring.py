@@ -565,3 +565,39 @@ def psi_drift(df: DataFrame, baseline: DataFrame, value_col: str,
     term = (p - q) * F.log(p / q)
     return (frame.groupBy("period")
             .agg(F.round(F.sum(term), 6).alias("psi")))
+
+
+def char_entropy_stats(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Shannon entropy of the character distribution:
+    ``(id, n_chars_counted, char_entropy)`` in nats, rounded to 6.
+
+    The randomness-vs-repetitiveness quality axis the length/punct
+    heuristics can't see: binary junk and base64 blobs score HIGH
+    (~ln alphabet), template spam and single-char floods score LOW —
+    both tails are cut points a corpus gate filters on (Gopher-style).
+    Docs with no characters get NULL entropy (same convention as the
+    surprisal scorers).
+
+    Scale: one char explode + (id, char) count + per-id aggregate —
+    shuffle keys are (id, single char); integer-ratio math + ln keeps
+    it oracle-checkable.
+    """
+    chars = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[\s\S]"), 0)).alias("ch"))
+    cnt = chars.groupBy("__id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("__id").agg(F.sum("n").alias("nt"))
+    ent = (cnt.join(tot, "__id")
+           .groupBy("__id")
+           .agg(F.first("nt").alias("n_chars_counted"),
+                F.round(-F.sum((F.col("n") / F.col("nt"))
+                               * F.log(F.col("n") / F.col("nt"))), 6)
+                .alias("char_entropy")))
+    return (df.select(F.col(id_col))
+            .join(ent.withColumnRenamed("__id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_chars_counted", F.lit(0)).cast("long")
+                    .alias("n_chars_counted"),
+                    "char_entropy"))

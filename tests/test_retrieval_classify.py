@@ -562,3 +562,43 @@ def test_psi_one_row_per_period(spark):
     assert sorted(r.period for r in out) == ["p0", "p1", "p2"]
     p0 = {r.period: r.psi for r in out}["p0"]
     assert p0 == 0.0  # baseline vs itself
+
+
+# ---------------------------------------------------------------------------
+# Char entropy / key skew
+# ---------------------------------------------------------------------------
+
+def test_char_entropy_hand_computed(spark):
+    import math
+    from legend_community_delta_spark.operators.scoring import (
+        char_entropy_stats)
+    df = _docs(spark, [(1, "aabb"), (2, "aaaa"), (3, ""), (4, None),
+                       (5, "abcd")])
+    got = {r.doc_id: (r.n_chars_counted, r.char_entropy)
+           for r in char_entropy_stats(df).collect()}
+    assert got[1] == (4, round(math.log(2), 6))
+    assert got[2] == (4, 0.0)           # single-char flood: zero entropy
+    assert got[3] == (0, None) and got[4] == (0, None)
+    assert got[5] == (4, round(math.log(4), 6))  # uniform: ln(alphabet)
+
+
+def test_key_skew_report_fracs_and_ranks(spark):
+    from legend_community_delta_spark.operators.joins import (
+        key_skew_report)
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(100)],
+        "id long, k string")
+    got = [(r.k, r.n, r.frac, r.rank)
+           for r in key_skew_report(df, ["k"], top_n=5).collect()]
+    assert got == [("hot", 90, 0.9, 1), ("cold", 10, 0.1, 2)]
+
+
+def test_key_skew_report_composite_keys_and_topn(spark):
+    from legend_community_delta_spark.operators.joins import (
+        key_skew_report)
+    df = spark.createDataFrame(
+        [(i % 3, i % 2) for i in range(60)], "a int, b int")
+    out = key_skew_report(df, ["a", "b"], top_n=4).collect()
+    assert len(out) == 4
+    assert all(out[i].n >= out[i + 1].n for i in range(len(out) - 1))
+    assert [r.rank for r in out] == [1, 2, 3, 4]
