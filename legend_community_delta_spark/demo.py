@@ -4148,6 +4148,44 @@ FROM c CROSS JOIN t ORDER BY n DESC, event_type LIMIT 10
 """
 
 
+def _q_vocab_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant clustering over the corpus vocabulary: distinct
+    lowercased token pairs within Levenshtein distance 1
+    (dedup.edit_distance_pairs) — SymSpell deletion-neighborhood join
+    (linear in vocab x token length), candidates verified with the
+    built-in levenshtein.  The oracle brute-forces the vocab cross —
+    tiny there, which is exactly why the Spark side must not."""
+    ensure_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        F.explode(F.transform(TX.tokens("text"),
+                              lambda t: F.lower(t))).alias("tok"))
+    # the synthetic vocabulary has no natural distance-1 pairs, so the
+    # entry unions a deterministic typo layer (2nd char deleted from
+    # every token of length >= 4) — the detection target
+    typos = (toks.where(F.length("tok") >= 4)
+             .select(F.concat(F.substring("tok", 1, 1),
+                              F.expr("substr(tok, 3)")).alias("tok")))
+    return DD.edit_distance_pairs(toks.unionByName(typos), "tok")
+
+
+_ORACLE_EDIT_PAIRS = r"""
+WITH toks AS (
+  SELECT lower(unnest(regexp_extract_all(text, '\S+'))) AS tok
+  FROM documents
+), vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT tok FROM toks
+    UNION ALL
+    SELECT substr(tok, 1, 1) || substr(tok, 3) FROM toks
+    WHERE length(tok) >= 4)
+)
+SELECT a.tok AS val_a, b.tok AS val_b,
+       CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+FROM vocab a JOIN vocab b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= 1
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4222,6 +4260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff_stats": _q_corpus_diff,
     "doc_char_entropy": _q_doc_char_entropy,
     "event_key_skew": _q_event_key_skew,
+    "vocab_edit_pairs": _q_vocab_edit_pairs,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4389,6 +4428,7 @@ ORACLES: dict[str, str] = {
     "corpus_diff_stats": _ORACLE_CORPUS_DIFF,
     "doc_char_entropy": _ORACLE_CHAR_ENTROPY,
     "event_key_skew": _ORACLE_KEY_SKEW,
+    "vocab_edit_pairs": _ORACLE_EDIT_PAIRS,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -920,3 +920,47 @@ def verified_near_dup_pairs(df: DataFrame, text_col: str = "text",
             .withColumn("jaccard", inter.cast("double") / union)
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def edit_distance_pairs(df: DataFrame, value_col: str = "tok",
+                        max_dist: int = 1) -> DataFrame:
+    """Distinct-value pairs within Levenshtein distance 1 — typo/variant
+    clustering for vocabularies, entity names, and near-identical short
+    strings, where gram-overlap dedup is too coarse.
+
+    Scale shape — the SymSpell deletion-neighborhood join [Garbe 2012],
+    NOT a quadratic cross: every value emits itself plus its
+    single-character deletions (len+1 variants, linear in value length);
+    two strings at distance <= 1 provably share a variant (equal ->
+    identity; substitution -> both delete that position; indel -> the
+    longer one's deletion equals the shorter), so an equi-join on the
+    variant finds every candidate.  Candidates then verify with the
+    built-in ``levenshtein`` — exact, engine-portable, so the whole
+    operator carries a SQL oracle.
+
+    Only ``max_dist=1`` is supported (deletion neighborhoods for k>=2
+    grow combinatorially; chain the operator over a normalized column
+    instead).  Returns ``(val_a, val_b, dist)`` with ``val_a < val_b``.
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs supports max_dist=1 only "
+                         "(SymSpell deletion neighborhoods; see docstring)")
+    vals = (df.select(F.col(value_col).cast("string").alias("val"))
+            .where(F.col("val").isNotNull()).distinct())
+    variants = vals.select(
+        "val",
+        F.explode(F.array_union(
+            F.array(F.col("val")),
+            F.expr("transform(sequence(1, length(val)), "
+                   "i -> concat(substr(val, 1, i - 1), "
+                   "substr(val, i + 1)))"))).alias("var"))
+    cand = (variants.alias("a")
+            .join(variants.alias("b"), "var")
+            .where(F.col("a.val") < F.col("b.val"))
+            .select(F.col("a.val").alias("val_a"),
+                    F.col("b.val").alias("val_b"))
+            .dropDuplicates(["val_a", "val_b"]))
+    dist = F.levenshtein("val_a", "val_b")
+    return (cand.withColumn("dist", dist)
+            .where(F.col("dist") <= max_dist)
+            .select("val_a", "val_b", "dist"))

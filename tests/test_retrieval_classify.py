@@ -602,3 +602,57 @@ def test_key_skew_report_composite_keys_and_topn(spark):
     assert len(out) == 4
     assert all(out[i].n >= out[i + 1].n for i in range(len(out) - 1))
     assert [r.rank for r in out] == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance pairs (SymSpell deletion join)
+# ---------------------------------------------------------------------------
+
+def test_edit_pairs_matches_bruteforce(spark):
+    import itertools
+    from legend_community_delta_spark.operators.dedup import (
+        edit_distance_pairs)
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = ["table", "tble", "cable", "fable", "tables", "scan",
+             "scam", "span", "a", "ab", "b", "zzz"]
+    df = spark.createDataFrame([(v,) for v in vocab], "tok string")
+    got = {(r.val_a, r.val_b): r.dist
+           for r in edit_distance_pairs(df).collect()}
+    want = {(a, b): lev(a, b)
+            for a, b in itertools.combinations(sorted(set(vocab)), 2)
+            if lev(a, b) <= 1}
+    assert got == want
+    assert ("scam", "scan") in got and ("table", "tble") in got
+
+
+def test_edit_pairs_rejects_k2_and_nulls(spark):
+    from legend_community_delta_spark.operators.dedup import (
+        edit_distance_pairs)
+    df = spark.createDataFrame([("ab",), (None,), ("xy",)], "tok string")
+    assert edit_distance_pairs(df).collect() == []  # dist("ab","xy")=2
+    with pytest.raises(ValueError, match="max_dist=1 only"):
+        edit_distance_pairs(df, max_dist=2)
+
+
+def test_edit_pairs_plan_no_cartesian(spark):
+    from legend_community_delta_spark.operators.dedup import (
+        edit_distance_pairs)
+    df = spark.createDataFrame([(f"tok{i}",) for i in range(30)],
+                               "tok string")
+    plan = edit_distance_pairs(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
