@@ -4186,6 +4186,46 @@ WHERE levenshtein(a.tok, b.tok) <= 1
 """
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): for each of
+    three query embeddings, the 5 most-similar vectors with a DIFFERENT
+    label — the contrastive-training negatives a bi-encoder needs.
+    Label filter precedes the ranking window; exact cosine, round 6 —
+    full oracle."""
+    ensure_views(spark, sf_dir)
+    from .operators.similarity import hard_negatives
+    emb = spark.table("embeddings")
+    queries = (emb.where("vec_id < 3")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec"),
+                       F.col("label").alias("query_label")))
+    return hard_negatives(emb, queries, k=5)
+
+
+_ORACLE_HARD_NEG = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 3
+), s AS (
+  SELECT q.query_id, e.vec_id, e.label,
+    round(
+      list_sum(list_transform(list_zip(e.embedding, q.qv),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6) AS cosine
+  FROM embeddings e, q WHERE e.label <> q.ql
+), r AS (
+  SELECT query_id, vec_id, label, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS INT)
+           AS rank
+  FROM s
+)
+SELECT query_id, vec_id, label, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4261,6 +4301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_char_entropy": _q_doc_char_entropy,
     "event_key_skew": _q_event_key_skew,
     "vocab_edit_pairs": _q_vocab_edit_pairs,
+    "hard_negative_mining": _q_hard_negatives,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4429,6 +4470,7 @@ ORACLES: dict[str, str] = {
     "doc_char_entropy": _ORACLE_CHAR_ENTROPY,
     "event_key_skew": _ORACLE_KEY_SKEW,
     "vocab_edit_pairs": _ORACLE_EDIT_PAIRS,
+    "hard_negative_mining": _ORACLE_HARD_NEG,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

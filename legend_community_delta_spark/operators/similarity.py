@@ -732,3 +732,31 @@ def semantic_contamination(train: DataFrame, eval_df: DataFrame,
             .where(F.col("cos_sim") >= threshold)
             .select("eval_id", "train_id", "cos_sim",
                     F.col("__cell").alias("cell")))
+
+
+def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec",
+                   query_label_col: str = "query_label") -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per
+    query, the *k* MOST-similar vectors whose label differs from the
+    query's — the near-miss negatives that teach a bi-encoder the
+    decision boundary (random negatives are too easy to be informative).
+
+    Same plan shape as :func:`cosine_topk_many` — broadcast query side,
+    label inequality filtered BEFORE ranking (so the window ranks only
+    eligible rows), one shuffle keyed on query_id.  Returns
+    ``(query_id, vec_id, label, cosine, rank)``.
+    """
+    joined = (df.crossJoin(F.broadcast(queries))
+              .where(F.col(label_col) != F.col(query_label_col)))
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), F.col(label_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+        .alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

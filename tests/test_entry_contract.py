@@ -34,4 +34,5 @@ def test_entry_contract(spark):
                          "lsh_index_topk", "ivf_index_topk",
                          "pq_ann_topk", "semdedup_pairs",
                          "semantic_contamination_pairs",
-                         "events_sketch_stats"}
+                         "events_sketch_stats",
+                         "bpe_merge_table", "bpe_token_stats"}
