@@ -4226,6 +4226,42 @@ SELECT query_id, vec_id, label, cosine, rank FROM r WHERE rank <= 5
 """
 
 
+def _q_events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: events arrive as a parquet stream and
+    each day's PSI vs the FROZEN day-one baseline is maintained in ONE
+    stateful aggregation (per-bin conditional sums as columns —
+    streaming.psi_drift_stream); the baseline is 10 counts + a total,
+    collected once (metadata-sized) and inlined as literals.
+    availableNow backfill == the batch monitor, hence the same oracle."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .operators.scoring import psi_bin
+    from .streaming import psi_drift_stream
+
+    ev = spark.table("events")
+    base = ev.where(F.to_date("ts") == F.lit("2024-01-01"))
+    bc = {r.bin: r.n for r in
+          base.select(psi_bin("value").alias("bin"))
+          .groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = [bc.get(i, 0) for i in range(10)]
+    tmp = tempfile.mkdtemp(prefix="legend_psi_stream_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    ev.select("ts", "value").write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    out = psi_drift_stream(stream, counts, sum(counts), "value",
+                           F.to_date("ts"))
+    _STREAM_RUN_SEQ[0] += 1
+    sink = f"__psi_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(sink).select("period", "psi")
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4302,6 +4338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_key_skew": _q_event_key_skew,
     "vocab_edit_pairs": _q_vocab_edit_pairs,
     "hard_negative_mining": _q_hard_negatives,
+    "events_psi_stream": _q_events_psi_stream,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4471,6 +4508,7 @@ ORACLES: dict[str, str] = {
     "event_key_skew": _ORACLE_KEY_SKEW,
     "vocab_edit_pairs": _ORACLE_EDIT_PAIRS,
     "hard_negative_mining": _ORACLE_HARD_NEG,
+    "events_psi_stream": _ORACLE_PSI,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

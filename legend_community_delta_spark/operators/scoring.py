@@ -520,6 +520,19 @@ def lm_surprisal(spark, path: str, df: DataFrame,
                     .alias("mean_neg_logprob")))
 
 
+
+def psi_bin(col, n_bins: int = 10, lo: float = 0.0,
+            hi: float = 500.0):
+    """Fixed-width PSI bin index Column on [lo, hi) — outliers clamp to
+    the edge bins.  Shared by the batch and streaming PSI monitors so
+    their binning can never drift apart."""
+    width = (hi - lo) / n_bins
+    c = F.col(col) if isinstance(col, str) else col
+    return F.least(
+        F.greatest(F.floor((c - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1)).cast("int")
+
+
 def psi_drift(df: DataFrame, baseline: DataFrame, value_col: str,
               period_col, n_bins: int = 10, lo: float = 0.0,
               hi: float = 500.0) -> DataFrame:
@@ -539,14 +552,11 @@ def psi_drift(df: DataFrame, baseline: DataFrame, value_col: str,
     baseline is typically a fixed reference slice (launch week, the
     training corpus) that does NOT grow with the monitored stream.
     """
-    width = (hi - lo) / n_bins
     per = (F.col(period_col) if isinstance(period_col, str)
            else period_col)
 
     def _bin(c):
-        return F.least(
-            F.greatest(F.floor((F.col(c) - lo) / width), F.lit(0)),
-            F.lit(n_bins - 1)).cast("int")
+        return psi_bin(c, n_bins, lo, hi)
 
     cur = (df.select(per.alias("period"), _bin(value_col).alias("bin"))
            .groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n")))

@@ -307,3 +307,43 @@ def nb_score_stream(stream: DataFrame, model_wide: DataFrame,
             cand["score"] > pred["score"], cand).otherwise(pred)
     return agg.select("doc_id", pred["label"].alias("pred_label"),
                       pred["score"].alias("score"))
+
+
+def psi_drift_stream(stream: DataFrame, baseline_counts: list,
+                     baseline_total: int, value_col: str,
+                     period_col, n_bins: int = 10, lo: float = 0.0,
+                     hi: float = 500.0) -> DataFrame:
+    """Streaming drift monitor: per-period PSI of arriving values
+    against a FROZEN baseline — the continuous face of
+    ``scoring.psi_drift`` (alert when a day's distribution walks away
+    from launch week, while the data streams in).
+
+    The baseline is metadata by construction (*n_bins* counts + a
+    total — collect it once from the reference slice via
+    ``scoring.psi_drift``'s binning or a plain aggregate), so it rides
+    as literals.  Per-bin counts become CONDITIONAL SUM COLUMNS inside
+    ONE stateful aggregation keyed by period (chained stream aggs are
+    unsupported — same trick as ``nb_score_stream``), and the PSI sum
+    over the n_bins columns is a stateless projection.  availableNow
+    backfill == the batch operator (same smoothing, same math; pinned
+    via the shared oracle).
+    """
+    from ..operators.scoring import psi_bin
+
+    per = (F.col(period_col) if isinstance(period_col, str)
+           else period_col)
+    binned = stream.select(per.alias("period"),
+                           psi_bin(value_col, n_bins, lo, hi)
+                           .alias("bin"))
+    aggs = [F.sum(F.when(F.col("bin") == i, 1).otherwise(0))
+            .alias(f"__n{i}") for i in range(n_bins)]
+    agg = (binned.groupBy("period")
+           .agg(*aggs, F.count(F.lit(1)).alias("__nt")))
+    mt = int(baseline_total)
+    terms = []
+    for i in range(n_bins):
+        q = (int(baseline_counts[i]) + 1) / (mt + n_bins)
+        p = (F.col(f"__n{i}") + 1) / (F.col("__nt") + n_bins)
+        terms.append((p - F.lit(q)) * F.log(p / F.lit(q)))
+    psi = F.round(sum(terms[1:], terms[0]), 6)
+    return agg.select("period", psi.alias("psi"))

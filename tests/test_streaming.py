@@ -345,3 +345,36 @@ def test_span_dedup_stream_matches_batch_and_history_only(spark, tmp_path):
     got2 = {r["doc_id"]: r["n_removed"]
             for r in spark.table("__span_t2").collect()}
     assert got2 == {10: 0, 11: 0}
+
+
+def test_psi_drift_stream_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.scoring import (
+        psi_bin, psi_drift)
+    from legend_community_delta_spark.streaming import psi_drift_stream
+
+    rows = [("p0", float(v % 490)) for v in range(200)] + \
+           [("p1", float((v * 7) % 350)) for v in range(150)]
+    df = spark.createDataFrame(rows, "period string, value double")
+    base = df.where("period = 'p0'")
+    want = {r.period: r.psi
+            for r in psi_drift(df, base, "value", "period").collect()}
+
+    bc = {r.bin: r.n for r in
+          base.select(psi_bin("value").alias("bin"))
+          .groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = [bc.get(i, 0) for i in range(10)]
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    q = (psi_drift_stream(stream, counts, sum(counts), "value", "period")
+         .writeStream.format("memory").queryName("__psi_test_sink")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {r.period: r.psi
+           for r in spark.table("__psi_test_sink").collect()}
+    assert got == want  # identical smoothing and math -> exact equality
