@@ -71,6 +71,13 @@ BENCH_QUERIES = [
     "cms_token_freq",
     "pagerank_near_dups",
     "containment_dup_pairs",
+    "weighted_docs_sample",
+    "session_paths",
+    "events_psi_drift",
+    "corpus_diff_stats",
+    "doc_char_entropy",
+    "vocab_edit_pairs",
+    "hard_negative_mining",
 ]
 
 

@@ -378,3 +378,40 @@ def test_psi_drift_stream_matches_batch(spark, tmp_path):
     got = {r.period: r.psi
            for r in spark.table("__psi_test_sink").collect()}
     assert got == want  # identical smoothing and math -> exact equality
+
+
+def test_foreach_batch_cms_store_ingest(spark, tmp_path):
+    """Streaming ingest feeding the mergeable CMS store: each
+    micro-batch appends its own counters via foreachBatch; the merged
+    read answers for everything ever streamed — equal to the one-shot
+    batch sketch."""
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.sketches import (
+        cms_cells, cms_estimate, read_cms, write_cms_store)
+
+    df = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"][i % 3]) for i in range(90)],
+        "id long, tok string")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "cms")
+
+    q = (stream.writeStream
+         .foreachBatch(lambda batch, _id:
+                       write_cms_store(batch, store, "tok"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+
+    merged = read_cms(spark, store)
+    probes = df.select("tok").distinct()
+    got = {r.value: r.est
+           for r in cms_estimate(merged, probes, "tok").collect()}
+    want = {r.value: r.est
+            for r in cms_estimate(cms_cells(df, "tok"), probes,
+                                  "tok").collect()}
+    assert got == want == {"alpha": 30, "beta": 30, "gamma": 30}
