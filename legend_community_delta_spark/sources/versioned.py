@@ -152,6 +152,28 @@ class VersionedTable:
                 dropped.append(v)
         return dropped
 
+    def compact(self, target_files: int = 1) -> int:
+        """Delta OPTIMIZE analog: rewrite the latest snapshot into
+        *target_files* files as a NEW version (operation ``COMPACT``).
+        Small-file compaction after many incremental appends — readers
+        of the old version are untouched (immutable snapshots), and the
+        row set is identical by construction (repartition only)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"no versions at [{self.path}] to compact")
+        df = self.read(latest).repartition(max(int(target_files), 1))
+        return self.write(df, operation="COMPACT",
+                          meta={"compacted_from": latest,
+                                "target_files": int(target_files)})
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE analog: commit a NEW version whose content is
+        the snapshot at *version* — rollback that never rewrites
+        history (the bad versions stay queryable for the post-mortem)."""
+        df = self.read(version)
+        return self.write(df, operation="RESTORE",
+                          meta={"restored_from": int(version)})
+
 
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
                   compare_cols: list[str] | None = None) -> DataFrame:

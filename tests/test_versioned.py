@@ -100,3 +100,37 @@ def test_diff_versions_over_versioned_table(spark, tmp_path):
     got = {r.id: r.change
            for r in diff_versions(t, 0, 1, ["id"]).collect()}
     assert got == {2: "changed", 3: "added"}
+
+
+def test_compact_rewrites_latest_without_changing_rows(spark, tmp_path):
+    import glob
+    t = VersionedTable(spark, str(tmp_path / "ctbl"))
+    df = spark.createDataFrame([Row(id=i, v=str(i)) for i in range(50)])
+    t.write(df.repartition(8))
+    before = _rows(t.read())
+    n_before = len(glob.glob(f"{t.path}/v=0/part-*"))
+    v = t.compact(target_files=1)
+    assert v == 1
+    assert _rows(t.read()) == before          # identical row set
+    assert _rows(t.read(0)) == before         # old snapshot untouched
+    n_after = len(glob.glob(f"{t.path}/v=1/part-*"))
+    assert n_after == 1 and n_before > 1
+    hist = t.history().collect()
+    assert hist[0]["operation"] == "COMPACT"
+
+
+def test_restore_commits_old_content_as_new_version(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "rtbl"))
+    t.write(spark.createDataFrame([Row(id=1, v="good")]))
+    t.write(spark.createDataFrame([Row(id=1, v="bad")]))
+    v = t.restore(0)
+    assert v == 2
+    assert _rows(t.read()) == [(1, "good")]
+    assert _rows(t.read(1)) == [(1, "bad")]   # history intact
+    assert t.history().collect()[0]["operation"] == "RESTORE"
+
+
+def test_compact_empty_table_raises(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "etbl"))
+    with pytest.raises(ValueError, match="no versions"):
+        t.compact()
