@@ -4262,6 +4262,47 @@ def _q_events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("period", "psi")
 
 
+def _q_quality_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based per-source quality calibration: percent_rank of the
+    heuristic quality score within each source — the CCNet-style
+    normalization that makes one global cutoff fair across sources with
+    different score distributions (rank, unlike the raw score or even a
+    robust z, is distribution-free).  percent_rank is tie-aware
+    ((rank-1)/(n-1)) so the output is deterministic even on tied
+    scores; full oracle."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window as W
+    from .functions.text import quality_score
+    docs = (spark.table("documents")
+            .where(F.length("text") > 0)
+            .select("doc_id", "source",
+                    quality_score("text").alias("quality")))
+    pct = F.round(F.percent_rank().over(
+        W.partitionBy("source").orderBy("quality")), 6)
+    return docs.withColumn("pct", pct)
+
+
+_ORACLE_QUALITY_PCT = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+    CAST(round((
+      least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+      + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                             / length(text)) * 4)
+      + CASE WHEN (CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                                                t -> length(t))) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+'))) BETWEEN 2.0 AND 12.0
+             THEN 1.0 ELSE 0.3 END
+    ) / 3.0, 6) AS DECIMAL(10,6)) AS q
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, source, CAST(q AS DOUBLE) AS quality,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY q), 6)
+         AS pct
+FROM scored
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4339,6 +4380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_edit_pairs": _q_vocab_edit_pairs,
     "hard_negative_mining": _q_hard_negatives,
     "events_psi_stream": _q_events_psi_stream,
+    "quality_pct_rank": _q_quality_pct_rank,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4509,6 +4551,7 @@ ORACLES: dict[str, str] = {
     "vocab_edit_pairs": _ORACLE_EDIT_PAIRS,
     "hard_negative_mining": _ORACLE_HARD_NEG,
     "events_psi_stream": _ORACLE_PSI,
+    "quality_pct_rank": _ORACLE_QUALITY_PCT,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
