@@ -322,3 +322,113 @@ def test_bpe_merge_fold_fuzz_vs_python(spark, word, pair):
         else:
             out.append(c)
     assert got == out
+
+
+@st.composite
+def _labeled_corpora(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    rows = []
+    for i in range(n):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=0,
+                              max_size=8))
+        label = draw(st.sampled_from(["x", "y"]))
+        rows.append((i, " ".join(words), label))
+    # at least one doc per label so priors are defined
+    rows.append((n, "pad", "x"))
+    rows.append((n + 1, "pad2", "y"))
+    return rows
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=_labeled_corpora())
+def test_nb_fuzz_vs_python_reference(spark, rows):
+    """Distributed NB == a naive pure-python NB (same smoothing, same
+    round-6 argmax, same ascending-label ties) on random tiny corpora —
+    including empty docs and OOV-only docs."""
+    import math
+    from legend_community_delta_spark.operators.classify import (
+        nb_score, nb_train)
+    train = rows
+    df = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    model, stats = nb_train(df, "y")
+    got = {r.doc_id: (r.pred_label, r.score)
+           for r in nb_score(df, model, stats).collect()}
+
+    toks = {i: t.lower().split() for i, t, _ in train}
+    labels = sorted({y for _, _, y in train})
+    vocab = {w for ts in toks.values() for w in ts}
+    n_docs = len(train)
+    cnt = {(y, w): 0 for y in labels for w in vocab}
+    n_l = {y: 0 for y in labels}
+    docs_l = {y: 0 for y in labels}
+    for i, _, y in train:
+        docs_l[y] += 1
+        for w in toks[i]:
+            cnt[(y, w)] += 1
+            n_l[y] += 1
+    for i, _, _ in train:
+        best = None
+        for y in labels:
+            denom = n_l[y] + len(vocab)
+            s = math.log(docs_l[y] / n_docs)
+            for w in toks[i]:
+                c = cnt.get((y, w))
+                s += math.log((c + 1) / denom) if c is not None \
+                    else math.log(1 / denom)
+            s = round(s, 6)
+            if best is None or s > best[1]:
+                best = (y, s)
+        assert got[i] == best, (i, got[i], best)
+
+
+@st.composite
+def _bm25_cases(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    docs = [(i, " ".join(draw(st.lists(st.sampled_from(_WORDS),
+                                       min_size=1, max_size=10))))
+            for i in range(n)]
+    qwords = draw(st.lists(st.sampled_from(_WORDS + ["zzz"]),
+                           min_size=1, max_size=3))
+    return docs, " ".join(qwords)
+
+
+@settings(max_examples=20, deadline=None)
+@given(case=_bm25_cases())
+def test_bm25_fuzz_vs_python_reference(spark, case):
+    """bm25_topk == a naive pure-python BM25 on random corpora
+    (duplicate query terms, absent terms, repeated tokens)."""
+    import math
+    from collections import Counter
+    from legend_community_delta_spark.operators.retrieval import (
+        bm25_topk)
+    docs, qtext = case
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame([("q", qtext)],
+                              "query_id string, query string")
+    got = [(r.doc_id, r.score, r.rank)
+           for r in bm25_topk(sdf, q, k=100).collect()]
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    terms = sorted(set(qtext.lower().split()))
+    df_t = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    scores = {}
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        s = 0.0
+        hit = False
+        for t in terms:
+            if tf[t] == 0:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf[t] * (k1 + 1)
+                        / (tf[t] + k1 * (1 - b + b * len(ts) / avgdl)))
+        if hit:
+            scores[i] = round(s, 6)
+    want = [(i, s) for i, s in
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+    want = [(i, s, r + 1) for r, (i, s) in enumerate(want)]
+    assert got == want
