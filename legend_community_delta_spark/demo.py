@@ -4120,7 +4120,7 @@ ent AS (
   FROM cnt c JOIN tot t USING (doc_id) GROUP BY 1, 2
 )
 SELECT d.doc_id,
-       coalesce(e.n_chars_counted, 0) AS n_chars_counted,
+       CAST(coalesce(e.n_chars_counted, 0) AS BIGINT) AS n_chars_counted,
        e.char_entropy
 FROM documents d LEFT JOIN ent e USING (doc_id)
 """
