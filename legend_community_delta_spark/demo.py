@@ -4303,6 +4303,43 @@ FROM scored
 """
 
 
+def _q_knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction (similarity.knn_graph): 3 nearest
+    neighbors by cosine for the first 100 vectors over the full corpus
+    — the graph SemDeDup-style clustering and graph dedup build on.
+    Brute scoring here (exact, oracle-checkable); the corpus-scale
+    within-cell variant (knn_graph_cells) is recall-pinned against this
+    exact graph in tests."""
+    ensure_views(spark, sf_dir)
+    from .operators.similarity import knn_graph
+    emb = spark.table("embeddings")
+    return knn_graph(emb, k=3, queries=emb.where("vec_id < 100"))
+
+
+_ORACLE_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 100
+), s AS (
+  SELECT q.query_id, e.vec_id,
+    round(
+      list_sum(list_transform(list_zip(e.embedding, q.qv),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS INT)
+           AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 3
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4381,6 +4418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": _q_hard_negatives,
     "events_psi_stream": _q_events_psi_stream,
     "quality_pct_rank": _q_quality_pct_rank,
+    "knn_graph_edges": _q_knn_graph_edges,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4552,6 +4590,7 @@ ORACLES: dict[str, str] = {
     "hard_negative_mining": _ORACLE_HARD_NEG,
     "events_psi_stream": _ORACLE_PSI,
     "quality_pct_rank": _ORACLE_QUALITY_PCT,
+    "knn_graph_edges": _ORACLE_KNN,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -760,3 +760,79 @@ def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 10,
         F.desc("cosine"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def knn_graph(df: DataFrame, k: int = 10, vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              queries: DataFrame | None = None) -> DataFrame:
+    """Brute-force kNN graph: for every query vector (default: every
+    vector — the full self-graph), its *k* nearest neighbors by cosine,
+    self-matches excluded — ``(query_id, vec_id, cosine, rank)``.
+
+    This is the VERIFICATION-scale path: the query side broadcasts and
+    every (query, vector) pair is scored — quadratic when queries=df.
+    At corpus scale build the graph with :func:`knn_graph_cells`
+    (within-cell candidates only) and pin its recall against a sampled
+    slice of this exact graph."""
+    q = (df if queries is None else queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    joined = (df.crossJoin(F.broadcast(q))
+              .where(F.col(id_col) != F.col("query_id")))
+    scored = joined.select(
+        "query_id", F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def knn_graph_cells(df: DataFrame, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_cells: int = 16, n_probe: int = 2, iters: int = 2,
+                    centroids: list[list[float]] | None = None,
+                    assume_normalized: bool = False) -> DataFrame:
+    """Corpus-scale kNN graph: candidates restricted to k-means cells
+    (data side lives in its PRIMARY cell; each query probes its
+    *n_probe* nearest cells), exact cosine + top-k inside — the
+    SemDeDup-shaped join generalized from threshold pairs to per-vector
+    neighbor lists.  Same schema as :func:`knn_graph`; a neighbor is
+    missed only when it lands outside every probed cell (recall floor
+    pinned in tests against the brute graph).
+
+    Scale: centroid matrix is driver-sized metadata; the only shuffle
+    keys on the cell id; per-cell work tracks occupancy, so size
+    ``n_cells`` to a target cell size exactly as SemDeDup does."""
+    if centroids is None:
+        centroids = kmeans_centroids(df, n_cells, iters, vec_col, id_col,
+                                     assume_normalized=assume_normalized)
+    data = df.select(
+        F.col(id_col), F.col(vec_col),
+        _cell_col(centroids, vec_col, assume_normalized)["cell"]
+        .alias("__cell"))
+    sims = F.array(*[
+        F.struct(
+            (cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+             if not assume_normalized else
+             dot(F.col(vec_col),
+                 F.array(*[F.lit(float(x)) for x in _unit(c)])))
+            .alias("csim"),
+            F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    probes = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+    q = df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.explode(F.transform(probes, lambda p: p["cell"]))
+        .alias("__cell"))
+    joined = (data.join(q, "__cell")
+              .where(F.col(id_col) != F.col("query_id")))
+    scored = joined.select(
+        "query_id", F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+    # a (query, vector) pair can meet in several probed cells; dedup
+    # before ranking so rank positions stay unique
+    scored = scored.dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
