@@ -4340,6 +4340,40 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 3
 """
 
 
+def _q_events_agg_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate (sketches.write_agg_store /
+    read_agg_store): two ingest batches append their PARTIAL
+    count/sum/min/max rows per event_type; the read-time merge equals
+    the one-shot aggregate over everything — the "maintain the
+    dashboard without rescanning history" pattern, generalized from the
+    HLL/CMS/sample stores to algebraic aggregates.  Oracle = the direct
+    aggregate."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .operators.sketches import read_agg_store, write_agg_store
+    ev = spark.table("events")
+    path = tempfile.mkdtemp(prefix="legend_agg_store_") + "/agg"
+    aggs = {"n": ("count", "value"), "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"), "max_value": ("max", "value")}
+    write_agg_store(ev.where(F.col("event_id") % 2 == 0), path,
+                    ["event_type"], aggs)
+    write_agg_store(ev.where(F.col("event_id") % 2 == 1), path,
+                    ["event_type"], aggs)
+    out = read_agg_store(spark, path, ["event_type"])
+    return out.select("event_type", "n",
+                      F.round("sum_value", 6).alias("sum_value"),
+                      "min_value", "max_value")
+
+
+_ORACLE_AGG_STORE = """
+SELECT event_type, count(*) AS n,
+       round(sum("value"), 6) AS sum_value,
+       min("value") AS min_value, max("value") AS max_value
+FROM events GROUP BY 1
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4419,6 +4453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_psi_stream": _q_events_psi_stream,
     "quality_pct_rank": _q_quality_pct_rank,
     "knn_graph_edges": _q_knn_graph_edges,
+    "events_agg_store_stats": _q_events_agg_store,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4591,6 +4626,7 @@ ORACLES: dict[str, str] = {
     "events_psi_stream": _ORACLE_PSI,
     "quality_pct_rank": _ORACLE_QUALITY_PCT,
     "knn_graph_edges": _ORACLE_KNN,
+    "events_agg_store_stats": _ORACLE_AGG_STORE,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

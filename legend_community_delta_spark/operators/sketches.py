@@ -286,3 +286,62 @@ def sample_quantiles(sample: DataFrame, probs: list[float],
                         F.col("value").alias("quantile")))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable aggregate store — incremental materialized aggregates
+# ---------------------------------------------------------------------------
+
+_AGG_MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def agg_partials(df: DataFrame,
+                 group_cols: list[str] | tuple[str, ...],
+                 aggs: dict) -> DataFrame:
+    """One batch's partial aggregates: *aggs* maps output name ->
+    ``(func, col)`` with func in count/sum/min/max — the ALGEBRAIC
+    aggregates, whose partials merge losslessly (count/sum by sum,
+    min/max by themselves).  Column names carry the merge rule as a
+    ``__<func>`` suffix so the reader needs no side metadata."""
+    exprs = []
+    for name, (func, col) in aggs.items():
+        if func not in _AGG_MERGE:
+            raise ValueError(
+                f"agg [{func}] is not mergeable here; supported: "
+                f"{sorted(_AGG_MERGE)} (avg = sum/count at read time; "
+                "distinct -> the HLL store; quantiles -> the sample "
+                "store)")
+        fn = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum,
+              "min": F.min, "max": F.max}[func]
+        exprs.append(fn(col).alias(f"{name}__{func}"))
+    return df.groupBy(*group_cols).agg(*exprs)
+
+
+def write_agg_store(df: DataFrame, path: str,
+                    group_cols: list[str] | tuple[str, ...],
+                    aggs: dict, mode: str = "append") -> None:
+    """Incremental materialized aggregate: each ingest batch appends its
+    partial rows (one per group per batch — metadata-sized relative to
+    the batch); :func:`read_agg_store` merges.  The classic
+    "maintain the dashboard aggregate without rescanning history"
+    pattern, same store discipline as the HLL/CMS/sample stores."""
+    agg_partials(df, group_cols, aggs).write.mode(mode).parquet(path)
+
+
+def read_agg_store(spark, path: str,
+                   group_cols: list[str] | tuple[str, ...]) -> DataFrame:
+    """Merge the store back into THE aggregate of everything written:
+    ``<name>__count/sum`` partials re-sum, ``__min``/``__max`` re-min/
+    max; output columns drop the suffix."""
+    store = spark.read.parquet(path)
+    exprs = []
+    for c in store.columns:
+        if c in group_cols:
+            continue
+        name, _, func = c.rpartition("__")
+        merge = _AGG_MERGE.get(func)
+        if merge is None:
+            raise ValueError(f"column [{c}] lacks a mergeable suffix")
+        fn = {"sum": F.sum, "min": F.min, "max": F.max}[merge]
+        exprs.append(fn(c).alias(name))
+    return store.groupBy(*group_cols).agg(*exprs)

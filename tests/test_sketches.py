@@ -172,3 +172,44 @@ def test_bottomk_ungrouped_plans_take_ordered(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
+
+
+def test_agg_store_merge_equals_oneshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.sketches import (
+        read_agg_store, write_agg_store)
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(100)],
+        "id long, g string, v double")
+    aggs = {"n": ("count", "v"), "s": ("sum", "v"),
+            "lo": ("min", "v"), "hi": ("max", "v")}
+    path = str(tmp_path / "agg")
+    write_agg_store(df.where("id % 2 = 0"), path, ["g"], aggs)
+    write_agg_store(df.where("id % 2 = 1"), path, ["g"], aggs)
+    got = {r.g: (r.n, r.s, r.lo, r.hi)
+           for r in read_agg_store(spark, path, ["g"]).collect()}
+    want = {r.g: (r.n, r.s, r.lo, r.hi)
+            for r in df.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert got == want
+
+
+def test_agg_store_rows_are_group_sized(spark, tmp_path):
+    from legend_community_delta_spark.operators.sketches import (
+        write_agg_store)
+    df = spark.createDataFrame([(i, "g", float(i)) for i in range(5000)],
+                               "id long, g string, v double")
+    path = str(tmp_path / "agg")
+    write_agg_store(df, path, ["g"], {"n": ("count", "v")})
+    assert spark.read.parquet(path).count() == 1  # one partial per group
+
+
+def test_agg_store_rejects_non_algebraic(spark, tmp_path):
+    import pytest as _pytest
+    from legend_community_delta_spark.operators.sketches import (
+        write_agg_store)
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, g string, v double")
+    with _pytest.raises(ValueError, match="not mergeable"):
+        write_agg_store(df, str(tmp_path / "x"), ["g"],
+                        {"p50": ("median", "v")})
