@@ -23,7 +23,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               ts_col: str, value_cols: list[str] | None = None,
               direction: str = "backward",
               suffix: str = "_asof",
-              time_bucket: int | None = None) -> DataFrame:
+              time_bucket: int | None = None,
+              tolerance: float | int | None = None) -> DataFrame:
     """Left as-of join: every left row + the nearest preceding (backward)
     or following (forward) right row's *value_cols* per *on* key.
 
@@ -50,6 +51,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         c for c in right.columns if c not in keys + [ts_col]]
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    if tolerance is not None:
+        # max staleness (pandas merge_asof semantics): a match farther
+        # than `tolerance` in ts_col's units reverts to the unmatched
+        # NULLs.  Implemented by carrying the matched right ts as one
+        # more value column through the UNTOLERANCED plan (default or
+        # bucketed alike), then nulling stale matches in a final select.
+        if tolerance < 0:
+            raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+        if not isinstance(left.schema[ts_col].dataType, NumericType):
+            raise TypeError(
+                f"tolerance needs a numeric {ts_col!r} (staleness = "
+                "ts difference); convert timestamps to epoch µs first")
+        rts = "__rts"
+        out = asof_join(left, right.withColumn(rts, F.col(ts_col)), on,
+                        ts_col, value_cols + [rts], direction, suffix,
+                        time_bucket)
+        matched_ts = F.col(f"{rts}{suffix}")
+        age = (F.col(ts_col) - matched_ts if direction == "backward"
+               else matched_ts - F.col(ts_col))
+        stale = matched_ts.isNull() | (age > tolerance)
+        return out.select(
+            *[c for c in left.columns],
+            *[F.when(stale,
+                     F.lit(None).cast(right.schema[c].dataType))
+              .otherwise(F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+              for c in value_cols])
 
     lhs = left.select(
         *[F.col(c) for c in left.columns],

@@ -164,3 +164,53 @@ def test_range_join_with_key_vs_duckdb(spark):
         "SELECT pid, iid FROM p JOIN i ON p.k = i.k AND t >= s AND t < e"
     ).fetchall())
     assert got == oracle
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from legend_community_delta_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 1000), (2, 50)],
+        "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 190, "b")], "k long, ts long, v string")
+    out = {(r.k, r.ts): r.v_asof
+           for r in asof_join(left, right, "k", "ts",
+                              tolerance=50).collect()}
+    # ts=100 matched 90 (age 10, fresh); ts=200 matched 190 (age 10);
+    # ts=1000 would match 190 but age 810 > 50 -> NULL; key 2 unmatched
+    assert out == {(1, 100): "a", (1, 200): "b", (1, 1000): None,
+                   (2, 50): None}
+    # tolerance=None keeps the stale carry
+    full = {(r.k, r.ts): r.v_asof
+            for r in asof_join(left, right, "k", "ts").collect()}
+    assert full[(1, 1000)] == "b"
+
+
+def test_asof_tolerance_matches_bucketed_plan(spark):
+    from legend_community_delta_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, t) for t in (5, 250, 999, 1500)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, "x"), (1, 240, "y"), (1, 900, None), (1, 1400, "z")],
+        "k long, ts long, v string")
+    plain = sorted(map(tuple, asof_join(
+        left, right, "k", "ts", tolerance=120).collect()))
+    bucketed = sorted(map(tuple, asof_join(
+        left, right, "k", "ts", tolerance=120,
+        time_bucket=100).collect()))
+    assert plain == bucketed
+
+
+def test_asof_tolerance_forward_and_validation(spark):
+    import pytest as _pytest
+    from legend_community_delta_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame([(1, 500, "f")],
+                                  "k long, ts long, v string")
+    near = asof_join(left, right, "k", "ts", direction="forward",
+                     tolerance=400).collect()
+    far = asof_join(left, right, "k", "ts", direction="forward",
+                    tolerance=100).collect()
+    assert near[0].v_asof == "f" and far[0].v_asof is None
+    with _pytest.raises(ValueError, match=">= 0"):
+        asof_join(left, right, "k", "ts", tolerance=-1)
