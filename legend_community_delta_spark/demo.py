@@ -4374,6 +4374,46 @@ FROM events GROUP BY 1
 """
 
 
+def _q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill (asof.resample_ffill):
+    each event_type's value series aligned to a daily grid (epoch-µs
+    ticks), every tick carrying the last observation at or before it —
+    the gap-filling step before aligned time-series math.  Grid
+    generation + the as-of join; oracle = generate_series + DuckDB's
+    native ASOF LEFT JOIN."""
+    ensure_views(spark, sf_dir)
+    from .operators.asof import resample_ffill
+    # ts is TIMESTAMP_NTZ: a tz-free diff from the epoch == DuckDB's
+    # epoch_us on the same naive timestamps
+    tus = F.expr("timestampdiff(MICROSECOND, "
+                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    ev = (spark.table("events")
+          .select("event_type", tus.alias("tus"), "value")
+          .groupBy("event_type", "tus")
+          .agg(F.max("value").alias("value")))
+    return resample_ffill(ev, "tus", 86_400_000_000, on="event_type")
+
+
+_ORACLE_RESAMPLE = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS tus, max("value") AS value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type,
+         CAST(floor(min(tus) / 86400000000) AS BIGINT) AS lo,
+         CAST(floor(max(tus) / 86400000000) AS BIGINT) AS hi
+  FROM ev GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) * 86400000000 AS tus
+  FROM b
+)
+SELECT g.event_type, g.tus, e.value
+FROM grid g
+ASOF LEFT JOIN ev e
+  ON g.event_type = e.event_type AND g.tus >= e.tus
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4454,6 +4494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_pct_rank": _q_quality_pct_rank,
     "knn_graph_edges": _q_knn_graph_edges,
     "events_agg_store_stats": _q_events_agg_store,
+    "events_resampled": _q_events_resampled,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4627,6 +4668,7 @@ ORACLES: dict[str, str] = {
     "quality_pct_rank": _ORACLE_QUALITY_PCT,
     "knn_graph_edges": _ORACLE_KNN,
     "events_agg_store_stats": _ORACLE_AGG_STORE,
+    "events_resampled": _ORACLE_RESAMPLE,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

@@ -198,3 +198,52 @@ def range_join(points: DataFrame, intervals: DataFrame,
             .where((F.col(point_col) >= F.col(start_col))
                    & (F.col(point_col) < F.col(end_col)))
             .drop("__bucket"))
+
+
+def resample_ffill(df: DataFrame, ts_col: str, step: int,
+                   on: str | list[str] | None = None,
+                   value_cols: list[str] | None = None,
+                   suffix: str = "",
+                   max_ticks_per_key: int = 1_000_000) -> DataFrame:
+    """Regular-grid resampling with forward fill: one row per (key,
+    grid tick) spanning each key's observed range, each carrying the
+    last observation at or before the tick — the gap-filling /
+    downsample-to-grid step before any aligned time-series math
+    (numeric *ts_col*; ticks at multiples of *step*).
+
+    Built as grid-generation + :func:`asof_join` (backward): the grid is
+    one sequence-explode per key (bounds from a metadata-sized min/max
+    aggregate), so the whole operator inherits the as-of join's scale
+    story (and its ``time_bucket`` knob if a key's history is deep).
+    Keys whose range would exceed *max_ticks_per_key* fail with a
+    pointed error instead of silently exploding (same guard discipline
+    as range_join).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str)
+                                  else list(on))
+    if not keys:
+        df = df.withColumn("__k", F.lit(1))
+        keys = ["__k"]
+    bounds = df.groupBy(*keys).agg(
+        F.floor(F.min(ts_col) / F.lit(step)).alias("__lo"),
+        F.floor(F.max(ts_col) / F.lit(step)).alias("__hi"))
+    n_ticks = F.col("__hi") - F.col("__lo") + 1
+    err = F.concat(
+        F.lit(f"resample_ffill: key range spans more than "
+              f"{max_ticks_per_key} ticks of step {step} (lo="),
+        F.col("__lo").cast("string"), F.lit(", hi="),
+        F.col("__hi").cast("string"),
+        F.lit("); widen step= or raise max_ticks_per_key="))
+    guard = F.when(n_ticks <= F.lit(max_ticks_per_key),
+                   F.sequence(F.col("__lo"), F.col("__hi"))
+                   ).otherwise(F.raise_error(err).cast("array<bigint>"))
+    grid = (bounds.select(*keys, F.explode(guard).alias("__tick"))
+            .select(*keys, (F.col("__tick") * F.lit(step)).alias(ts_col)))
+    out = asof_join(grid, df, keys, ts_col, value_cols,
+                    direction="backward", suffix=suffix or "_asof")
+    if not suffix:
+        vcs = value_cols or [c for c in df.columns
+                             if c not in keys + [ts_col]]
+        for c in vcs:
+            out = out.withColumnRenamed(f"{c}_asof", c)
+    return out.drop("__k")

@@ -214,3 +214,28 @@ def test_asof_tolerance_forward_and_validation(spark):
     assert near[0].v_asof == "f" and far[0].v_asof is None
     with _pytest.raises(ValueError, match=">= 0"):
         asof_join(left, right, "k", "ts", tolerance=-1)
+
+
+def test_resample_ffill_hand_computed(spark):
+    from legend_community_delta_spark.operators.asof import resample_ffill
+    df = spark.createDataFrame(
+        [("a", 105, 1.0), ("a", 327, 2.0), ("b", 12, 9.0)],
+        "k string, ts long, v double")
+    got = sorted(map(tuple, resample_ffill(df, "ts", 100, on="k")
+                     .collect()))
+    assert got == [("a", 100, None), ("a", 200, 1.0), ("a", 300, 1.0),
+                   ("b", 0, None)]
+    # ungrouped: one global grid
+    flat = sorted(map(tuple, resample_ffill(df.drop("k"), "ts", 100)
+                      .collect()))
+    assert flat == [(0, None), (100, 9.0), (200, 1.0), (300, 1.0)]
+
+
+def test_resample_ffill_tick_explosion_guard(spark):
+    import pytest as _pytest
+    from legend_community_delta_spark.operators.asof import resample_ffill
+    df = spark.createDataFrame([("a", 0, 1.0), ("a", 10**9, 2.0)],
+                               "k string, ts long, v double")
+    with _pytest.raises(Exception, match="spans more than"):
+        resample_ffill(df, "ts", 1, on="k",
+                       max_ticks_per_key=1000).collect()
