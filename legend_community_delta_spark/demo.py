@@ -4414,6 +4414,49 @@ ASOF LEFT JOIN ev e
 """
 
 
+def _q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical corpus audit: the full lang x source contingency
+    table with chi-square contributions — observed count, expected
+    count under independence (row_total * col_total / N), and
+    (o - e)^2 / e per cell, INCLUDING zero-observed cells (their
+    contribution is e, which a group-by over observed rows alone would
+    silently drop).  The sampling-bias detector a corpus intake runs:
+    a big total chi2 means language mix differs by source.  Integer
+    ratios + one square — full oracle."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    obs = (docs.groupBy("lang", "source")
+           .agg(F.count(F.lit(1)).alias("obs")))
+    rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__rt"))
+    cols = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__ct"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    e = F.col("__rt") * F.col("__ct") / F.col("__n")
+    o = F.coalesce(F.col("obs"), F.lit(0))
+    return (rows.crossJoin(F.broadcast(cols))
+            .crossJoin(F.broadcast(n))
+            .join(obs, ["lang", "source"], "left")
+            .select("lang", "source", o.alias("obs"),
+                    F.round(e, 6).alias("expected"),
+                    F.round((o - e) * (o - e) / e, 6).alias("chi2")))
+
+
+_ORACLE_CHI2 = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2
+), r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+c AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT r.lang, c.source,
+       coalesce(o.obs, 0) AS obs,
+       round(r.rt * c.ct / n.n, 6) AS expected,
+       round((coalesce(o.obs, 0) - r.rt * c.ct / n.n)
+             * (coalesce(o.obs, 0) - r.rt * c.ct / n.n)
+             / (r.rt * c.ct / n.n), 6) AS chi2
+FROM r CROSS JOIN c CROSS JOIN n
+LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4495,6 +4538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph_edges": _q_knn_graph_edges,
     "events_agg_store_stats": _q_events_agg_store,
     "events_resampled": _q_events_resampled,
+    "lang_source_chi2": _q_lang_source_chi2,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4669,6 +4713,7 @@ ORACLES: dict[str, str] = {
     "knn_graph_edges": _ORACLE_KNN,
     "events_agg_store_stats": _ORACLE_AGG_STORE,
     "events_resampled": _ORACLE_RESAMPLE,
+    "lang_source_chi2": _ORACLE_CHI2,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
