@@ -4457,6 +4457,27 @@ LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
 """
 
 
+def _q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup clustering (graph.incremental_components):
+    the exact Jaccard pair graph arrives in two batches (both-endpoints-
+    under-250 first, the rest after); each batch folds into a persisted
+    component store whose labels stand in for the old edges as star
+    edges.  The final labels equal FULL-batch connected components
+    exactly, so the oracle is the same recursive-CTE reachability SQL
+    as near_dup_clusters."""
+    ensure_views(spark, sf_dir)
+    import tempfile
+
+    from .operators.graph import incremental_components
+    pairs = DD.ngram_jaccard_pairs(spark.table("documents"), n=5,
+                                   threshold=0.2)
+    both_small = (F.col("id_a") < 250) & (F.col("id_b") < 250)
+    path = tempfile.mkdtemp(prefix="legend_cc_store_") + "/cc"
+    incremental_components(spark, path, pairs.where(both_small))
+    labels = incremental_components(spark, path, pairs.where(~both_small))
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4539,6 +4560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_agg_store_stats": _q_events_agg_store,
     "events_resampled": _q_events_resampled,
     "lang_source_chi2": _q_lang_source_chi2,
+    "incremental_components": _q_incremental_components,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4714,6 +4736,7 @@ ORACLES: dict[str, str] = {
     "events_agg_store_stats": _ORACLE_AGG_STORE,
     "events_resampled": _ORACLE_RESAMPLE,
     "lang_source_chi2": _ORACLE_CHI2,
+    "incremental_components": _ORACLE_NEAR_DUP_CLUSTERS,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

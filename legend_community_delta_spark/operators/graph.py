@@ -145,6 +145,47 @@ def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     return ranks
 
 
+def write_component_store(labels: DataFrame, path: str,
+                          mode: str = "overwrite") -> None:
+    """Persist component labels ``(id, component)`` — the incremental
+    clustering state (one row per node ever seen in a pair)."""
+    labels.select("id", "component").write.mode(mode).parquet(path)
+
+
+def incremental_components(spark, path: str, new_pairs: DataFrame,
+                           src: str = "id_a", dst: str = "id_b",
+                           max_iter: int = 30) -> DataFrame:
+    """Incremental connected components: fold a NEW batch of edges into
+    a persisted component store and return (and re-persist) the updated
+    labels — the continuous-ingest face of near-dup clustering, where
+    yesterday's clusters must merge with today's pairs without
+    re-propagating over every edge ever seen.
+
+    The stored labels stand in for the old edge set as STAR edges
+    (every node -> its component label): any path that existed through
+    old edges survives through the component hub, so
+    ``CC(star(old labels) ∪ new edges) == CC(old edges ∪ new edges)``
+    exactly — incremental == batch, pinned in tests AND by the contract
+    oracle (the driver entry's result equals full-batch CC's recursive-
+    CTE oracle).  Per batch the propagation runs over
+    ``|store| + |batch|`` star/new edges, not the full edge history.
+    """
+    import os as _os
+    stored = (spark.read.parquet(path)
+              if _os.path.isdir(path) else None)
+    e = new_pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if stored is not None:
+        star = (stored.where(F.col("id") != F.col("component"))
+                .select(F.col("id").alias("a"),
+                        F.col("component").alias("b")))
+        e = e.unionByName(star)
+    labels = connected_components(e.select(F.col("a").alias("id_a"),
+                                           F.col("b").alias("id_b")),
+                                  "id_a", "id_b", max_iter)
+    write_component_store(labels, path)
+    return labels
+
+
 def drop_near_dups(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one doc per near-dup component (the minimum id);

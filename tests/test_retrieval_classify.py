@@ -706,3 +706,50 @@ def test_knn_graph_cells_unique_ranks_per_query(spark):
         key = (r.query_id, r.rank)
         assert key not in seen
         seen[key] = r.vec_id
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components
+# ---------------------------------------------------------------------------
+
+def _pairs2(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_incremental_components_equals_batch(spark, tmp_path):
+    from legend_community_delta_spark.operators.graph import (
+        connected_components, incremental_components)
+    all_edges = [(1, 2), (3, 4), (5, 6), (2, 3), (7, 8)]
+    path = str(tmp_path / "cc")
+    incremental_components(spark, path, _pairs2(spark, all_edges[:2]))
+    incremental_components(spark, path, _pairs2(spark, all_edges[2:4]))
+    got = {r.id: r.component
+           for r in incremental_components(
+               spark, path, _pairs2(spark, all_edges[4:])).collect()}
+    want = {r.id: r.component
+            for r in connected_components(
+                _pairs2(spark, all_edges)).collect()}
+    assert got == want
+    assert got[4] == 1  # the late (2,3) edge merged {1,2} with {3,4}
+
+
+def test_incremental_components_merges_two_old_components(spark, tmp_path):
+    from legend_community_delta_spark.operators.graph import (
+        incremental_components)
+    path = str(tmp_path / "cc")
+    incremental_components(spark, path, _pairs2(spark, [(1, 2), (9, 10)]))
+    got = {r.id: r.component
+           for r in incremental_components(
+               spark, path, _pairs2(spark, [(2, 9)])).collect()}
+    # one bridging edge unifies both stored components under min id 1
+    assert got == {1: 1, 2: 1, 9: 1, 10: 1}
+
+
+def test_incremental_components_store_persists_between_calls(spark,
+                                                             tmp_path):
+    from legend_community_delta_spark.operators.graph import (
+        incremental_components)
+    path = str(tmp_path / "cc")
+    incremental_components(spark, path, _pairs2(spark, [(4, 5)]))
+    stored = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert stored == {(4, 4), (5, 4)}
