@@ -4478,6 +4478,46 @@ def _q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
+def _q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning-free drift: daily two-sample Kolmogorov-Smirnov statistic
+    of event values vs the frozen day-one baseline (scoring.ks_drift) —
+    catches distributional moves PSI's fixed bins can blur.  Exact
+    ECDFs via one RANGE-framed window per day (ties enter together);
+    integer-ratio math, full oracle."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import ks_drift
+    ev = spark.table("events")
+    base = ev.where(F.to_date("ts") == F.lit("2024-01-01"))
+    return ks_drift(ev, base, "value", F.to_date("ts"))
+
+
+_ORACLE_KS = """
+WITH cur AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS period, "value" AS v,
+         1 AS c FROM events
+), periods AS (SELECT DISTINCT period FROM cur),
+base AS (
+  SELECT p.period, e."value" AS v, 0 AS c
+  FROM periods p CROSS JOIN events e
+  WHERE CAST(date_trunc('day', e.ts) AS DATE) = DATE '2024-01-01'
+), u AS (SELECT * FROM cur UNION ALL SELECT * FROM base),
+g AS (
+  SELECT period,
+         abs(
+           CAST(sum(c) OVER (PARTITION BY period ORDER BY v
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE)
+           / sum(c) OVER (PARTITION BY period)
+           - CAST(sum(1 - c) OVER (PARTITION BY period ORDER BY v
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE)
+           / sum(1 - c) OVER (PARTITION BY period)) AS gap
+  FROM u
+)
+SELECT period, round(max(gap), 6) AS ks FROM g GROUP BY 1
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4561,6 +4601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_resampled": _q_events_resampled,
     "lang_source_chi2": _q_lang_source_chi2,
     "incremental_components": _q_incremental_components,
+    "events_ks_drift": _q_events_ks_drift,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4737,6 +4778,7 @@ ORACLES: dict[str, str] = {
     "events_resampled": _ORACLE_RESAMPLE,
     "lang_source_chi2": _ORACLE_CHI2,
     "incremental_components": _ORACLE_NEAR_DUP_CLUSTERS,
+    "events_ks_drift": _ORACLE_KS,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,

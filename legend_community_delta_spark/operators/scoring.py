@@ -611,3 +611,45 @@ def char_entropy_stats(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_chars_counted", F.lit(0)).cast("long")
                     .alias("n_chars_counted"),
                     "char_entropy"))
+
+
+def ks_drift(df: DataFrame, baseline: DataFrame, value_col: str,
+             period_col) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per period vs a FROZEN
+    baseline: ``(period, ks)`` with ``ks = sup_x |ECDF_period(x) -
+    ECDF_baseline(x)|`` — the binning-free companion to
+    :func:`psi_drift` (PSI inherits its bin edges; KS sees any
+    distributional move, at the cost of a per-period sort).
+
+    Exact, not sketched: the two samples union with side flags, one
+    RANGE-framed window per period accumulates both ECDFs through ties
+    correctly (all rows of equal value enter together), and the max
+    absolute gap is the statistic — integer-ratio math, round 6, fully
+    oracle-checkable.
+
+    Scale: one shuffle keyed on period; the baseline (fixed reference
+    slice) replicates per period via a broadcast, so its size must be
+    bounded — at 100 TB the baseline is a sample or a reference week,
+    not the corpus.
+    """
+    per = (F.col(period_col) if isinstance(period_col, str)
+           else period_col)
+    cur = df.select(per.alias("period"),
+                    F.col(value_col).alias("v"),
+                    F.lit(1).alias("__cur"))
+    periods = cur.select("period").distinct()
+    base = (periods.crossJoin(
+        F.broadcast(baseline.select(F.col(value_col).alias("v"))))
+        .select("period", "v", F.lit(0).alias("__cur")))
+    u = cur.unionByName(base)
+    w = (Window.partitionBy("period").orderBy("v")
+         .rangeBetween(Window.unboundedPreceding, 0))
+    wp = Window.partitionBy("period")
+    c1 = F.sum("__cur").over(w)
+    c0 = F.sum(1 - F.col("__cur")).over(w)
+    n1 = F.sum("__cur").over(wp)
+    n0 = F.sum(1 - F.col("__cur")).over(wp)
+    gap = F.abs(c1 / n1 - c0 / n0)
+    return (u.select("period", gap.alias("__g"))
+            .groupBy("period")
+            .agg(F.round(F.max("__g"), 6).alias("ks")))

@@ -753,3 +753,53 @@ def test_incremental_components_store_persists_between_calls(spark,
     incremental_components(spark, path, _pairs2(spark, [(4, 5)]))
     stored = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert stored == {(4, 4), (5, 4)}
+
+
+# ---------------------------------------------------------------------------
+# KS drift
+# ---------------------------------------------------------------------------
+
+def test_ks_zero_on_identical_and_one_on_disjoint(spark):
+    from legend_community_delta_spark.operators.scoring import ks_drift
+    same = spark.createDataFrame(
+        [("p", float(v)) for v in range(50)], "period string, value double")
+    assert ks_drift(same, same, "value", "period").first().ks == 0.0
+    lo = spark.createDataFrame([("p", float(v)) for v in range(50)],
+                               "period string, value double")
+    hi = spark.createDataFrame([("b", 1000.0 + v) for v in range(50)],
+                               "period string, value double")
+    # fully separated supports: D = 1
+    assert ks_drift(lo, hi, "value", "period").first().ks == 1.0
+
+
+def test_ks_matches_scipy_style_reference(spark):
+    import itertools
+    from legend_community_delta_spark.operators.scoring import ks_drift
+    import random
+    rng = random.Random(3)
+    a = [round(rng.uniform(0, 10), 3) for _ in range(40)]
+    b = [round(rng.gauss(6, 2), 3) for _ in range(60)]
+    cur = spark.createDataFrame([("p", v) for v in a],
+                                "period string, value double")
+    base = spark.createDataFrame([("b", v) for v in b],
+                                 "period string, value double")
+    got = ks_drift(cur, base, "value", "period").first().ks
+
+    def ecdf(xs, x):
+        return sum(1 for v in xs if v <= x) / len(xs)
+
+    want = max(abs(ecdf(a, x) - ecdf(b, x)) for x in a + b)
+    assert got == round(want, 6)
+
+
+def test_ks_handles_ties_across_sides(spark):
+    from legend_community_delta_spark.operators.scoring import ks_drift
+    # heavy ties shared by both samples: D must evaluate AFTER all rows
+    # of the tied value on both sides (range frame), here exactly 0.25
+    cur = spark.createDataFrame(
+        [("p", v) for v in [1.0, 1.0, 2.0, 2.0]],
+        "period string, value double")
+    base = spark.createDataFrame(
+        [("b", v) for v in [1.0, 2.0, 2.0, 2.0]],
+        "period string, value double")
+    assert ks_drift(cur, base, "value", "period").first().ks == 0.25
