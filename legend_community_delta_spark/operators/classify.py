@@ -19,8 +19,8 @@ Scale shape:
   equi-join; broadcastable when the vocabulary is small).  Per-class
   scalars (prior, OOV floor) ride a tiny broadcast dimension;
 * **score** = per-doc token counts joined to the model, one
-  ``groupBy(doc, label)`` sum, and an argmax via ``max_by`` — ranks are
-  computed on scores rounded to 6 decimals so the argmax is
+  ``groupBy(doc, label)`` sum, and an argmax via a per-doc window —
+  ranks are computed on scores rounded to 6 decimals so the argmax is
   engine-portable (log-prob magnitudes are O(1e3); doubles carry ~1e-13
   absolute error there, far under the rounding grain).
 

@@ -216,7 +216,16 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str,
 
     The sketch side is d x w counters — kilobytes — so it BROADCASTS to
     the probe side (left join, probes preserved: a probe whose cell is
-    absent from the sketch scores 0 — never seen)."""
+    absent from the sketch scores 0 — never seen).
+
+    Expects an UNGROUPED sketch: a grouped one would silently take the
+    min across groups' cells — merge or filter to one group first."""
+    extra = set(cms.columns) - {"row", "cell", "n"}
+    if extra:
+        raise ValueError(
+            f"cms_estimate needs an ungrouped sketch (row, cell, n); "
+            f"found extra columns {sorted(extra)} — filter to one group "
+            "or cms_merge without group_cols first")
     v = F.col(value_col).cast("string")
     keys = probes.select(
         v.alias("value"),
