@@ -115,8 +115,12 @@ def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     (the oracle unrolls the same rounds), unlike converge-to-epsilon
     loops whose round count is data-dependent.  Isolated nodes (no
     edges) are out of scope by definition — callers union them at the
-    baseline ``(1-d)/N`` if needed.  Every node here has degree >= 1, so
-    there is no dangling-mass correction term.
+    baseline ``(1-d)/N`` if needed.  Undirected input symmetrizes, so
+    every node has degree >= 1 and total rank mass is conserved at 1.
+    Directed input keeps SINK nodes (in-edges only) in the node set at
+    the baseline-plus-inflow, but their own mass is NOT redistributed
+    (no dangling-mass term — the standard simplification; total mass
+    then sums below 1 when sinks exist).
 
     Scale: ranks and degrees shuffle on node id; the one-row node count
     rides a broadcast; nothing materializes on the driver.
@@ -125,7 +129,9 @@ def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     if not directed:
         e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = e.distinct().localCheckpoint(eager=True)  # reused every round
-    nodes = edges.select(F.col("a").alias("id")).distinct()
+    nodes = (edges.select(F.col("a").alias("id"))
+             .union(edges.select(F.col("b").alias("id")))
+             .distinct())
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = (nodes.crossJoin(F.broadcast(nn))

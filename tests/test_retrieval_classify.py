@@ -803,3 +803,17 @@ def test_ks_handles_ties_across_sides(spark):
         [("b", v) for v in [1.0, 2.0, 2.0, 2.0]],
         "period string, value double")
     assert ks_drift(cur, base, "value", "period").first().ks == 0.25
+
+
+def test_pagerank_directed_sink_nodes_receive_rank(spark):
+    from legend_community_delta_spark.operators.graph import pagerank
+    # 1 -> 2, 3 -> 2: node 2 is a pure sink — it must appear in the
+    # output with baseline + inflow (directed mode keeps sinks; their
+    # own mass is not redistributed, the documented simplification)
+    got = {r.id: r.r for r in
+           pagerank(_pairs(spark, [(1, 2), (3, 2)]), iters=1,
+                    directed=True).collect()}
+    assert set(got) == {1, 2, 3}
+    d, n = 0.85, 3
+    assert got[1] == pytest.approx((1 - d) / n)
+    assert got[2] == pytest.approx((1 - d) / n + d * (2 / 3))
