@@ -432,3 +432,42 @@ def test_bm25_fuzz_vs_python_reference(spark, case):
             sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))]
     want = [(i, s, r + 1) for r, (i, s) in enumerate(want)]
     assert got == want
+
+
+@st.composite
+def _ansi_sql_specs(draw):
+    num = draw(st.sampled_from(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]))
+    grp = draw(st.sampled_from(
+        ["l_returnflag", "l_linestatus", "l_linenumber"]))
+    agg = draw(st.sampled_from(["sum", "min", "max", "avg", "count"]))
+    fcol = draw(st.sampled_from(["l_quantity", "l_discount"]))
+    op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
+    lit = draw(st.sampled_from(
+        ["1", "5", "10", "25", "49", "0.02", "0.05"]))
+    having = draw(st.booleans())
+    sql = (f"SELECT {grp} AS g, round({agg}({num}), 4) AS a, "
+           f"count(*) AS n FROM lineitem "
+           f"WHERE {fcol} {op} {lit} GROUP BY {grp}")
+    if having:
+        sql += " HAVING count(*) > 3"
+    sql += " ORDER BY g"
+    return sql
+
+
+@settings(max_examples=60, deadline=None)
+@given(sql=_ansi_sql_specs())
+def test_ansi_subset_fuzz_spark_equals_duckdb(spark, sql):
+    """Engine-parity fuzz over the shared ANSI subset: the IDENTICAL
+    SQL text (filter + group + agg + having + order) must produce
+    identical results on Spark and DuckDB over the same parquet.
+    Aggregates round to 4 (avg of ~1e4-magnitude sums leaves ~1e-11
+    float headroom; round-6 would sit inside summation-order noise)."""
+    _, con = _fuzz_setup(spark)
+    if "lineitem" not in _FUZZ_STATE:
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"'{_SF_DIR}/lineitem.parquet'")
+        _FUZZ_STATE["lineitem"] = True
+    srows = [_canon_row(tuple(r)) for r in spark.sql(sql).collect()]
+    orows = [_canon_row(tuple(r)) for r in con.execute(sql).fetchall()]
+    assert srows == orows, sql
