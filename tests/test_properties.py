@@ -471,3 +471,32 @@ def test_ansi_subset_fuzz_spark_equals_duckdb(spark, sql):
     srows = [_canon_row(tuple(r)) for r in spark.sql(sql).collect()]
     orows = [_canon_row(tuple(r)) for r in con.execute(sql).fetchall()]
     assert srows == orows, sql
+
+
+@st.composite
+def _ansi_join_specs(draw):
+    agg = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    num = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+    grp = draw(st.sampled_from(["o_orderstatus", "o_orderpriority",
+                                "l_returnflag"]))
+    op = draw(st.sampled_from(["<", ">="]))
+    lit = draw(st.sampled_from(["10000", "50000", "150000"]))
+    return (f"SELECT {grp} AS g, round({agg}({num}), 4) AS a "
+            f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            f"WHERE o_totalprice {op} {lit} "
+            f"GROUP BY {grp} ORDER BY g")
+
+
+@settings(max_examples=30, deadline=None)
+@given(sql=_ansi_join_specs())
+def test_ansi_join_fuzz_spark_equals_duckdb(spark, sql):
+    """Same engine-parity fuzz through a JOIN: identical SQL text over
+    orders x lineitem agrees across engines."""
+    _, con = _fuzz_setup(spark)
+    if "lineitem" not in _FUZZ_STATE:
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"'{_SF_DIR}/lineitem.parquet'")
+        _FUZZ_STATE["lineitem"] = True
+    srows = [_canon_row(tuple(r)) for r in spark.sql(sql).collect()]
+    orows = [_canon_row(tuple(r)) for r in con.execute(sql).fetchall()]
+    assert srows == orows, sql
