@@ -4518,6 +4518,34 @@ SELECT period, round(max(gap), 6) AS ks FROM g GROUP BY 1
 """
 
 
+_ROLLING_MEDIAN_SPARK = """
+SELECT event_id, event_type,
+       round(percentile(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS med
+FROM events
+"""
+
+_ROLLING_MEDIAN_ORACLE = """
+SELECT event_id, event_type,
+       round(quantile_cont("value", 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS med
+FROM events
+"""
+
+
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust smoothing: exact centered 7-row rolling MEDIAN per
+    event_type — the outlier-immune counterpart of the rolling mean in
+    rolling_windows (one spike moves a mean for 7 rows; the median
+    shrugs).  Spark's exact ``percentile`` as a window aggregate vs
+    DuckDB's ``quantile_cont`` — identical linear interpolation, pinned
+    exact over all 10k rows."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_ROLLING_MEDIAN_SPARK)
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4602,6 +4630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_source_chi2": _q_lang_source_chi2,
     "incremental_components": _q_incremental_components,
     "events_ks_drift": _q_events_ks_drift,
+    "rolling_median_events": _q_rolling_median,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4779,6 +4808,7 @@ ORACLES: dict[str, str] = {
     "lang_source_chi2": _ORACLE_CHI2,
     "incremental_components": _ORACLE_NEAR_DUP_CLUSTERS,
     "events_ks_drift": _ORACLE_KS,
+    "rolling_median_events": _ROLLING_MEDIAN_ORACLE,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
