@@ -4546,6 +4546,53 @@ def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ROLLING_MEDIAN_SPARK)
 
 
+def _q_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quartile assignment via ``ntile(4)`` over
+    (quality, doc_id) — the banding a curation pipeline uses to route
+    docs to keep/review/drop tiers with per-source fairness (each
+    source contributes equally to every band).  The doc_id tie-break
+    makes ntile deterministic; summarized per (source, quartile) with
+    round-6 average quality."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window as W
+    from .functions.text import quality_score
+    docs = (spark.table("documents")
+            .where(F.length("text") > 0)
+            .select("doc_id", "source",
+                    quality_score("text").alias("q")))
+    band = F.ntile(4).over(
+        W.partitionBy("source").orderBy("q", "doc_id"))
+    return (docs.withColumn("quartile", band)
+            .groupBy("source", "quartile")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.round(F.avg("q"), 6).alias("avg_quality")))
+
+
+_ORACLE_QUALITY_QUARTILES = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+    CAST(round((
+      least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0)
+      + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                             / length(text)) * 4)
+      + CASE WHEN (CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                                                t -> length(t))) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+'))) BETWEEN 2.0 AND 12.0
+             THEN 1.0 ELSE 0.3 END
+    ) / 3.0, 6) AS DOUBLE) AS q
+  FROM documents WHERE length(text) > 0
+), banded AS (
+  SELECT source, q,
+         CAST(ntile(4) OVER (PARTITION BY source ORDER BY q, doc_id)
+              AS INT) AS quartile
+  FROM scored
+)
+SELECT source, quartile, count(*) AS docs,
+       round(avg(q), 6) AS avg_quality
+FROM banded GROUP BY 1, 2
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -4631,6 +4678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_components": _q_incremental_components,
     "events_ks_drift": _q_events_ks_drift,
     "rolling_median_events": _q_rolling_median,
+    "quality_quartiles": _q_quality_quartiles,
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
@@ -4809,6 +4857,7 @@ ORACLES: dict[str, str] = {
     "incremental_components": _ORACLE_NEAR_DUP_CLUSTERS,
     "events_ks_drift": _ORACLE_KS,
     "rolling_median_events": _ROLLING_MEDIAN_ORACLE,
+    "quality_quartiles": _ORACLE_QUALITY_QUARTILES,
     "events_json_stats": _EVENTS_JSON_ORACLE,
     "events_variant_stats": _EVENTS_VARIANT_ORACLE,
     "ann_cosine_topk": _ORACLE_ANN,
