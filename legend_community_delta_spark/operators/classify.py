@@ -75,16 +75,22 @@ def nb_train(train: DataFrame, label_col: str, text_col: str = "text",
     class_docs = train.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("docs"))
     n_docs = train.agg(F.count(F.lit(1)).alias("n_docs"))
-    class_stats = (class_tok.join(class_docs, "label")
+    # Left-join FROM class_docs so a label whose training docs all
+    # tokenize to zero tokens keeps its prior (n_l = 0, log_oov =
+    # ln(1/V)) instead of silently vanishing from the model.
+    class_stats = (class_docs.join(class_tok, "label", "left")
                    .crossJoin(F.broadcast(v_size))
                    .crossJoin(F.broadcast(n_docs))
                    .select(
                        "label",
                        F.log(F.col("docs") / F.col("n_docs"))
                        .alias("log_prior"),
-                       F.log(F.lit(1.0) / (F.col("n_l") + F.col("v")))
+                       F.log(F.lit(1.0)
+                             / (F.coalesce(F.col("n_l"), F.lit(0))
+                                + F.col("v")))
                        .alias("log_oov"),
-                       (F.col("n_l") + F.col("v")).alias("denom")))
+                       (F.coalesce(F.col("n_l"), F.lit(0))
+                        + F.col("v")).alias("denom")))
     # vocab x classes (classes ride broadcast), left-join observed counts
     model = (vocab.crossJoin(F.broadcast(
                  class_stats.select("label", "denom")))

@@ -176,9 +176,17 @@ def incremental_components(spark, path: str, new_pairs: DataFrame,
     CTE oracle).  Per batch the propagation runs over
     ``|store| + |batch|`` star/new edges, not the full edge history.
     """
-    import os as _os
-    stored = (spark.read.parquet(path)
-              if _os.path.isdir(path) else None)
+    from pyspark.errors import AnalysisException
+    try:
+        # Resolve through Spark's Hadoop filesystem layer, not os.path:
+        # for non-local store URIs (s3://, hdfs://, dbfs:/) an os.path
+        # probe always says "absent", which would silently restart
+        # clustering from scratch and diverge incremental from batch.
+        stored = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        stored = None
     e = new_pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if stored is not None:
         star = (stored.where(F.col("id") != F.col("component"))

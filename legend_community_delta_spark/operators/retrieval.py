@@ -110,7 +110,11 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
            .localCheckpoint(eager=True))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(TX.tokens(text_col))).alias("avgdl"))
+        # NULL text must be IGNORED by the average (size() on a NULL
+        # token array yields -1 under Spark's legacy sizeOfNull, which
+        # would skew avgdl; SQL AVG skips NULLs, matching the oracle)
+        F.avg(F.when(F.col(text_col).isNotNull(),
+                     F.size(TX.tokens(text_col)))).alias("avgdl"))
     return _bm25_rank(hit, qterms, stats, k, k1, b)
 
 
@@ -130,7 +134,11 @@ def write_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
      .parquet(f"{path}/postings"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(TX.tokens(text_col))).alias("avgdl"))
+        # NULL text must be IGNORED by the average (size() on a NULL
+        # token array yields -1 under Spark's legacy sizeOfNull, which
+        # would skew avgdl; SQL AVG skips NULLs, matching the oracle)
+        F.avg(F.when(F.col(text_col).isNotNull(),
+                     F.size(TX.tokens(text_col)))).alias("avgdl"))
     (stats.withColumn("prefix_len", F.lit(int(prefix_len)))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
 

@@ -187,7 +187,13 @@ def cms_cells(df: DataFrame, value_col: str, d: int = 4,
     only over-count on collisions); overestimate <= eN/w with
     probability 1 - (1/2)^d for w cells.
     """
-    v = F.col(value_col).cast("string")
+    # NULL maps to an explicit sentinel BEFORE hashing (md5 of a
+    # concat with NULL is NULL): the sketch and the probe must agree
+    # on NULL's cells or a NULL probe would estimate 0 while NULLs
+    # were counted in, breaking est >= true-count.  The sentinel
+    # starts with a NUL byte no cast-to-string value produces.
+    v = F.coalesce(F.col(value_col).cast("string"),
+                   F.lit("\x00NULL"))
     rc = F.explode(F.array(*[
         F.struct(
             F.lit(i).alias("row"),
@@ -226,7 +232,13 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str,
             f"cms_estimate needs an ungrouped sketch (row, cell, n); "
             f"found extra columns {sorted(extra)} — filter to one group "
             "or cms_merge without group_cols first")
-    v = F.col(value_col).cast("string")
+    # NULL maps to an explicit sentinel BEFORE hashing (md5 of a
+    # concat with NULL is NULL): the sketch and the probe must agree
+    # on NULL's cells or a NULL probe would estimate 0 while NULLs
+    # were counted in, breaking est >= true-count.  The sentinel
+    # starts with a NUL byte no cast-to-string value produces.
+    v = F.coalesce(F.col(value_col).cast("string"),
+                   F.lit("\x00NULL"))
     keys = probes.select(
         v.alias("value"),
         F.explode(F.array(*[

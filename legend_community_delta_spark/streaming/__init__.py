@@ -274,32 +274,55 @@ def nb_score_stream(stream: DataFrame, model_wide: DataFrame,
     ``classify.nb_score``: quality/domain-filter every batch with a
     model trained once on a labeled seed set.
 
-    Shape: explode tokens (``explode_outer`` so empty docs survive at
-    the prior), ONE stream-static broadcast join against the pivoted
-    per-token log-prob columns, ONE stateful aggregation (per-class
-    sums; OOV tokens coalesce to the per-class floor), then a stateless
-    argmax fold — scores rounded to 6, ties to the ascending label,
-    exactly the batch operator's rule.  Returns ``(doc_id, pred_label,
-    score)``; write with ``outputMode("complete"/"update")`` or wrap
-    the keep/drop filter in ``foreachBatch``.
+    Shape: per-row DISTINCT-token counts (``array_distinct`` + a
+    higher-order count over the row's own token array — stateless, so
+    the pipeline keeps exactly ONE stateful aggregation), a
+    stream-static broadcast join against the pivoted per-token log-prob
+    columns, one stateful aggregation (per-class ``cnt * logp`` sums +
+    in-vocab token count), then a stateless projection that applies the
+    OOV floor as a SINGLE ``(n_tok - known_cnt) * log_oov`` multiply and
+    the argmax fold — scores rounded to 6, ties to the ascending label.
+    The per-(doc, token) multiplication set is IDENTICAL to the batch
+    scorer's (``classify.nb_score`` sums ``cnt * logp`` per distinct
+    token and one OOV multiply), so round-6 score parity cannot drift
+    with corpus size the way per-occurrence summation could.  Returns
+    ``(doc_id, pred_label, score)``; write with
+    ``outputMode("complete"/"update")`` or wrap the keep/drop filter in
+    ``foreachBatch``.
     """
     from ..functions.text import tokens as _tokens
 
-    toks = stream.select(
+    arr = stream.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(F.transform(_tokens(text_col),
-                                    lambda t: F.lower(t))).alias("tok"))
-    joined = toks.join(F.broadcast(model_wide), "tok", "left")
-    aggs = []
+        F.transform(_tokens(text_col), lambda t: F.lower(t))
+        .alias("__toks"))
+    # explode_outer keeps empty docs (NULL tok, cnt 0 -> prior fallback)
+    ex = arr.select(
+        "doc_id", "__toks",
+        F.coalesce(F.size("__toks"), F.lit(0)).alias("__ntok"),
+        F.explode_outer(F.array_distinct("__toks")).alias("tok"))
+    cnts = ex.select(
+        "doc_id", "__ntok", "tok",
+        F.size(F.filter("__toks",
+                        lambda t: t == F.col("tok"))).alias("cnt"))
+    joined = cnts.join(
+        F.broadcast(model_wide.withColumn("__iv", F.lit(1))),
+        "tok", "left")
+    aggs = [F.max("__ntok").alias("__ntok"),
+            F.sum(F.when(F.col("__iv") == 1, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("__kc")]
     for i, r in enumerate(stats_rows):
-        per_tok = F.when(F.col("tok").isNull(), F.lit(0.0)).otherwise(
-            F.coalesce(F.col(r.label), F.lit(float(r.log_oov))))
-        aggs.append(F.sum(per_tok).alias(f"__s{i}"))
+        aggs.append(F.sum(F.when(F.col("__iv") == 1,
+                                 F.col("cnt") * F.col(r.label))
+                          .otherwise(F.lit(0.0))).alias(f"__s{i}"))
     agg = joined.groupBy("doc_id").agg(*aggs)
     pred = None
     for i, r in enumerate(stats_rows):  # ascending label order
         cand = F.struct(
-            F.round(F.col(f"__s{i}") + F.lit(float(r.log_prior)), 6)
+            F.round(F.col(f"__s{i}")
+                    + (F.col("__ntok") - F.col("__kc"))
+                    * F.lit(float(r.log_oov))
+                    + F.lit(float(r.log_prior)), 6)
             .alias("score"),
             F.lit(r.label).alias("label"))
         # strictly-greater keeps the earlier (smaller) label on ties

@@ -363,10 +363,10 @@ def test_nb_stream_matches_batch_scorer(spark, tmp_path):
            for r in spark.table("__nb_test_sink").collect()}
     want = {r.doc_id: (r.pred_label, r.score)
             for r in nb_score(test, model, stats).collect()}
-    assert {k: v[0] for k, v in got.items()} == \
-        {k: v[0] for k, v in want.items()}
-    for k in want:
-        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+    # exact round-6 parity: the contract oracle compares value hashes,
+    # so the streaming scorer must reproduce the batch scores EXACTLY
+    # (same cnt*logp multiplication set, single OOV multiply)
+    assert got == want
 
 
 def test_nb_model_wide_pivots_every_class(spark):
@@ -817,3 +817,55 @@ def test_pagerank_directed_sink_nodes_receive_rank(spark):
     d, n = 0.85, 3
     assert got[1] == pytest.approx((1 - d) / n)
     assert got[2] == pytest.approx((1 - d) / n + d * (2 / 3))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 regressions (ADVICE items)
+# ---------------------------------------------------------------------------
+
+def test_bm25_null_text_ignored_in_avgdl(spark):
+    # NULL-text doc: excluded from avgdl (SQL AVG semantics; legacy
+    # sizeOfNull would have contributed -1), still counted in n_docs
+    docs = _docs(spark, [(1, "aa aa"), (2, "bb"), (3, None)])
+    queries = spark.createDataFrame([("q", "aa")],
+                                    "query_id string, query string")
+    out = bm25_topk(docs, queries, k=10).collect()
+    assert [(r.doc_id, r.rank) for r in out] == [(1, 1)]
+    n, df, tf, dl, avgdl, k1, b = 3, 1, 2, 2, 1.5, 1.2, 0.75
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    w = idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+    assert out[0].score == round(w, 6)
+
+
+def test_nb_train_keeps_tokenless_class(spark):
+    # a label whose training docs all tokenize to zero tokens must keep
+    # its prior (log_oov = ln(1/V)) instead of vanishing from the model
+    train = _labeled(spark, [(1, "aa bb", "x"), (2, "", "y")])
+    model, stats = nb_train(train, "y")
+    srows = {r.label: r for r in stats.collect()}
+    assert set(srows) == {"x", "y"}
+    assert srows["y"].log_prior == pytest.approx(math.log(0.5))
+    assert srows["y"].log_oov == pytest.approx(math.log(1.0 / 2))  # V=2
+    # the model still carries vocab x classes rows for y (floor probs)
+    mrows = {(r.label, r.tok): r.logp for r in model.collect()}
+    assert ("y", "aa") in mrows and ("y", "bb") in mrows
+    assert mrows[("y", "aa")] == pytest.approx(math.log(1.0 / 2))
+    # an OOV-only doc falls back to the prior argmax and can pick either
+    preds = nb_score(_labeled(spark, [(9, "zz", "x")]), model, stats)
+    assert preds.collect()[0].pred_label in {"x", "y"}
+
+
+def test_cms_null_values_estimable(spark):
+    # NULLs counted into the sketch must be estimable by a NULL probe
+    # (est >= true count); hashing NULL through md5(concat(...)) would
+    # have put them under NULL cells the probe join can never match
+    df = spark.createDataFrame([(None,), (None,), ("a",)],
+                               "v string")
+    cms = cms_merge(cms_cells(df, "v"))
+    probes = spark.createDataFrame([(None,), ("a",)], "v string")
+    est = {r.value: r.est for r in
+           cms_estimate(cms, probes, "v").collect()}
+    null_key = [k for k in est if k not in ("a",)]
+    assert len(null_key) == 1  # the NULL probe row survives
+    assert est[null_key[0]] >= 2
+    assert est["a"] >= 1
