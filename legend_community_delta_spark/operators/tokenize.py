@@ -59,8 +59,133 @@ def merge_pair(symbols, a: str, b: str):
         ).otherwise(F.concat(acc, F.array(x))))
 
 
+def _local_merge(seq: list, a: str, b: str) -> list:
+    """Greedy left-to-right merge of adjacent (a, b) — the driver-side
+    twin of :func:`merge_pair` (same fold, same non-overlap rule)."""
+    out: list = []
+    for c in seq:
+        if out and out[-1] == a and c == b:
+            out[-1] = a + b
+        else:
+            out.append(c)
+    return out
+
+
+def _local_bpe(freqs: dict, n_merges: int,
+               min_count: int) -> tuple[list, dict]:
+    """Exact sequential BPE over a collected ``word -> freq`` table with
+    INCREMENTAL pair-count maintenance (the subword-nmt trick): each
+    merge touches only the words that contain the merged pair, so the
+    driver-side cost is proportional to affected words, not
+    ``vocab x n_merges`` full rescans."""
+    seg = {w: list(w) for w in freqs}
+    counts: dict = {}
+    pair_words: dict = {}
+    for w, f in freqs.items():
+        s = seg[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] = counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(w)
+    merges: list = []
+    for _ in range(n_merges):
+        if not counts:
+            break
+        (a, b), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_count:
+            break
+        merges.append((a, b, int(n)))
+        # pair_words entries go stale when a word stops containing a
+        # pair; re-processing such a word is a harmless no-op because
+        # its old contributions are removed and re-added unchanged
+        for w in sorted(pair_words.get((a, b), ())):
+            s, f = seg[w], freqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] -= f
+                if counts[p] <= 0:
+                    del counts[p]
+            s2 = _local_merge(s, a, b)
+            seg[w] = s2
+            for i in range(len(s2) - 1):
+                p = (s2[i], s2[i + 1])
+                counts[p] = counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(w)
+    return merges, seg
+
+
+def _safe_batch(rows, batch_max: int, min_pair_count: int,
+                merged_strs: set) -> list:
+    """Select a prefix of the (n desc, l, r)-sorted pair rows that is
+    provably equivalent to merging them ONE AT A TIME with recounting
+    in between.  Three facts make a prefix safe:
+
+    * a pair sharing no symbol with an earlier selected pair (and not
+      equal to its concatenation) keeps its exact count under that
+      earlier merge — its adjacencies are untouched;
+    * a merge ``(a, b) -> ab`` whose concatenation is a FRESH string
+      (never produced by any earlier merge, and multi-char so never an
+      initial symbol) only creates new pairs ``(x, ab)`` / ``(ab, y)``
+      whose counts are bounded by the old ``(x, a)`` / ``(b, y)``
+      counts — and those CONFLICT with the merge, so they are bounded
+      by the count at the first conflicting row;
+    * therefore every selected pair whose count is STRICTLY above the
+      largest CONFLICTING pair's count is still the running argmax when
+      its turn comes: untouched old pairs that tie with it sort after
+      it lexicographically (they trail it in the (n desc, l, r) order,
+      which is exactly the sequential tie-break), while new pairs —
+      whose lexicographic rank is arbitrary — are bounded by the
+      conflicting counts the strict rule clears.
+
+    A pair whose concatenation collides with an existing symbol string
+    (``a+b in merged_strs``) can boost collision-keyed pair counts
+    unboundedly, so it may only ever lead a round — the batch stops
+    right after it.
+    """
+    selected: list = []
+    used: set = set()  # symbols AND concatenations of selected pairs
+    stop_i = None
+    for i, row in enumerate(rows):
+        if i >= batch_max or row.n < min_pair_count:
+            stop_i = i
+            break
+        a, b = row.l, row.r
+        if i > 0 and (a in used or b in used
+                      or (a + b) in used or (a + b) in merged_strs):
+            stop_i = i
+            break
+        selected.append((a, b, int(row.n)))
+        used.update((a, b, a + b))
+        if i == 0 and (a + b) in merged_strs:
+            # collision-concat argmax (its product string already exists
+            # as a symbol): safe only as the round's sole merge
+            stop_i = 1
+            break
+    if stop_i is None:
+        stop_i = len(rows)
+    # bound the largest count any pair CONFLICTING with the selected set
+    # can hold (it also bounds every pair a selected merge creates):
+    # first conflicting fetched row, else the fetch boundary for unseen
+    c_conf = 0
+    for row in rows[stop_i:]:
+        a, b = row.l, row.r
+        if (a in used or b in used
+                or (a + b) in used or (a + b) in merged_strs):
+            c_conf = int(row.n)
+            break
+    else:
+        if len(rows) > batch_max:  # unseen pairs exist beyond the fetch
+            c_conf = int(rows[-1].n)
+    while len(selected) > 1 and selected[-1][2] <= c_conf:
+        selected.pop()
+    return selected
+
+
 def bpe_train(df: DataFrame, text_col: str = "text",
               n_merges: int = 16, min_pair_count: int = 2,
+              local_vocab_max: int = 2_000_000, batch_max: int = 16,
+              round_sizes: list | None = None,
               ) -> tuple[list, DataFrame]:
     """Train *n_merges* BPE merges on the corpus.
 
@@ -68,19 +193,43 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     ``(left, right, pair_count)`` in merge order; *segmentation* is the
     final ``(word, freq, symbols)`` table (the trained model — persist
     it like any model store).  Stops early when no pair reaches
-    *min_pair_count*.
+    *min_pair_count*.  *round_sizes*, if given, collects the number of
+    merges applied per Spark round (telemetry for tests/tuning).
 
-    Per round: adjacent pairs via two shifted slices zipped, one
-    weighted groupBy, one single-row driver fetch for the argmax, one
-    fold over the distinct words, ``localCheckpoint`` to keep the
-    lineage flat across rounds.
+    Two paths, both EXACTLY sequential-BPE-equivalent (same merge
+    table, same tie-breaks — pinned against a pure-python reference):
+
+    * **local** (vocabulary fits the driver, ``<= local_vocab_max``
+      distinct words): the corpus-sized tokenize/count runs in Spark
+      once, the vocabulary-sized merge loop runs driver-side with
+      incremental pair counts.  This is the right shape even at 100 TB
+      — BPE's working set after ``word_freqs`` is the DISTINCT-WORD
+      table (~10^7 rows), and a 32k-merge loop as Spark jobs would be
+      ~64k sequential scheduler round-trips regardless of data size;
+    * **distributed** (vocabulary larger than the driver allowance):
+      per round, ONE weighted pair count + one driver fetch of the top
+      ``batch_max + 1`` pairs, then every provably-independent merge
+      from that list is applied in the same round
+      (:func:`_safe_batch`), cutting rounds by up to ``batch_max``x
+      while preserving exact sequential semantics.
     """
-    seg = (word_freqs(df, text_col)
-           .select("word", "freq",
-                   F.split(F.col("word"), "").alias("symbols"))
+    wf = word_freqs(df, text_col).localCheckpoint(eager=True)
+    if wf.count() <= local_vocab_max:
+        freqs = {r.word: int(r.freq) for r in wf.collect()}
+        merges, seg_map = _local_bpe(freqs, n_merges, min_pair_count)
+        if round_sizes is not None and merges:
+            round_sizes.append(len(merges))
+        spark = df.sparkSession
+        seg = spark.createDataFrame(
+            [(w, freqs[w], seg_map[w]) for w in sorted(seg_map)],
+            "word string, freq long, symbols array<string>")
+        return merges, seg
+    seg = (wf.select("word", "freq",
+                     F.split(F.col("word"), "").alias("symbols"))
            .localCheckpoint(eager=True))
-    merges: list = []
-    for _ in range(n_merges):
+    merges = []
+    merged_strs: set = set()
+    while len(merges) < n_merges:
         s = F.col("symbols")
         adj = F.arrays_zip(
             F.slice(s, F.lit(1), F.greatest(F.size(s) - 1, F.lit(0)))
@@ -91,14 +240,20 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                  .select("freq", F.col("p.l").alias("l"),
                          F.col("p.r").alias("r"))
                  .groupBy("l", "r").agg(F.sum("freq").alias("n")))
-        best = (pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect())
-        if not best or best[0].n < min_pair_count:
+        take = min(batch_max, n_merges - len(merges))
+        rows = (pairs.orderBy(F.desc("n"), "l", "r")
+                .limit(take + 1).collect())
+        if not rows or rows[0].n < min_pair_count:
             break
-        a, b, n = best[0].l, best[0].r, int(best[0].n)
-        merges.append((a, b, n))
-        seg = (seg.select("word", "freq",
-                          merge_pair(F.col("symbols"), a, b)
-                          .alias("symbols"))
+        batch = _safe_batch(rows, take, min_pair_count, merged_strs)
+        sym = F.col("symbols")
+        for a, b, n in batch:
+            merges.append((a, b, n))
+            merged_strs.add(a + b)
+            sym = merge_pair(sym, a, b)
+        if round_sizes is not None:
+            round_sizes.append(len(batch))
+        seg = (seg.select("word", "freq", sym.alias("symbols"))
                .localCheckpoint(eager=True))
     return merges, seg
 

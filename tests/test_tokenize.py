@@ -138,3 +138,74 @@ def test_bpe_rounds_work_on_distinct_words_not_corpus(spark):
     assert wf.count() == 2
     assert {r.word: r.freq for r in wf.collect()} == \
         {"dup": 250, "other": 50}
+
+
+# -- round-6: batched distributed path + local fast path ------------------
+
+def test_bpe_local_and_distributed_paths_agree(spark):
+    texts = ["low low low lower lowest",
+             "newer newer new newest wider"]
+    ref_merges, ref_seg = _ref_bpe(_ref_word_freqs(texts), 8)
+    for kwargs in ({},                                    # local path
+                   {"local_vocab_max": 0, "batch_max": 1},
+                   {"local_vocab_max": 0, "batch_max": 4},
+                   {"local_vocab_max": 0, "batch_max": 16}):
+        merges, seg = bpe_train(_docs(spark, texts), n_merges=8, **kwargs)
+        assert merges == ref_merges, kwargs
+        assert {r.word: r.symbols for r in seg.collect()} == ref_seg
+
+
+def test_bpe_batched_rounds_fewer_than_merges(spark):
+    # the batched distributed path must apply >1 safe merge per Spark
+    # round when merges are independent (the round-5 weak flag: one
+    # round per merge = ~2 jobs x n_merges sequential scheduler trips);
+    # disjoint per-word alphabets make every same-round merge conflict-
+    # free, so each round batches them all
+    texts = ["aaaa bbbb cccc dddd eeee ffff gggg hhhh"] * 3
+    rounds: list = []
+    merges, _ = bpe_train(_docs(spark, texts), n_merges=16,
+                          local_vocab_max=0, batch_max=16,
+                          round_sizes=rounds)
+    ref_merges, _ = _ref_bpe(_ref_word_freqs(texts), 16)
+    assert merges == ref_merges
+    assert sum(rounds) == len(merges)
+    assert len(merges) == 16
+    assert len(rounds) <= max(1, len(merges) // 4)
+
+
+def test_bpe_batched_differential_fuzz_vs_reference(spark):
+    # small alphabet makes concat-collisions ("a"+"bc" vs "ab"+"c")
+    # likely -- exactly the case _safe_batch must serialize
+    rng = random.Random(1306)
+    for trial in range(6):
+        vocab = ["".join(rng.choice("ab")
+                         for _ in range(rng.randint(1, 7)))
+                 for _ in range(rng.randint(5, 25))]
+        texts = [" ".join(rng.choice(vocab) for _ in range(10))
+                 for _ in range(8)]
+        n = rng.randint(3, 12)
+        ref_merges, ref_seg = _ref_bpe(_ref_word_freqs(texts), n)
+        merges, seg = bpe_train(
+            _docs(spark, texts), n_merges=n,
+            local_vocab_max=0, batch_max=rng.choice([2, 4, 8]))
+        assert merges == ref_merges, (trial, texts)
+        assert {r.word: r.symbols
+                for r in seg.collect()} == ref_seg, trial
+
+
+def test_bpe_local_path_uses_incremental_counts_exactly():
+    # driver-side trainer (no spark): incremental == naive reference
+    from legend_community_delta_spark.operators.tokenize import (
+        _local_bpe)
+    rng = random.Random(7)
+    for _ in range(20):
+        vocab = ["".join(rng.choice("abc")
+                         for _ in range(rng.randint(1, 6)))
+                 for _ in range(rng.randint(3, 30))]
+        texts = [" ".join(rng.choice(vocab) for _ in range(15))]
+        freqs = _ref_word_freqs(texts)
+        n = rng.randint(1, 14)
+        got_m, got_s = _local_bpe(dict(freqs), n, 2)
+        want_m, want_s = _ref_bpe(freqs, n, 2)
+        assert got_m == want_m
+        assert got_s == want_s
