@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "nb_lang_confusion",
     "cms_token_freq",
     "pagerank_near_dups",
+    "pair_store_pagerank",
     "containment_dup_pairs",
     "weighted_docs_sample",
     "session_paths",

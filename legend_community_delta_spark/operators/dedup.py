@@ -922,6 +922,74 @@ def verified_near_dup_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def write_pair_store(pairs: DataFrame, path: str, *,
+                     method: str = "verified", n: int = 5,
+                     threshold: float = 0.2,
+                     mode: str = "overwrite") -> None:
+    """Persist verified near-dup pairs ``(id_a, id_b, jaccard)`` with a
+    parameter footer — the "compute pairs once" store.
+
+    A production pipeline runs pair generation (the expensive LSH-
+    propose + exact-verify pass) ONCE per corpus snapshot, then every
+    consumer — clustering, leakage-safe splits, PageRank, dedup drops —
+    reads the store instead of regenerating.  The footer records
+    (method, n, threshold) and :func:`read_pairs` validates against it:
+    pairs mined with different gram sizes or thresholds must never be
+    silently mixed or reused below their mining threshold.
+    """
+    params = {"method": method, "n": int(n), "threshold": float(threshold)}
+    if mode == "append":
+        try:
+            existing = pairs.sparkSession.read.parquet(
+                f"{path}__meta").first()
+        except Exception:
+            existing = None  # first write
+        if existing is not None:
+            stored = {k: existing[k] for k in params}
+            if stored != params:
+                raise ValueError(
+                    f"pair store at [{path}] was built with {stored}; "
+                    f"append called with {params} — mixed-parameter "
+                    "pairs are incompatible. Match the store or rebuild "
+                    "with mode='overwrite'.")
+    (pairs.select("id_a", "id_b", "jaccard")
+     .write.mode(mode).parquet(path))
+    meta = pairs.sparkSession.createDataFrame(
+        [tuple(params.values())],
+        "method string, n int, threshold double")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
+
+
+def read_pairs(spark, path: str, *, method: str | None = None,
+               n: int | None = None,
+               threshold: float | None = None) -> DataFrame:
+    """Read a :func:`write_pair_store` store, validating parameters.
+
+    *threshold*, when given, may be HIGHER than the store's mining
+    threshold (the stored jaccard values re-filter exactly); asking for
+    a LOWER one raises — those pairs were never mined and silence here
+    would under-report duplication.
+    """
+    meta = spark.read.parquet(f"{path}__meta").first()
+    if method is not None and meta.method != method:
+        raise ValueError(
+            f"pair store at [{path}] holds [{meta.method}] pairs; "
+            f"read requested [{method}]")
+    if n is not None and int(meta.n) != int(n):
+        raise ValueError(
+            f"pair store at [{path}] was mined with n={meta.n}; "
+            f"read requested n={n} — regenerate the store")
+    pairs = spark.read.parquet(path)
+    if threshold is not None:
+        if float(threshold) < float(meta.threshold):
+            raise ValueError(
+                f"pair store at [{path}] was mined at threshold "
+                f">= {meta.threshold}; pairs below that were never "
+                f"generated — cannot serve threshold={threshold}")
+        pairs = pairs.where(F.col("jaccard") >= float(threshold))
+    return pairs
+
+
 def edit_distance_pairs(df: DataFrame, value_col: str = "tok",
                         max_dist: int = 1) -> DataFrame:
     """Distinct-value pairs within Levenshtein distance 1 — typo/variant

@@ -568,3 +568,40 @@ def test_connected_components_max_iter_warns(spark):
         w.simplefilter("always")
         connected_components(pairs, max_iter=2).collect()
     assert any("fixpoint" in str(c.message) for c in caught)
+
+
+# -- round-6: persisted verified-pair store -------------------------------
+
+def test_pair_store_roundtrip_and_threshold_refilter(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = DD.verified_near_dup_pairs(docs, n=5, threshold=0.2)
+    path = str(tmp_path / "pairs")
+    DD.write_pair_store(pairs, path, method="verified", n=5,
+                        threshold=0.2)
+    got = {(r.id_a, r.id_b): round(r.jaccard, 9)
+           for r in DD.read_pairs(spark, path, method="verified",
+                                  n=5, threshold=0.2).collect()}
+    want = {(r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in pairs.collect()}
+    assert got == want
+    # reading at a HIGHER threshold re-filters the stored jaccards
+    hi = {(r.id_a, r.id_b)
+          for r in DD.read_pairs(spark, path, threshold=0.5).collect()}
+    assert hi == {p for p, j in want.items() if j >= 0.5}
+
+
+def test_pair_store_rejects_mismatched_reads_and_appends(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = DD.verified_near_dup_pairs(docs, n=5, threshold=0.2)
+    path = str(tmp_path / "pairs")
+    DD.write_pair_store(pairs, path, method="verified", n=5,
+                        threshold=0.2)
+    with pytest.raises(ValueError, match="n=5"):
+        DD.read_pairs(spark, path, n=3)
+    with pytest.raises(ValueError, match="verified"):
+        DD.read_pairs(spark, path, method="exact")
+    with pytest.raises(ValueError, match="threshold"):
+        DD.read_pairs(spark, path, threshold=0.1)  # below mining floor
+    with pytest.raises(ValueError, match="mixed-parameter"):
+        DD.write_pair_store(pairs, path, method="verified", n=4,
+                            threshold=0.2, mode="append")
