@@ -4,16 +4,20 @@ The Spark-side machinery — schemas, Arrow-batched ``mapInPandas``
 pipelines, partition sizing — is real, and so is the decoding for the
 formats the Python standard library can parse without external codecs:
 
-* **images**: BMP (24-bit uncompressed, via ``struct``) and the PNM
-  family P2/P3/P5/P6 (PGM/PPM, ASCII + binary);
+* **images**: BMP (24-bit uncompressed, via ``struct``), the PNM
+  family P2/P3/P5/P6 (PGM/PPM, ASCII + binary), **PNG** (8-bit
+  gray/RGB/palette/alpha, all five row filters — stdlib ``zlib`` +
+  numpy unfiltering) and **baseline/extended-sequential JPEG**
+  (Huffman + IDCT + 4:2:0/4:2:2 upsampling + restart markers, pure
+  numpy) — the formats real image corpora are overwhelmingly made of;
 * **audio**: WAV/PCM via :mod:`wave` (8/16/32-bit);
 * **video**: YUV4MPEG2 (``.y4m`` — uncompressed frames behind a text
   header; the interchange format ffmpeg/mjpegtools emit).
 
-Compressed formats (JPEG/PNG/MP4) need a codec library; the decode
-functions raise ``ValueError`` with a pointed message for those — swap the
-per-payload decoder for PIL/pyav in production and the Spark plumbing
-holds unchanged at scale.
+Formats still needing a codec library (WebP/AVIF/progressive JPEG/MP4)
+raise ``ValueError`` with a pointed message — swap the per-payload
+decoder for PIL/pyav in production and the Spark plumbing holds
+unchanged at scale.
 
 Design rules baked in:
 
@@ -181,20 +185,345 @@ def _decode_pnm(b: bytes) -> np.ndarray:
     return px.reshape(h, w, channels)
 
 
-def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode BMP/PNM payload bytes to an (h, w, c) uint8 pixel array.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Raises ``ValueError`` for formats needing a codec library (JPEG/PNG/
-    WebP/...) — at that point swap in PIL; every caller's Spark plumbing
-    is format-agnostic.
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG per-row filtering: *raw* is ``h`` rows of
+    ``1 + stride`` bytes (filter tag + filtered bytes); returns the
+    reconstructed ``(h, stride)`` byte matrix.
+
+    Filters None/Up are vectorized whole-row; Sub is a per-residue-class
+    cumulative sum (mod 256); Average/Paeth reconstruct left-to-right
+    with a numpy column loop (each byte needs the already-reconstructed
+    left neighbor — inherently sequential in x, vector in nothing, but
+    rows are short and this runs inside Arrow-batched ``mapInPandas``,
+    never per-corpus-token)."""
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint16)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ft, row = int(raw[y, 0]), raw[y, 1:].astype(np.uint16)
+        if ft == 0:
+            rec = row
+        elif ft == 1:      # Sub: rec[i] = row[i] + rec[i-bpp]
+            rec = row.copy()
+            for r in range(bpp):
+                rec[r::bpp] = np.cumsum(rec[r::bpp]) & 0xFF
+        elif ft == 2:      # Up
+            rec = (row + prev) & 0xFF
+        elif ft == 3:      # Average
+            rec = row.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:      # Paeth
+            rec = row.copy()
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(out[y - 1, i - bpp]) if (y > 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG -> (h, w, c) uint8 array.  Supports 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced — the overwhelming majority of real-world PNGs.
+    Pure stdlib: chunk walk + zlib inflate + numpy unfiltering."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).astype(np.uint8)
+    px = px.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        px = plte[px[..., 0]]
+    return np.ascontiguousarray(px)
+
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# orthonormal 8-point DCT-II basis; IDCT of coeff block B is A.T @ B @ A
+_DCT_A = np.array([[(1 / np.sqrt(2) if u == 0 else 1.0) * 0.5
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    for x in range(8)] for u in range(8)])
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # spec: pad with 1s at the end; 0 is equally inert
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """JPEG coefficient sign extension: an s-bit magnitude code maps to
+    [-(2^s - 1) .. -2^(s-1)] when its top bit is 0."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline (and extended-sequential) Huffman JPEG -> (h, w, c)
+    uint8 array, c = 1 (grayscale) or 3 (RGB).  Pure stdlib + numpy:
+    marker walk, per-table canonical Huffman, dequantize, matrix IDCT,
+    nearest-neighbor chroma upsampling, JFIF YCbCr -> RGB.  Progressive
+    (SOF2) and arithmetic-coded JPEGs raise a pointed ``ValueError``.
+
+    Per-block Huffman decoding is a Python loop — acceptable because it
+    runs once per image row inside Arrow-batched ``mapInPandas``, and
+    thumbnails/MCU counts are small; the IDCT and color math are numpy.
+    """
+    qt: dict = {}
+    huff: dict = {}
+    comps: list = []
+    w = h = None
+    restart_interval = 0
+    scan_comps: list = []
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln, = struct.unpack_from(">H", b, pos)
+        data = b[pos + 2:pos + ln]
+        if marker == 0xDB:                      # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        data, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        data, ">u2", 64, i).astype(np.int32)
+                    i += 128
+        elif marker in (0xC0, 0xC1):            # SOF0/1: sequential DCT
+            _prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            comps = [(data[6 + 3 * i], data[7 + 3 * i] >> 4,
+                      data[7 + 3 * i] & 0xF, data[8 + 3 * i])
+                     for i in range(nc)]        # (id, hs, vs, qid)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended-sequential Huffman JPEG is "
+                f"supported (SOF marker 0x{marker:02X})")
+        elif marker == 0xC4:                    # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                counts = list(data[i + 1:i + 17])
+                i += 17
+                table: dict = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = data[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:                    # DRI
+            restart_interval, = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:                    # SOS
+            ns = data[0]
+            scan_comps = [(data[1 + 2 * i], data[2 + 2 * i] >> 4,
+                           data[2 + 2 * i] & 0xF) for i in range(ns)]
+            pos += ln
+            break
+        pos += ln
+    if w is None or not scan_comps:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split entropy data into restart segments, removing byte stuffing
+    segments: list = []
+    cur = bytearray()
+    i = pos
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                               # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8))
+              for cid, hs, vs, _q in comps}
+    tables = {cid: (huff.get((0, td)), huff.get((1, ta)))
+              for cid, td, ta in scan_comps}
+    comp_info = {cid: (hs, vs, qt[qid]) for cid, hs, vs, qid in comps}
+
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval or n_mcus
+    pred = {cid: 0 for cid, _h, _v, _q in comps}
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % per_seg == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(m, mcus_x)
+        for cid, _td, _ta in scan_comps:
+            hs, vs, q = comp_info[cid]
+            dc_tab, ac_tab = tables[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = np.zeros(64, dtype=np.int32)
+                    s = _huff_decode(reader, dc_tab)
+                    pred[cid] += _jpeg_extend(reader.read_bits(s), s)
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:         # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break               # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.int32)
+                    block[_ZIGZAG] = zz * q
+                    spatial = (_DCT_A.T @ block.reshape(8, 8)
+                               @ _DCT_A) + 128
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
+    # upsample to full resolution and crop
+    full = []
+    for cid, hs, vs, _q in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        px = full[0][..., None]
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        bl = y + 1.772 * (cb - 128)
+        px = np.stack([r, g, bl], axis=-1)
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    return np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Decode BMP/PNM/PNG/baseline-JPEG payload bytes to an (h, w, c)
+    uint8 pixel array — pure stdlib + numpy, no codec libraries.
+
+    Raises ``ValueError`` for formats still needing a codec library
+    (WebP/AVIF/progressive JPEG/...) — at that point swap in PIL; every
+    caller's Spark plumbing is format-agnostic.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:1] == b"P":
         return _decode_pnm(payload)
     raise ValueError(
         f"unsupported image magic {payload[:4]!r}: stdlib decode covers "
-        "BMP/PGM/PPM; JPEG/PNG need PIL/libvips in the runtime image")
+        "BMP/PGM/PPM/PNG/baseline JPEG; WebP/AVIF need PIL/libvips in "
+        "the runtime image")
 
 
 def encode_pnm(px: np.ndarray) -> bytes:
