@@ -15,6 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# fallback for uninstalled checkouts (the package is also pip-installable
+# via pyproject.toml: `pip install -e .`)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from legend_community_delta_spark import demo  # noqa: E402
