@@ -500,3 +500,111 @@ def test_ansi_join_fuzz_spark_equals_duckdb(spark, sql):
     srows = [_canon_row(tuple(r)) for r in spark.sql(sql).collect()]
     orows = [_canon_row(tuple(r)) for r in con.execute(sql).fetchall()]
     assert srows == orows, sql
+
+
+# -- round-6 (VERDICT task #6): window + grouping-set engine parity -------
+
+@st.composite
+def _window_sql_specs(draw):
+    part = draw(st.sampled_from(
+        ["l_returnflag", "l_linestatus", "l_suppkey % 5"]))
+    num = draw(st.sampled_from(
+        ["l_quantity", "l_extendedprice", "l_discount"]))
+    kind = draw(st.sampled_from(["rank", "rows", "range", "offset"]))
+    if kind == "rank":
+        fn = draw(st.sampled_from(
+            ["row_number()", "rank()", "dense_rank()"]))
+        over = (f"OVER (PARTITION BY {part} ORDER BY {num}, "
+                f"l_orderkey, l_linenumber, l_partkey, l_suppkey)")
+        expr = f"{fn} {over}"
+    elif kind == "rows":
+        # no avg: frame-averages of 2-decimal prices land EXACTLY on
+        # round-half boundaries (sum/4 = .xx5), where the engines' 1-ulp
+        # summation differences legitimately pick different sides
+        agg = draw(st.sampled_from(["sum", "min", "max", "count"]))
+        lo = draw(st.sampled_from(["2 PRECEDING", "5 PRECEDING",
+                                   "UNBOUNDED PRECEDING"]))
+        hi = draw(st.sampled_from(["CURRENT ROW", "1 FOLLOWING",
+                                   "3 FOLLOWING"]))
+        expr = (f"round({agg}({num}) OVER (PARTITION BY {part} "
+                f"ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey "
+                f"ROWS BETWEEN {lo} AND {hi}), 2)")
+    elif kind == "range":
+        agg = draw(st.sampled_from(["sum", "min", "max", "count"]))
+        v = draw(st.sampled_from(["5", "10", "1000"]))
+        # RANGE frames include all peers of the boundary values, so the
+        # result is deterministic even with ties in the order key
+        expr = (f"round({agg}({num}) OVER (PARTITION BY {part} "
+                f"ORDER BY {num} "
+                f"RANGE BETWEEN {v} PRECEDING AND CURRENT ROW), 2)")
+    else:
+        fn = draw(st.sampled_from(["lag", "lead"]))
+        k = draw(st.sampled_from(["1", "2", "7"]))
+        expr = (f"round({fn}({num}, {k}) OVER (PARTITION BY {part} "
+                f"ORDER BY l_orderkey, l_linenumber, l_partkey, "
+                f"l_suppkey), 4)")
+    return (f"SELECT l_orderkey, l_linenumber, {expr} AS wv "
+            f"FROM lineitem WHERE l_partkey % 7 = 0 "
+            f"ORDER BY l_orderkey, l_linenumber")
+
+
+@settings(max_examples=110, deadline=None)
+@given(sql=_window_sql_specs())
+def test_window_fuzz_spark_equals_duckdb(spark, sql):
+    """Engine-parity fuzz over window functions: ranking, ROWS and
+    RANGE frames, lag/lead — identical SQL text, identical results.
+    Order keys carry a full tiebreak so ROWS frames and ranking are
+    deterministic on both engines; frame AGGREGATES round to 2 because
+    DuckDB's sliding-frame aggregation (incremental subtract-add) and
+    Spark's differ in float summation order at ~1e-10 — round-4 sits on
+    that noise for ~1e4-magnitude sums."""
+    _, con = _fuzz_setup(spark)
+    if "lineitem" not in _FUZZ_STATE:
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"'{_SF_DIR}/lineitem.parquet'")
+        _FUZZ_STATE["lineitem"] = True
+    def _key(t):  # None-safe total order (lead/lag emit NULLs)
+        return tuple((v is None, 0 if v is None else v) for v in t)
+    srows = sorted((_canon_row(tuple(r))
+                    for r in spark.sql(sql).collect()), key=_key)
+    orows = sorted((_canon_row(tuple(r))
+                    for r in con.execute(sql).fetchall()), key=_key)
+    assert srows == orows, sql
+
+
+@st.composite
+def _grouping_sql_specs(draw):
+    g1, g2 = draw(st.sampled_from(
+        [("l_returnflag", "l_linestatus"),
+         ("l_linestatus", "l_linenumber"),
+         ("l_returnflag", "l_linenumber")]))
+    agg = draw(st.sampled_from(["sum", "min", "max", "avg", "count"]))
+    num = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+    shape = draw(st.sampled_from([
+        "ROLLUP({g1}, {g2})", "CUBE({g1}, {g2})",
+        "GROUPING SETS (({g1}, {g2}), ({g1}), ())",
+        "GROUPING SETS (({g1}), ({g2}))"]))
+    fil = draw(st.sampled_from(
+        ["", " WHERE l_quantity < 25", " WHERE l_partkey % 3 = 0"]))
+    grp = shape.format(g1=g1, g2=g2)
+    return (f"SELECT {g1} AS a, {g2} AS b, "
+            f"grouping({g1}) AS ga, grouping({g2}) AS gb, "
+            f"round({agg}({num}), 4) AS v, count(*) AS n "
+            f"FROM lineitem{fil} GROUP BY {grp} "
+            f"ORDER BY a NULLS FIRST, b NULLS FIRST, ga, gb")
+
+
+@settings(max_examples=110, deadline=None)
+@given(sql=_grouping_sql_specs())
+def test_grouping_sets_fuzz_spark_equals_duckdb(spark, sql):
+    """Engine-parity fuzz over ROLLUP/CUBE/GROUPING SETS with
+    grouping() markers — identical SQL text, identical results (NULL
+    placement pinned with explicit NULLS FIRST)."""
+    _, con = _fuzz_setup(spark)
+    if "lineitem" not in _FUZZ_STATE:
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"'{_SF_DIR}/lineitem.parquet'")
+        _FUZZ_STATE["lineitem"] = True
+    srows = [_canon_row(tuple(r)) for r in spark.sql(sql).collect()]
+    orows = [_canon_row(tuple(r)) for r in con.execute(sql).fetchall()]
+    assert srows == orows, sql
