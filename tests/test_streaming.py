@@ -415,3 +415,107 @@ def test_foreach_batch_cms_store_ingest(spark, tmp_path):
             for r in cms_estimate(cms_cells(df, "tok"), probes,
                                   "tok").collect()}
     assert got == want == {"alpha": 30, "beta": 30, "gamma": 30}
+
+
+# -- round-6 (VERDICT task #7): multi-micro-batch state handoff -----------
+
+def test_sessionize_stream_multi_batch_matches_single_batch(spark, tmp_path):
+    """Session state must survive trigger boundaries: the SAME events
+    split across >=3 micro-batches (maxFilesPerTrigger=1, one file per
+    event-group) close exactly the sessions the single-batch run
+    closes.  This pins applyInPandasWithState's state handoff — the
+    availableNow single-batch pin alone never exercises it."""
+    import json as _json
+    from legend_community_delta_spark.streaming.sessionize import (
+        sessionize_stream)
+
+    rows = [
+        {"ts": "2026-01-01T00:00:00", "user_id": 1},
+        {"ts": "2026-01-01T00:10:00", "user_id": 1},   # same session
+        {"ts": "2026-01-01T01:00:00", "user_id": 1},   # gap: new session
+        {"ts": "2026-01-01T01:05:00", "user_id": 1},
+        {"ts": "2026-01-01T02:30:00", "user_id": 1},   # gap: third
+        {"ts": "2026-01-01T00:00:00", "user_id": 2},
+        {"ts": "2026-01-01T03:00:00", "user_id": 2},   # gap: second
+    ]
+
+    def run(n_files: int, tag: str):
+        import os as _os
+        import time as _time
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        per = -(-len(rows) // n_files)
+        base = _time.time()
+        for i in range(n_files):
+            chunk = rows[i * per:(i + 1) * per]
+            f = src / f"{i:02d}.json"
+            f.write_text("\n".join(_json.dumps(r) for r in chunk))
+            # the file source orders by MODIFICATION TIME; strictly
+            # increasing mtimes pin the trigger order to event order
+            _os.utime(f, (base + i, base + i))
+        stream = (spark.readStream
+                  .schema("ts timestamp, user_id long")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        # flush_timeout=False: the one-shot backfill contract — with a
+        # pending processing-time timeout the availableNow query would
+        # idle for the full 30min gap instead of terminating
+        q = (sessionize_stream(stream, gap="30 minutes",
+                               flush_timeout=False)
+             .writeStream.format("memory").queryName(f"__mb_{tag}")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        q.stop()
+        return {(r.user_id, r.session_id): r.n_events
+                for r in spark.table(f"__mb_{tag}").collect()}
+
+    multi = run(4, "multi")     # files ordered by name => event order
+    single = run(1, "single")
+    # closed sessions must agree exactly across trigger layouts
+    for k in single:
+        assert multi.get(k) == single[k], (k, multi, single)
+    # and the multi-batch run actually crossed trigger boundaries with
+    # open state: user 1's first two events arrive in different files
+    assert multi[(1, 0)] == 2
+
+
+def test_span_dedup_stream_multi_batch_matches_batch(spark, tmp_path):
+    """Span gate across >=3 micro-batches == batch operator: the
+    store-side broadcast state must behave identically on every
+    trigger, and per-doc results must not depend on which trigger
+    carried the doc."""
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.spans import (
+        duplicate_span_stats, write_span_store)
+    from legend_community_delta_spark.streaming import span_dedup_stream
+
+    shared = "a b c d e f g h i j"
+    rows = [Row(doc_id=1, text=shared + " u1"),
+            Row(doc_id=2, text=shared + " u2"),
+            Row(doc_id=3, text="short one"),
+            Row(doc_id=4, text=""),
+            Row(doc_id=5, text=shared + " u5 tail tail")]
+    corpus = spark.createDataFrame(rows)
+    store = str(tmp_path / "store")
+    write_span_store(corpus, store, n=10)
+    src = tmp_path / "src"
+    src.mkdir()
+    for r in rows:                      # one parquet file per doc
+        (spark.createDataFrame([r])
+         .coalesce(1).write.mode("append").parquet(str(src)))
+    stream = (spark.readStream
+              .schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (span_dedup_stream(stream, spark, store)
+         .writeStream.format("memory").queryName("__span_mb")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in spark.table("__span_mb").collect()}
+    want = {r.doc_id: (r.clean_text, r.n_removed)
+            for r in duplicate_span_stats(corpus, n=10).collect()}
+    assert got == want
