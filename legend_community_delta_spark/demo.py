@@ -2960,6 +2960,54 @@ WHERE (lang = 'en' AND cum <= 4000)
 """
 
 
+def _q_intra_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-window removal (operators/spans.py
+    intra_doc_dup_spans): a 2-token window occurrence is dropped iff the
+    same window occurred earlier in the SAME doc at a non-overlapping
+    position — the self-repetition cleaner (keyword stuffing, template
+    echoes inside one page).  ZERO shuffles: pure per-row Column
+    algebra, embarrassingly parallel at any corpus size.  The oracle
+    reproduces the rule with DuckDB list lambdas and compares the
+    cleaned text itself."""
+    ensure_views(spark, sf_dir)
+    from .operators.spans import intra_doc_dup_spans
+    return intra_doc_dup_spans(spark.table("documents"), n=2)
+
+
+_ORACLE_INTRA_DUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+), w AS (
+  SELECT doc_id, toks,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+         ) AS wins
+  FROM t
+), r AS (
+  SELECT doc_id, toks,
+         list_filter(
+           generate_series(1, len(wins)),
+           i -> len(list_filter(generate_series(1, len(wins)),
+                                j -> j <= i - 2 AND wins[j] = wins[i])) > 0
+         ) AS rem
+  FROM w
+), k AS (
+  SELECT doc_id, toks, rem,
+         list_filter(generate_series(1, len(toks)),
+           p -> len(list_filter(rem, s -> p >= s AND p <= s + 1)) = 0
+         ) AS keep
+  FROM r
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(toks) - len(keep) AS n_removed,
+       array_to_string(list_transform(keep, p -> toks[p]), ' ')
+         AS clean_text
+FROM k
+"""
+
+
 def _q_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup, distributed: remove every token covered by a
     corpus-duplicated 15-token window (the fixed-width n-gram cover that
@@ -4686,6 +4734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surprisal_stream": _q_surprisal_stream,
     # -- round-7 additions: span dedup / importance / splits / shards ----
     "dup_span_docs": _q_dup_span_docs,
+    "intra_dup_span_docs": _q_intra_dup_span_docs,
     "dsir_doc_weights": _q_dsir_doc_weights,
     "leakage_splits": _q_leakage_splits,
     "shuffle_shards_plan": _q_shuffle_shards,
@@ -4836,6 +4885,7 @@ _ROUND6_ORDER: list[str] = [
     "embedding_dedup_pairs",
     "lsh_ann_topk",
     "pair_store_pagerank",
+    "intra_dup_span_docs",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5018,6 +5068,7 @@ ORACLES: dict[str, str] = {
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "surprisal_stream": _ORACLE_DOC_SURPRISAL,
     "dup_span_docs": _ORACLE_DUP_SPANS,
+    "intra_dup_span_docs": _ORACLE_INTRA_DUP_SPANS,
     "dsir_doc_weights": _ORACLE_DSIR,
     "leakage_splits": _ORACLE_LEAKAGE_SPLITS,
     "shuffle_shards_plan": _ORACLE_SHUFFLE_SHARDS,

@@ -218,3 +218,61 @@ def incremental_dup_spans(spark, path: str, new_docs: DataFrame,
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def intra_doc_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """WITHIN-document repeated-window removal — the map-only twin of
+    :func:`duplicate_span_stats`.
+
+    A window occurrence is removed iff the SAME n-token window occurred
+    earlier in the same document at a non-overlapping position
+    (``start_earlier <= start - n``), so the first copy always
+    survives; chained repeats (``X X X``) collapse to one ``X``.  This
+    is the self-repetition cleaner (navigation bars, SEO keyword
+    stuffing, template echoes INSIDE one page) that corpus-wide span
+    dedup only catches when ``min_count`` counts self-repeats.
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)``.
+
+    Scale shape: ZERO shuffles — everything is per-row Column algebra
+    (token windows, nested exists, array filter), an embarrassingly
+    parallel scan at any corpus size.  Per-row cost is O(windows^2) in
+    the nested exists; fine for page-sized documents (10^2-10^3
+    windows), and still whole-stage-codegen JVM work — no Python.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    base = df.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    starts = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.xxhash64(F.concat_ws(_SEP, F.slice("__toks", s, n)))
+            .alias("gh")))
+    with_w = base.select(id_col, "__toks", wins.alias("__w"))
+    removable = F.filter(
+        "__w",
+        lambda w: F.exists(
+            "__w",
+            lambda v: (v["gh"] == w["gh"]) & (v["s"] <= w["s"] - n)))
+    with_r = with_w.select(id_col, "__toks", removable.alias("__r"))
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            "__r",
+            lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["s"] + F.lit(n - 1))))
+    return with_r.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"))

@@ -157,3 +157,71 @@ def test_span_store_width_mismatch_refused(spark, tmp_path):
     with pytest.raises(ValueError):
         write_span_store(_docs(spark, [(2, SHARED)]), path, n=12,
                          mode="append")
+
+
+# -- round-6: within-document repeated-window removal ----------------------
+
+def test_intra_doc_dup_spans_hand_cases(spark):
+    from legend_community_delta_spark.operators.spans import (
+        intra_doc_dup_spans)
+    rows = [
+        (1, "a b c a b c a b c"),   # chained repeat: keep first copy
+        (2, "a a a a a"),           # overlapping self-repeat, n=2
+        (3, "x y z"),               # no repeats
+        (4, "p q r p q"),           # repeated window 'p q' at 4 (1+3)
+        (5, ""),                    # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in intra_doc_dup_spans(df, n=2).collect()}
+    # doc 1: windows 'a b','b c','c a' repeat at non-overlapping starts;
+    # greedy cover keeps only the first 2-token window's span
+    assert got[3] == (3, 0, "x y z")
+    assert got[5] == (0, 0, "")
+    # doc 2: 'a a' at 3 (<=1+2? 3-2=1 -> window1) and 4 removable
+    assert got[2] == (5, 3, "a a")
+    # doc 4: 'p q' repeats at start 4 = 1+3 >= 1+n: removable
+    assert got[4] == (5, 2, "p q r")
+    # doc 1: all windows starting at 4.. are covered by earlier copies
+    assert got[1][0] == 9 and got[1][2].startswith("a b c")
+    assert got[1][1] >= 6  # both later copies removed
+
+
+def test_intra_doc_dup_spans_n3_matches_reference(spark):
+    from legend_community_delta_spark.operators.spans import (
+        intra_doc_dup_spans)
+
+    def ref(text, n):
+        toks = text.split()
+        m = max(len(toks) - n + 1, 0)
+        wins = [" ".join(toks[i:i + n]) for i in range(m)]
+        rem = [i for i in range(m)
+               if any(wins[j] == wins[i] for j in range(0, max(i - n + 1, 0)))]
+        keep = [p for p in range(len(toks))
+                if not any(s <= p <= s + n - 1 for s in rem)]
+        return (len(toks), len(toks) - len(keep),
+                " ".join(toks[p] for p in keep))
+
+    import random
+    rng = random.Random(99)
+    rows = []
+    for i in range(40):
+        words = [rng.choice("abcde") for _ in range(rng.randint(0, 30))]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in intra_doc_dup_spans(df, n=3).collect()}
+    for i, text in rows:
+        assert got[i] == ref(text, 3), (i, text)
+
+
+def test_intra_doc_dup_spans_plan_is_map_only(spark):
+    from legend_community_delta_spark.operators.spans import (
+        intra_doc_dup_spans)
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = intra_doc_dup_spans(df, n=2)._jdf.queryExecution(
+        ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "Exchange" not in plan        # zero shuffles
+    assert "EvalPython" not in plan      # zero Python
