@@ -694,6 +694,83 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SESSIONIZE_SPARK)
 
 
+def _q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregation —
+    the JVM-side, shuffle-once plan (group by user + merging session
+    windows) that complements the lag-window SQL
+    (``sessionize_events``) and the custom stateful stream
+    (``sessionize_stream``).  Spark's session end = last event + gap;
+    the oracle reproduces that with gaps-and-islands SQL."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    w = F.session_window("ts", "30 minutes")
+    return (ev.groupBy("user_id", w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def _q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregation via Spark's native ``window(ts, '2
+    hours', '30 minutes')`` — each event lands in exactly 4 overlapping
+    windows (length/slide), aggregated JVM-side in one shuffle.  The
+    oracle replays the window arithmetic with a 4-offset cross join in
+    DuckDB (epoch-aligned starts, so membership needs no filter)."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    w = F.window("ts", "2 hours", "30 minutes")
+    return (ev.groupBy(w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"),
+                    "n_events", "total_value"))
+
+
+_SLIDING_WINDOW_ORACLE = """
+WITH offs AS (SELECT unnest(generate_series(0, 3)) AS i),
+assigned AS (
+  SELECT make_timestamp(
+           ((epoch_us(ts) // 1800000000) - i) * 1800000000
+         ) AS win_start,
+         value
+  FROM events CROSS JOIN offs
+)
+SELECT win_start,
+       win_start + INTERVAL 2 HOUR AS win_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM assigned GROUP BY win_start
+"""
+
+
 _STREAM_RUN_SEQ = [0]  # memory-sink names must be unique per invocation
 
 
@@ -4800,6 +4877,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": _q_dedup_exact_docs,
     "text_quality_by_lang": _q_text_quality,
     "sessionize_events": _q_sessionize_events,
+    "session_window_events": _q_session_window_events,
+    "events_sliding_window": _q_events_sliding_window,
     "sessionize_stream": _q_sessionize_stream,
     "dedup_stream_docs": _q_dedup_stream_docs,
     "events_hourly": _q_events_hourly,
@@ -4886,6 +4965,8 @@ _ROUND6_ORDER: list[str] = [
     "lsh_ann_topk",
     "pair_store_pagerank",
     "intra_dup_span_docs",
+    "session_window_events",
+    "events_sliding_window",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5031,6 +5112,8 @@ ORACLES: dict[str, str] = {
     "window_suite": _WINDOW_SUITE_SQL,
     "rolling_windows": _ROLLING_ORACLE,
     "sessionize_events": _SESSIONIZE_ORACLE,
+    "session_window_events": _SESSION_WINDOW_ORACLE,
+    "events_sliding_window": _SLIDING_WINDOW_ORACLE,
     "sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "asof_views_purchases": _ORACLE_ASOF,
     "asof_forward_views": _ORACLE_ASOF_FORWARD,
