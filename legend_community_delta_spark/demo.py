@@ -2378,6 +2378,108 @@ GROUP BY tok ORDER BY freq DESC, tok LIMIT 100
 """
 
 
+def _q_ngram_diversity_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """N-gram diversity per source (self-BLEU's cheap cousin): for n in
+    1..3, distinct n-grams / total n-grams — the standard repetition /
+    mode-collapse diagnostic for generated or scraped corpora (low
+    ratio = template-heavy source).  One explode + groupBy per n,
+    unioned; exact integer counts, ratio rounded to 6."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.transform(TX.tokens("text"), lambda t: F.lower(t))
+
+    def grams(n: int):
+        seq = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            seq, lambda i: F.struct(
+                F.lit(n).alias("n"),
+                # 8-byte hash instead of the gram string: the shuffle
+                # and distinct-count carry longs (collision odds at
+                # corpus vocab sizes ~1e-10 -- the same trade every
+                # gram-hash operator here makes)
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))
+                .alias("gram")))
+
+    # one corpus scan, one explode, one shuffle for all three n
+    allg = F.concat(grams(1), grams(2), grams(3))
+    return (docs.select("source", F.explode(allg).alias("g"))
+            .groupBy("source", F.col("g.n").alias("n"))
+            .agg(F.count(F.lit(1)).alias("total"),
+                 F.count_distinct("g.gram").alias("distinct_grams"))
+            .withColumn("diversity",
+                        F.round(F.col("distinct_grams")
+                                / F.col("total"), 6)))
+
+
+_ORACLE_NGRAM_DIVERSITY = r"""
+WITH t AS (
+  SELECT source,
+         list_transform(regexp_extract_all(text, '\S+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+), g AS (
+  SELECT source, n,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - n + 1, 0)),
+           i -> array_to_string(list_slice(toks, i, i + n - 1), ' ')
+         )) AS gram
+  FROM t CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS n)
+)
+SELECT source, n, count(*) AS total,
+       count(DISTINCT gram) AS distinct_grams,
+       round(count(DISTINCT gram) / count(*), 6) AS diversity
+FROM g GROUP BY source, n
+"""
+
+
+def _q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope per source: OLS slope of ln(freq) on ln(rank) over
+    the token frequency table (natural text sits near -1; flat slopes
+    flag synthetic or keyword-stuffed sources).  Rank is the exact
+    (freq DESC, token) row_number, the fit is the engines' shared
+    ``regr_slope`` aggregate — one groupBy + one window + one
+    aggregate, all JVM-side."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window
+    docs = spark.table("documents")
+    freqs = (docs.select(
+        "source",
+        F.explode(F.transform(TX.tokens("text"),
+                              lambda t: F.lower(t))).alias("tok"))
+        .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("freq"), "tok"))
+    ranked = freqs.withColumn("rank", rn)
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.round(F.expr(
+                     "regr_slope(ln(freq), ln(rank))"), 6)
+                 .alias("zipf_slope")))
+
+
+_ORACLE_ZIPF_SLOPE = r"""
+WITH f AS (
+  SELECT source, tok, count(*) AS freq FROM (
+    SELECT source,
+           unnest(list_transform(regexp_extract_all(text, '\S+'),
+                                 x -> lower(x))) AS tok
+    FROM documents) GROUP BY source, tok
+), r AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, tok) AS rank
+  FROM f
+)
+SELECT source, count(*) AS n_types,
+       round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope
+FROM r GROUP BY source
+"""
+
+
 def _q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top bigrams by a PMI-style association score
     ``n_ab² / (n_a·n_b)`` (log-free, so the ordering is exact rational
@@ -4782,6 +4884,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_provenance": _q_curation_provenance,
     "lang_id_confusion": _q_lang_id_confusion,
     "vocab_top_tokens": _q_vocab_top_tokens,
+    "ngram_diversity_by_source": _q_ngram_diversity_by_source,
+    "zipf_slope_by_source": _q_zipf_slope_by_source,
     "bigram_collocations": _q_bigram_collocations,
     "corpus_report": _q_corpus_report,
     "event_funnel": _q_event_funnel,
@@ -4967,6 +5071,8 @@ _ROUND6_ORDER: list[str] = [
     "intra_dup_span_docs",
     "session_window_events",
     "events_sliding_window",
+    "ngram_diversity_by_source",
+    "zipf_slope_by_source",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5197,6 +5303,8 @@ ORACLES: dict[str, str] = {
     "curation_provenance": _ORACLE_PROVENANCE,
     "lang_id_confusion": _ORACLE_LANG_ID,
     "vocab_top_tokens": _ORACLE_VOCAB,
+    "ngram_diversity_by_source": _ORACLE_NGRAM_DIVERSITY,
+    "zipf_slope_by_source": _ORACLE_ZIPF_SLOPE,
     "bigram_collocations": _ORACLE_COLLOCATIONS,
     "corpus_report": _ORACLE_CORPUS_REPORT,
     "event_funnel": _FUNNEL_ORACLE,
