@@ -3456,6 +3456,55 @@ def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_neg_logprob2")))
 
 
+def _q_kn_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (scoring.
+    kn_bigram_surprisal, d=0.75) — the smoothing production n-gram LMs
+    use: discounted bigram mass backs off to the CONTINUATION
+    (type-count) unigram, so frequent-but-predictable tokens are priced
+    low.  All four model aggregates reproduce in DuckDB, making a real
+    KN model fully oracle-checkable."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import kn_bigram_surprisal
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return (kn_bigram_surprisal(docs)
+            .select("doc_id", "n_bigrams",
+                    F.round("mean_neg_logprob_kn", 6)
+                    .alias("mean_neg_logprob_kn")))
+
+
+_ORACLE_KN_SURPRISAL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents
+), bigs AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(ts) - 1, 0)),
+      i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks
+), bc AS (SELECT bg, count(*) AS cb FROM bigs GROUP BY bg),
+lc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cl,
+              count(DISTINCT split_part(bg, ' ', -1)) AS n1l
+       FROM bigs GROUP BY 1),
+rc AS (SELECT split_part(bg, ' ', -1) AS w2,
+              count(DISTINCT split_part(bg, ' ', 1)) AS n1r
+       FROM bigs GROUP BY 1),
+nt AS (SELECT CAST(count(DISTINCT bg) AS DOUBLE) AS tt FROM bigs),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         -avg(ln(greatest(cb - 0.75, 0) / cl
+                 + 0.75 * n1l / cl * (n1r / tt))) AS s
+  FROM bigs JOIN bc USING (bg)
+  JOIN lc ON lc.w1 = split_part(bigs.bg, ' ', 1)
+  JOIN rc ON rc.w2 = split_part(bigs.bg, ' ', -1)
+  CROSS JOIN nt
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       round(per.s, 6) AS mean_neg_logprob_kn
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 _ORACLE_BIGRAM_SURPRISAL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents
@@ -4920,6 +4969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_splits": _q_leakage_splits,
     "shuffle_shards_plan": _q_shuffle_shards,
     "bigram_surprisal_docs": _q_bigram_surprisal,
+    "kn_surprisal_docs": _q_kn_surprisal_docs,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5073,6 +5123,7 @@ _ROUND6_ORDER: list[str] = [
     "events_sliding_window",
     "ngram_diversity_by_source",
     "zipf_slope_by_source",
+    "kn_surprisal_docs",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5262,6 +5313,7 @@ ORACLES: dict[str, str] = {
     "leakage_splits": _ORACLE_LEAKAGE_SPLITS,
     "shuffle_shards_plan": _ORACLE_SHUFFLE_SHARDS,
     "bigram_surprisal_docs": _ORACLE_BIGRAM_SURPRISAL,
+    "kn_surprisal_docs": _ORACLE_KN_SURPRISAL,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,

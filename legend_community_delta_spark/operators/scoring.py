@@ -653,3 +653,61 @@ def ks_drift(df: DataFrame, baseline: DataFrame, value_col: str,
     return (u.select("period", gap.alias("__g"))
             .groupBy("period")
             .agg(F.round(F.max("__g"), 6).alias("ks")))
+
+
+def kn_bigram_surprisal(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        discount: float = 0.75) -> DataFrame:
+    """Per-doc mean conditional surprisal under an INTERPOLATED
+    KNESER-NEY bigram model — the smoothing real n-gram LMs (KenLM)
+    actually use, upgrading :func:`bigram_surprisal`'s Laplace floor:
+
+    ``P(w2|w1) = max(c(w1 w2) - d, 0) / c(w1 .)
+                 + d * N1+(w1, .) / c(w1 .) * Pcont(w2)``
+
+    with ``Pcont(w2) = N1+(. , w2) / N1+(. , .)`` — the continuation
+    probability counts *types*, not tokens, so frequent-but-predictable
+    continuations ("Francisco", seen after only "San") are priced low.
+    Output ``(id, n_bigrams, mean_neg_logprob_kn)``; NULL for docs with
+    fewer than two tokens.
+
+    Every model component is an aggregate over the bigram table —
+    c(w1 w2): bigram counts; c(w1 .) and N1+(w1, .): one left-token
+    groupBy; N1+(. , w2): one right-token groupBy; N1+(. , .): a
+    one-row broadcast — so the whole model is auditable SQL and the
+    shuffles are keyed on tokens/bigrams with map-side combine.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    bigs = df.select(F.col(id_col).alias("__id"),
+                     F.explode(word_ngrams(text_col, 2)).alias("bg"))
+    w1 = F.substring_index("bg", " ", 1)
+    w2 = F.substring_index("bg", " ", -1)
+    bcnt = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("__cb"))
+    left = (bigs.select(w1.alias("__w1"), w2.alias("__r"))
+            .groupBy("__w1")
+            .agg(F.count(F.lit(1)).alias("__cl"),
+                 F.count_distinct("__r").alias("__n1l")))
+    right = (bigs.select(w2.alias("__w2"), w1.alias("__l"))
+             .groupBy("__w2")
+             .agg(F.count_distinct("__l").alias("__n1r")))
+    types = bigs.agg(
+        F.count_distinct("bg").cast("double").alias("__nt"))
+    d = F.lit(float(discount))
+    p = (F.greatest(F.col("__cb") - d, F.lit(0.0)) / F.col("__cl")
+         + d * F.col("__n1l") / F.col("__cl")
+         * (F.col("__n1r") / F.col("__nt")))
+    per_doc = (bigs.join(bcnt, "bg")
+               .withColumn("__w1", w1).withColumn("__w2", w2)
+               .join(left, "__w1").join(right, "__w2")
+               .crossJoin(F.broadcast(types))
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    (-F.avg(F.log(p))).alias("mean_neg_logprob_kn")))
+    return (df.select(F.col(id_col))
+            .join(per_doc.withColumnRenamed("__id", id_col),
+                  id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    "mean_neg_logprob_kn"))

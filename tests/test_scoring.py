@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 from pyspark.sql.types import (
     LongType,
@@ -382,3 +384,61 @@ def test_lm_store_append_merges(spark, tmp_path):
     # merged counts a=3, b=2, N=5
     want = math.log(5) - (math.log(3) + math.log(2)) / 2
     assert abs(merged[9]["mean_neg_logprob"] - want) < 1e-12
+
+
+# -- round-6: interpolated Kneser-Ney bigram scoring -----------------------
+
+def test_kn_bigram_hand_computed(spark):
+    from legend_community_delta_spark.operators.scoring import (
+        kn_bigram_surprisal)
+    import math
+    # corpus: doc1 'a b a b', doc2 'a c'
+    # bigrams: (a b)x2, (b a)x1, (a c)x1
+    # c(a.)=3, N1+(a,.)=2; c(b.)=1, N1+(b,.)=1
+    # N1+(.,b)=1 (a), N1+(.,a)=1 (b), N1+(.,c)=1 (a); N1+(.,.)=3 types
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c")],
+                               "doc_id long, text string")
+    d = 0.75
+    def p(cb, cl, n1l, n1r, nt=3.0):
+        return max(cb - d, 0) / cl + d * n1l / cl * (n1r / nt)
+    p_ab = p(2, 3, 2, 1)
+    p_ba = p(1, 1, 1, 1)
+    p_ac = p(1, 3, 2, 1)
+    want1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    want2 = -math.log(p_ac)
+    got = {r.doc_id: (r.n_bigrams, r.mean_neg_logprob_kn)
+           for r in kn_bigram_surprisal(df).collect()}
+    assert got[1][0] == 3 and got[2][0] == 1
+    assert got[1][1] == pytest.approx(want1)
+    assert got[2][1] == pytest.approx(want2)
+
+
+def test_kn_probabilities_sum_to_one_per_left_token(spark):
+    """Interpolated KN invariant: for every observed left token w1,
+    sum over the continuation vocabulary of P(w2|w1) == 1 — the
+    discounted mass is exactly redistributed."""
+    import random
+    from collections import Counter
+    rng = random.Random(13)
+    texts = [" ".join(rng.choice("abcdef") for _ in range(30))
+             for _ in range(6)]
+    bigrams = Counter()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws) - 1):
+            bigrams[(ws[i], ws[i + 1])] += 1
+    d = 0.75
+    cl = Counter(); n1l = Counter(); n1r = Counter()
+    for (a, b), c in bigrams.items():
+        cl[a] += c
+    for (a, b) in bigrams:
+        n1l[a] += 1
+        n1r[b] += 1
+    nt = float(len(bigrams))
+    vocab_r = set(b for _, b in bigrams)
+    for a in cl:
+        s = 0.0
+        for b in vocab_r:
+            cb = bigrams.get((a, b), 0)
+            s += max(cb - d, 0) / cl[a] + d * n1l[a] / cl[a] * (n1r[b] / nt)
+        assert abs(s - 1.0) < 1e-9, a
