@@ -3456,6 +3456,55 @@ def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_neg_logprob2")))
 
 
+def _q_cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (scoring.cdc_chunks): chunk boundaries
+    fall where the rolling 4-token window's md5 starts with a hex zero
+    (expected chunk ~16 tokens), so identical passages chunk
+    identically across docs and an insertion shifts only its own chunk
+    — the chunk-level dedup / incremental-sync primitive.  md5 keeps
+    the layout bit-identical across engines: the oracle reproduces the
+    boundary rule and compares the chunk TEXT itself."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import cdc_chunks
+    return (cdc_chunks(spark.table("documents"), window=4,
+                       boundary_hex=1, min_tokens=1)
+            .select("doc_id", F.col("chunk_id").cast("long")
+                    .alias("chunk_id"),
+                    "start_token", "n_tokens", "chunk_text"))
+
+
+_ORACLE_CDC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+), b AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         list_filter(
+           generate_series(4, greatest(len(ts), 4)),
+           i -> i <= len(ts) AND substr(md5(array_to_string(
+                  list_slice(ts, i - 3, i), ' ')), 1, 1) = '0'
+         ) AS bs
+  FROM t
+), s AS (
+  SELECT doc_id, ts, n,
+         list_concat([0], list_filter(bs, x -> x < n)) AS starts
+  FROM b WHERE n > 0
+), e AS (
+  SELECT doc_id, ts, n, starts,
+         unnest(generate_series(1, len(starts))) AS k
+  FROM s
+)
+SELECT doc_id,
+       CAST(k - 1 AS BIGINT) AS chunk_id,
+       CAST(starts[k] AS BIGINT) AS start_token,
+       CAST(coalesce(starts[k + 1], n) - starts[k] AS BIGINT)
+         AS n_tokens,
+       array_to_string(
+         list_slice(ts, starts[k] + 1, coalesce(starts[k + 1], n)),
+         ' ') AS chunk_text
+FROM e
+"""
+
+
 def _q_kn_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (scoring.
     kn_bigram_surprisal, d=0.75) — the smoothing production n-gram LMs
@@ -4970,6 +5019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards_plan": _q_shuffle_shards,
     "bigram_surprisal_docs": _q_bigram_surprisal,
     "kn_surprisal_docs": _q_kn_surprisal_docs,
+    "cdc_chunk_docs": _q_cdc_chunk_docs,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5124,6 +5174,7 @@ _ROUND6_ORDER: list[str] = [
     "ngram_diversity_by_source",
     "zipf_slope_by_source",
     "kn_surprisal_docs",
+    "cdc_chunk_docs",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5314,6 +5365,7 @@ ORACLES: dict[str, str] = {
     "shuffle_shards_plan": _ORACLE_SHUFFLE_SHARDS,
     "bigram_surprisal_docs": _ORACLE_BIGRAM_SURPRISAL,
     "kn_surprisal_docs": _ORACLE_KN_SURPRISAL,
+    "cdc_chunk_docs": _ORACLE_CDC_CHUNKS,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,

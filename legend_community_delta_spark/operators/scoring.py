@@ -711,3 +711,85 @@ def kn_bigram_surprisal(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_bigrams", F.lit(0)).cast("long")
                     .alias("n_bigrams"),
                     "mean_neg_logprob_kn"))
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", window: int = 4,
+               boundary_hex: int = 1, min_tokens: int = 4) -> DataFrame:
+    """Content-defined chunking: boundaries fall where the rolling
+    window's fingerprint hits a hash pattern, NOT at fixed offsets — so
+    an insertion near a doc's start shifts only the chunk it lands in,
+    and identical passages chunk identically across documents.  The
+    chunk-level exact-dedup / incremental-sync primitive (LBFS/rsync
+    lineage), here over token streams.
+
+    A boundary closes a chunk after token ``i`` (1-based) when
+    ``md5(last <window> tokens joined by space)`` starts with
+    *boundary_hex* hex zeros (expected chunk length ``16^boundary_hex``
+    tokens) AND the open chunk already holds >= *min_tokens* tokens
+    (the standard minimum-size guard against degenerate splits).  md5
+    keeps the rule bit-identical on any engine, so even the chunk
+    layout is oracle-checkable.
+
+    Returns ``(id, chunk_id, start_token, n_tokens, chunk_text)``,
+    ``chunk_id`` 0-based per doc; token-less docs yield no rows.
+
+    Scale shape: pure per-row Column algebra (rolling windows, an
+    aggregate fold for the min-size boundary filter, one explode) —
+    zero shuffles, embarrassingly parallel like :func:`chunk_docs`.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1 [{window}]")
+    if boundary_hex < 1:
+        raise ValueError(f"boundary_hex must be >= 1 [{boundary_hex}]")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1 [{min_tokens}]")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    zeros = "0" * boundary_hex
+    # raw boundary positions: token index i (1-based, i >= window) where
+    # the md5 of the window ending at i starts with the zero pattern
+    raw = F.filter(
+        F.when(n >= window,
+               F.sequence(F.lit(window), F.greatest(n, F.lit(window))))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: (i <= n)
+        & (F.substring(
+            F.md5(F.concat_ws(
+                " ", F.slice(toks, i - F.lit(window - 1), window))),
+            1, boundary_hex) == F.lit(zeros)))
+    # enforce the min-size guard with a left-to-right fold: keep a
+    # boundary only if it is >= min_tokens past the previous KEPT
+    # boundary (or past 0 for the first)
+    kept = F.aggregate(
+        raw, F.array().cast("array<int>"),
+        # F.get is 0-based and NULL-safe on the empty accumulator
+        # (ANSI-mode element_at(-1) raises there)
+        lambda acc, i: F.when(
+            i - F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0))
+            >= F.lit(min_tokens),
+            F.concat(acc, F.array(i))).otherwise(acc))
+    # chunk start offsets: 0-based starts = {0} U kept boundaries that
+    # are not the doc end
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.filter(kept, lambda b: b < n))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"),
+        starts.alias("__starts"))
+    ch = base.where(F.col("__n") > 0).select(
+        id_col, "__toks", "__n", "__starts",
+        F.posexplode("__starts").alias("chunk_id", "__s"))
+    # next chunk's start (0-based index chunk_id+1), NULL-safe at the
+    # tail via F.get (ANSI element_at would raise out-of-bounds)
+    nxt = F.coalesce(
+        F.get("__starts", F.col("chunk_id") + F.lit(1)),
+        F.col("__n"))
+    return (ch
+            .select(id_col, "chunk_id",
+                    F.col("__s").cast("long").alias("start_token"),
+                    (nxt - F.col("__s")).cast("long").alias("n_tokens"),
+                    F.array_join(
+                        F.slice("__toks", F.col("__s") + F.lit(1),
+                                nxt - F.col("__s")), " ")
+                    .alias("chunk_text")))

@@ -442,3 +442,70 @@ def test_kn_probabilities_sum_to_one_per_left_token(spark):
             cb = bigrams.get((a, b), 0)
             s += max(cb - d, 0) / cl[a] + d * n1l[a] / cl[a] * (n1r[b] / nt)
         assert abs(s - 1.0) < 1e-9, a
+
+
+# -- round-6: content-defined chunking --------------------------------------
+
+def _cdc_ref(text, window, hexz, min_tokens):
+    import hashlib
+    toks = text.split()
+    n = len(toks)
+    raw = [i for i in range(window, n + 1)
+           if hashlib.md5(" ".join(toks[i - window:i]).encode())
+           .hexdigest().startswith("0" * hexz)]
+    kept, prev = [], 0
+    for i in raw:
+        if i - prev >= min_tokens:
+            kept.append(i)
+            prev = i
+    starts = [0] + [b for b in kept if b < n]
+    out = []
+    for k, s in enumerate(starts):
+        e = starts[k + 1] if k + 1 < len(starts) else n
+        out.append((k, s, e - s, " ".join(toks[s:e])))
+    return out if n else []
+
+
+def test_cdc_chunks_matches_reference_and_reconstructs(spark):
+    from legend_community_delta_spark.operators.scoring import cdc_chunks
+    import random
+    rng = random.Random(21)
+    rows = [(i, " ".join(rng.choice("abcdefgh")
+                         for _ in range(rng.randint(0, 60))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, hexz, mint in ((2, 1, 1), (4, 1, 3), (3, 1, 5)):
+        got = {}
+        for r in cdc_chunks(df, window=window, boundary_hex=hexz,
+                            min_tokens=mint).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.start_token, r.n_tokens, r.chunk_text))
+        for i, text in rows:
+            want = _cdc_ref(text, window, hexz, mint)
+            assert sorted(got.get(i, [])) == want, (i, window, mint)
+            # chunks reconstruct the doc exactly
+            if text.split():
+                joined = " ".join(
+                    t for _, _, _, t in sorted(got[i]))
+                assert joined == " ".join(text.split())
+
+
+def test_cdc_chunks_content_defined_shift_locality(spark):
+    """Inserting a token near the head must leave all chunks after the
+    next boundary byte-identical — the property fixed-size chunking
+    lacks and the whole point of CDC."""
+    from legend_community_delta_spark.operators.scoring import cdc_chunks
+    import random
+    rng = random.Random(5)
+    base = [rng.choice("abcdefgh") for _ in range(200)]
+    shifted = ["zz"] + base
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(shifted))],
+        "doc_id long, text string")
+    ch = {}
+    for r in cdc_chunks(df, window=3, boundary_hex=1,
+                        min_tokens=1).collect():
+        ch.setdefault(r.doc_id, set()).add(r.chunk_text)
+    common = ch[1] & ch[2]
+    # everything beyond the first boundary after the insertion is shared
+    assert len(common) >= max(len(ch[1]) - 2, 1)
