@@ -1994,6 +1994,59 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
 """
 
+def _q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication report per source from the persisted verified-pair
+    store: total docs, docs appearing in >= 1 near-dup pair, and the
+    dup rate — the per-ingest-source health metric a curation dashboard
+    tracks, priced at store-read cost because pair mining already ran
+    (demo._pair_store).  Oracle recomputes membership from the exact
+    pair set (recall 1.0 at driver scale with the pinned seed)."""
+    ensure_views(spark, sf_dir)
+    pairs = DD.read_pairs(spark, _pair_store(spark, sf_dir),
+                          method="verified", n=5, threshold=0.2)
+    dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
+               .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+               .distinct().withColumn("__dup", F.lit(1)))
+    docs = spark.table("documents")
+    return (docs.join(dup_ids, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+                 .alias("dup_docs"))
+            .withColumn("dup_rate",
+                        F.round(F.col("dup_docs") / F.col("docs"), 6)))
+
+
+_ORACLE_DUP_RATE = r"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+), dup AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b FROM pairs)
+)
+SELECT source, count(*) AS docs,
+       CAST(count(dup.doc_id) AS BIGINT) AS dup_docs,
+       round(count(dup.doc_id) / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN dup USING (doc_id)
+GROUP BY source
+"""
+
+
 _EVENTS_JSON_SPARK = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(get_json_object(props, '$.k') AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
@@ -5020,6 +5073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal_docs": _q_bigram_surprisal,
     "kn_surprisal_docs": _q_kn_surprisal_docs,
     "cdc_chunk_docs": _q_cdc_chunk_docs,
+    "dup_rate_by_source": _q_dup_rate_by_source,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5175,6 +5229,7 @@ _ROUND6_ORDER: list[str] = [
     "zipf_slope_by_source",
     "kn_surprisal_docs",
     "cdc_chunk_docs",
+    "dup_rate_by_source",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5366,6 +5421,7 @@ ORACLES: dict[str, str] = {
     "bigram_surprisal_docs": _ORACLE_BIGRAM_SURPRISAL,
     "kn_surprisal_docs": _ORACLE_KN_SURPRISAL,
     "cdc_chunk_docs": _ORACLE_CDC_CHUNKS,
+    "dup_rate_by_source": _ORACLE_DUP_RATE,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,
