@@ -3509,6 +3509,86 @@ def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_neg_logprob2")))
 
 
+def _q_stupid_backoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram scoring under STUPID BACKOFF (Brants'07, the
+    web-scale LM rule): counts from the train split (doc_id % 5 != 0),
+    surprisal for the held-out docs (doc_id % 5 == 0) — unseen
+    trigrams/bigrams exercise every backoff level.  The cascade
+    (c3/c12, a*c23/c(w2), a^2*c1/N, a^2/N floor) reproduces verbatim in
+    SQL, so a production-grade LM scoring rule is fully
+    oracle-checked."""
+    ensure_views(spark, sf_dir)
+    from .operators.scoring import stupid_backoff_surprisal
+    docs = spark.table("documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    return (stupid_backoff_surprisal(train, held)
+            .select("doc_id", "n_trigrams",
+                    F.round("mean_neg_logscore", 6)
+                    .alias("mean_neg_logscore")))
+
+
+_ORACLE_STUPID_BACKOFF = r"""
+WITH tr AS (
+  SELECT regexp_extract_all(text, '\S+') AS ts FROM documents
+  WHERE doc_id % 5 != 0
+), sc AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+  WHERE doc_id % 5 = 0
+), tri3 AS (
+  SELECT tg, count(*) AS c3 FROM (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(ts) - 2, 0)),
+        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tg
+    FROM tr) GROUP BY tg
+), bi2 AS (
+  SELECT bg, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(ts) - 1, 0)),
+        i -> ts[i] || ' ' || ts[i+1])) AS bg
+    FROM tr) GROUP BY bg
+), uni AS (
+  SELECT w, count(*) AS c1 FROM (
+    SELECT unnest(ts) AS w FROM tr) GROUP BY w
+), ntok AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn FROM (
+    SELECT unnest(ts) AS w FROM tr)
+), stris AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(ts) - 2, 0)),
+      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tg
+  FROM sc
+), priced AS (
+  SELECT doc_id,
+         CASE
+           WHEN c3 IS NOT NULL AND c12.c2 IS NOT NULL
+             THEN c3 / c12.c2
+           WHEN c23.c2 IS NOT NULL
+             THEN 0.4 * c23.c2 / w2u.c1
+           WHEN w3u.c1 IS NOT NULL
+             THEN 0.16 * w3u.c1 / nn
+           ELSE 0.16 / nn
+         END AS s
+  FROM stris
+  LEFT JOIN tri3 USING (tg)
+  LEFT JOIN bi2 c12
+    ON c12.bg = split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
+  LEFT JOIN bi2 c23
+    ON c23.bg = split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
+  LEFT JOIN uni w2u ON w2u.w = split_part(tg, ' ', 2)
+  LEFT JOIN uni w3u ON w3u.w = split_part(tg, ' ', 3)
+  CROSS JOIN ntok
+), per AS (
+  SELECT doc_id, count(*) AS n_trigrams, -avg(ln(s)) AS m
+  FROM priced GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams,
+       round(per.m, 6) AS mean_neg_logscore
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN per USING (doc_id)
+"""
+
+
 def _q_cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (scoring.cdc_chunks): chunk boundaries
     fall where the rolling 4-token window's md5 starts with a hex zero
@@ -5074,6 +5154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_surprisal_docs": _q_kn_surprisal_docs,
     "cdc_chunk_docs": _q_cdc_chunk_docs,
     "dup_rate_by_source": _q_dup_rate_by_source,
+    "stupid_backoff_docs": _q_stupid_backoff_docs,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5230,6 +5311,7 @@ _ROUND6_ORDER: list[str] = [
     "kn_surprisal_docs",
     "cdc_chunk_docs",
     "dup_rate_by_source",
+    "stupid_backoff_docs",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5422,6 +5504,7 @@ ORACLES: dict[str, str] = {
     "kn_surprisal_docs": _ORACLE_KN_SURPRISAL,
     "cdc_chunk_docs": _ORACLE_CDC_CHUNKS,
     "dup_rate_by_source": _ORACLE_DUP_RATE,
+    "stupid_backoff_docs": _ORACLE_STUPID_BACKOFF,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,

@@ -793,3 +793,78 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
                         F.slice("__toks", F.col("__s") + F.lit(1),
                                 nxt - F.col("__s")), " ")
                     .alias("chunk_text")))
+
+
+def stupid_backoff_surprisal(train: DataFrame, score: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             alpha: float = 0.4) -> DataFrame:
+    """Per-doc mean trigram surprisal under STUPID BACKOFF (Brants et
+    al., EMNLP'07 — the scoring rule Google's web-scale LMs shipped
+    because it needs no normalization and its counts shard trivially):
+
+    ``S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)  if the trigram was seen,
+                    else a * c(w2 w3)/c(w2),
+                    else a^2 * c(w3)/N,
+                    else a^2 / N``  (OOV floor, documented convention)
+
+    Counts come from *train*; *score* docs are priced with the cascade,
+    so held-out text exercises every backoff level.  Returns ``(id,
+    n_trigrams, mean_neg_logscore)``; NULL for docs under 3 tokens.
+
+    Scale shape: three count aggregates over the train split (trigram /
+    bigram / unigram, all map-side combined), one one-row broadcast
+    (N), and three left joins keyed on the n-gram strings — exactly the
+    sharded-count layout the paper describes.  No UDFs.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    tris = score.select(F.col(id_col).alias("__id"),
+                        F.explode(word_ngrams(text_col, 3)).alias("tg"))
+    t_tri = (train.select(F.explode(word_ngrams(text_col, 3)).alias("tg"))
+             .groupBy("tg").agg(F.count(F.lit(1)).alias("__c3")))
+    t_bi = (train.select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
+            .groupBy("bg").agg(F.count(F.lit(1)).alias("__c2")))
+    t_uni = (train.select(F.explode(tokens(text_col)).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("__c1")))
+    n_tok = train.select(F.explode(tokens(text_col)).alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("__N"))
+    w12 = F.substring_index("tg", " ", 2)
+    w23 = F.substring_index("tg", " ", -2)
+    w3 = F.substring_index("tg", " ", -1)
+    a = F.lit(float(alpha))
+    joined = (tris
+              .join(t_tri, "tg", "left")
+              .withColumn("__b12", w12).withColumn("__b23", w23)
+              .withColumn("__w3", w3)
+              .join(t_bi.withColumnRenamed("bg", "__b12")
+                    .withColumnRenamed("__c2", "__c12"), "__b12", "left")
+              .join(t_bi.withColumnRenamed("bg", "__b23")
+                    .withColumnRenamed("__c2", "__c23"), "__b23", "left")
+              .join(t_uni.withColumnRenamed("w", "__w3"), "__w3", "left")
+              .crossJoin(F.broadcast(n_tok)))
+    # c(w2) for the bigram backoff level: unigram count of the scored
+    # trigram's middle token
+    w2 = F.substring_index(F.substring_index("tg", " ", 2), " ", -1)
+    joined = joined.withColumn(
+        "__w2", w2).join(
+        t_uni.withColumnRenamed("w", "__w2")
+        .withColumnRenamed("__c1", "__w2cnt"), "__w2", "left")
+    s = F.when(F.col("__c3").isNotNull() & F.col("__c12").isNotNull(),
+               F.col("__c3") / F.col("__c12")) \
+         .when(F.col("__c23").isNotNull(),
+               a * F.col("__c23") / F.col("__w2cnt")) \
+         .when(F.col("__c1").isNotNull(),
+               a * a * F.col("__c1") / F.col("__N")) \
+         .otherwise(a * a / F.col("__N"))
+    per_doc = (joined
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                    (-F.avg(F.log(s))).alias("mean_neg_logscore")))
+    return (score.select(F.col(id_col))
+            .join(per_doc.withColumnRenamed("__id", id_col),
+                  id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_trigrams", F.lit(0)).cast("long")
+                    .alias("n_trigrams"),
+                    "mean_neg_logscore"))

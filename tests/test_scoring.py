@@ -509,3 +509,29 @@ def test_cdc_chunks_content_defined_shift_locality(spark):
     common = ch[1] & ch[2]
     # everything beyond the first boundary after the insertion is shared
     assert len(common) >= max(len(ch[1]) - 2, 1)
+
+
+def test_stupid_backoff_hand_computed_all_levels(spark):
+    """One doc exercises every backoff level: seen trigram, bigram
+    backoff, unigram backoff, and the OOV floor."""
+    import math
+    from legend_community_delta_spark.operators.scoring import (
+        stupid_backoff_surprisal)
+    train = spark.createDataFrame(
+        [(1, "a b c a b d"), (2, "c d e")],
+        "doc_id long, text string")
+    # train: trigrams {a b c, b c a, c a b, a b d, c d e}
+    # bigrams {a b:2, b c:1, c a:1, b d:1, c d:1, d e:1}; N=9
+    # unigrams {a:2,b:2,c:2,d:2,e:1}
+    score = spark.createDataFrame(
+        [(10, "a b c"),      # seen trigram: 1/2
+         (11, "e c d"),      # unseen tri, seen bigram c d: .4*1/c(c)=.4*1/2
+         (12, "e e a"),      # unseen tri+bi, a seen: .16*2/9
+         (13, "e e zz")],    # OOV w3: .16/9
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.mean_neg_logscore)
+           for r in stupid_backoff_surprisal(train, score).collect()}
+    assert got[10] == (1, pytest.approx(-math.log(1 / 2)))
+    assert got[11] == (1, pytest.approx(-math.log(0.4 * 1 / 2)))
+    assert got[12] == (1, pytest.approx(-math.log(0.4 * 0.4 * 2 / 9)))
+    assert got[13] == (1, pytest.approx(-math.log(0.4 * 0.4 / 9)))
