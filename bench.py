@@ -70,7 +70,6 @@ BENCH_QUERIES = [
     "nb_lang_confusion",
     "cms_token_freq",
     "pagerank_near_dups",
-    "pair_store_pagerank",
     "containment_dup_pairs",
     "weighted_docs_sample",
     "session_paths",
@@ -79,6 +78,17 @@ BENCH_QUERIES = [
     "doc_char_entropy",
     "vocab_edit_pairs",
     "hard_negative_mining",
+    # round-6 additions: store-fed consumers + new operator families
+    "pair_store_pagerank",
+    "intra_dup_span_docs",
+    "session_window_events",
+    "events_sliding_window",
+    "cdc_chunk_docs",
+    "kn_surprisal_docs",
+    "stupid_backoff_docs",
+    "dup_rate_by_source",
+    "ngram_diversity_by_source",
+    "zipf_slope_by_source",
 ]
 
 

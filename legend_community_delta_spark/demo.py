@@ -3509,6 +3509,59 @@ def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_neg_logprob2")))
 
 
+def _q_cluster_size_histogram(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution from the persisted pair
+    store: how many clusters of 2, 3, ... docs the corpus holds — the
+    shape metric that distinguishes a template problem (few huge
+    clusters) from scattered duplication (many pairs).  Store-read +
+    connected components + two aggregates; oracle = the recursive-CTE
+    reachability over the exact pair set."""
+    ensure_views(spark, sf_dir)
+    from .operators.graph import connected_components
+    pairs = DD.read_pairs(spark, _pair_store(spark, sf_dir),
+                          method="verified", n=5, threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+_ORACLE_CLUSTER_SIZES = r"""
+WITH RECURSIVE grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(toks) - 4, 0)),
+     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, least(a, MIN(b)) AS component
+  FROM reach GROUP BY a
+), cs AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1
+"""
+
+
 def _q_stupid_backoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out trigram scoring under STUPID BACKOFF (Brants'07, the
     web-scale LM rule): counts from the train split (doc_id % 5 != 0),
@@ -5155,6 +5208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_docs": _q_cdc_chunk_docs,
     "dup_rate_by_source": _q_dup_rate_by_source,
     "stupid_backoff_docs": _q_stupid_backoff_docs,
+    "cluster_size_histogram": _q_cluster_size_histogram,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5312,6 +5366,7 @@ _ROUND6_ORDER: list[str] = [
     "cdc_chunk_docs",
     "dup_rate_by_source",
     "stupid_backoff_docs",
+    "cluster_size_histogram",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5505,6 +5560,7 @@ ORACLES: dict[str, str] = {
     "cdc_chunk_docs": _ORACLE_CDC_CHUNKS,
     "dup_rate_by_source": _ORACLE_DUP_RATE,
     "stupid_backoff_docs": _ORACLE_STUPID_BACKOFF,
+    "cluster_size_histogram": _ORACLE_CLUSTER_SIZES,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,
