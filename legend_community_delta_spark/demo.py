@@ -2441,24 +2441,31 @@ def _q_ngram_diversity_by_source(spark: SparkSession,
     ensure_views(spark, sf_dir)
     docs = spark.table("documents")
     toks = F.transform(TX.tokens("text"), lambda t: F.lower(t))
+    # 8-byte hashes instead of gram strings: the shuffle and the
+    # distinct-count carry longs (collision odds ~1e-10 at corpus vocab
+    # sizes -- the trade every gram-hash operator here makes).  N-gram
+    # hashes come from ONE linear zip_with pass over the token-hash
+    # array (shift-xor combine, bitwise so ANSI-safe) -- not a per-
+    # window slice+concat, which would be O(len^2) per doc.
+    h1 = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(h1)
 
-    def grams(n: int):
-        seq = F.when(
-            F.size(toks) >= n,
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            seq, lambda i: F.struct(
-                F.lit(n).alias("n"),
-                # 8-byte hash instead of the gram string: the shuffle
-                # and distinct-count carry longs (collision odds at
-                # corpus vocab sizes ~1e-10 -- the same trade every
-                # gram-hash operator here makes)
-                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))
-                .alias("gram")))
+    def _shift_combine(a, b):
+        return F.shiftleft(a, 16).bitwiseXOR(b)
+
+    h2 = F.when(m >= 2, F.zip_with(
+        F.slice(h1, 1, m - 1), F.slice(h1, 2, m - 1), _shift_combine)
+    ).otherwise(F.array().cast("array<long>"))
+    h3 = F.when(m >= 3, F.zip_with(
+        F.slice(h2, 1, m - 2), F.slice(h1, 3, m - 2), _shift_combine)
+    ).otherwise(F.array().cast("array<long>"))
+
+    def tag(n: int, arr):
+        return F.transform(arr, lambda g: F.struct(
+            F.lit(n).alias("n"), g.alias("gram")))
 
     # one corpus scan, one explode, one shuffle for all three n
-    allg = F.concat(grams(1), grams(2), grams(3))
+    allg = F.concat(tag(1, h1), tag(2, h2), tag(3, h3))
     return (docs.select("source", F.explode(allg).alias("g"))
             .groupBy("source", F.col("g.n").alias("n"))
             .agg(F.count(F.lit(1)).alias("total"),
