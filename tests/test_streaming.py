@@ -519,3 +519,61 @@ def test_span_dedup_stream_multi_batch_matches_batch(spark, tmp_path):
     want = {r.doc_id: (r.clean_text, r.n_removed)
             for r in duplicate_span_stats(corpus, n=10).collect()}
     assert got == want
+
+
+def test_watermark_append_mode_drops_late_data(spark, tmp_path):
+    """Append-mode windowed counts with a watermark: a window is
+    emitted once the watermark passes its end, and events arriving in a
+    LATER RUN behind the persisted watermark are dropped — the
+    late-data contract a 100 TB streaming aggregation relies on for
+    bounded state, plus watermark recovery from the checkpoint across
+    restarts (two availableNow runs share one checkpoint)."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    out = str(tmp_path / "out")
+
+    def run(tag):
+        # file sink (memory sink cannot recover from a checkpoint, and
+        # watermark persistence across restarts is the point here)
+        stream = (spark.readStream.schema("ts timestamp, v double")
+                  .json(str(src)))
+        agg = (stream.withWatermark("ts", "1 minute")
+               .groupBy(F.window("ts", "1 minute").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("s")))
+        q = (agg.select(F.col("w.start").alias("start"), "n", "s")
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        q.stop()
+        return {str(r.start): (r.n, r.s)
+                for r in spark.read.parquet(out).collect()}
+
+    # run 1: windows 10:00 and 10:01 plus a 10:05 event that pushes the
+    # final watermark to 10:04 — past both windows' ends, so both emit
+    (src / "00.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": "2026-01-01T10:00:10", "v": 1.0},
+        {"ts": "2026-01-01T10:00:20", "v": 1.0},
+        {"ts": "2026-01-01T10:01:10", "v": 1.0},
+        {"ts": "2026-01-01T10:05:00", "v": 1.0},
+    ]))
+    got1 = run("a")
+    assert got1.get("2026-01-01 10:00:00") == (2, 2.0), got1
+    assert got1.get("2026-01-01 10:01:00") == (1, 1.0), got1
+
+    # run 2 (same checkpoint -> recovered watermark 10:04): a late
+    # event behind it must be DROPPED, not re-open the emitted window
+    (src / "01.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": "2026-01-01T10:00:30", "v": 99.0},   # late -> dropped
+        {"ts": "2026-01-01T10:09:00", "v": 1.0},    # advances watermark
+    ]))
+    got2 = run("b")   # cumulative file-sink contents
+    # 10:05 window finalizes now; the late 99.0 appears nowhere
+    assert got2.get("2026-01-01 10:05:00") == (1, 1.0), got2
+    assert got2.get("2026-01-01 10:00:00") == (2, 2.0), got2
+    assert not any(s in (99.0, 101.0) for _, s in got2.values())
