@@ -3516,6 +3516,69 @@ def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_neg_logprob2")))
 
 
+def _q_k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level k-anonymity screen over the (lang, source)
+    quasi-identifier combination (operators/governance.py): group
+    sizes, violating groups, and the exact at-risk row count a release
+    process must suppress — the privacy companion to per-row
+    legendValidate, as one groupBy + one aggregate."""
+    ensure_views(spark, sf_dir)
+    from .operators.governance import k_anonymity_report
+    return k_anonymity_report(spark.table("documents"),
+                              ["lang", "source"], k=5)
+
+
+_ORACLE_K_ANON = """
+WITH g AS (
+  SELECT lang, source, count(*) AS n
+  FROM documents GROUP BY lang, source
+)
+SELECT 5 AS k,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS at_risk_rows,
+       min(n) AS min_group_size
+FROM g
+"""
+
+
+def _q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order totals
+    (operators/governance.py benford_report): per-digit observed vs
+    log10(1 + 1/d) expectation with chi2 terms — the forensic screen
+    for fabricated or truncated financial amounts.  First significant
+    digit is extracted TEXTUALLY (anchored strip of leading zeros/dots
+    — identical in both engines), so even this statistical test is an
+    exact oracle row set."""
+    ensure_views(spark, sf_dir)
+    from .operators.governance import benford_report
+    return benford_report(spark.table("orders"), "o_totalprice")
+
+
+_ORACLE_BENFORD = r"""
+WITH base AS (
+  SELECT CAST(substr(regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
+                                    '^[0.]+', ''), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), counts AS (
+  SELECT digit, count(*) AS n FROM base GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM counts),
+d AS (
+  SELECT unnest(generate_series(1, 9)) AS digit
+)
+SELECT d.digit,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       round(coalesce(c.n, 0) / tt, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / d.digit), 6) AS expected_p,
+       round(pow(coalesce(c.n, 0) - log10(1.0 + 1.0 / d.digit) * tt, 2)
+             / (log10(1.0 + 1.0 / d.digit) * tt), 6) AS chi2_term
+FROM d LEFT JOIN counts c USING (digit) CROSS JOIN t
+"""
+
+
 def _q_cluster_size_histogram(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Near-dup cluster size distribution from the persisted pair
@@ -5216,6 +5279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_rate_by_source": _q_dup_rate_by_source,
     "stupid_backoff_docs": _q_stupid_backoff_docs,
     "cluster_size_histogram": _q_cluster_size_histogram,
+    "k_anonymity_docs": _q_k_anonymity_docs,
+    "benford_orders": _q_benford_orders,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5374,6 +5439,8 @@ _ROUND6_ORDER: list[str] = [
     "dup_rate_by_source",
     "stupid_backoff_docs",
     "cluster_size_histogram",
+    "k_anonymity_docs",
+    "benford_orders",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5568,6 +5635,8 @@ ORACLES: dict[str, str] = {
     "dup_rate_by_source": _ORACLE_DUP_RATE,
     "stupid_backoff_docs": _ORACLE_STUPID_BACKOFF,
     "cluster_size_histogram": _ORACLE_CLUSTER_SIZES,
+    "k_anonymity_docs": _ORACLE_K_ANON,
+    "benford_orders": _ORACLE_BENFORD,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,

@@ -1,0 +1,98 @@
+"""Data-governance checks — the privacy/quality screens a regulated
+(Legend-shaped) data platform runs before publishing a dataset.
+
+Extension surface: the reference's scope ends at per-row expectations
+(`legendValidate`); these are the DATASET-level governance companions —
+k-anonymity over quasi-identifier combinations and Benford first-digit
+conformance for financial amounts.  Both are plain aggregates (exact,
+engine-portable, fully oracle-checkable) and scale as single
+map-side-combined groupBys.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """One-row k-anonymity summary over the *quasi_cols* combination:
+    ``(k, n_rows, n_groups, violating_groups, at_risk_rows,
+    min_group_size)`` — a dataset is k-anonymous iff every
+    quasi-identifier combination covers >= k rows, so ``at_risk_rows``
+    is exactly the re-identifiable population that must be suppressed
+    or generalized before release.
+
+    NULL quasi-identifier values form their own group (SQL GROUP BY
+    semantics — identical on any engine).  One groupBy + one aggregate.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"))
+    return groups.agg(
+        F.lit(int(k)).alias("k"),
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .alias("violating_groups"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .alias("at_risk_rows"),
+        F.min("__n").alias("min_group_size"))
+
+
+def suppress_small_groups(df: DataFrame, quasi_cols: list[str],
+                          k: int = 5) -> DataFrame:
+    """The enforcement half: drop every row whose quasi-identifier
+    combination covers fewer than *k* rows (suppression — the blunt,
+    always-correct k-anonymization).  One aggregate + one equi-join."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ok = (df.groupBy(*quasi_cols)
+          .agg(F.count(F.lit(1)).alias("__n"))
+          .where(F.col("__n") >= k)
+          .drop("__n"))
+    return df.join(ok, quasi_cols, "left_semi")
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit Benford conformance for a positive amount column:
+    per digit 1..9 ``(digit, n, observed_p, expected_p, chi2_term)`` —
+    sum the chi2 terms against a chi-square(8) critical value to flag
+    fabricated or truncated financial data (the classic forensic
+    screen).  Non-positive and NULL amounts are excluded (Benford's law
+    applies to positive magnitudes).
+
+    The first significant digit is taken TEXTUALLY from the canonical
+    float rendering (first char in '1'..'9') — exact on any engine, no
+    log10/pow float round-trip.  One filter + one groupBy(digit).
+    """
+    v = F.col(value_col)
+    # anchored leading-strip (not a global replace): identical behavior
+    # in Spark and DuckDB, and scientific renderings ('4.52e-05') still
+    # lead with the significant digit after stripping '0's and '.'s
+    digit = F.substring(F.regexp_replace(
+        F.abs(v).cast("string"), r"^[0.]+", ""), 1, 1)
+    base = (df.where(v.isNotNull() & (v > 0))
+            .select(digit.cast("int").alias("digit")))
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    digits = counts.sparkSession.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, expected_p double")
+    return (digits.join(counts, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.round(F.coalesce("n", F.lit(0))
+                            / F.col("__t"), 6).alias("observed_p"),
+                    F.round("expected_p", 6).alias("expected_p"),
+                    F.round(
+                        F.pow(F.coalesce("n", F.lit(0))
+                              - F.col("expected_p") * F.col("__t"), 2)
+                        / (F.col("expected_p") * F.col("__t")), 6)
+                    .alias("chi2_term")))

@@ -1,0 +1,55 @@
+"""Governance operators: k-anonymity report/suppression, Benford."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from legend_community_delta_spark.operators.governance import (
+    benford_report,
+    k_anonymity_report,
+    suppress_small_groups,
+)
+
+
+def test_k_anonymity_report_hand_computed(spark):
+    rows = [("en", "a")] * 5 + [("en", "b")] * 2 + [("fr", "a")] * 1 \
+        + [(None, "a")] * 3
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = k_anonymity_report(df, ["lang", "source"], k=3).collect()[0]
+    assert (got.k, got.n_rows, got.n_groups) == (3, 11, 4)
+    assert got.violating_groups == 2        # ("en","b")=2, ("fr","a")=1
+    assert got.at_risk_rows == 3
+    assert got.min_group_size == 1
+
+
+def test_suppress_small_groups_enforces_k(spark):
+    rows = [("en", "a", i) for i in range(5)] + \
+        [("en", "b", 10), ("fr", "a", 11)]
+    df = spark.createDataFrame(rows, "lang string, source string, id long")
+    out = suppress_small_groups(df, ["lang", "source"], k=3)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4]
+    # post-condition: the suppressed set is k-anonymous
+    rep = k_anonymity_report(out, ["lang", "source"], k=3).collect()[0]
+    assert rep.violating_groups == 0
+    with pytest.raises(ValueError):
+        suppress_small_groups(df, ["lang"], k=1)
+
+
+def test_benford_report_hand_computed(spark):
+    # 1x 123.4, 2x 0.0045 (digit 4), 1x 9000.0, one NULL, one negative
+    df = spark.createDataFrame(
+        [(123.4,), (0.0045,), (0.0045,), (9000.0,), (None,), (-5.0,)],
+        "v double")
+    got = {r.digit: r for r in benford_report(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    assert got[1].n == 1 and got[4].n == 2 and got[9].n == 1
+    assert got[2].n == 0                     # absent digit present as 0
+    assert got[1].expected_p == round(math.log10(2), 6)
+    # observed_p sums to 1 over the 4 counted rows
+    assert sum(r.n for r in got.values()) == 4
+    assert got[4].observed_p == 0.5
+    # chi2 term for an absent digit = expected count
+    t = 4
+    assert got[2].chi2_term == round(math.log10(1.5) * t, 6)
