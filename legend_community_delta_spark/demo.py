@@ -3579,6 +3579,48 @@ FROM d LEFT JOIN counts c USING (digit) CROSS JOIN t
 """
 
 
+def _q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-replica reconciliation (governance.reconcile_tables):
+    the replica deterministically drops every 10th order and shifts
+    every 7th order's total by 1.00, so the full-outer NULL-safe
+    comparison must report exact matched / changed / only_left counts.
+    The daily finance control, as one join + one aggregate."""
+    ensure_views(spark, sf_dir)
+    from .operators.governance import reconcile_tables
+    orders = spark.table("orders")
+    replica = (orders.where(F.col("o_orderkey") % 10 != 0)
+               .withColumn("o_totalprice",
+                           F.when(F.col("o_orderkey") % 7 == 0,
+                                  F.col("o_totalprice") + 1.0)
+                           .otherwise(F.col("o_totalprice"))))
+    return reconcile_tables(orders, replica, ["o_orderkey"],
+                            ["o_totalprice", "o_orderstatus",
+                             "o_orderdate"])
+
+
+_ORACLE_RECONCILE = """
+WITH replica AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus, o_orderdate
+  FROM orders WHERE o_orderkey % 10 != 0
+), j AS (
+  SELECT CASE
+           WHEN l.o_orderkey IS NULL THEN 'only_right'
+           WHEN r.o_orderkey IS NULL THEN 'only_left'
+           WHEN l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+            AND l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus
+            AND l.o_orderdate IS NOT DISTINCT FROM r.o_orderdate
+             THEN 'matched'
+           ELSE 'changed'
+         END AS status
+  FROM orders l FULL OUTER JOIN replica r USING (o_orderkey)
+)
+SELECT status, count(*) AS n_rows FROM j GROUP BY status
+"""
+
+
 def _q_cluster_size_histogram(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Near-dup cluster size distribution from the persisted pair
@@ -5281,6 +5323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_size_histogram": _q_cluster_size_histogram,
     "k_anonymity_docs": _q_k_anonymity_docs,
     "benford_orders": _q_benford_orders,
+    "reconcile_orders": _q_reconcile_orders,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5441,6 +5484,7 @@ _ROUND6_ORDER: list[str] = [
     "cluster_size_histogram",
     "k_anonymity_docs",
     "benford_orders",
+    "reconcile_orders",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5637,6 +5681,7 @@ ORACLES: dict[str, str] = {
     "cluster_size_histogram": _ORACLE_CLUSTER_SIZES,
     "k_anonymity_docs": _ORACLE_K_ANON,
     "benford_orders": _ORACLE_BENFORD,
+    "reconcile_orders": _ORACLE_RECONCILE,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,

@@ -96,3 +96,43 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
                               - F.col("expected_p") * F.col("__t"), 2)
                         / (F.col("expected_p") * F.col("__t")), 6)
                     .alias("chi2_term")))
+
+
+def reconcile_tables(left: DataFrame, right: DataFrame,
+                     keys: list[str],
+                     compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level reconciliation between two tables keyed on *keys*:
+    ``(status, n_rows)`` with status in ``matched`` / ``changed`` /
+    ``only_left`` / ``only_right`` — the daily control a finance
+    platform runs between a source system and its replica (or two
+    versions of one table; see also ``VersionedTable.snapshot_diff``
+    for the commit-log-aware variant).
+
+    *compare_cols* defaults to every shared non-key column; comparison
+    is NULL-SAFE per column (NULL == NULL counts as equal — SQL's
+    IS NOT DISTINCT FROM), so a NULL drifting to a value reports as
+    ``changed``, not ``matched``.  One full outer join on the keys +
+    one aggregate; no hashing, so the result is exact on any engine.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in left.columns
+                  if c in set(right.columns) and c not in set(keys)]
+        compare_cols = shared
+    lp = left.select(*keys, *[F.col(c).alias(f"__l_{c}")
+                              for c in compare_cols],
+                     F.lit(1).alias("__in_l"))
+    rp = right.select(*keys, *[F.col(c).alias(f"__r_{c}")
+                               for c in compare_cols],
+                      F.lit(1).alias("__in_r"))
+    j = lp.join(rp, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    status = (F.when(F.col("__in_l").isNull(), F.lit("only_right"))
+              .when(F.col("__in_r").isNull(), F.lit("only_left"))
+              .when(same, F.lit("matched"))
+              .otherwise(F.lit("changed")))
+    return (j.select(status.alias("status"))
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n_rows")))

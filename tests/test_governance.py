@@ -53,3 +53,36 @@ def test_benford_report_hand_computed(spark):
     # chi2 term for an absent digit = expected count
     t = 4
     assert got[2].chi2_term == round(math.log10(1.5) * t, 6)
+
+
+def test_reconcile_tables_hand_computed(spark):
+    from pyspark.sql import Row
+    left = spark.createDataFrame([
+        Row(k=1, v="a", w=1.0),
+        Row(k=2, v="b", w=None),      # NULL matches NULL
+        Row(k=3, v="c", w=3.0),      # changed in right
+        Row(k=4, v="d", w=4.0),      # missing in right
+        Row(k=5, v=None, w=5.0),    # NULL -> value = changed
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, v="a", w=1.0),
+        Row(k=2, v="b", w=None),
+        Row(k=3, v="c", w=30.0),
+        Row(k=5, v="x", w=5.0),
+        Row(k=6, v="e", w=6.0),      # missing in left
+    ])
+    from legend_community_delta_spark.operators.governance import (
+        reconcile_tables)
+    got = {r.status: r.n_rows
+           for r in reconcile_tables(left, right, ["k"]).collect()}
+    assert got == {"matched": 2, "changed": 2,
+                   "only_left": 1, "only_right": 1}
+    # restricting compare_cols flips the NULL->value row to matched
+    got2 = {r.status: r.n_rows
+            for r in reconcile_tables(left, right, ["k"],
+                                      ["w"]).collect()}
+    assert got2 == {"matched": 3, "changed": 1,
+                    "only_left": 1, "only_right": 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        reconcile_tables(left, right, [])
