@@ -3621,6 +3621,42 @@ SELECT status, count(*) AS n_rows FROM j GROUP BY status
 """
 
 
+def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (governance.scd2_history): each user's event
+    stream becomes auditable attribute history — one row per REAL
+    status change with half-open validity intervals and an is_current
+    flag; consecutive repeats open no version.  Windows partitioned by
+    user only; the oracle replays lag-collapse + lead-validity with the
+    identical deterministic (ts, status) ordering."""
+    ensure_views(spark, sf_dir)
+    from .operators.governance import scd2_history
+    ev = spark.table("events").select("user_id", "ts",
+                                      F.col("event_type").alias("status"))
+    return scd2_history(ev, ["user_id"], "ts", ["status"])
+
+
+_ORACLE_SCD2 = """
+WITH c AS (
+  SELECT user_id, ts, event_type AS status,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_type) AS prev_s,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_type) AS prev_ts
+  FROM events
+), kept AS (
+  SELECT user_id, ts, status FROM c
+  WHERE prev_ts IS NULL OR status IS DISTINCT FROM prev_s
+)
+SELECT user_id, status,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, status)
+         AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, status) IS NULL
+         AS is_current
+FROM kept
+"""
+
+
 def _q_cluster_size_histogram(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Near-dup cluster size distribution from the persisted pair
@@ -5324,6 +5360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_docs": _q_k_anonymity_docs,
     "benford_orders": _q_benford_orders,
     "reconcile_orders": _q_reconcile_orders,
+    "scd2_user_status": _q_scd2_user_status,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5485,6 +5522,7 @@ _ROUND6_ORDER: list[str] = [
     "k_anonymity_docs",
     "benford_orders",
     "reconcile_orders",
+    "scd2_user_status",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5682,6 +5720,7 @@ ORACLES: dict[str, str] = {
     "k_anonymity_docs": _ORACLE_K_ANON,
     "benford_orders": _ORACLE_BENFORD,
     "reconcile_orders": _ORACLE_RECONCILE,
+    "scd2_user_status": _ORACLE_SCD2,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,

@@ -136,3 +136,49 @@ def reconcile_tables(left: DataFrame, right: DataFrame,
               .otherwise(F.lit("changed")))
     return (j.select(status.alias("status"))
             .groupBy("status").agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+def scd2_history(changes: DataFrame, keys: list[str], ts_col: str,
+                 attr_cols: list[str],
+                 collapse_noops: bool = True) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    feed: one row per key per VERSION with ``valid_from`` /
+    ``valid_to`` / ``is_current`` — the warehouse-modeling staple for
+    auditable attribute history (who held which status, when).
+
+    *changes* carries one row per observed state ``(keys..., ts,
+    attrs...)``.  With *collapse_noops* (default) a change whose
+    attributes NULL-safely equal the previous observed state opens no
+    new version — exactly SCD2's "only real changes version" rule.
+    ``valid_to`` is the next version's ``valid_from`` (half-open
+    intervals, no gaps/overlaps by construction); the latest version
+    has ``valid_to`` NULL and ``is_current`` true.
+
+    Ties on (keys, ts) are broken deterministically by the attribute
+    values ascending.  Two window passes partitioned by the keys —
+    shuffles only on the key columns.
+    """
+    from pyspark.sql import Window
+
+    if not keys or not attr_cols:
+        raise ValueError("keys and attr_cols must be non-empty")
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(ts_col), *[F.col(c) for c in attr_cols]))
+    cur = changes.select(*keys, ts_col, *attr_cols)
+    if collapse_noops:
+        same_prev = F.lit(True)
+        for c in attr_cols:
+            same_prev = same_prev & F.col(c).eqNullSafe(
+                F.lag(c).over(w))
+        # first row per key: lag is NULL on every attr -> eqNullSafe
+        # may hold for all-NULL attrs; guard with an explicit row probe
+        first_row = F.lag(ts_col).over(w).isNull()
+        cur = (cur.withColumn("__noop", same_prev & ~first_row)
+               .where(~F.col("__noop")).drop("__noop"))
+    w2 = (Window.partitionBy(*keys)
+          .orderBy(F.col(ts_col), *[F.col(c) for c in attr_cols]))
+    return (cur
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop(ts_col))

@@ -86,3 +86,38 @@ def test_reconcile_tables_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         reconcile_tables(left, right, [])
+
+
+def test_scd2_history_hand_computed(spark):
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.governance import (
+        scd2_history)
+    rows = [
+        Row(k=1, ts=1, s="A"), Row(k=1, ts=2, s="A"),   # noop
+        Row(k=1, ts=3, s="B"), Row(k=1, ts=4, s="A"),   # real changes
+        Row(k=1, ts=5, s="A"),                            # noop
+        Row(k=2, ts=1, s="X"),
+        Row(k=3, ts=1, s=None), Row(k=3, ts=2, s=None),  # NULL noop
+        Row(k=3, ts=3, s="Y"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, s string")
+    got = sorted((r.k, r.s, r.valid_from, r.valid_to, r.is_current)
+                 for r in scd2_history(df, ["k"], "ts", ["s"]).collect())
+    assert got == [
+        (1, "A", 1, 3, False), (1, "A", 4, None, True),
+        (1, "B", 3, 4, False),
+        (2, "X", 1, None, True),
+        (3, None, 1, 3, False), (3, "Y", 3, None, True),
+    ]
+    # intervals are half-open and gapless per key
+    per_k = {}
+    for k, s, vf, vt, cur in got:
+        per_k.setdefault(k, []).append((vf, vt))
+    for k, iv in per_k.items():
+        iv.sort()
+        for (a, b), (c, d) in zip(iv, iv[1:]):
+            assert b == c, (k, iv)
+    # collapse off: every change row becomes a version
+    raw = scd2_history(df, ["k"], "ts", ["s"],
+                       collapse_noops=False).count()
+    assert raw == len(rows)
