@@ -101,14 +101,16 @@ def test_scd2_history_hand_computed(spark):
         Row(k=3, ts=3, s="Y"),
     ]
     df = spark.createDataFrame(rows, "k long, ts long, s string")
-    got = sorted((r.k, r.s, r.valid_from, r.valid_to, r.is_current)
-                 for r in scd2_history(df, ["k"], "ts", ["s"]).collect())
+    got = sorted(((r.k, r.s, r.valid_from, r.valid_to, r.is_current)
+                  for r in scd2_history(df, ["k"], "ts",
+                                        ["s"]).collect()),
+                 key=lambda t: (t[0], t[1] or "", t[2]))
     assert got == [
         (1, "A", 1, 3, False), (1, "A", 4, None, True),
         (1, "B", 3, 4, False),
         (2, "X", 1, None, True),
         (3, None, 1, 3, False), (3, "Y", 3, None, True),
-    ]
+    ]  # (3, None) sorts first via the ''-coalesced key
     # intervals are half-open and gapless per key
     per_k = {}
     for k, s, vf, vt, cur in got:
