@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "dup_rate_by_source",
     "ngram_diversity_by_source",
     "zipf_slope_by_source",
+    "k_anonymity_docs",
+    "benford_orders",
+    "reconcile_orders",
+    "scd2_user_status",
+    "cluster_size_histogram",
 ]
 
 
