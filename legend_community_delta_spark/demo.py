@@ -3657,6 +3657,33 @@ FROM kept
 """
 
 
+def _q_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per priority class
+    (governance.gini_by_group): the rank-formula coefficient — exact
+    sum math, no pairwise differences, so a full inequality statistic
+    oracle-checks at round 6.  One window + one aggregate per group."""
+    ensure_views(spark, sf_dir)
+    from .operators.governance import gini_by_group
+    return gini_by_group(spark.table("orders"), "o_totalprice",
+                         ["o_orderpriority"])
+
+
+_ORACLE_GINI = """
+WITH r AS (
+  SELECT o_orderpriority,
+         o_totalprice AS x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS i
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r GROUP BY o_orderpriority
+"""
+
+
 def _q_cluster_size_histogram(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Near-dup cluster size distribution from the persisted pair
@@ -5361,6 +5388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_orders": _q_benford_orders,
     "reconcile_orders": _q_reconcile_orders,
     "scd2_user_status": _q_scd2_user_status,
+    "gini_order_values": _q_gini_order_values,
     "embedding_drift_stats": _q_embedding_drift,
     "incremental_span_docs": _q_incremental_span_docs,
     "span_dedup_stream": _q_span_dedup_stream,
@@ -5523,6 +5551,7 @@ _ROUND6_ORDER: list[str] = [
     "benford_orders",
     "reconcile_orders",
     "scd2_user_status",
+    "gini_order_values",
     "legend_mapping_orders",
     "legend_service_part_stats",
     "legend_service_orders_by_year",
@@ -5721,6 +5750,7 @@ ORACLES: dict[str, str] = {
     "benford_orders": _ORACLE_BENFORD,
     "reconcile_orders": _ORACLE_RECONCILE,
     "scd2_user_status": _ORACLE_SCD2,
+    "gini_order_values": _ORACLE_GINI,
     "embedding_drift_stats": _ORACLE_EMBEDDING_DRIFT,
     "incremental_span_docs": _ORACLE_INCREMENTAL_SPANS,
     "span_dedup_stream": _ORACLE_DUP_SPANS,

@@ -182,3 +182,36 @@ def scd2_history(changes: DataFrame, keys: list[str], ts_col: str,
             .withColumn("valid_to", F.lead(ts_col).over(w2))
             .withColumn("is_current", F.col("valid_to").isNull())
             .drop(ts_col))
+
+
+def gini_by_group(df: DataFrame, value_col: str,
+                  group_cols: list[str] | tuple[str, ...] = ()
+                  ) -> DataFrame:
+    """Gini concentration coefficient of a non-negative amount per
+    group: ``G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n``
+    over values sorted ascending (rank formula — exact integer/sum
+    math, no pairwise differences).  0 = perfectly even, -> 1 = all
+    mass in one row; the concentration screen for exposure, revenue,
+    or corpus-contribution skew.
+
+    NULLs are excluded (callers apply their own policy to negatives —
+    the formula assumes non-negative mass); ties take row_number order,
+    which cannot change G (tied values are interchangeable in the rank
+    sum).  One window + one aggregate, shuffled on the group columns
+    only.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).select(*group_cols, v.alias("__x"))
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         if group_cols else Window.partitionBy(F.lit(1)))
+    ranked = base.withColumn(
+        "__i", F.row_number().over(w.orderBy(F.col("__x"))))
+    return (ranked.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(
+                     F.lit(2.0) * F.sum(F.col("__i") * F.col("__x"))
+                     / (F.count(F.lit(1)) * F.sum("__x"))
+                     - (F.count(F.lit(1)) + F.lit(1.0))
+                     / F.count(F.lit(1)), 6).alias("gini")))

@@ -123,3 +123,23 @@ def test_scd2_history_hand_computed(spark):
     raw = scd2_history(df, ["k"], "ts", ["s"],
                        collapse_noops=False).count()
     assert raw == len(rows)
+
+
+def test_gini_hand_computed_and_bounds(spark):
+    from legend_community_delta_spark.operators.governance import (
+        gini_by_group)
+    # equal mass -> 0; all mass on one row of n -> (n-1)/n
+    df = spark.createDataFrame(
+        [("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),
+         ("skew", 0.0), ("skew", 0.0), ("skew", 0.0), ("skew", 12.0),
+         ("pair", 1.0), ("pair", 3.0)],
+        "g string, v double")
+    got = {r.g: (r.n, r.gini)
+           for r in gini_by_group(df, "v", ["g"]).collect()}
+    assert got["even"] == (4, 0.0)
+    assert got["skew"] == (4, round(3 / 4, 6))
+    # hand: sorted [1,3]: G = 2*(1*1+2*3)/(2*4) - 3/2 = 14/8 - 1.5
+    assert got["pair"] == (2, round(14 / 8 - 1.5, 6))
+    # ungrouped path
+    tot = gini_by_group(df, "v").collect()[0]
+    assert tot.n == 10 and 0.0 <= tot.gini < 1.0
