@@ -168,6 +168,21 @@ def _process(namespace: str, table: str, entity_name: str,
             pure_t, rel_t = _pure_datatype(element, f.name)
             fields.append(_Field(f.name, cardinality, pure_t, rel_t, doc,
                                  complex_=False))
+    # camelCase is lossy (``a_0`` and ``a0`` both -> ``a0``); a collision
+    # would make the generated mapping silently drop a column when the
+    # model is loaded back (class properties are keyed by name).  Refuse
+    # loudly instead of losing data.
+    by_prop: dict[str, list[str]] = {}
+    for fld in fields:
+        by_prop.setdefault(fld.field_name, []).append(fld.name)
+    clashes = {p: cols for p, cols in by_prop.items() if len(cols) > 1}
+    if clashes:
+        detail = "; ".join(
+            f"columns {cols} all map to property [{p}]"
+            for p, cols in sorted(clashes.items()))
+        raise LegendModelError(
+            f"camelCase collision in table [{table}]: {detail}. "
+            "Rename the colliding columns before generating a PURE model.")
     out.append(_GenClass(table, f"{namespace}::classes::{entity_name}",
                          fields, nested))
 

@@ -938,6 +938,7 @@ def write_pair_store(pairs: DataFrame, path: str, *,
     silently mixed or reused below their mining threshold.
     """
     params = {"method": method, "n": int(n), "threshold": float(threshold)}
+    to_write = pairs.select("id_a", "id_b", "jaccard")
     if mode == "append":
         try:
             existing = pairs.sparkSession.read.parquet(
@@ -952,8 +953,15 @@ def write_pair_store(pairs: DataFrame, path: str, *,
                     f"append called with {params} — mixed-parameter "
                     "pairs are incompatible. Match the store or rebuild "
                     "with mode='overwrite'.")
-    (pairs.select("id_a", "id_b", "jaccard")
-     .write.mode(mode).parquet(path))
+            # re-running the same mining job must not double edges:
+            # anti-join the batch against the store on (id_a, id_b) so
+            # appends are idempotent (downstream pagerank / connected
+            # components would otherwise double-count duplicated pairs).
+            prior = pairs.sparkSession.read.parquet(path)
+            to_write = to_write.join(
+                prior.select("id_a", "id_b"), ["id_a", "id_b"],
+                "left_anti")
+    to_write.write.mode(mode).parquet(path)
     meta = pairs.sparkSession.createDataFrame(
         [tuple(params.values())],
         "method string, n int, threshold double")

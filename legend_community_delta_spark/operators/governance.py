@@ -49,14 +49,25 @@ def suppress_small_groups(df: DataFrame, quasi_cols: list[str],
                           k: int = 5) -> DataFrame:
     """The enforcement half: drop every row whose quasi-identifier
     combination covers fewer than *k* rows (suppression — the blunt,
-    always-correct k-anonymization).  One aggregate + one equi-join."""
+    always-correct k-anonymization).  One aggregate + one semi-join.
+
+    NULL quasi-identifier values form their own group, exactly as
+    ``k_anonymity_report`` counts them: the semi-join uses NULL-safe
+    equality (``<=>``) per quasi column, so a NULL combination covering
+    >= k rows is KEPT (a plain equi-join would silently drop it and the
+    report/enforcement pair would disagree on NULL-valued rows)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     ok = (df.groupBy(*quasi_cols)
           .agg(F.count(F.lit(1)).alias("__n"))
           .where(F.col("__n") >= k)
           .drop("__n"))
-    return df.join(ok, quasi_cols, "left_semi")
+    ok = ok.select(*[F.col(c).alias(f"__ok_{c}") for c in quasi_cols])
+    cond = None
+    for c in quasi_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__ok_{c}"))
+        cond = term if cond is None else cond & term
+    return df.join(ok, cond, "left_semi")
 
 
 def benford_report(df: DataFrame, value_col: str) -> DataFrame:

@@ -302,7 +302,12 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.pos >= len(self.data):
-            return 0  # spec: pad with 1s at the end; 0 is equally inert
+            # spec (ITU-T T.81 F.2.2.5): the entropy stream pads with 1
+            # bits.  Must match exactly: for a stream ending mid-code,
+            # all-ones prefixes are typically unassigned in canonical
+            # Huffman tables, so 1-padding errors out where 0-padding
+            # could silently decode a wrong symbol.
+            return 1
         b = (self.data[self.pos] >> (7 - self.bit)) & 1
         self.bit += 1
         if self.bit == 8:

@@ -191,7 +191,11 @@ def cms_cells(df: DataFrame, value_col: str, d: int = 4,
     # concat with NULL is NULL): the sketch and the probe must agree
     # on NULL's cells or a NULL probe would estimate 0 while NULLs
     # were counted in, breaking est >= true-count.  The sentinel
-    # starts with a NUL byte no cast-to-string value produces.
+    # starts with a NUL byte, which no numeric/date/bool cast can
+    # produce; a STRING column could in principle hold the literal
+    # "\x00NULL" and would then share NULL's cells — that only
+    # inflates both estimates (est >= true still holds), it never
+    # under-counts.
     v = F.coalesce(F.col(value_col).cast("string"),
                    F.lit("\x00NULL"))
     rc = F.explode(F.array(*[
@@ -236,7 +240,11 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str,
     # concat with NULL is NULL): the sketch and the probe must agree
     # on NULL's cells or a NULL probe would estimate 0 while NULLs
     # were counted in, breaking est >= true-count.  The sentinel
-    # starts with a NUL byte no cast-to-string value produces.
+    # starts with a NUL byte, which no numeric/date/bool cast can
+    # produce; a STRING column could in principle hold the literal
+    # "\x00NULL" and would then share NULL's cells — that only
+    # inflates both estimates (est >= true still holds), it never
+    # under-counts.
     v = F.coalesce(F.col(value_col).cast("string"),
                    F.lit("\x00NULL"))
     keys = probes.select(

@@ -296,10 +296,16 @@ def nb_score_stream(stream: DataFrame, model_wide: DataFrame,
         F.col(id_col).alias("doc_id"),
         F.transform(_tokens(text_col), lambda t: F.lower(t))
         .alias("__toks"))
-    # explode_outer keeps empty docs (NULL tok, cnt 0 -> prior fallback)
+    # explode_outer keeps empty docs (NULL tok, cnt 0 -> prior fallback).
+    # NULL-text guard must be an explicit when(): under legacy sizeOfNull
+    # size(NULL array) is -1 (not NULL), so coalesce(size(..), 0) would
+    # give __ntok = -1 and add a spurious -log_oov to every class score,
+    # breaking parity with classify.nb_score (which scores NULL-text
+    # docs at the bare prior).
     ex = arr.select(
         "doc_id", "__toks",
-        F.coalesce(F.size("__toks"), F.lit(0)).alias("__ntok"),
+        F.when(F.col("__toks").isNull(), F.lit(0))
+        .otherwise(F.size("__toks")).alias("__ntok"),
         F.explode_outer(F.array_distinct("__toks")).alias("tok"))
     cnts = ex.select(
         "doc_id", "__ntok", "tok",

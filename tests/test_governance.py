@@ -37,6 +37,22 @@ def test_suppress_small_groups_enforces_k(spark):
         suppress_small_groups(df, ["lang"], k=1)
 
 
+def test_suppress_small_groups_null_group_kept(spark):
+    """Mirror of the report test: a NULL quasi-identifier combination
+    covering >= k rows is its own group and must be KEPT by suppression
+    (regression: a plain equi-join semi-join dropped every NULL row)."""
+    rows = [(None, "a", i) for i in range(3)] + \
+        [("en", None, 10 + i) for i in range(3)] + \
+        [(None, None, 20), ("fr", "a", 21)]
+    df = spark.createDataFrame(rows, "lang string, source string, id long")
+    out = suppress_small_groups(df, ["lang", "source"], k=3)
+    # NULL groups of size 3 survive; (None,None)=1 and ("fr","a")=1 drop
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 10, 11, 12]
+    # report agrees: enforcement output is k-anonymous
+    rep = k_anonymity_report(out, ["lang", "source"], k=3).collect()[0]
+    assert rep.violating_groups == 0 and rep.n_rows == 6
+
+
 def test_benford_report_hand_computed(spark):
     # 1x 123.4, 2x 0.0045 (digit 4), 1x 9000.0, one NULL, one negative
     df = spark.createDataFrame(

@@ -605,3 +605,27 @@ def test_pair_store_rejects_mismatched_reads_and_appends(spark, tmp_path):
     with pytest.raises(ValueError, match="mixed-parameter"):
         DD.write_pair_store(pairs, path, method="verified", n=4,
                             threshold=0.2, mode="append")
+
+
+def test_pair_store_append_is_idempotent(spark, tmp_path):
+    """Re-appending an overlapping batch must not duplicate (id_a,id_b)
+    edges — downstream pagerank/components would double-count them."""
+    path = str(tmp_path / "pairs")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id_a long, id_b long, jaccard double")
+    DD.write_pair_store(mk([(1, 2, 0.9), (3, 4, 0.5)]), path,
+                        method="verified", n=5, threshold=0.2)
+    # same batch re-appended: store unchanged
+    DD.write_pair_store(mk([(1, 2, 0.9), (3, 4, 0.5)]), path,
+                        method="verified", n=5, threshold=0.2,
+                        mode="append")
+    got = sorted((r.id_a, r.id_b) for r in
+                 DD.read_pairs(spark, path).collect())
+    assert got == [(1, 2), (3, 4)]
+    # overlapping batch: only the genuinely-new pair lands
+    DD.write_pair_store(mk([(3, 4, 0.5), (5, 6, 0.7)]), path,
+                        method="verified", n=5, threshold=0.2,
+                        mode="append")
+    got = sorted((r.id_a, r.id_b) for r in
+                 DD.read_pairs(spark, path).collect())
+    assert got == [(1, 2), (3, 4), (5, 6)]

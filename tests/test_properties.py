@@ -7,7 +7,7 @@ from __future__ import annotations
 import os
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import types as T
 
 from legend_community_delta_spark import load_dicts
@@ -36,11 +36,28 @@ def flat_schemas(draw):
     ])
 
 
+def _camel(s):
+    c = "".join(p[:1].upper() + p[1:] for p in s.split("_") if p)
+    return c[:1].lower() + c[1:] if c else c
+
+
 @settings(max_examples=40, deadline=None)
 @given(flat_schemas())
+@example(T.StructType([T.StructField("a_0", T.StringType(), True),
+                       T.StructField("a0", T.StringType(), True)]))
 def test_codegen_round_trip_schema(schema):
     """schema -> PURE text -> (our parser) -> model -> mapping schema
-    reproduces the original columns/types, nullable-relaxed."""
+    reproduces the original columns/types, nullable-relaxed.  Schemas
+    whose column names collide under camelCase (``a_0``/``a0``) must
+    refuse loudly instead of silently dropping a column (regression:
+    hypothesis-found in round 6)."""
+    camels = [_camel(f.name) for f in schema.fields]
+    if len(set(camels)) != len(camels):
+        import pytest
+        from legend_community_delta_spark.model.entities import LegendModelError
+        with pytest.raises(LegendModelError, match="camelCase collision"):
+            generate_pure_from_schema("prop::test", "db", "tbl", schema)
+        return
     text = generate_pure_from_schema("prop::test", "db", "tbl", schema)
     model = load_dicts(parse_model_text(text))
     out = mapping_schema(model, "prop::test::mapping::Tbl")

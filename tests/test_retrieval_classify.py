@@ -341,11 +341,14 @@ def test_nb_stream_matches_batch_scorer(spark, tmp_path):
         (1, "cat cat purr", "animal"), (2, "cat paw", "animal"),
         (3, "bolt nut wrench", "tool"), (4, "wrench bolt", "tool"),
     ])
-    # includes an empty doc (prior fallback) and an OOV-only doc
+    # includes an empty doc (prior fallback), an OOV-only doc, and a
+    # NULL-text doc (regression: legacy sizeOfNull gives size(NULL)=-1,
+    # which once injected a spurious -log_oov into every class score)
     test = _labeled(spark, [(10, "cat purr zz", "animal"),
                             (11, "bolt", "tool"),
                             (12, "", "animal"),
-                            (13, "zz qq", "tool")])
+                            (13, "zz qq", "tool"),
+                            (14, None, "animal")])
     model, stats = nb_train(train, "y")
     wide, stats_rows = nb_model_wide(model, stats)
     src = str(tmp_path / "src")
