@@ -41,14 +41,10 @@ def oracle_sql() -> dict[str, str]:
 # Why the rows-only entries have no oracle (driver records a rows-only
 # check for these; everything else is value-hashed against DuckDB):
 ROWS_ONLY_RATIONALE: dict[str, str] = {
-    "minhash_pairs": "MinHash estimate: pair set depends on 64 seeded "
-                     "hash permutations; no SQL-expressible equivalent.",
-    "simhash_pairs": "SimHash 64-bit fingerprint distance: seeded "
-                     "projection, hamming-ball membership is not "
-                     "reproducible from SQL set math.",
-    "embedding_dedup_pairs": "Random-hyperplane LSH buckets: candidate "
-                             "set is seed-dependent; cosine values are "
-                             "exact but the pair universe is not.",
+    # round 7: minhash_pairs / simhash_pairs / embedding_dedup_pairs
+    # moved OFF this list — their contract entries now run the
+    # md5-portable signature mode, which DuckDB reproduces exactly
+    # (full value oracles in demo.ORACLES).
     "lsh_ann_topk": "Approximate NN: result is top-k over LSH-probed "
                     "buckets, deliberately a (recall-pinned) subset of "
                     "the exact scan.",

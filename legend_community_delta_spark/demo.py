@@ -2141,23 +2141,171 @@ def _q_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EMB_DIMS_SPARK)
 
 
+# --- md5-portable dedup-pair entries (round 7) ---------------------------
+#
+# The MinHash / SimHash / hyperplane-LSH signatures are seeded
+# deterministic math; running them on md5 (engine-portable, the same
+# trick DSIR/CMS/splits already use) instead of xxhash64 makes the EXACT
+# pair set — including the banding buckets and the max_bucket hot-bucket
+# cap — reproducible in DuckDB, so these three carry full value oracles.
+# Production callers keep the cheaper xxhash64 defaults; recall
+# equivalence of the two modes is pinned in tests/test_operators.py.
+
+_MH_HASHES, _MH_BANDS, _MH_K, _MH_THRESH, _MH_BUCKET = 16, 8, 5, 0.3, 200
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates (rows-only check: not SQL-expressible)."""
+    """MinHash LSH near-dup candidates, md5-portable k-min signatures
+    (slot i = min over 5-shingles of md5('mh{i}:'||s) hex prefix) —
+    full duckdb oracle reproduces signatures, banding and the bucket cap."""
     ensure_views(spark, sf_dir)
-    return DD.minhash_dedup(spark.table("documents"), threshold=0.3)
+    return DD.minhash_dedup(spark.table("documents"),
+                            num_hashes=_MH_HASHES, bands=_MH_BANDS,
+                            shingle_k=_MH_K, threshold=_MH_THRESH,
+                            max_bucket=_MH_BUCKET, method="md5")
+
+
+def _minhash_oracle() -> str:
+    n, bands, k = _MH_HASHES, _MH_BANDS, _MH_K
+    r = n // bands
+    mins = ",\n    ".join(
+        f"min(substr(md5('mh{i}:' || s), 1, 16)) AS m{i}" for i in range(n))
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"m{b * r + j}" for j in range(r))
+        + ") AS bucket FROM sig" for b in range(bands))
+    est = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(n))
+    return f"""
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= {k}
+         THEN list_transform(generate_series(1, len(t) - {k - 1}),
+                             i -> substr(t, i, {k}))
+         ELSE [] END)) AS s
+  FROM docs),
+sig AS (SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id),
+banded AS (
+  {banded}),
+sizes AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+cool AS (SELECT b.doc_id, b.band, b.bucket
+         FROM banded b JOIN sizes s USING (band, bucket)
+         WHERE s.n <= {_MH_BUCKET}),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cool a JOIN cool b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST({est} AS DOUBLE) / {n} AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+WHERE CAST({est} AS DOUBLE) / {n} >= {_MH_THRESH}
+"""
+
+
+_SH_BITS, _SH_HAMMING, _SH_CHUNK = 60, 12, 15
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs, md5-portable 60-bit signature (15 md5 hex
+    chars as an integer — no 64-bit overflow drift) — full duckdb oracle."""
     ensure_views(spark, sf_dir)
-    return DD.simhash_dedup(spark.table("documents"), max_hamming=12)
+    return DD.simhash_dedup(spark.table("documents"),
+                            max_hamming=_SH_HAMMING, hash="md5")
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SH_BITS))
+    sim = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(_SH_BITS))
+    chunks = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (sim >> {c * _SH_CHUNK}) & "
+        f"{(1 << _SH_CHUNK) - 1} AS val FROM sig" for c in range(4))
+    return rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ts) >= 2
+         THEN list_transform(generate_series(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i + 1])
+         ELSE [] END) AS g
+  FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+      FROM grams),
+votes AS (SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sim} AS sim FROM votes),
+chunks AS (
+  {chunks}),
+sizes AS (SELECT chunk, val, count(*) AS n FROM chunks GROUP BY 1, 2),
+cool AS (SELECT c.doc_id, c.chunk, c.val
+         FROM chunks c JOIN sizes s USING (chunk, val)
+         WHERE s.n <= 200),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cool a JOIN cool b USING (chunk, val)
+          WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+WHERE bit_count(xor(sa.sim, sb.sim)) <= {_SH_HAMMING}
+"""
+
+
+_EMB_THRESH, _EMB_PLANES, _EMB_DIMS, _EMB_SEED = 0.3, 4, 64, 42
 
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (rows-only check)."""
+    """Embedding-cosine near-dup pairs over seeded random hyperplanes.
+    The plane constants are deterministic driver-side literals, double
+    folds are left-to-right in both engines, so the oracle reproduces the
+    bucket bits AND the exact cosines (rounded at 6 for output only;
+    the threshold compares the raw double in both engines)."""
     ensure_views(spark, sf_dir)
-    return DD.embedding_dedup(spark.table("embeddings"), threshold=0.9,
-                              n_planes=8, dims=64)
+    return (DD.embedding_dedup(spark.table("embeddings"),
+                               threshold=_EMB_THRESH, n_planes=_EMB_PLANES,
+                               dims=_EMB_DIMS, seed=_EMB_SEED)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def _embedding_dedup_oracle() -> str:
+    import random as _random
+    rng = _random.Random(_EMB_SEED)
+    planes = [[rng.gauss(0, 1) for _ in range(_EMB_DIMS)]
+              for _ in range(_EMB_PLANES)]
+    bucket = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(embedding, ["
+        + ", ".join(repr(x) for x in p)
+        + "]), p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings
+           WHERE len(embedding) = {_EMB_DIMS}),
+sig AS (SELECT vec_id, embedding, {bucket} AS bucket FROM v),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d,
+    sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM sig a JOIN sig b USING (bucket)
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END AS c
+  FROM cand)
+SELECT id_a, id_b, round(c, 6) AS cosine
+FROM scored WHERE c >= {_EMB_THRESH}
+"""
 
 
 def _q_asof_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5659,6 +5807,9 @@ assert set(_ROUND6_ORDER) == set(QUERIES), (
 QUERIES = {k: QUERIES[k] for k in _ROUND6_ORDER}
 
 ORACLES: dict[str, str] = {
+    "minhash_pairs": _minhash_oracle(),
+    "simhash_pairs": _simhash_oracle(),
+    "embedding_dedup_pairs": _embedding_dedup_oracle(),
     "legend_mapping_orders": _ORACLE_MAPPING_ORDERS,
     "legend_service_part_stats": _ORACLE_PART_STATS,
     "legend_service_orders_by_year": _ORACLE_ORDERS_BY_YEAR,

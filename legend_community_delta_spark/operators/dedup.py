@@ -150,7 +150,28 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
       aggregation carries 64x more groups — a better trade only when
       signatures are much longer or per-row hashing is the true
       bottleneck.  Same candidate pairs as kperm on the test corpora.
+    * ``md5``: engine-PORTABLE k-min (slot i = min over shingles of the
+      16-hex-char prefix of ``md5('mh{i}:' || shingle)``, compared as
+      ASCII hex strings — identical on any engine with md5, so DuckDB
+      reproduces the exact signature/pair set and the contract entry
+      carries a full value oracle).  Same estimator family as kperm
+      (k independent hash functions); dodges 64-bit overflow semantics
+      that differ across engines.  ~md5-per-slot cost: the ORACLE mode;
+      production default stays xxhash64 kperm.
     """
+    if method == "md5":
+        hashed = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(
+                char_shingles(text_col, shingle_k))).alias("__s"))
+        mins = [F.min(F.substring(
+                    F.md5(F.concat(F.lit(f"mh{i}:"), F.col("__s"))), 1, 16))
+                .alias(f"__m{i}") for i in range(num_hashes)]
+        agg = hashed.groupBy("__id").agg(*mins)
+        return agg.select(
+            "__id",
+            F.array(*[F.col(f"__m{i}")
+                      for i in range(num_hashes)]).alias("__sig"))
     if method == "kperm":
         agg = _minhash_mins_df(df, text_col, id_col, num_hashes,
                                shingle_k, seed)
@@ -216,8 +237,13 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                  shingle_k, seed, method)
 
     # band bucket = one multi-arg xxhash64 over the band's signature
-    # slots — pure long arithmetic, no per-doc string building/joining
-    banded = sigs.select("__id", _band_key("__sig", bands, r).alias("__band"))
+    # slots — pure long arithmetic, no per-doc string building/joining.
+    # md5 mode buckets on md5(concat_ws) instead so the bucket (hence
+    # the exact candidate set, incl. the max_bucket cap) is reproducible
+    # in any engine with md5 — the property the duckdb oracle needs.
+    banded = sigs.select("__id", _band_key("__sig", bands, r,
+                                           portable=(method == "md5"))
+                         .alias("__band"))
 
     bucket_sizes = banded.groupBy("__band").agg(
         F.count(F.lit(1)).alias("__n"))
@@ -243,14 +269,19 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select("id_a", "id_b", "est_jaccard"))
 
 
-def _band_key(sig_col: str, bands: int, r: int) -> F.Column:
+def _band_key(sig_col: str, bands: int, r: int,
+              portable: bool = False) -> F.Column:
     """Exploded (band, bucket) struct column over a signature array —
-    bucket is one multi-arg xxhash64 of the band's slots (long-only)."""
+    bucket is one multi-arg xxhash64 of the band's slots (long-only), or
+    in *portable* mode ``md5(concat_ws('|', slots))`` (engine-portable
+    for the duckdb oracle; slots are hex strings there)."""
+    def bucket(b: int) -> F.Column:
+        slots = [F.element_at(sig_col, b * r + j + 1) for j in range(r)]
+        if portable:
+            return F.md5(F.concat_ws("|", *slots))
+        return F.xxhash64(*slots)
     return F.explode(F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at(sig_col, b * r + j + 1)
-                         for j in range(r)]).alias("bucket"))
+        F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
         for b in range(bands)]))
 
 
@@ -409,13 +440,30 @@ def simhash(text_col: str, ngram: int = 2, bits: int = 64) -> F.Column:
 
 
 def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-               ngram: int = 2, bits: int = 64) -> DataFrame:
+               ngram: int = 2, bits: int = 64,
+               hash: str = "xxhash64") -> DataFrame:
     """(id, simhash long) via explode + per-bit vote aggregates — the bulk
-    path (same rationale as :func:`minhash_signatures_df`)."""
+    path (same rationale as :func:`minhash_signatures_df`).
+
+    ``hash="md5"`` is the engine-PORTABLE variant: the per-ngram hash is
+    the first 15 hex chars of md5 read as a 60-bit integer (fits a
+    signed long on every engine — no 64-bit overflow-semantics drift),
+    so *bits* is capped at 60 and DuckDB can reproduce the signature
+    bit-for-bit (``('0x' || substr(md5(g),1,15))::BIGINT``).  Oracle
+    mode; production default stays xxhash64.
+    """
+    if hash == "md5":
+        bits = min(bits, 60)
+        h = F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10) \
+            .cast("long")
+    elif hash == "xxhash64":
+        h = F.xxhash64("__g")
+    else:
+        raise ValueError(f"unknown simhash hash [{hash}]")
     hashed = df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_ngrams(text_col, ngram)).alias("__g")
-    ).withColumn("__h", F.xxhash64("__g"))
+    ).withColumn("__h", h)
     votes = [
         F.sum(F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{b}")
@@ -438,7 +486,7 @@ def hamming64(a: F.Column | str, b: F.Column | str) -> F.Column:
 
 def hamming_pairs(sigs: DataFrame, id_col: str = "__id",
                   sig_col: str = "__sim", max_hamming: int = 3,
-                  max_bucket: int = 200) -> DataFrame:
+                  max_bucket: int = 200, chunk_bits: int = 16) -> DataFrame:
     """Near-dup pairs over ANY (id, 64-bit signature) frame with hamming
     distance <= *max_hamming* — the candidate machinery shared by text
     SimHash and perceptual image hashes.
@@ -454,12 +502,13 @@ def hamming_pairs(sigs: DataFrame, id_col: str = "__id",
     """
     base = sigs.select(F.col(id_col).alias("__id"),
                        F.col(sig_col).alias("__sim"))
+    mask = (1 << chunk_bits) - 1
     chunks = base.select(
         "__id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk"),
-                     F.shiftright("__sim", i * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("val"))
+                     F.shiftright("__sim", i * chunk_bits)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
             for i in range(4)])).alias("__c"))
     sizes = chunks.groupBy("__c").agg(F.count(F.lit(1)).alias("__n"))
     cool = chunks.join(sizes.where(F.col("__n") <= max_bucket), "__c")
@@ -481,12 +530,16 @@ def hamming_pairs(sigs: DataFrame, id_col: str = "__id",
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, ngram: int = 2,
-                  max_bucket: int = 200) -> DataFrame:
+                  max_bucket: int = 200, hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= *max_hamming* —
     :func:`simhash_df` signatures through the shared
-    :func:`hamming_pairs` pigeonhole chunk join."""
-    return hamming_pairs(simhash_df(df, text_col, id_col, ngram),
-                         max_hamming=max_hamming, max_bucket=max_bucket)
+    :func:`hamming_pairs` pigeonhole chunk join.  ``hash="md5"`` runs
+    the 60-bit engine-portable signature (4 chunks of 15 bits; same
+    pigeonhole guarantee) so the pair set is duckdb-reproducible."""
+    chunk_bits = 15 if hash == "md5" else 16
+    return hamming_pairs(simhash_df(df, text_col, id_col, ngram, hash=hash),
+                         max_hamming=max_hamming, max_bucket=max_bucket,
+                         chunk_bits=chunk_bits)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -29,8 +29,9 @@ def test_entry_contract(spark):
     # documented exceptions
     rows_only = set(qs) - set(oracles)
     assert rows_only == set(mod.ROWS_ONLY_RATIONALE)
-    assert rows_only == {"minhash_pairs", "simhash_pairs",
-                         "embedding_dedup_pairs", "lsh_ann_topk",
+    # round 7: minhash/simhash/embedding_dedup pairs moved to full
+    # oracles via the md5-portable signature mode
+    assert rows_only == {"lsh_ann_topk",
                          "lsh_index_topk", "ivf_index_topk",
                          "pq_ann_topk", "semdedup_pairs",
                          "semantic_contamination_pairs",

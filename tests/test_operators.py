@@ -314,6 +314,29 @@ def test_minhash_oph_agrees_with_kperm(docs):
     assert kp and kp == op
 
 
+def test_minhash_md5_mode_same_recall(docs):
+    """The md5-portable (oracle) mode must catch the same dup/near-dup
+    pairs as the xxhash64 production mode on the pinned fixture corpus,
+    and exact dups must still estimate 1.0."""
+    md = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+          for r in DD.minhash_dedup(docs, threshold=0.5,
+                                    method="md5").collect()}
+    assert (1, 2) in md and (1, 3) in md and (2, 3) in md
+    assert (1, 4) in md                    # near dup caught
+    assert all(5 not in p and 6 not in p for p in md)
+    assert md[(1, 2)] == 1.0
+
+
+def test_simhash_md5_mode_same_recall(docs):
+    """Portable 60-bit SimHash: exact dups at hamming 0, same
+    keep/drop behavior as the 64-bit xxhash64 mode on the fixtures."""
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in DD.simhash_dedup(docs, max_hamming=10,
+                                     hash="md5").collect()}
+    assert got[(1, 2)] == 0
+    assert all((1, 5) != k and (4, 5) != k for k in got)
+
+
 def test_incremental_minhash_matches_full_batch(spark, tmp_path):
     """Signature store + incremental pairs on an append batch must equal
     the full-batch pair set: store(A) pairs ∪ incremental(B) pairs ==
