@@ -2155,11 +2155,16 @@ _MH_HASHES, _MH_BANDS, _MH_K, _MH_THRESH, _MH_BUCKET = 16, 8, 5, 0.3, 200
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates, md5-portable k-min signatures
-    (slot i = min over 5-shingles of md5('mh{i}:'||s) hex prefix) —
-    full duckdb oracle reproduces signatures, banding and the bucket cap."""
+    """MinHash LSH near-dup candidates, md5-portable signatures
+    (Kirsch-Mitzenmacher: one md5 per distinct 5-shingle, slot i =
+    min(h1 + i*h2) over two 48-bit md5 halves) — full duckdb oracle
+    reproduces signatures, banding and the hot-bucket cap exactly."""
     ensure_views(spark, sf_dir)
-    return DD.minhash_dedup(spark.table("documents"),
+    # single-file input arrives as one split; spread the shingle md5 +
+    # min aggregates across cores the way a multi-split scan would be
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return DD.minhash_dedup(docs,
                             num_hashes=_MH_HASHES, bands=_MH_BANDS,
                             shingle_k=_MH_K, threshold=_MH_THRESH,
                             max_bucket=_MH_BUCKET, method="md5")
@@ -2169,11 +2174,11 @@ def _minhash_oracle() -> str:
     n, bands, k = _MH_HASHES, _MH_BANDS, _MH_K
     r = n // bands
     mins = ",\n    ".join(
-        f"min(substr(md5('mh{i}:' || s), 1, 16)) AS m{i}" for i in range(n))
+        f"min(h1 + {i} * h2) AS m{i}" for i in range(n))
     banded = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"m{b * r + j}" for j in range(r))
-        + ") AS bucket FROM sig" for b in range(bands))
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"m{b * r + j}::VARCHAR" for j in range(r))
+        + " AS bucket FROM sig" for b in range(bands))
     est = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(n))
     return f"""
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -2184,9 +2189,14 @@ sh AS (
                              i -> substr(t, i, {k}))
          ELSE [] END)) AS s
   FROM docs),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+  FROM sh),
 sig AS (SELECT doc_id,
     {mins}
-  FROM sh GROUP BY doc_id),
+  FROM hh GROUP BY doc_id),
 banded AS (
   {banded}),
 sizes AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
@@ -2211,8 +2221,9 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5-portable 60-bit signature (15 md5 hex
     chars as an integer — no 64-bit overflow drift) — full duckdb oracle."""
     ensure_views(spark, sf_dir)
-    return DD.simhash_dedup(spark.table("documents"),
-                            max_hamming=_SH_HAMMING, hash="md5")
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return DD.simhash_dedup(docs, max_hamming=_SH_HAMMING, hash="md5")
 
 
 def _simhash_oracle() -> str:

@@ -150,24 +150,32 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
       aggregation carries 64x more groups — a better trade only when
       signatures are much longer or per-row hashing is the true
       bottleneck.  Same candidate pairs as kperm on the test corpora.
-    * ``md5``: engine-PORTABLE k-min (slot i = min over shingles of the
-      16-hex-char prefix of ``md5('mh{i}:' || shingle)``, compared as
-      ASCII hex strings — identical on any engine with md5, so DuckDB
-      reproduces the exact signature/pair set and the contract entry
-      carries a full value oracle).  Same estimator family as kperm
-      (k independent hash functions); dodges 64-bit overflow semantics
-      that differ across engines.  ~md5-per-slot cost: the ORACLE mode;
-      production default stays xxhash64 kperm.
+    * ``md5``: engine-PORTABLE k-min via Kirsch-Mitzenmacher double
+      hashing — ONE md5 per distinct shingle, split into two 48-bit
+      integers ``h1`` (hex chars 1-12) and ``h2`` (13-24); slot i is
+      ``min(h1 + i*h2)``.  Everything stays under 2^53, so the integer
+      math is overflow-free and bit-identical on any engine with md5
+      and 64-bit integers (DuckDB: ``('0x'||substr(md5(s),..))::BIGINT``)
+      — the contract entry carries a full value oracle.  Production
+      default stays xxhash64 kperm (cheaper hash, same plan shape).
     """
     if method == "md5":
+        if num_hashes > 32:
+            raise ValueError(
+                "md5 (portable) minhash supports <= 32 slots: "
+                "h1 + i*h2 must stay overflow-free on every engine")
         hashed = df.select(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(
                 char_shingles(text_col, shingle_k))).alias("__s"))
-        mins = [F.min(F.substring(
-                    F.md5(F.concat(F.lit(f"mh{i}:"), F.col("__s"))), 1, 16))
-                .alias(f"__m{i}") for i in range(num_hashes)]
-        agg = hashed.groupBy("__id").agg(*mins)
+        h = F.md5(F.col("__s"))
+        hh = hashed.select(
+            "__id",
+            F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("__h1"),
+            F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("__h2"))
+        mins = [F.min(F.col("__h1") + i * F.col("__h2")).alias(f"__m{i}")
+                for i in range(num_hashes)]
+        agg = hh.groupBy("__id").agg(*mins)
         return agg.select(
             "__id",
             F.array(*[F.col(f"__m{i}")
@@ -238,9 +246,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     # band bucket = one multi-arg xxhash64 over the band's signature
     # slots — pure long arithmetic, no per-doc string building/joining.
-    # md5 mode buckets on md5(concat_ws) instead so the bucket (hence
-    # the exact candidate set, incl. the max_bucket cap) is reproducible
-    # in any engine with md5 — the property the duckdb oracle needs.
+    # md5 mode buckets on the slots' decimal rendering joined with '|'
+    # instead, so the bucket (hence the exact candidate set, incl. the
+    # max_bucket cap) is reproducible in any engine — the property the
+    # duckdb oracle needs.
     banded = sigs.select("__id", _band_key("__sig", bands, r,
                                            portable=(method == "md5"))
                          .alias("__band"))
@@ -273,12 +282,12 @@ def _band_key(sig_col: str, bands: int, r: int,
               portable: bool = False) -> F.Column:
     """Exploded (band, bucket) struct column over a signature array —
     bucket is one multi-arg xxhash64 of the band's slots (long-only), or
-    in *portable* mode ``md5(concat_ws('|', slots))`` (engine-portable
-    for the duckdb oracle; slots are hex strings there)."""
+    in *portable* mode the slots' decimal strings joined with '|'
+    (engine-portable for the duckdb oracle)."""
     def bucket(b: int) -> F.Column:
         slots = [F.element_at(sig_col, b * r + j + 1) for j in range(r)]
         if portable:
-            return F.md5(F.concat_ws("|", *slots))
+            return F.concat_ws("|", *[s.cast("string") for s in slots])
         return F.xxhash64(*slots)
     return F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
