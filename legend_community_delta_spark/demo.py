@@ -5651,65 +5651,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_customers": _q_setop_customers,
 }
 
-# Driver-sample rotation for round 6 (see COVERAGE.md "Driver-sample
+# Driver-sample rotation for round 7 (see COVERAGE.md "Driver-sample
 # rotation"): the correctness driver samples the FIRST 50 entries of
-# ``QUERIES``.  CORRECTNESS_r05.json holds green rows for exactly the 50
-# entries that led the round-5 ordering, so round 6 rotates the 85 entries
-# WITHOUT an r5 row to the front -- 31 entries never sampled by any
-# driver round first, then the 54 whose only driver rows predate round 5,
-# then the 50 freshly green in r5.  The list is explicit (not computed)
-# so the sampled set is deterministic and reviewable in the diff.
-_ROUND6_ORDER: list[str] = [
-    "nb_lang_confusion",
-    "cms_token_freq",
-    "pagerank_near_dups",
-    "bm25_index_topk",
-    "nb_stream_preds",
-    "containment_dup_pairs",
-    "weighted_docs_sample",
-    "session_paths",
-    "events_psi_drift",
-    "corpus_diff_stats",
-    "doc_char_entropy",
-    "event_key_skew",
-    "vocab_edit_pairs",
-    "hard_negative_mining",
-    "events_psi_stream",
-    "quality_pct_rank",
-    "knn_graph_edges",
-    "events_agg_store_stats",
-    "events_resampled",
-    "lang_source_chi2",
-    "incremental_components",
-    "events_ks_drift",
-    "rolling_median_events",
-    "quality_quartiles",
-    "bpe_merge_table",
-    "bpe_token_stats",
-    "lsh_index_topk",
-    "ivf_index_topk",
-    "pq_ann_topk",
-    "semdedup_pairs",
-    "semantic_contamination_pairs",
-    "minhash_pairs",
-    "simhash_pairs",
-    "embedding_dedup_pairs",
-    "lsh_ann_topk",
-    "pair_store_pagerank",
-    "intra_dup_span_docs",
-    "session_window_events",
-    "events_sliding_window",
-    "ngram_diversity_by_source",
-    "zipf_slope_by_source",
-    "kn_surprisal_docs",
-    "cdc_chunk_docs",
-    "dup_rate_by_source",
-    "stupid_backoff_docs",
-    "cluster_size_histogram",
-    "k_anonymity_docs",
-    "benford_orders",
-    "reconcile_orders",
-    "scd2_user_status",
+# ``QUERIES``.  51 entries' latest driver row is r4 or older --
+# ``gini_order_values`` (#151, never sampled by any driver round) plus
+# the 50 whose freshest row predates round 5 -- so round 7 front-loads
+# those 51 (gini first; one of the 51 necessarily falls outside the
+# 50-entry window), then the remaining 100 ordered by ascending
+# freshness (r5 rows before r6 rows).  The list is explicit (not
+# computed) so the sampled set is deterministic and reviewable in the
+# diff.
+_ROUND7_ORDER: list[str] = [
     "gini_order_values",
     "legend_mapping_orders",
     "legend_service_part_stats",
@@ -5811,11 +5763,61 @@ _ROUND6_ORDER: list[str] = [
     "robust_quality_docs",
     "lm_surprisal_docs",
     "bm25_topk_docs",
+    "nb_lang_confusion",
+    "cms_token_freq",
+    "pagerank_near_dups",
+    "bm25_index_topk",
+    "nb_stream_preds",
+    "containment_dup_pairs",
+    "weighted_docs_sample",
+    "session_paths",
+    "events_psi_drift",
+    "corpus_diff_stats",
+    "doc_char_entropy",
+    "event_key_skew",
+    "vocab_edit_pairs",
+    "hard_negative_mining",
+    "events_psi_stream",
+    "quality_pct_rank",
+    "knn_graph_edges",
+    "events_agg_store_stats",
+    "events_resampled",
+    "lang_source_chi2",
+    "incremental_components",
+    "events_ks_drift",
+    "rolling_median_events",
+    "quality_quartiles",
+    "bpe_merge_table",
+    "bpe_token_stats",
+    "lsh_index_topk",
+    "ivf_index_topk",
+    "pq_ann_topk",
+    "semdedup_pairs",
+    "semantic_contamination_pairs",
+    "minhash_pairs",
+    "simhash_pairs",
+    "embedding_dedup_pairs",
+    "lsh_ann_topk",
+    "pair_store_pagerank",
+    "intra_dup_span_docs",
+    "session_window_events",
+    "events_sliding_window",
+    "ngram_diversity_by_source",
+    "zipf_slope_by_source",
+    "kn_surprisal_docs",
+    "cdc_chunk_docs",
+    "dup_rate_by_source",
+    "stupid_backoff_docs",
+    "cluster_size_histogram",
+    "k_anonymity_docs",
+    "benford_orders",
+    "reconcile_orders",
+    "scd2_user_status",
 ]
-assert set(_ROUND6_ORDER) == set(QUERIES), (
-    sorted(set(_ROUND6_ORDER) ^ set(QUERIES))
+assert set(_ROUND7_ORDER) == set(QUERIES), (
+    sorted(set(_ROUND7_ORDER) ^ set(QUERIES))
 )
-QUERIES = {k: QUERIES[k] for k in _ROUND6_ORDER}
+QUERIES = {k: QUERIES[k] for k in _ROUND7_ORDER}
 
 ORACLES: dict[str, str] = {
     "minhash_pairs": _minhash_oracle(),
