@@ -3986,8 +3986,12 @@ def _q_cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary rule and compares the chunk TEXT itself."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import cdc_chunks
-    return (cdc_chunks(spark.table("documents"), window=4,
-                       boundary_hex=1, min_tokens=1)
+    # single-file input arrives as one split; spread the per-window
+    # hashing across cores the way a multi-split scan would be
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return (cdc_chunks(docs, window=4,
+                       boundary_hex=1, min_tokens=1, portable=True)
             .select("doc_id", F.col("chunk_id").cast("long")
                     .alias("chunk_id"),
                     "start_token", "n_tokens", "chunk_text"))

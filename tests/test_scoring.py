@@ -477,7 +477,7 @@ def test_cdc_chunks_matches_reference_and_reconstructs(spark):
     for window, hexz, mint in ((2, 1, 1), (4, 1, 3), (3, 1, 5)):
         got = {}
         for r in cdc_chunks(df, window=window, boundary_hex=hexz,
-                            min_tokens=mint).collect():
+                            min_tokens=mint, portable=True).collect():
             got.setdefault(r.doc_id, []).append(
                 (r.chunk_id, r.start_token, r.n_tokens, r.chunk_text))
         for i, text in rows:
@@ -502,13 +502,44 @@ def test_cdc_chunks_content_defined_shift_locality(spark):
     df = spark.createDataFrame(
         [(1, " ".join(base)), (2, " ".join(shifted))],
         "doc_id long, text string")
-    ch = {}
+    # BOTH fingerprint modes are content-defined; the property must
+    # hold identically for the fast xxhash64 default and the
+    # md5-portable oracle mode
+    for portable in (False, True):
+        ch = {}
+        for r in cdc_chunks(df, window=3, boundary_hex=1,
+                            min_tokens=1, portable=portable).collect():
+            ch.setdefault(r.doc_id, set()).add(r.chunk_text)
+        common = ch[1] & ch[2]
+        # everything beyond the first boundary after the insertion is
+        # shared
+        assert len(common) >= max(len(ch[1]) - 2, 1), portable
+
+
+def test_cdc_chunks_fast_mode_reconstructs(spark):
+    """The xxhash64 default mode still reconstructs every doc exactly
+    and honors the min-size guard."""
+    from legend_community_delta_spark.operators.scoring import cdc_chunks
+    import random
+    rng = random.Random(31)
+    rows = [(i, " ".join(rng.choice("abcdefgh")
+                         for _ in range(rng.randint(0, 60))))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
     for r in cdc_chunks(df, window=3, boundary_hex=1,
-                        min_tokens=1).collect():
-        ch.setdefault(r.doc_id, set()).add(r.chunk_text)
-    common = ch[1] & ch[2]
-    # everything beyond the first boundary after the insertion is shared
-    assert len(common) >= max(len(ch[1]) - 2, 1)
+                        min_tokens=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_token, r.n_tokens, r.chunk_text))
+    for i, text in rows:
+        toks = text.split()
+        if not toks:
+            assert i not in got
+            continue
+        chunks = sorted(got[i])
+        assert " ".join(t for _, _, _, t in chunks) == " ".join(toks)
+        # min-size guard: every chunk except the last holds >= 3 tokens
+        assert all(nt >= 3 for _, _, nt, _ in chunks[:-1])
 
 
 def test_stupid_backoff_hand_computed_all_levels(spark):
