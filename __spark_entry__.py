@@ -45,6 +45,12 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     # moved OFF this list — their contract entries now run the
     # md5-portable signature mode, which DuckDB reproduces exactly
     # (full value oracles in demo.ORACLES).
+    "unigram_vocab": "Unigram-LM (SentencePiece) training: the EM "
+                     "fixed point over segmentation lattices is "
+                     "iterative, not one-query SQL; EM math pinned "
+                     "vs a pure-python reference in tests.",
+    "unigram_token_stats": "Same EM rationale; Viterbi encode counts "
+                           "under the trained model.",
     "lsh_ann_topk": "Approximate NN: result is top-k over LSH-probed "
                     "buckets, deliberately a (recall-pinned) subset of "
                     "the exact scan.",

@@ -4804,6 +4804,37 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(docs, seg)
 
 
+def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (tokenize.unigram_train, Kudo ACL'18): EM over candidate pieces —
+    E-step = forward-backward posteriors per distinct word (two Column
+    folds), M-step = one aggregate; prune toward the target vocabulary
+    keeping single-char coverage.  Rows-only by nature (the EM fixed
+    point is iterative, not one-query SQL); the EM math is pinned
+    against a pure-python reference in tests/test_tokenize.py."""
+    ensure_views(spark, sf_dir)
+    from .operators.tokenize import unigram_train
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    pieces = unigram_train(docs, vocab_size=150, n_em=1,
+                           max_piece_len=5, seed_size=500)
+    return pieces.select("piece", F.round("logp", 6).alias("logp"))
+
+
+def _q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus priced in Unigram-LM tokens: per-doc word/char/piece
+    counts under the trained model (tokenize.unigram_encode_stats) —
+    Viterbi runs once per DISTINCT word, docs equi-join the result.
+    Rows-only (same EM rationale); OOV chars fall back to char count."""
+    ensure_views(spark, sf_dir)
+    from .operators.tokenize import unigram_encode_stats, unigram_train
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    pieces = unigram_train(docs, vocab_size=150, n_em=1,
+                           max_piece_len=5, seed_size=500)
+    return unigram_encode_stats(docs, pieces, max_piece_len=5)
+
+
 def _q_weighted_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derandomized weighted sampling without replacement
     (curation.weighted_sample, Efraimidis-Spirakis A-Res): 100 docs
@@ -5589,6 +5620,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-8: rows-only by nature (iterative BPE merge fold) ---------
     "bpe_merge_table": _q_bpe_merge_table,
     "bpe_token_stats": _q_bpe_token_stats,
+    # -- round-7 additions: rows-only by nature (iterative EM) -----------
+    "unigram_vocab": _q_unigram_vocab,
+    "unigram_token_stats": _q_unigram_token_stats,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -5817,6 +5851,8 @@ _ROUND7_ORDER: list[str] = [
     "benford_orders",
     "reconcile_orders",
     "scd2_user_status",
+    "unigram_vocab",
+    "unigram_token_stats",
 ]
 assert set(_ROUND7_ORDER) == set(QUERIES), (
     sorted(set(_ROUND7_ORDER) ^ set(QUERIES))

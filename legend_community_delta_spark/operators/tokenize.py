@@ -280,3 +280,309 @@ def bpe_encode_stats(df: DataFrame, segmentation: DataFrame,
                  F.sum(F.length("word")).alias("n_chars"),
                  F.sum(F.coalesce(F.col("__n_sym"), F.length("word")))
                  .alias("n_bpe_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training  [Kudo, ACL'18]
+#
+# The tokenizer family actually used by Llama/T5-lineage pipelines.
+# Model: each piece x has probability p(x); a word's likelihood is the
+# sum over all segmentations of the product of piece probabilities.
+# Training is EM: the E-step computes each candidate piece's EXPECTED
+# count over all segmentations of every distinct word (forward-backward
+# over the segmentation lattice), the M-step renormalizes.  Between EM
+# rounds the vocabulary is pruned toward the target size.
+#
+# Spark shape (same "distinct-word table" trick as BPE — per-round work
+# is vocabulary-sized, never corpus-sized):
+#   * candidate edges  = explode word substrings, equi-join the
+#     (broadcast) piece table               -> a JOIN, corpus never rescanned
+#   * forward/backward = two left-to-right F.aggregate folds per word
+#     over the edge list (log-sum-exp in Column algebra)
+#   * M-step           = groupBy(piece).sum(freq * posterior)  -> an AGGREGATE
+# No Python UDFs anywhere; every stage is DataFrame algebra, so the
+# E-step parallelizes over distinct words and the model state that moves
+# between rounds is just the (piece, logp) table.
+#
+# Simplification vs the reference implementation, stated honestly:
+# pruning drops the lowest-expected-count pieces (never single chars)
+# instead of re-scoring the exact likelihood loss of removing each piece
+# — the standard cheap approximation; on the pinned fixtures both rules
+# keep the same survivors.
+# ---------------------------------------------------------------------------
+
+
+def _substr_candidates(word, max_piece_len: int):
+    """Array of all substrings of *word* with length <= max_piece_len,
+    as structs ``(s, l, sub)`` (1-based start, length)."""
+    n = F.length(word)
+    return F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)),
+            lambda l: F.struct(i.alias("s"), l.alias("l"),
+                               F.substring(word, i, l).alias("sub")))))
+
+
+def unigram_seed_vocab(df: DataFrame, text_col: str = "text",
+                       max_piece_len: int = 6,
+                       seed_size: int = 1000) -> DataFrame:
+    """Seed candidate vocabulary: the *seed_size* most frequent word
+    substrings (weighted by word frequency, ties broken by piece
+    ascending) UNION all single characters (coverage guarantee — every
+    word stays segmentable no matter how hard pruning bites).
+
+    Returns ``(piece, logp)`` with probabilities initialized
+    proportional to substring counts (the standard init)."""
+    wf = word_freqs(df, text_col)
+    subs = (wf.select(
+        "freq",
+        F.explode(_substr_candidates(F.col("word"), max_piece_len))
+        .alias("c"))
+        .select(F.col("c.sub").alias("piece"), "freq")
+        .groupBy("piece").agg(F.sum("freq").alias("n")))
+    chars = subs.where(F.length("piece") == 1)
+    top = (subs.where(F.length("piece") > 1)
+           .orderBy(F.desc("n"), "piece").limit(seed_size))
+    seeded = chars.unionByName(top)
+    total = seeded.agg(F.sum("n").alias("__t"))
+    return (seeded.crossJoin(F.broadcast(total))
+            .select("piece",
+                    (F.log(F.col("n").cast("double"))
+                     - F.log(F.col("__t").cast("double"))).alias("logp")))
+
+
+def _word_edges(words: DataFrame, pieces: DataFrame,
+                max_piece_len: int) -> DataFrame:
+    """(word, freq, n, edges) where edges = collected structs
+    ``(s, l, lp)`` of every in-vocabulary substring — the segmentation
+    lattice, built by a substring explode + broadcast equi-join."""
+    cand = (words.select(
+        "word", "freq",
+        F.explode(_substr_candidates(F.col("word"), max_piece_len))
+        .alias("c"))
+        .select("word", "freq", F.col("c.s").alias("s"),
+                F.col("c.l").alias("l"), F.col("c.sub").alias("sub")))
+    hit = cand.join(F.broadcast(pieces),
+                    cand["sub"] == pieces["piece"], "inner")
+    return (hit.groupBy("word", "freq")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("s", "l", F.col("logp").alias("lp"))))
+                .alias("edges"))
+            .withColumn("n", F.length("word")))
+
+
+def _logsumexp(arr):
+    """Column: log(sum(exp(x))) over a non-empty double array, computed
+    against the array max for stability; -inf stand-in (-1e30) when
+    empty (unreachable position)."""
+    mx = F.array_max(arr)
+    return F.when(
+        F.size(arr) > 0,
+        mx + F.log(F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + F.exp(x - mx)))
+    ).otherwise(F.lit(-1e30))
+
+
+def _alpha(edges, n):
+    """Forward scores: alpha[i] (0..n) = logsumexp over segmentations of
+    word[1..i]; alpha[0] = 0.  One left-to-right fold."""
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(0.0)),
+        lambda acc, pos: F.concat(acc, F.array(_logsumexp(
+            F.transform(
+                F.filter(edges, lambda e: e["s"] + e["l"] - 1 == pos),
+                lambda e: F.get(acc, e["s"] - 1) + e["lp"])))))
+
+
+def _beta_rev(edges, n):
+    """Backward scores, REVERSED: beta_rev[k] = beta[n-k], where beta[i]
+    = logsumexp over segmentations of word[i+1..n]; beta[n] = 0.  The
+    fold walks positions n-1 .. 0 appending to the reversed array, so
+    lookups are ``beta[j] = beta_rev[n - j]`` (0-based F.get)."""
+    return F.aggregate(
+        F.sequence(n - 1, F.lit(0), F.lit(-1)),
+        F.array(F.lit(0.0)),
+        lambda acc, pos: F.concat(acc, F.array(_logsumexp(
+            F.transform(
+                F.filter(edges, lambda e: e["s"] == pos + 1),
+                lambda e: e["lp"] + F.get(acc, n - (pos + e["l"])))))))
+
+
+def unigram_em_round(words: DataFrame, pieces: DataFrame,
+                     max_piece_len: int = 6) -> DataFrame:
+    """One EM iteration: returns the re-estimated ``(piece, logp,
+    expected)`` table.  E-step = forward-backward posteriors per edge
+    (two folds per distinct word); M-step = one aggregate."""
+    lat = _word_edges(words, pieces, max_piece_len)
+    lat = lat.select(
+        "word", "freq", "n", "edges",
+        _alpha(F.col("edges"), F.col("n")).alias("fa"),
+        _beta_rev(F.col("edges"), F.col("n")).alias("fb"))
+    # posterior expected count of edge (s,l): exp(a[s-1] + lp + b[s-1+l] - Z)
+    z = F.get("fa", F.col("n"))
+    post = lat.select(
+        "freq",
+        F.explode(F.transform(
+            "edges",
+            lambda e: F.struct(
+                e["s"].alias("s"), e["l"].alias("l"),
+                F.exp(F.get("fa", e["s"] - 1) + e["lp"]
+                      + F.get("fb", F.col("n") - (e["s"] - 1 + e["l"]))
+                      - z).alias("w"))))
+        .alias("e"),
+        F.substring("word", F.col("e.s"), F.col("e.l")).alias("piece"))
+    counts = (post.select("piece",
+                          (F.col("freq") * F.col("e.w")).alias("c"))
+              .groupBy("piece").agg(F.sum("c").alias("expected")))
+    total = counts.agg(F.sum("expected").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("piece",
+                    (F.log("expected") - F.log("__t")).alias("logp"),
+                    "expected"))
+
+
+def unigram_train(df: DataFrame, text_col: str = "text",
+                  vocab_size: int = 120, n_em: int = 2,
+                  prune_frac: float = 0.25, max_piece_len: int = 6,
+                  seed_size: int = 1000, max_word_len: int = 32,
+                  ) -> DataFrame:
+    """Train a Unigram-LM tokenizer; returns the final ``(piece, logp)``
+    model table (persist like any model store).
+
+    Loop: *n_em* EM rounds, then prune the lowest-expected-count
+    multi-char pieces (never single characters) down to
+    ``max(vocab_size, (1-prune_frac) * current)``, repeat until the
+    vocabulary reaches *vocab_size*, then run a final EM round.
+
+    Words longer than *max_word_len* are excluded from TRAINING (their
+    lattices would dominate the fold cost; SentencePiece applies the
+    same guard) — encoding still handles them via the char fallback.
+
+    Scale: per-round state is the (piece, logp) table (broadcast), work
+    is (distinct words) x (edges per word); the corpus is touched once,
+    by ``word_freqs``.  Reference behavior: Kudo'18 §3; see
+    tests/test_tokenize.py for the pure-python EM it is pinned against.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1 [{vocab_size}]")
+    words = (word_freqs(df, text_col)
+             .where(F.length("word") <= max_word_len)
+             .localCheckpoint(eager=True))
+    # seed straight from the (word, freq) table — unigram_seed_vocab
+    # re-derives word freqs from a raw text column and is the
+    # public entry point for ad-hoc use
+    pieces = _seed_from_words(words, max_piece_len, seed_size)
+    n_chars = pieces.where(F.length("piece") == 1).count()
+    while True:
+        for _ in range(n_em):
+            pieces = (unigram_em_round(words, pieces, max_piece_len)
+                      .localCheckpoint(eager=True))
+        current = pieces.count()
+        if current <= vocab_size:
+            break
+        keep_multi = max(vocab_size - n_chars,
+                         int((1.0 - prune_frac) * current) - n_chars)
+        if keep_multi < 0:
+            keep_multi = 0
+        chars = pieces.where(F.length("piece") == 1)
+        multi = (pieces.where(F.length("piece") > 1)
+                 .orderBy(F.desc("expected"), "piece")
+                 .limit(keep_multi))
+        pieces = (chars.unionByName(multi)
+                  .select("piece", "logp", "expected")
+                  .localCheckpoint(eager=True))
+        if n_chars + keep_multi <= vocab_size:
+            pieces = (unigram_em_round(words, pieces, max_piece_len)
+                      .localCheckpoint(eager=True))
+            break
+    return pieces.select("piece", "logp")
+
+
+def _seed_from_words(words: DataFrame, max_piece_len: int,
+                     seed_size: int) -> DataFrame:
+    """Seed vocabulary straight from a ``(word, freq)`` table."""
+    subs = (words.select(
+        "freq",
+        F.explode(_substr_candidates(F.col("word"), max_piece_len))
+        .alias("c"))
+        .select(F.col("c.sub").alias("piece"), "freq")
+        .groupBy("piece").agg(F.sum("freq").alias("n")))
+    chars = subs.where(F.length("piece") == 1)
+    top = (subs.where(F.length("piece") > 1)
+           .orderBy(F.desc("n"), "piece").limit(seed_size))
+    seeded = chars.unionByName(top)
+    total = seeded.agg(F.sum("n").alias("__t"))
+    return (seeded.crossJoin(F.broadcast(total))
+            .select("piece",
+                    (F.log(F.col("n").cast("double"))
+                     - F.log(F.col("__t").cast("double"))).alias("logp")))
+
+
+def unigram_viterbi_segments(words: DataFrame, pieces: DataFrame,
+                             max_piece_len: int = 6) -> DataFrame:
+    """Best (Viterbi) segmentation piece COUNT per word under a trained
+    model: ``(word, freq, n_pieces)``.  Ties (equal log-probability)
+    break toward FEWER pieces, deterministically.  Words containing a
+    character absent from the model fall back to character count."""
+    lat = _word_edges(words, pieces, max_piece_len)
+    # dp over positions: struct(score, negp) — array_max/greatest on
+    # structs compares fields left-to-right, so max picks the best
+    # score, then the fewest pieces (negp = -n_pieces)
+    def step(acc, pos):
+        cands = F.transform(
+            F.filter(F.col("edges"),
+                     lambda e: e["s"] + e["l"] - 1 == pos),
+            lambda e: F.struct(
+                (F.get(acc, e["s"] - 1)["score"] + e["lp"])
+                .alias("score"),
+                (F.get(acc, e["s"] - 1)["negp"] - 1).alias("negp")))
+        best = F.when(
+            F.size(cands) > 0, F.array_max(cands)
+        ).otherwise(F.struct(F.lit(-1e30).alias("score"),
+                             F.lit(0).alias("negp")))
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("n")),
+        F.array(F.struct(F.lit(0.0).alias("score"),
+                         F.lit(0).alias("negp"))),
+        step)
+    seg = lat.select(
+        "word", "freq",
+        F.get(dp, F.col("n")).alias("__best"))
+    out = seg.select(
+        "word", "freq",
+        F.when(F.col("__best")["score"] > F.lit(-1e29),
+               -F.col("__best")["negp"])
+        .otherwise(F.length("word")).alias("n_pieces"))
+    # words with NO in-vocab substring at all never reach _word_edges'
+    # groupBy; re-attach them with the char fallback
+    missing = (words.join(out.select("word"), "word", "left_anti")
+               .select("word", "freq",
+                       F.length("word").cast("int").alias("n_pieces")))
+    return out.unionByName(missing)
+
+
+def unigram_encode_stats(df: DataFrame, pieces: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_piece_len: int = 6) -> DataFrame:
+    """Per-doc Unigram-LM token counts using a trained piece table:
+    ``(doc_id, n_words, n_chars, n_unigram_tokens)`` — the same
+    join-not-fold encode path as :func:`bpe_encode_stats`: Viterbi runs
+    once per DISTINCT word, docs then equi-join the result."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(TX.tokens(text_col),
+                              lambda t: F.lower(t))).alias("word"))
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    segs = unigram_viterbi_segments(words, pieces, max_piece_len)
+    vocab = segs.select("word", F.col("n_pieces").alias("__np"))
+    return (toks.join(F.broadcast(vocab), "word", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("word")).alias("n_chars"),
+                 F.sum(F.coalesce(F.col("__np"), F.length("word")))
+                 .alias("n_unigram_tokens")))

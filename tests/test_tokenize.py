@@ -209,3 +209,160 @@ def test_bpe_local_path_uses_incremental_counts_exactly():
         want_m, want_s = _ref_bpe(freqs, n, 2)
         assert got_m == want_m
         assert got_s == want_s
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) trainer — pinned against a pure-python
+# EM reference implementing the identical math (same seed vocabulary,
+# same forward-backward posteriors, same prune rule).
+# ---------------------------------------------------------------------------
+
+def _ref_seed(freqs, max_len, seed_size):
+    import math
+    counts = {}
+    for w, f in freqs.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                sub = w[i:i + l]
+                counts[sub] = counts.get(sub, 0) + f
+    chars = {p: n for p, n in counts.items() if len(p) == 1}
+    multi = sorted(((p, n) for p, n in counts.items() if len(p) > 1),
+                   key=lambda x: (-x[1], x[0]))[:seed_size]
+    seeded = dict(chars)
+    seeded.update(dict(multi))
+    tot = sum(seeded.values())
+    return {p: math.log(n) - math.log(tot) for p, n in seeded.items()}
+
+
+def _ref_em_round(freqs, pieces, max_len):
+    """One EM round: forward-backward expected counts, renormalize."""
+    import math
+
+    def lse(xs):
+        if not xs:
+            return -1e30
+        m = max(xs)
+        return m + math.log(sum(math.exp(x - m) for x in xs))
+
+    expected = {}
+    for w, f in freqs.items():
+        n = len(w)
+        edges = []
+        for i in range(n):          # 0-based start
+            for l in range(1, min(max_len, n - i) + 1):
+                sub = w[i:i + l]
+                if sub in pieces:
+                    edges.append((i, l, pieces[sub]))
+        fa = [0.0]
+        for pos in range(1, n + 1):
+            fa.append(lse([fa[s] + lp for s, l, lp in edges
+                           if s + l == pos]))
+        fb = [0.0] * (n + 1)
+        for pos in range(n - 1, -1, -1):
+            fb[pos] = lse([lp + fb[pos + l] for s, l, lp in edges
+                           if s == pos])
+        z = fa[n]
+        for s, l, lp in edges:
+            wgt = math.exp(fa[s] + lp + fb[s + l] - z)
+            sub = w[s:s + l]
+            expected[sub] = expected.get(sub, 0.0) + f * wgt
+    tot = sum(expected.values())
+    return ({p: math.log(c) - math.log(tot) for p, c in expected.items()},
+            expected)
+
+
+def _unigram_docs(spark):
+    rows = [(1, "the cat sat on the mat"), (2, "the cat ate the rat"),
+            (3, "a cat and a rat sat"), (4, "the mat sat flat")]
+    return (spark.createDataFrame(rows, "doc_id long, text string"),
+            _ref_word_freqs([t for _, t in rows]))
+
+
+def test_unigram_seed_vocab_matches_reference(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        unigram_seed_vocab)
+    df, freqs = _unigram_docs(spark)
+    got = {r.piece: r.logp
+           for r in unigram_seed_vocab(df, max_piece_len=4,
+                                       seed_size=25).collect()}
+    want = _ref_seed(dict(freqs), 4, 25)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-9), p
+
+
+def test_unigram_em_round_matches_reference(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        _seed_from_words, unigram_em_round, word_freqs)
+    df, freqs = _unigram_docs(spark)
+    words = word_freqs(df)
+    pieces = _seed_from_words(words, 4, 25)
+    ref = _ref_seed(dict(freqs), 4, 25)
+    for rnd in range(2):
+        pieces = unigram_em_round(words, pieces, 4)
+        ref, ref_exp = _ref_em_round(dict(freqs), ref, 4)
+        got = {r.piece: (r.logp, r.expected) for r in pieces.collect()}
+        assert set(got) == set(ref), rnd
+        for p, lp in ref.items():
+            assert got[p][0] == pytest.approx(lp, rel=1e-9), (rnd, p)
+            assert got[p][1] == pytest.approx(ref_exp[p], rel=1e-9)
+
+
+def test_unigram_train_learns_words_and_prunes_to_size(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        unigram_train)
+    df, _ = _unigram_docs(spark)
+    pieces = unigram_train(df, vocab_size=30, n_em=2,
+                           max_piece_len=4, seed_size=40)
+    rows = pieces.collect()
+    vocab = {r.piece for r in rows}
+    assert len(rows) <= 30
+    # single-char coverage never pruned
+    chars = {c for w in "thecatsatonmatateratandflat" for c in w}
+    assert chars <= vocab
+    # the high-frequency whole words win pieces
+    assert {"the", "cat", "sat", "mat", "rat"} <= vocab
+    # probabilities normalize
+    import math
+    assert sum(math.exp(r.logp) for r in rows) == pytest.approx(1.0)
+
+
+def test_unigram_encode_stats_and_oov_fallback(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        unigram_train, unigram_encode_stats)
+    df, _ = _unigram_docs(spark)
+    pieces = unigram_train(df, vocab_size=30, n_em=2,
+                           max_piece_len=4, seed_size=40)
+    stats = {r.doc_id: (r.n_words, r.n_unigram_tokens)
+             for r in unigram_encode_stats(df, pieces).collect()}
+    # every trained word segments as one piece on this tiny corpus
+    assert stats[1] == (6, 6) and stats[4] == (4, 4)
+    # OOV word (chars 'z','q' not in training): char fallback
+    oov = spark.createDataFrame([(9, "zq the")], "doc_id long, text string")
+    got = unigram_encode_stats(oov, pieces).collect()[0]
+    assert (got.n_words, got.n_unigram_tokens) == (2, 3)  # 2 chars + 'the'
+
+
+def test_unigram_viterbi_tie_breaks_to_fewer_pieces(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        unigram_viterbi_segments)
+    import math
+    # model where 'ab' == 'a'+'b' in probability: p(ab)=1/4, p(a)=p(b)=1/2
+    # -> log p('ab' as one piece) = log(1/4) == log p('a')+log p('b');
+    # the tie must resolve to ONE piece
+    pieces = spark.createDataFrame(
+        [("a", math.log(0.5)), ("b", math.log(0.5)),
+         ("ab", math.log(0.25))], "piece string, logp double")
+    words = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    got = unigram_viterbi_segments(words, pieces, 4).collect()[0]
+    assert got.n_pieces == 1
+
+
+def test_unigram_no_python_udfs(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        unigram_em_round, _seed_from_words, word_freqs)
+    df, _ = _unigram_docs(spark)
+    words = word_freqs(df)
+    out = unigram_em_round(words, _seed_from_words(words, 4, 25), 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
