@@ -7,14 +7,16 @@ formats the Python standard library can parse without external codecs:
 * **images**: BMP (24-bit uncompressed, via ``struct``), the PNM
   family P2/P3/P5/P6 (PGM/PPM, ASCII + binary), **PNG** (8-bit
   gray/RGB/palette/alpha, all five row filters — stdlib ``zlib`` +
-  numpy unfiltering) and **baseline/extended-sequential JPEG**
-  (Huffman + IDCT + 4:2:0/4:2:2 upsampling + restart markers, pure
-  numpy) — the formats real image corpora are overwhelmingly made of;
+  numpy unfiltering) and **JPEG**: baseline, extended-sequential AND
+  progressive/SOF2 (Huffman + spectral-selection/successive-
+  approximation scans + IDCT + 4:2:0/4:2:2 upsampling + restart
+  markers, pure numpy) — the formats real image corpora are
+  overwhelmingly made of;
 * **audio**: WAV/PCM via :mod:`wave` (8/16/32-bit);
 * **video**: YUV4MPEG2 (``.y4m`` — uncompressed frames behind a text
   header; the interchange format ffmpeg/mjpegtools emit).
 
-Formats still needing a codec library (WebP/AVIF/progressive JPEG/MP4)
+Formats still needing a codec library (WebP/AVIF/MP4)
 raise ``ValueError`` with a pointed message — swap the per-payload
 decoder for PIL/pyav in production and the Spark plumbing holds
 unchanged at scale.
@@ -338,12 +340,228 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
+def _scan_entropy(b: bytes, pos: int) -> tuple:
+    """De-stuffed entropy-coded segments starting at *pos* (split at
+    restart markers); returns ``(segments, end_pos)`` with *end_pos* at
+    the 0xFF of the terminating marker — the walker continues there (a
+    progressive stream holds many scans, with DHT redefinitions between
+    them)."""
+    segments: list = []
+    cur = bytearray()
+    i = pos
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                               # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _seq_block(reader: _BitReader, dc_tab: dict, ac_tab: dict,
+               zz: np.ndarray, pred_val: int) -> int:
+    """Sequential full-band block decode into a zigzag coefficient row;
+    returns the updated DC predictor."""
+    s = _huff_decode(reader, dc_tab)
+    pred_val += _jpeg_extend(reader.read_bits(s), s)
+    zz[0] = pred_val
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                         # ZRL: 16 zeros
+                k += 16
+                continue
+            break                               # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        zz[k] = _jpeg_extend(reader.read_bits(s), s)
+        k += 1
+    return pred_val
+
+
+# -- progressive scan block decoders (T.81 G.2; the successive-
+# -- approximation control flow mirrors the reference libjpeg
+# -- jdphuff.c algorithm, which is the de-facto conformance target) ------
+
+def _dc_first(reader: _BitReader, dc_tab: dict, zz: np.ndarray,
+              al: int, pred_val: int) -> int:
+    s = _huff_decode(reader, dc_tab)
+    pred_val += _jpeg_extend(reader.read_bits(s), s)
+    zz[0] = pred_val << al
+    return pred_val
+
+
+def _dc_refine(reader: _BitReader, zz: np.ndarray, al: int) -> None:
+    # OR into the two's-complement stored value — exact for negatives
+    if reader.read_bit():
+        zz[0] |= (1 << al)
+
+
+def _ac_first(reader: _BitReader, ac_tab: dict, zz: np.ndarray,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    """First AC scan of a band: values arrive at reduced precision
+    (``<< al``); EOB runs span blocks.  Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _jpeg_extend(reader.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1               # this block ends here
+            k += 16                             # ZRL
+    return 0
+
+
+def _ac_refine(reader: _BitReader, ac_tab: dict, zz: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement: each already-nonzero
+    coefficient receives a correction bit (in positional order); newly
+    nonzero coefficients arrive as +-1 at the new bit position, with
+    run lengths counted over ZERO-HISTORY positions only."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            sval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break                       # EOB logic finishes block
+                # ZRL: 16 zero-history positions, no new coefficient
+            else:
+                sval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                zz[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:                          # trailing correction bits
+            if zz[k] != 0:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _apply_scan(coefs: dict, comps: list, huff: dict, scan_comps: list,
+                ss: int, se: int, ah: int, al: int, segments: list,
+                restart_interval: int, geom: tuple, w: int, h: int,
+                progressive: bool) -> None:
+    """Run one entropy-coded scan over the coefficient arrays."""
+    hmax, vmax, mcus_x, mcus_y = geom
+    cinfo = {cid: (hs, vs) for cid, hs, vs, _q in comps}
+    tables = {cid: (huff.get((0, td)), huff.get((1, ta)))
+              for cid, td, ta in scan_comps}
+    interleaved = len(scan_comps) > 1
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "invalid progressive scan: DC scan must have Se=0 "
+                f"(got Ss={ss}, Se={se})")
+        if ss > 0 and interleaved:
+            raise ValueError(
+                "invalid progressive scan: AC scans are single-component")
+    if interleaved or (not progressive):
+        n_units = mcus_x * mcus_y
+    else:
+        cid0 = scan_comps[0][0]
+        hs, vs = cinfo[cid0]
+        comp_w = (w * hs + hmax - 1) // hmax
+        comp_h = (h * vs + vmax - 1) // vmax
+        bw = (comp_w + 7) // 8
+        bh = (comp_h + 7) // 8
+        n_units = bw * bh
+    per_seg = restart_interval or n_units
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    pred = {cid: 0 for cid, _td, _ta in scan_comps}
+    eobrun = 0
+    for u in range(n_units):
+        if restart_interval and u and u % per_seg == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid in pred}
+            eobrun = 0
+        if interleaved or (not progressive and len(scan_comps) == 1):
+            my, mx = divmod(u, mcus_x)
+            for cid, _td, _ta in scan_comps:
+                hs, vs = cinfo[cid]
+                dc_tab, ac_tab = tables[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = coefs[cid][my * vs + by, mx * hs + bx]
+                        if not progressive:
+                            pred[cid] = _seq_block(
+                                reader, dc_tab, ac_tab, zz, pred[cid])
+                        elif ah == 0:
+                            pred[cid] = _dc_first(
+                                reader, dc_tab, zz, al, pred[cid])
+                        else:
+                            _dc_refine(reader, zz, al)
+        else:                                   # progressive, one comp
+            by, bx = divmod(u, bw)
+            zz = coefs[cid0][by, bx]
+            dc_tab, ac_tab = tables[cid0]
+            if ss == 0:
+                if ah == 0:
+                    pred[cid0] = _dc_first(reader, dc_tab, zz, al,
+                                           pred[cid0])
+                else:
+                    _dc_refine(reader, zz, al)
+            elif ah == 0:
+                eobrun = _ac_first(reader, ac_tab, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, ac_tab, zz, ss, se, al,
+                                    eobrun)
+
+
 def _decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline (and extended-sequential) Huffman JPEG -> (h, w, c)
-    uint8 array, c = 1 (grayscale) or 3 (RGB).  Pure stdlib + numpy:
-    marker walk, per-table canonical Huffman, dequantize, matrix IDCT,
-    nearest-neighbor chroma upsampling, JFIF YCbCr -> RGB.  Progressive
-    (SOF2) and arithmetic-coded JPEGs raise a pointed ``ValueError``.
+    """Huffman JPEG -> (h, w, c) uint8 array, c = 1 (grayscale) or 3
+    (RGB).  Baseline, extended-sequential (SOF0/SOF1) AND progressive
+    (SOF2 — spectral selection + successive approximation, the majority
+    format in real web image corpora).  Pure stdlib + numpy: marker
+    walk, per-table canonical Huffman, per-scan coefficient
+    accumulation, vectorized dequantize + IDCT, nearest-neighbor chroma
+    upsampling, JFIF YCbCr -> RGB.  Lossless/arithmetic-coded variants
+    raise a pointed ``ValueError``.
 
     Per-block Huffman decoding is a Python loop — acceptable because it
     runs once per image row inside Arrow-batched ``mapInPandas``, and
@@ -353,8 +571,10 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     huff: dict = {}
     comps: list = []
     w = h = None
+    progressive = False
     restart_interval = 0
-    scan_comps: list = []
+    coefs: dict | None = None
+    geom = None
     pos = 2
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -380,16 +600,17 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     qt[tq] = np.frombuffer(
                         data, ">u2", 64, i).astype(np.int32)
                     i += 128
-        elif marker in (0xC0, 0xC1):            # SOF0/1: sequential DCT
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 seq, SOF2 prog
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             comps = [(data[6 + 3 * i], data[7 + 3 * i] >> 4,
                       data[7 + 3 * i] & 0xF, data[8 + 3 * i])
                      for i in range(nc)]        # (id, hs, vs, qid)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/extended-sequential Huffman JPEG is "
-                f"supported (SOF marker 0x{marker:02X})")
+                "only baseline/extended-sequential/progressive Huffman "
+                f"JPEG is supported (SOF marker 0x{marker:02X})")
         elif marker == 0xC4:                    # DHT
             i = 0
             while i < len(data):
@@ -407,93 +628,45 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 huff[(tc, th)] = table
         elif marker == 0xDD:                    # DRI
             restart_interval, = struct.unpack_from(">H", data, 0)
-        elif marker == 0xDA:                    # SOS
+        elif marker == 0xDA:                    # SOS (possibly many)
             ns = data[0]
             scan_comps = [(data[1 + 2 * i], data[2 + 2 * i] >> 4,
                            data[2 + 2 * i] & 0xF) for i in range(ns)]
-            pos += ln
-            break
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if w is None:
+                raise ValueError("JPEG SOS before SOF")
+            if geom is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcus_x, mcus_y)
+                coefs = {cid: np.zeros((mcus_y * vs, mcus_x * hs, 64),
+                                       np.int32)
+                         for cid, hs, vs, _q in comps}
+            segments, end = _scan_entropy(b, pos + ln)
+            _apply_scan(coefs, comps, huff, scan_comps, ss, se, ah, al,
+                        segments, restart_interval, geom, w, h,
+                        progressive)
+            pos = end
+            continue
         pos += ln
-    if w is None or not scan_comps:
+    if coefs is None:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # split entropy data into restart segments, removing byte stuffing
-    segments: list = []
-    cur = bytearray()
-    i = pos
-    while i < len(b):
-        byte = b[i]
-        if byte == 0xFF:
-            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break                               # EOI or next marker
-        cur.append(byte)
-        i += 1
-    segments.append(bytes(cur))
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8))
-              for cid, hs, vs, _q in comps}
-    tables = {cid: (huff.get((0, td)), huff.get((1, ta)))
-              for cid, td, ta in scan_comps}
-    comp_info = {cid: (hs, vs, qt[qid]) for cid, hs, vs, qid in comps}
-
-    n_mcus = mcus_x * mcus_y
-    per_seg = restart_interval or n_mcus
-    pred = {cid: 0 for cid, _h, _v, _q in comps}
-    reader = _BitReader(segments[0])
-    seg_idx = 0
-    for m in range(n_mcus):
-        if restart_interval and m and m % per_seg == 0:
-            seg_idx += 1
-            reader = _BitReader(segments[seg_idx])
-            pred = {cid: 0 for cid in pred}
-        my, mx = divmod(m, mcus_x)
-        for cid, _td, _ta in scan_comps:
-            hs, vs, q = comp_info[cid]
-            dc_tab, ac_tab = tables[cid]
-            for by in range(vs):
-                for bx in range(hs):
-                    zz = np.zeros(64, dtype=np.int32)
-                    s = _huff_decode(reader, dc_tab)
-                    pred[cid] += _jpeg_extend(reader.read_bits(s), s)
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:         # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break               # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        zz[k] = _jpeg_extend(reader.read_bits(s), s)
-                        k += 1
-                    block = np.zeros(64, dtype=np.int32)
-                    block[_ZIGZAG] = zz * q
-                    spatial = (_DCT_A.T @ block.reshape(8, 8)
-                               @ _DCT_A) + 128
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
-    # upsample to full resolution and crop
+    hmax, vmax, mcus_x, mcus_y = geom
     full = []
-    for cid, hs, vs, _q in comps:
-        p = planes[cid]
+    for cid, hs, vs, qid in comps:
+        c = coefs[cid].astype(np.int64)
+        nat = np.zeros_like(c)
+        nat[..., _ZIGZAG] = c * qt[qid]
+        bh, bw = c.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8).astype(np.float64)
+        spatial = np.einsum("ij,abjk,kl->abil",
+                            _DCT_A.T, blocks, _DCT_A) + 128
+        p = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
         full.append(p[:h, :w])
     if len(full) == 1:

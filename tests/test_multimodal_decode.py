@@ -590,12 +590,16 @@ def test_decode_jpeg_420_subsampled_and_restart_markers():
     assert np.array_equal(got, got_r)
 
 
-def test_decode_jpeg_progressive_raises_pointedly():
+def test_decode_jpeg_invalid_progressive_scan_raises_pointedly():
+    # a baseline stream relabeled SOF2 carries a full-band (Ss=0,Se=63)
+    # scan, which is illegal in progressive mode — must refuse loudly
+    # rather than misparse (round 6 rejected ALL of SOF2; round 7
+    # decodes real progressive streams and validates scan headers)
     yy = np.zeros((8, 8, 1), dtype=np.uint8)
     buf = bytearray(make_jpeg(yy))
     i = buf.find(b"\xff\xc0")
     buf[i + 1] = 0xC2                           # rewrite SOF0 -> SOF2
-    with pytest.raises(ValueError, match="progressive|sequential"):
+    with pytest.raises(ValueError, match="progressive"):
         decode_image_bytes(bytes(buf))
 
 
@@ -624,3 +628,317 @@ def test_decode_images_pipeline_handles_png_and_jpeg(spark):
     assert out[1].decode_error is None
     assert (out[2].width, out[2].height) == (11, 9)
     assert out[3].decode_error is not None      # per-row error, no crash
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) JPEG: an independent in-test progressive encoder
+# re-encodes the SAME quantized coefficients as DC-first/DC-refine +
+# per-component spectral-selection AC-first/AC-refine scans, so the
+# progressive decode must be PIXEL-IDENTICAL to the baseline decode.
+# ---------------------------------------------------------------------------
+
+def _jpeg_quantize(px, quality_scale=10, subsample=False):
+    """Quantized zigzag blocks per component over the MCU-padded grid:
+    returns (zz_grids, samp, qids, qtabs, h, w, mcus_x, mcus_y) where
+    zz_grids[ci] has shape (gh, gw, 64)."""
+    gray = px.shape[2] == 1
+    h, w = px.shape[:2]
+    ql = np.maximum(1, (_STD_LUMA_Q * quality_scale + 50) // 100)
+    qc = np.maximum(1, (_STD_CHROMA_Q * quality_scale + 50) // 100)
+    if gray:
+        planes = [px[..., 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = px.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2] + 128
+        if subsample:
+            def ds(p):
+                hh = (h + 1) & ~1
+                ww = (w + 1) & ~1
+                p2 = np.pad(p, ((0, hh - h), (0, ww - w)), "edge")
+                return (p2[0::2, 0::2] + p2[0::2, 1::2]
+                        + p2[1::2, 0::2] + p2[1::2, 1::2]) / 4
+            planes = [y, ds(cb), ds(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qtabs = [ql, qc]
+    zz_grids = []
+    for p, (hs, vs), qid in zip(planes, samp, qids):
+        gh, gw = mcus_y * vs, mcus_x * hs
+        pp = np.pad(p, ((0, gh * 8 - p.shape[0]),
+                        (0, gw * 8 - p.shape[1])), "edge")
+        g = np.zeros((gh, gw, 64), dtype=np.int64)
+        q = qtabs[qid]
+        for by in range(gh):
+            for bx in range(gw):
+                blk = pp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128
+                coef = _DCT_A @ blk @ _DCT_A.T
+                g[by, bx] = np.rint(
+                    coef.flatten()[_ZIGZAG] / q).astype(np.int64)
+        zz_grids.append(g)
+    return zz_grids, samp, qids, qtabs, h, w, mcus_x, mcus_y
+
+
+def _emit_dht(out, cls, tid, table):
+    counts, syms, _enc = table
+    body = bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _emit_sos(out, comp_spec, ss, se, ah, al):
+    sos = bytes([len(comp_spec)])
+    for cid, td, ta in comp_spec:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _mcu_block_iter(zz_grids, samp, mcus_x, mcus_y):
+    """(ci, zz_row) per block in interleaved MCU order."""
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    yield ci, zz_grids[ci][my * vs + by, mx * hs + bx]
+
+
+def _comp_band_blocks(zz_grids, ci, samp, h, w):
+    """Blocks of one component in non-interleaved raster order."""
+    hs, vs = samp[ci]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    bw = ((w * hs + hmax - 1) // hmax + 7) // 8
+    bh = ((h * vs + vmax - 1) // vmax + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            yield zz_grids[ci][by, bx]
+
+
+def _ac_first_symbols_and_emit(blocks, ss, se, al, enc=None, bw=None):
+    """One pass: with enc=None, collect the scan's Huffman symbols;
+    with enc/bw set, write the scan bits.  v1 = sign * (abs >> al)."""
+    syms = []
+
+    def emit(sym, nbits=0, bits=0):
+        if enc is None:
+            syms.append(sym)
+        else:
+            L, code = enc[sym]
+            bw.write(code, L)
+            if nbits:
+                bw.write(bits, nbits)
+
+    for zz in blocks:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            v1 = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if v1 == 0:
+                run += 1
+            else:
+                while run > 15:
+                    emit(0xF0)
+                    run -= 16
+                s, bits = _cat(v1)
+                emit((run << 4) | s, s, bits)
+                run = 0
+        if run:
+            emit(0x00)                          # EOB (run of 1)
+    return syms
+
+
+def _ac_refine_symbols_and_emit(blocks, ss, se, al, enc=None, bw=None):
+    """AC successive-approximation refinement scan (encoder side of the
+    T.81 G.2 algorithm): correction bits for already-nonzero coefs ride
+    after each run-length code, newly-nonzero coefs are +-1 at bit al."""
+    syms = []
+
+    def emit(sym):
+        if enc is None:
+            syms.append(sym)
+        else:
+            L, code = enc[sym]
+            bw.write(code, L)
+
+    def putbit(bit):
+        if enc is not None:
+            bw.write(bit, 1)
+
+    for zz in blocks:
+        pending = []
+        run = 0
+        emitted_any = False
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            hist = abs(v) >> (al + 1)           # nonzero before this scan
+            if hist != 0:
+                pending.append((abs(v) >> al) & 1)
+            elif v == 0:
+                run += 1
+            else:                               # newly nonzero: |v1| == 1
+                while run > 15:
+                    emit(0xF0)
+                    for b in pending:
+                        putbit(b)
+                    pending = []
+                    run -= 16
+                emit((run << 4) | 1)
+                putbit(1 if v > 0 else 0)
+                for b in pending:
+                    putbit(b)
+                pending = []
+                run = 0
+                emitted_any = True
+        if run or pending or not emitted_any:
+            emit(0x00)                          # EOB
+            for b in pending:
+                putbit(b)
+    return syms
+
+
+def make_progressive_jpeg(px, quality_scale=10, subsample=False,
+                          split=20):
+    """Independent progressive (SOF2) encoder over the same quantized
+    coefficients as :func:`make_jpeg`: interleaved DC-first (Al=1) +
+    DC-refine scans, then per-component AC-first/AC-refine scans over
+    two spectral bands split at *split* — every scan redefines Huffman
+    table 0 (tests DHT-between-scans handling)."""
+    (zz_grids, samp, qids, qtabs, h, w,
+     mcus_x, mcus_y) = _jpeg_quantize(px, quality_scale, subsample)
+    gray = len(zz_grids) == 1
+    out = bytearray(b"\xff\xd8")
+    for tid, q in enumerate(qtabs[:1] if gray else qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(v) for v in q)
+    nc = len(zz_grids)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      qids[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    # ---- scan 1: DC first, interleaved, Al=1 --------------------------
+    dc_syms = []
+    pred = [0] * nc
+    plan = []
+    for ci, zz in _mcu_block_iter(zz_grids, samp, mcus_x, mcus_y):
+        d = (int(zz[0]) >> 1) - pred[ci]
+        pred[ci] = int(zz[0]) >> 1
+        s, bits = _cat(d)
+        dc_syms.append(s)
+        plan.append((s, bits))
+    tab = _fixed_huff(dc_syms)
+    _emit_dht(out, 0, 0, tab)
+    _emit_sos(out, [(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    for s, bits in plan:
+        L, code = tab[2][s]
+        bw_.write(code, L)
+        bw_.write(bits, s)
+    bw_.flush()
+    out += bw_.out
+
+    # ---- scan 2: DC refine, interleaved, Ah=1 Al=0 (raw bits) ---------
+    _emit_sos(out, [(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for _ci, zz in _mcu_block_iter(zz_grids, samp, mcus_x, mcus_y):
+        bw_.write(int(zz[0]) & 1, 1)
+    bw_.flush()
+    out += bw_.out
+
+    # ---- AC scans: per component, two spectral bands, Al=1 then Ah=1 --
+    bands = [(1, split), (split + 1, 63)]
+    for ss, se in bands:
+        for ci in range(nc):
+            blocks = lambda: _comp_band_blocks(zz_grids, ci, samp, h, w)
+            syms = _ac_first_symbols_and_emit(blocks(), ss, se, 1)
+            tab = _fixed_huff(syms + [0x00])
+            _emit_dht(out, 1, 0, tab)
+            _emit_sos(out, [(ci + 1, 0, 0)], ss, se, 0, 1)
+            bw_ = _BitWriter()
+            _ac_first_symbols_and_emit(blocks(), ss, se, 1,
+                                       enc=tab[2], bw=bw_)
+            bw_.flush()
+            out += bw_.out
+    for ss, se in bands:
+        for ci in range(nc):
+            blocks = lambda: _comp_band_blocks(zz_grids, ci, samp, h, w)
+            syms = _ac_refine_symbols_and_emit(blocks(), ss, se, 0)
+            tab = _fixed_huff(syms + [0x00])
+            _emit_dht(out, 1, 0, tab)
+            _emit_sos(out, [(ci + 1, 0, 0)], ss, se, 1, 0)
+            bw_ = _BitWriter()
+            _ac_refine_symbols_and_emit(blocks(), ss, se, 0,
+                                        enc=tab[2], bw=bw_)
+            bw_.flush()
+            out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_gray_identical_to_baseline():
+    yy, xx = np.mgrid[0:24, 0:33]
+    gray = ((yy * 7 + xx * 3) % 256).astype(np.uint8)[..., None]
+    base = decode_image_bytes(make_jpeg(gray, quality_scale=10))
+    prog = decode_image_bytes(make_progressive_jpeg(gray,
+                                                    quality_scale=10))
+    assert np.array_equal(base, prog)
+
+
+def test_decode_jpeg_progressive_rgb_identical_to_baseline():
+    yy, xx = np.mgrid[0:20, 0:29]
+    rgb = np.stack([(yy * 6) % 256, (255 - xx * 4) % 256,
+                    (yy * 2 + xx * 2) % 256], -1).astype(np.uint8)
+    base = decode_image_bytes(make_jpeg(rgb, quality_scale=10))
+    prog = decode_image_bytes(make_progressive_jpeg(rgb,
+                                                    quality_scale=10))
+    assert np.array_equal(base, prog)
+
+
+def test_decode_jpeg_progressive_420_subsampled():
+    # 4:2:0 exercises the interleaved-DC dummy blocks (MCU grid wider
+    # than the luma band grid) and chroma upsampling
+    yy, xx = np.mgrid[0:20, 0:29]
+    rgb = np.stack([(yy * 6) % 256, (255 - xx * 4) % 256,
+                    (yy * 2 + xx * 2) % 256], -1).astype(np.uint8)
+    base = decode_image_bytes(make_jpeg(rgb, quality_scale=10,
+                                        subsample=True))
+    prog = decode_image_bytes(make_progressive_jpeg(
+        rgb, quality_scale=10, subsample=True))
+    assert np.array_equal(base, prog)
+
+
+def test_decode_jpeg_progressive_random_pixels_identical():
+    # random pixels maximize AC density: exercises ZRL, EOB runs,
+    # correction-bit interleaving and both spectral bands hard
+    for seed in (3, 17):
+        px = _rng_px(19, 23, 3, seed=seed)
+        base = decode_image_bytes(make_jpeg(px, quality_scale=50))
+        prog = decode_image_bytes(make_progressive_jpeg(
+            px, quality_scale=50))
+        assert np.array_equal(base, prog), seed
+
+
+def test_progressive_ahash_matches_baseline_reencode():
+    # round-6 done-criterion style: ahash identity with the baseline
+    yy, xx = np.mgrid[0:32, 0:32]
+    px = np.stack([(yy * 8) % 256, (xx * 8) % 256,
+                   ((yy ^ xx) * 8) % 256], -1).astype(np.uint8)
+    h_base = image_ahash_bytes(make_jpeg(px, quality_scale=10))
+    h_prog = image_ahash_bytes(make_progressive_jpeg(px,
+                                                     quality_scale=10))
+    assert h_base == h_prog
