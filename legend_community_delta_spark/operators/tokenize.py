@@ -480,7 +480,9 @@ def unigram_train(df: DataFrame, text_col: str = "text",
             pieces = (unigram_em_round(words, pieces, max_piece_len)
                       .localCheckpoint(eager=True))
         current = pieces.count()
-        if current <= vocab_size:
+        if current <= vocab_size or current <= n_chars:
+            # can't prune below single-char coverage: a vocab_size
+            # smaller than the alphabet ends here (chars-only model)
             break
         keep_multi = max(vocab_size - n_chars,
                          int((1.0 - prune_frac) * current) - n_chars)

@@ -358,6 +358,20 @@ def test_unigram_viterbi_tie_breaks_to_fewer_pieces(spark):
     assert got.n_pieces == 1
 
 
+def test_unigram_vocab_below_alphabet_terminates(spark):
+    """vocab_size smaller than the single-char alphabet: pruning cannot
+    go below char coverage — must terminate with a chars-only model,
+    not loop forever (regression: round-7 review)."""
+    from legend_community_delta_spark.operators.tokenize import (
+        unigram_train)
+    df = spark.createDataFrame([(1, "ab ba ab")],
+                               "doc_id long, text string")
+    pieces = unigram_train(df, vocab_size=1, n_em=1,
+                           max_piece_len=3, seed_size=10)
+    rows = pieces.collect()
+    assert {r.piece for r in rows} == {"a", "b"}
+
+
 def test_unigram_no_python_udfs(spark):
     from legend_community_delta_spark.operators.tokenize import (
         unigram_em_round, _seed_from_words, word_freqs)
