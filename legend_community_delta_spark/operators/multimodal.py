@@ -10,8 +10,9 @@ formats the Python standard library can parse without external codecs:
   numpy unfiltering) and **JPEG**: baseline, extended-sequential AND
   progressive/SOF2 (Huffman + spectral-selection/successive-
   approximation scans + IDCT + 4:2:0/4:2:2 upsampling + restart
-  markers, pure numpy) — the formats real image corpora are
-  overwhelmingly made of;
+  markers, pure numpy) and **GIF** (stdlib LZW, global/local
+  palettes, interlacing, transparency — first frame) — the formats
+  real image corpora are overwhelmingly made of;
 * **audio**: WAV/PCM via :mod:`wave` (8/16/32-bit);
 * **video**: YUV4MPEG2 (``.y4m`` — uncompressed frames behind a text
   header; the interchange format ffmpeg/mjpegtools emit).
@@ -682,13 +683,146 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     return np.clip(np.rint(px), 0, 255).astype(np.uint8)
 
 
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF LZW decode (LSB-first variable-width codes, CLEAR/EOI
+    handling, code-size growth at 2^n up to 12 bits) -> uint8 index
+    array of length *n_pixels*."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = i = 0
+
+    def reset():
+        return min_code_size + 1, {c: bytes([c]) for c in range(clear)}, eoi + 1
+
+    code_size, table, next_code = reset()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            code_size, table, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]             # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW bad code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW produced too few pixels")
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a -> (h, w, c) uint8 array: stdlib LZW, global/local
+    palettes, interlacing, transparency (c=4 RGBA when a transparent
+    index is declared, else c=3).  FIRST frame only — animated GIFs
+    return frame 1 composited on the logical screen (the standard
+    thumbnail/near-dup treatment for web corpora)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: {b[:6]!r}")
+    try:
+        return _decode_gif_body(b)
+    except (struct.error, IndexError) as e:     # truncated/corrupt
+        raise ValueError(f"corrupt GIF: {e}") from None
+
+
+def _decode_gif_body(b: bytes) -> np.ndarray:
+    w, h = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed >> 7:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:                          # extension
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9 and b[pos] >= 4:    # graphic control
+                if b[pos + 1] & 1:
+                    transparent = b[pos + 4]
+            while b[pos] != 0:
+                pos += b[pos] + 1
+            pos += 1
+        elif blk == 0x2C:                        # image descriptor
+            x0, y0, iw, ih = struct.unpack_from("<HHHH", b, pos + 1)
+            p2 = b[pos + 9]
+            pos += 10
+            ct = gct
+            if p2 >> 7:                          # local color table
+                n = 2 << (p2 & 7)
+                ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                n = b[pos]
+                data += b[pos + 1:pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            idx = _gif_lzw(bytes(data), min_code_size,
+                           iw * ih).reshape(ih, iw)
+            if (p2 >> 6) & 1:                    # interlaced row order
+                rows = np.empty(ih, np.int64)
+                src_r = 0
+                for first, step in _GIF_INTERLACE:
+                    for r in range(first, ih, step):
+                        rows[r] = src_r
+                        src_r += 1
+                # rows[r] = stream row that belongs at display row r
+                idx = idx[rows]
+            px = ct[idx]                         # (ih, iw, 3)
+            if transparent is not None:
+                alpha = np.where(idx == transparent, 0, 255) \
+                    .astype(np.uint8)[..., None]
+                px = np.concatenate([px, alpha], axis=-1)
+            c = px.shape[-1]
+            canvas = np.zeros((h, w, c), np.uint8)
+            canvas[y0:y0 + ih, x0:x0 + iw] = px[:h - y0, :w - x0]
+            return canvas
+        elif blk == 0x3B:                        # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{blk:02X}")
+    raise ValueError("GIF missing image data")
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode BMP/PNM/PNG/baseline-JPEG payload bytes to an (h, w, c)
-    uint8 pixel array — pure stdlib + numpy, no codec libraries.
+    """Decode BMP/PNM/PNG/GIF/JPEG (baseline, extended-sequential and
+    progressive) payload bytes to an (h, w, c) uint8 pixel array — pure
+    stdlib + numpy, no codec libraries.
 
     Raises ``ValueError`` for formats still needing a codec library
-    (WebP/AVIF/progressive JPEG/...) — at that point swap in PIL; every
-    caller's Spark plumbing is format-agnostic.
+    (WebP/AVIF/...) — at that point swap in PIL; every caller's Spark
+    plumbing is format-agnostic.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -698,10 +832,12 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     if payload[:1] == b"P":
         return _decode_pnm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise ValueError(
         f"unsupported image magic {payload[:4]!r}: stdlib decode covers "
-        "BMP/PGM/PPM/PNG/baseline JPEG; WebP/AVIF need PIL/libvips in "
-        "the runtime image")
+        "BMP/PGM/PPM/PNG/GIF/JPEG (incl. progressive); WebP/AVIF need "
+        "PIL/libvips in the runtime image")
 
 
 def encode_pnm(px: np.ndarray) -> bytes:

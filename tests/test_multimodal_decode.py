@@ -942,3 +942,131 @@ def test_progressive_ahash_matches_baseline_reencode():
     h_prog = image_ahash_bytes(make_progressive_jpeg(px,
                                                      quality_scale=10))
     assert h_base == h_prog
+
+
+# ---------------------------------------------------------------------------
+# GIF: independent in-test encoder (palette quantization-free: tests use
+# <=256-color images), LZW with periodic CLEAR codes so code width never
+# grows — a valid, decoder-exercising stream.
+# ---------------------------------------------------------------------------
+
+class _LSBWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, val, n):
+        self.acc |= val << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self):
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+
+
+def make_gif(px, interlace=False, transparent=None, local_palette=False,
+             offset=(0, 0)):
+    """(h, w, 3) uint8 array (<= 256 distinct colors) -> GIF89a bytes.
+    LZW emits literal codes with periodic CLEARs, so the decoder's
+    table-growth and reset paths run while the encoder stays
+    fixed-width at min_code_size+1 bits."""
+    h, w = px.shape[:2]
+    colors, inv = np.unique(px.reshape(-1, 3), axis=0,
+                            return_inverse=True)
+    n = len(colors)
+    assert n <= 256
+    bits = max(2, int(n - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[:n] = colors
+    idx = inv.astype(np.uint8).reshape(h, w)
+    y0, x0 = offset
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w + x0, h + y0)
+    if local_palette:
+        out += bytes([0x00, 0, 0])               # no global table
+    else:
+        out += bytes([0x80 | (bits - 1), 0, 0])
+        out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    rows = idx
+    if interlace:
+        order = []
+        for first, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order += list(range(first, h, step))
+        rows = idx[np.array(order)]
+    out += bytes([0x2C]) + struct.pack("<HHHH", x0, y0, w, h)
+    out += bytes([(0x80 | (bits - 1) if local_palette else 0)
+                  | (0x40 if interlace else 0)])
+    if local_palette:
+        out += pal.tobytes()
+    mcs = bits
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out += bytes([mcs])
+    # the decoder adds a table entry per code after the first since the
+    # last CLEAR and widens its reads when next_code hits 2^(mcs+1) —
+    # a fixed-width encoder must CLEAR before that point
+    K = (1 << (mcs + 1)) - (clear + 2)
+    wtr = _LSBWriter()
+    wtr.write(clear, mcs + 1)
+    since = 0
+    for v in rows.flatten():
+        if since == K:
+            wtr.write(clear, mcs + 1)
+            since = 0
+        wtr.write(int(v), mcs + 1)
+        since += 1
+    wtr.write(eoi, mcs + 1)
+    wtr.flush()
+    data = wtr.out
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_decode_gif_lossless_roundtrip():
+    px = _rng_px(13, 17, 3, seed=9)
+    # quantize to few colors so the palette fits
+    px = (px // 64) * 64
+    got = decode_image_bytes(make_gif(px))
+    assert got.shape == px.shape
+    assert np.array_equal(got, px)
+
+
+def test_decode_gif_interlaced_and_local_palette():
+    px = ((_rng_px(23, 9, 3, seed=4) // 85) * 85).astype(np.uint8)
+    plain = decode_image_bytes(make_gif(px))
+    inter = decode_image_bytes(make_gif(px, interlace=True))
+    local = decode_image_bytes(make_gif(px, local_palette=True))
+    assert np.array_equal(plain, inter)
+    assert np.array_equal(plain, local)
+
+
+def test_decode_gif_transparency_and_offset():
+    px = ((_rng_px(8, 8, 3, seed=2) // 128) * 128).astype(np.uint8)
+    got = decode_image_bytes(make_gif(px, transparent=0))
+    assert got.shape == (8, 8, 4)               # RGBA
+    colors, inv = np.unique(px.reshape(-1, 3), axis=0,
+                            return_inverse=True)
+    want_alpha = np.where(inv.reshape(8, 8) == 0, 0, 255)
+    assert np.array_equal(got[..., 3], want_alpha)
+    assert np.array_equal(got[..., :3], px)
+    # frame offset composites onto the logical screen
+    off = decode_image_bytes(make_gif(px, offset=(2, 3)))
+    assert off.shape == (10, 11, 3)
+    assert np.array_equal(off[2:, 3:], px)
+    assert (off[:2] == 0).all() and (off[:, :3] == 0).all()
+
+
+def test_decode_gif_truncated_raises():
+    px = ((_rng_px(8, 8, 3, seed=2) // 128) * 128).astype(np.uint8)
+    buf = make_gif(px)
+    with pytest.raises(ValueError):
+        decode_image_bytes(buf[:len(buf) // 2])
