@@ -2156,9 +2156,10 @@ _MH_HASHES, _MH_BANDS, _MH_K, _MH_THRESH, _MH_BUCKET = 16, 8, 5, 0.3, 200
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates, md5-portable signatures
-    (Kirsch-Mitzenmacher: one md5 per distinct 5-shingle, slot i =
-    min(h1 + i*h2) over two 48-bit md5 halves) — full duckdb oracle
-    reproduces signatures, banding and the hot-bucket cap exactly."""
+    (4 independent 32-bit hash slots per md5 of each distinct
+    5-shingle: slot 4t+j = j-th hex quarter of md5('mh{t}:'||s)) —
+    full duckdb oracle reproduces signatures, banding and the
+    hot-bucket cap exactly."""
     ensure_views(spark, sf_dir)
     # single-file input arrives as one split; spread the shingle md5 +
     # min aggregates across cores the way a multi-split scan would be
@@ -2174,7 +2175,7 @@ def _minhash_oracle() -> str:
     n, bands, k = _MH_HASHES, _MH_BANDS, _MH_K
     r = n // bands
     mins = ",\n    ".join(
-        f"min(h1 + {i} * h2) AS m{i}" for i in range(n))
+        f"min(h{i}) AS m{i}" for i in range(n))
     banded = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         + " || '|' || ".join(f"m{b * r + j}::VARCHAR" for j in range(r))
@@ -2191,8 +2192,22 @@ sh AS (
   FROM docs),
 hh AS (
   SELECT doc_id,
-         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
-         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+         ('0x' || substr(md5('mh0:' || s), 1, 8))::BIGINT AS h0,
+         ('0x' || substr(md5('mh0:' || s), 9, 8))::BIGINT AS h1,
+         ('0x' || substr(md5('mh0:' || s), 17, 8))::BIGINT AS h2,
+         ('0x' || substr(md5('mh0:' || s), 25, 8))::BIGINT AS h3,
+         ('0x' || substr(md5('mh1:' || s), 1, 8))::BIGINT AS h4,
+         ('0x' || substr(md5('mh1:' || s), 9, 8))::BIGINT AS h5,
+         ('0x' || substr(md5('mh1:' || s), 17, 8))::BIGINT AS h6,
+         ('0x' || substr(md5('mh1:' || s), 25, 8))::BIGINT AS h7,
+         ('0x' || substr(md5('mh2:' || s), 1, 8))::BIGINT AS h8,
+         ('0x' || substr(md5('mh2:' || s), 9, 8))::BIGINT AS h9,
+         ('0x' || substr(md5('mh2:' || s), 17, 8))::BIGINT AS h10,
+         ('0x' || substr(md5('mh2:' || s), 25, 8))::BIGINT AS h11,
+         ('0x' || substr(md5('mh3:' || s), 1, 8))::BIGINT AS h12,
+         ('0x' || substr(md5('mh3:' || s), 9, 8))::BIGINT AS h13,
+         ('0x' || substr(md5('mh3:' || s), 17, 8))::BIGINT AS h14,
+         ('0x' || substr(md5('mh3:' || s), 25, 8))::BIGINT AS h15
   FROM sh),
 sig AS (SELECT doc_id,
     {mins}

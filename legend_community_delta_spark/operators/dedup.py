@@ -150,30 +150,32 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
       aggregation carries 64x more groups — a better trade only when
       signatures are much longer or per-row hashing is the true
       bottleneck.  Same candidate pairs as kperm on the test corpora.
-    * ``md5``: engine-PORTABLE k-min via Kirsch-Mitzenmacher double
-      hashing — ONE md5 per distinct shingle, split into two 48-bit
-      integers ``h1`` (hex chars 1-12) and ``h2`` (13-24); slot i is
-      ``min(h1 + i*h2)``.  Everything stays under 2^53, so the integer
-      math is overflow-free and bit-identical on any engine with md5
-      and 64-bit integers (DuckDB: ``('0x'||substr(md5(s),..))::BIGINT``)
-      — the contract entry carries a full value oracle.  Production
-      default stays xxhash64 kperm (cheaper hash, same plan shape).
+    * ``md5``: engine-PORTABLE k-min — slot 4t+j is the min over
+      distinct shingles of the j-th 8-hex-char quarter of
+      ``md5('mh{t}:' || shingle)`` read as a 32-bit integer, i.e. each
+      md5 yields FOUR independent hash slots (md5 bits are independent;
+      a double-hashing ``h1 + i*h2`` variant was rejected — the shared
+      argmin correlates slots and collapses the Jaccard estimator).
+      All values fit 32 bits, so the math is overflow-free and
+      bit-identical on any engine with md5 and 64-bit integers
+      (DuckDB: ``('0x'||substr(md5(s),..))::BIGINT``) — the contract
+      entry carries a full value oracle.  Production default stays
+      xxhash64 kperm (cheaper hash, same plan shape).
     """
     if method == "md5":
-        if num_hashes > 32:
-            raise ValueError(
-                "md5 (portable) minhash supports <= 32 slots: "
-                "h1 + i*h2 must stay overflow-free on every engine")
         hashed = df.select(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(
                 char_shingles(text_col, shingle_k))).alias("__s"))
-        h = F.md5(F.col("__s"))
-        hh = hashed.select(
-            "__id",
-            F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("__h1"),
-            F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("__h2"))
-        mins = [F.min(F.col("__h1") + i * F.col("__h2")).alias(f"__m{i}")
+        cols = []
+        for i in range(num_hashes):
+            t, j = divmod(i, 4)
+            md5c = F.md5(F.concat(F.lit(f"mh{t}:"), F.col("__s")))
+            # repeated md5(t) subexpressions fuse via codegen CSE
+            cols.append(F.conv(F.substring(md5c, 8 * j + 1, 8), 16, 10)
+                        .cast("long").alias(f"__h{i}"))
+        hh = hashed.select("__id", *cols)
+        mins = [F.min(F.col(f"__h{i}")).alias(f"__m{i}")
                 for i in range(num_hashes)]
         agg = hh.groupBy("__id").agg(*mins)
         return agg.select(
