@@ -143,3 +143,26 @@ def test_semantic_contamination_subset_of_bruteforce(spark):
             semantic_contamination(train, evals, threshold=0.5,
                                    n_cells=4, iters=2).collect()}
     assert semd <= brute
+
+
+def test_assign_cells_vectorized_matches_literal(spark):
+    """The >64-cell Arrow/matmul assignment path must agree with the
+    literal Column-expression path cell-for-cell (random floats — no
+    exact similarity ties)."""
+    import random
+    from legend_community_delta_spark.operators.similarity import (
+        _assign_cells, kmeans_centroids)
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, 12, 1)
+    lit = {r["vec_id"]: (r["__cell"], round(r["__csim"], 9))
+           for r in _assign_cells(df, cents, "embedding", "vec_id",
+                                  method="literal").collect()}
+    vec = {r["vec_id"]: (r["__cell"], round(r["__csim"], 9))
+           for r in _assign_cells(df, cents, "embedding", "vec_id",
+                                  method="vectorized").collect()}
+    assert set(lit) == set(vec)
+    for k in lit:
+        assert lit[k][0] == vec[k][0], k
+        assert abs(lit[k][1] - vec[k][1]) < 1e-9, k
