@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "reconcile_orders",
     "scd2_user_status",
     "cluster_size_histogram",
+    # round-7 additions
+    "unigram_vocab",
+    "unigram_token_stats",
 ]
 
 
@@ -140,13 +143,36 @@ def main() -> None:
             print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "bench_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_DIR,
-    }))
+    # Full per-query detail always lands in BENCH_DETAIL.json next to
+    # this script.  The stdout line must survive a 2000-char tail
+    # buffer (the round-6 driver artifact recorded parsed=None because
+    # the 71-query line outgrew it), so if the full dict doesn't fit,
+    # the smallest timings are folded into "other_sec" and the count
+    # noted — the heavy queries stay individually visible.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({"metric": "bench_total_sec", "value": total,
+                   "unit": "sec", "queries": timings, "sf": SF_DIR}, f)
+
+    def line(q: dict, omitted: int, other: float) -> str:
+        payload = {"metric": "bench_total_sec", "value": total,
+                   "unit": "sec", "queries": q, "sf": SF_DIR}
+        if omitted:
+            payload["queries_omitted"] = omitted
+            payload["other_sec"] = round(other, 3)
+            payload["detail"] = "BENCH_DETAIL.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = len(by_cost)
+    out = line(dict(by_cost), 0, 0.0)
+    while len(out) > 1900 and keep > 1:
+        keep -= 1
+        kept = dict(by_cost[:keep])
+        other = sum(v for _, v in by_cost[keep:])
+        out = line(kept, len(by_cost) - keep, other)
+    print(out)
     spark.stop()
 
 
