@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     # round-7 additions
     "unigram_vocab",
     "unigram_token_stats",
+    "eval_ngram_docs",
 ]
 
 

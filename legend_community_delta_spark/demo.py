@@ -4850,6 +4850,83 @@ def _q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_stats(docs, pieces, max_piece_len=5)
 
 
+def _q_eval_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-eval metrics (operators/evalmetrics.py): each doc
+    scored as a "candidate" against the next doc_id as "reference" —
+    BLEU-2 clipped precisions + brevity penalty and ROUGE-1/2 P/R/F1.
+    Exact integer multiset math per row (clipped counts via
+    filter-inside-fold), zero shuffles beyond the adjacency join; every
+    value reproduces in DuckDB list algebra — full oracle."""
+    ensure_views(spark, sf_dir)
+    from .operators.evalmetrics import ngram_eval_metrics
+    d = spark.table("documents")
+    a = d.select("doc_id", F.col("text").alias("cand"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("text").alias("ref"))
+    pairs = a.join(b, "doc_id")
+    m = ngram_eval_metrics(pairs, "cand", "ref", 2)
+    return m.select(
+        "doc_id",
+        F.round("p1", 6).alias("p1"), F.round("r1", 6).alias("r1"),
+        F.round("rouge1_f1", 6).alias("rouge1_f1"),
+        F.round("p2", 6).alias("p2"), F.round("r2", 6).alias("r2"),
+        F.round("rouge2_f1", 6).alias("rouge2_f1"),
+        F.round("bp", 6).alias("bp"),
+        F.round("bleu2", 6).alias("bleu2"))
+
+
+_ORACLE_EVAL_NGRAM = r"""
+WITH pairs AS (
+  SELECT a.doc_id, a.text AS cand, b.text AS ref
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+tok AS (
+  SELECT doc_id,
+    regexp_extract_all(cand, '\S+') AS ct,
+    regexp_extract_all(ref, '\S+') AS rt
+  FROM pairs),
+grams AS (
+  SELECT doc_id, ct, rt,
+    CASE WHEN len(ct) >= 2
+         THEN list_transform(generate_series(1, len(ct) - 1),
+                             i -> ct[i] || ' ' || ct[i + 1])
+         ELSE [] END AS cg2,
+    CASE WHEN len(rt) >= 2
+         THEN list_transform(generate_series(1, len(rt) - 1),
+                             i -> rt[i] || ' ' || rt[i + 1])
+         ELSE [] END AS rg2
+  FROM tok),
+clip AS (
+  SELECT doc_id, ct, rt, cg2, rg2,
+    coalesce(list_sum(list_transform(list_distinct(ct),
+      g -> least(len(list_filter(ct, x -> x = g)),
+                 len(list_filter(rt, x -> x = g))))), 0) AS c1,
+    coalesce(list_sum(list_transform(list_distinct(cg2),
+      g -> least(len(list_filter(cg2, x -> x = g)),
+                 len(list_filter(rg2, x -> x = g))))), 0) AS c2
+  FROM grams),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(ct) > 0 THEN c1::DOUBLE / len(ct) ELSE 0.0 END AS p1,
+    CASE WHEN len(rt) > 0 THEN c1::DOUBLE / len(rt) ELSE 0.0 END AS r1,
+    CASE WHEN len(cg2) > 0 THEN c2::DOUBLE / len(cg2) ELSE 0.0 END AS p2,
+    CASE WHEN len(rg2) > 0 THEN c2::DOUBLE / len(rg2) ELSE 0.0 END AS r2,
+    CASE WHEN len(ct) <= 0 THEN 0.0
+         ELSE least(1.0, exp(1.0 - len(rt)::DOUBLE / len(ct))) END AS bp
+  FROM clip)
+SELECT doc_id,
+  round(p1, 6) AS p1, round(r1, 6) AS r1,
+  round(CASE WHEN p1 + r1 > 0 THEN 2 * p1 * r1 / (p1 + r1)
+        ELSE 0.0 END, 6) AS rouge1_f1,
+  round(p2, 6) AS p2, round(r2, 6) AS r2,
+  round(CASE WHEN p2 + r2 > 0 THEN 2 * p2 * r2 / (p2 + r2)
+        ELSE 0.0 END, 6) AS rouge2_f1,
+  round(bp, 6) AS bp,
+  round(CASE WHEN p1 * p2 > 0 THEN bp * pow(p1 * p2, 0.5)
+        ELSE 0.0 END, 6) AS bleu2
+FROM m
+"""
+
+
 def _q_weighted_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derandomized weighted sampling without replacement
     (curation.weighted_sample, Efraimidis-Spirakis A-Res): 100 docs
@@ -5638,6 +5715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-7 additions: rows-only by nature (iterative EM) -----------
     "unigram_vocab": _q_unigram_vocab,
     "unigram_token_stats": _q_unigram_token_stats,
+    # -- round-7: generation-eval metrics (full oracle) ------------------
+    "eval_ngram_docs": _q_eval_ngram_docs,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -5868,6 +5947,7 @@ _ROUND7_ORDER: list[str] = [
     "scd2_user_status",
     "unigram_vocab",
     "unigram_token_stats",
+    "eval_ngram_docs",
 ]
 assert set(_ROUND7_ORDER) == set(QUERIES), (
     sorted(set(_ROUND7_ORDER) ^ set(QUERIES))
@@ -5875,6 +5955,7 @@ assert set(_ROUND7_ORDER) == set(QUERIES), (
 QUERIES = {k: QUERIES[k] for k in _ROUND7_ORDER}
 
 ORACLES: dict[str, str] = {
+    "eval_ngram_docs": _ORACLE_EVAL_NGRAM,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),
