@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "unigram_vocab",
     "unigram_token_stats",
     "eval_ngram_docs",
+    "wordpiece_token_stats",
 ]
 
 

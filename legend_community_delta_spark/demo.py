@@ -4864,7 +4864,7 @@ def _q_eval_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select((F.col("doc_id") - 1).alias("doc_id"),
                  F.col("text").alias("ref"))
     pairs = a.join(b, "doc_id")
-    m = ngram_eval_metrics(pairs, "cand", "ref", 2)
+    m = ngram_eval_metrics(pairs, "cand", "ref", "doc_id", 2)
     return m.select(
         "doc_id",
         F.round("p1", 6).alias("p1"), F.round("r1", 6).alias("r1"),
@@ -4895,24 +4895,36 @@ grams AS (
                              i -> rt[i] || ' ' || rt[i + 1])
          ELSE [] END AS rg2
   FROM tok),
-clip AS (
-  SELECT doc_id, ct, rt, cg2, rg2,
-    coalesce(list_sum(list_transform(list_distinct(ct),
-      g -> least(len(list_filter(ct, x -> x = g)),
-                 len(list_filter(rt, x -> x = g))))), 0) AS c1,
-    coalesce(list_sum(list_transform(list_distinct(cg2),
-      g -> least(len(list_filter(cg2, x -> x = g)),
-                 len(list_filter(rg2, x -> x = g))))), 0) AS c2
-  FROM grams),
+-- clipped counts relationally: unnest each side to (doc, gram, count)
+-- rows, inner-join, sum the mins (identical integer math to the
+-- per-row fold; the fold form is O(distinct x len) per row in list
+-- lambdas — measured 60x slower in DuckDB)
+c1u AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(ct) AS g FROM grams) GROUP BY 1, 2),
+r1u AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(rt) AS g FROM grams) GROUP BY 1, 2),
+c2u AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(cg2) AS g FROM grams) GROUP BY 1, 2),
+r2u AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(rg2) AS g FROM grams) GROUP BY 1, 2),
+o1 AS (SELECT c1u.doc_id, sum(least(c1u.c, r1u.c)) AS c1
+       FROM c1u JOIN r1u USING (doc_id, g) GROUP BY 1),
+o2 AS (SELECT c2u.doc_id, sum(least(c2u.c, r2u.c)) AS c2
+       FROM c2u JOIN r2u USING (doc_id, g) GROUP BY 1),
 m AS (
-  SELECT doc_id,
-    CASE WHEN len(ct) > 0 THEN c1::DOUBLE / len(ct) ELSE 0.0 END AS p1,
-    CASE WHEN len(rt) > 0 THEN c1::DOUBLE / len(rt) ELSE 0.0 END AS r1,
-    CASE WHEN len(cg2) > 0 THEN c2::DOUBLE / len(cg2) ELSE 0.0 END AS p2,
-    CASE WHEN len(rg2) > 0 THEN c2::DOUBLE / len(rg2) ELSE 0.0 END AS r2,
+  SELECT g.doc_id,
+    CASE WHEN len(ct) > 0
+         THEN coalesce(c1, 0)::DOUBLE / len(ct) ELSE 0.0 END AS p1,
+    CASE WHEN len(rt) > 0
+         THEN coalesce(c1, 0)::DOUBLE / len(rt) ELSE 0.0 END AS r1,
+    CASE WHEN len(cg2) > 0
+         THEN coalesce(c2, 0)::DOUBLE / len(cg2) ELSE 0.0 END AS p2,
+    CASE WHEN len(rg2) > 0
+         THEN coalesce(c2, 0)::DOUBLE / len(rg2) ELSE 0.0 END AS r2,
     CASE WHEN len(ct) <= 0 THEN 0.0
          ELSE least(1.0, exp(1.0 - len(rt)::DOUBLE / len(ct))) END AS bp
-  FROM clip)
+  FROM grams g LEFT JOIN o1 ON o1.doc_id = g.doc_id
+               LEFT JOIN o2 ON o2.doc_id = g.doc_id)
 SELECT doc_id,
   round(p1, 6) AS p1, round(r1, 6) AS r1,
   round(CASE WHEN p1 + r1 > 0 THEN 2 * p1 * r1 / (p1 + r1)
@@ -4925,6 +4937,22 @@ SELECT doc_id,
         ELSE 0.0 END, 6) AS bleu2
 FROM m
 """
+
+
+def _q_wordpiece_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy encode (tokenize.wordpiece_encode_stats): per-doc
+    token counts under a deterministic char+top-words vocabulary —
+    longest-match-first segmentation once per DISTINCT word via the
+    substring-lattice join + one bounded greedy fold.  Rows-only: the
+    greedy walk is an iterative fold, not one-query SQL; pinned against
+    a pure-python greedy reference in tests/test_tokenize.py."""
+    ensure_views(spark, sf_dir)
+    from .operators.tokenize import (wordpiece_char_vocab,
+                                     wordpiece_encode_stats)
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    vocab = wordpiece_char_vocab(docs, top_words=200)
+    return wordpiece_encode_stats(docs, vocab)
 
 
 def _q_weighted_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5717,6 +5745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_token_stats": _q_unigram_token_stats,
     # -- round-7: generation-eval metrics (full oracle) ------------------
     "eval_ngram_docs": _q_eval_ngram_docs,
+    "wordpiece_token_stats": _q_wordpiece_token_stats,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -5948,6 +5977,7 @@ _ROUND7_ORDER: list[str] = [
     "unigram_vocab",
     "unigram_token_stats",
     "eval_ngram_docs",
+    "wordpiece_token_stats",
 ]
 assert set(_ROUND7_ORDER) == set(QUERIES), (
     sorted(set(_ROUND7_ORDER) ^ set(QUERIES))

@@ -588,3 +588,113 @@ def unigram_encode_stats(df: DataFrame, pieces: DataFrame,
                  F.sum(F.length("word")).alias("n_chars"),
                  F.sum(F.coalesce(F.col("__np"), F.length("word")))
                  .alias("n_unigram_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy encode  [Wu et al. 2016; the BERT-family tokenizer]
+#
+# Given a trained vocabulary (word-initial pieces plus "##"-prefixed
+# continuation pieces), WordPiece segments each word greedily: at every
+# position take the LONGEST vocabulary piece that matches; if no piece
+# matches, the whole word becomes [UNK].  Spark shape: the same
+# substring-explode + broadcast-join lattice as the Unigram trainer
+# builds the per-word match edges, then the greedy walk is one bounded
+# F.aggregate fold per DISTINCT word (n steps cover any word of length
+# n, since every effective step consumes >= 1 char).  Docs equi-join
+# the distinct-word results — corpus never rescanned.
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_segments(words: DataFrame, vocab: DataFrame,
+                       max_piece_len: int = 10,
+                       piece_col: str = "piece") -> DataFrame:
+    """Greedy WordPiece segmentation per distinct word:
+    ``(word, freq, n_pieces, is_unk)``.  *vocab* holds word-initial
+    pieces verbatim and continuation pieces with a ``##`` prefix."""
+    cand = (words.select(
+        "word", "freq",
+        F.explode(_substr_candidates(F.col("word"), max_piece_len))
+        .alias("c"))
+        .select("word", "freq", F.col("c.s").alias("s"),
+                F.col("c.l").alias("l"),
+                F.when(F.col("c.s") == 1, F.col("c.sub"))
+                .otherwise(F.concat(F.lit("##"), F.col("c.sub")))
+                .alias("key")))
+    hit = cand.join(F.broadcast(vocab.select(F.col(piece_col).alias("key"))),
+                    "key", "inner")
+    lat = (hit.groupBy("word", "freq")
+           .agg(F.sort_array(F.collect_list(F.struct("s", "l")))
+                .alias("edges"))
+           .withColumn("n", F.length("word")))
+
+    def step(acc, _i):
+        nxt = F.filter(F.col("edges"),
+                       lambda e: e["s"] == acc["pos"] + 1)
+        best = F.array_max(F.transform(nxt, lambda e: e["l"]))
+        active = acc["ok"] & (acc["pos"] < F.col("n"))
+        return (F.when(active & (F.size(nxt) > 0),
+                       F.struct((acc["pos"] + best).alias("pos"),
+                                (acc["cnt"] + 1).alias("cnt"),
+                                F.lit(True).alias("ok")))
+                .when(active,                       # dead end -> [UNK]
+                      F.struct(F.col("n").alias("pos"),
+                               F.lit(1).alias("cnt"),
+                               F.lit(False).alias("ok")))
+                .otherwise(acc))
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.col("n")),
+        F.struct(F.lit(0).alias("pos"), F.lit(0).alias("cnt"),
+                 F.lit(True).alias("ok")),
+        step)
+    seg = lat.select("word", "freq",
+                     walk["cnt"].alias("n_pieces"),
+                     (~walk["ok"]).alias("is_unk"))
+    # words with NO vocabulary match at all never reach the groupBy
+    missing = (words.join(seg.select("word"), "word", "left_anti")
+               .select("word", "freq", F.lit(1).alias("n_pieces"),
+                       F.lit(True).alias("is_unk")))
+    return seg.unionByName(missing)
+
+
+def wordpiece_char_vocab(df: DataFrame, text_col: str = "text",
+                         top_words: int = 200) -> DataFrame:
+    """A small deterministic demo vocabulary: every single character as
+    both word-initial and ``##`` continuation piece (full coverage
+    modulo unseen chars) plus the *top_words* most frequent whole words
+    (ties by word ascending) — enough to exercise longest-match-first
+    behavior; real pipelines load their model's vocab file instead."""
+    wf = word_freqs(df, text_col)
+    chars = (wf.select(F.explode(F.split("word", "")).alias("c"), "freq")
+             .where(F.length("c") == 1)
+             .groupBy("c").agg(F.sum("freq").alias("n")))
+    initial = chars.select(F.col("c").alias("piece"))
+    cont = chars.select(F.concat(F.lit("##"), F.col("c")).alias("piece"))
+    whole = (wf.where(F.length("word") > 1)
+             .orderBy(F.desc("freq"), "word").limit(top_words)
+             .select(F.col("word").alias("piece")))
+    return initial.unionByName(cont).unionByName(whole).distinct()
+
+
+def wordpiece_encode_stats(df: DataFrame, vocab: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_piece_len: int = 10) -> DataFrame:
+    """Per-doc WordPiece token counts under a given vocabulary:
+    ``(doc_id, n_words, n_wordpiece_tokens, n_unk_words)`` — greedy
+    segmentation once per DISTINCT word, docs equi-join the result."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(TX.tokens(text_col),
+                              lambda t: F.lower(t))).alias("word"))
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    segs = wordpiece_segments(words, vocab, max_piece_len)
+    joined = toks.join(
+        F.broadcast(segs.select("word", "n_pieces", "is_unk")),
+        "word", "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.coalesce(F.col("n_pieces"), F.lit(1)))
+                 .alias("n_wordpiece_tokens"),
+                 F.sum(F.when(F.coalesce(F.col("is_unk"), F.lit(True)),
+                              1).otherwise(0)).alias("n_unk_words")))

@@ -38,4 +38,5 @@ def test_entry_contract(spark):
                          "semantic_contamination_pairs",
                          "events_sketch_stats",
                          "bpe_merge_table", "bpe_token_stats",
-                         "unigram_vocab", "unigram_token_stats"}
+                         "unigram_vocab", "unigram_token_stats",
+                         "wordpiece_token_stats"}

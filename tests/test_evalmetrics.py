@@ -14,7 +14,7 @@ from legend_community_delta_spark.operators.evalmetrics import (
 def _row(spark, cand, ref, n_max=2):
     df = spark.createDataFrame([(1, cand, ref)],
                                "id long, cand string, ref string")
-    return ngram_eval_metrics(df, "cand", "ref", n_max).collect()[0]
+    return ngram_eval_metrics(df, "cand", "ref", "id", n_max).collect()[0]
 
 
 def test_hand_computed_bleu_rouge(spark):
@@ -59,6 +59,6 @@ def test_zero_guards(spark):
 def test_no_python_udfs(spark):
     df = spark.createDataFrame([(1, "a b", "a c")],
                                "id long, cand string, ref string")
-    plan = (ngram_eval_metrics(df, "cand", "ref", 2)
+    plan = (ngram_eval_metrics(df, "cand", "ref", "id", 2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -380,3 +380,75 @@ def test_unigram_no_python_udfs(spark):
     out = unigram_em_round(words, _seed_from_words(words, 4, 25), 4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy encode — pinned against a pure-python greedy
+# longest-match-first reference over the same vocabulary.
+# ---------------------------------------------------------------------------
+
+def _ref_wordpiece(word, vocab, max_len):
+    pos, cnt = 0, 0
+    n = len(word)
+    while pos < n:
+        match = None
+        for l in range(min(max_len, n - pos), 0, -1):
+            sub = word[pos:pos + l]
+            key = sub if pos == 0 else "##" + sub
+            if key in vocab:
+                match = l
+                break
+        if match is None:
+            return 1, True                        # whole word -> [UNK]
+        pos += match
+        cnt += 1
+    return cnt, False
+
+
+def test_wordpiece_matches_python_reference(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        wordpiece_segments)
+    vocab = {"un", "##able", "##b", "##le", "a", "##a", "b", "##n",
+             "u", "##u", "l", "##l", "e", "##e", "n", "able", "un##"}
+    vdf = spark.createDataFrame([(p,) for p in sorted(vocab)],
+                                "piece string")
+    words = ["unable", "able", "banana", "nab", "zzz", "u", "ub",
+             "lane", "ellen"]
+    wdf = spark.createDataFrame([(w, 1) for w in words],
+                                "word string, freq long")
+    got = {r.word: (r.n_pieces, r.is_unk)
+           for r in wordpiece_segments(wdf, vdf, 6).collect()}
+    for w in words:
+        assert got[w] == _ref_wordpiece(w, vocab, 6), w
+    # longest-match-first: 'unable' = un + ##able (2), not u/n/a/b/l/e
+    assert got["unable"] == (2, False)
+    assert got["zzz"] == (1, True)
+
+
+def test_wordpiece_encode_stats_and_unk(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        wordpiece_char_vocab, wordpiece_encode_stats)
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the qq")],
+        "doc_id long, text string")
+    # char vocab covers a,c,e,h,s,t,q + top words; every word segmentable
+    vocab = wordpiece_char_vocab(df, top_words=2)  # 'the' + one more
+    stats = {r.doc_id: (r.n_words, r.n_wordpiece_tokens, r.n_unk_words)
+             for r in wordpiece_encode_stats(df, vocab).collect()}
+    # top-2 words by (freq desc, word asc) = 'the' and 'cat' (whole
+    # pieces, 1 token each); 'sat' falls back to 3 chars
+    assert stats[1] == (3, 5, 0)
+    assert stats[2] == (3, 4, 0)                  # the,the=1+1; qq=2 chars
+    # unseen characters -> UNK
+    oov = spark.createDataFrame([(9, "zz the")], "doc_id long, text string")
+    got = wordpiece_encode_stats(oov, vocab).collect()[0]
+    assert (got.n_words, got.n_wordpiece_tokens, got.n_unk_words) == (2, 2, 1)
+
+
+def test_wordpiece_no_python_udfs(spark):
+    from legend_community_delta_spark.operators.tokenize import (
+        wordpiece_char_vocab, wordpiece_encode_stats)
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = wordpiece_encode_stats(df, wordpiece_char_vocab(df))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
