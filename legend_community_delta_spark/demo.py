@@ -4859,7 +4859,10 @@ def _q_eval_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value reproduces in DuckDB list algebra — full oracle."""
     ensure_views(spark, sf_dir)
     from .operators.evalmetrics import ngram_eval_metrics
-    d = spark.table("documents")
+    # single-file input arrives as one split; spread the gram explode +
+    # counting across cores the way a multi-split scan would be
+    d = (spark.table("documents")
+         .repartition(spark.sparkContext.defaultParallelism))
     a = d.select("doc_id", F.col("text").alias("cand"))
     b = d.select((F.col("doc_id") - 1).alias("doc_id"),
                  F.col("text").alias("ref"))

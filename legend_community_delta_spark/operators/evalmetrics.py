@@ -60,7 +60,11 @@ def ngram_eval_metrics(df: DataFrame, cand_col: str, ref_col: str,
     for n in range(1, n_max + 1):
         clip = _clip_counts(df, id_col, cand_col, ref_col, n,
                             f"__clip{n}")
-        out = out.join(clip, id_col, "left")
+        # clip is one row per input row id (a pair of longs) — broadcast
+        # it so the text-carrying side never shuffles; at cluster scale
+        # swap for a shuffle join only when row counts outgrow the
+        # broadcast threshold
+        out = out.join(F.broadcast(clip), id_col, "left")
         cg_len = F.size(word_ngrams(cand_col, n))
         rg_len = F.size(word_ngrams(ref_col, n))
         c = F.coalesce(F.col(f"__clip{n}"), F.lit(0))
