@@ -617,17 +617,25 @@ def test_ahash_collides_across_bmp_png_jpeg_reencodes():
     assert bits <= 4                            # lossy codec: near-equal
 
 
-def test_decode_images_pipeline_handles_png_and_jpeg(spark):
+def test_decode_images_pipeline_handles_png_jpeg_gif(spark):
     px = _rng_px(9, 11, 3, seed=21)
+    gif_px = ((px // 64) * 64).astype(np.uint8)  # palette-sized colors
     rows = [Row(media_id=1, payload=bytearray(make_png(px))),
             Row(media_id=2, payload=bytearray(make_jpeg(px))),
-            Row(media_id=3, payload=bytearray(b"GIF89a not supported"))]
+            Row(media_id=3, payload=bytearray(b"GIF89a not a real gif")),
+            Row(media_id=4, payload=bytearray(make_gif(gif_px))),
+            Row(media_id=5,
+                payload=bytearray(make_progressive_jpeg(px)))]
     out = {r.media_id: r for r in
            decode_images(spark.createDataFrame(rows)).collect()}
     assert (out[1].width, out[1].height) == (11, 9)
     assert out[1].decode_error is None
     assert (out[2].width, out[2].height) == (11, 9)
     assert out[3].decode_error is not None      # per-row error, no crash
+    assert (out[4].width, out[4].height) == (11, 9)   # valid GIF decodes
+    assert out[4].decode_error is None
+    assert (out[5].width, out[5].height) == (11, 9)   # progressive JPEG
+    assert out[5].decode_error is None
 
 
 # ---------------------------------------------------------------------------
