@@ -51,10 +51,10 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
                      "vs a pure-python reference in tests.",
     "unigram_token_stats": "Same EM rationale; Viterbi encode counts "
                            "under the trained model.",
-    "wordpiece_token_stats": "WordPiece greedy longest-match walk is "
-                             "an iterative fold, not one-query SQL; "
-                             "pinned vs a pure-python greedy reference "
-                             "in tests.",
+    # round 8: wordpiece_token_stats moved OFF this list — the greedy
+    # longest-match walk is a DuckDB recursive CTE over distinct words
+    # joined to a precomputed longest-match table (full value oracle
+    # in demo.ORACLES).
     "lsh_ann_topk": "Approximate NN: result is top-k over LSH-probed "
                     "buckets, deliberately a (recall-pinned) subset of "
                     "the exact scan.",

@@ -4867,7 +4867,10 @@ def _q_eval_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select((F.col("doc_id") - 1).alias("doc_id"),
                  F.col("text").alias("ref"))
     pairs = a.join(b, "doc_id")
-    m = ngram_eval_metrics(pairs, "cand", "ref", "doc_id", 2)
+    # fixture corpus is broadcast-sized; production default (False)
+    # lets AQE pick the clip-join strategy
+    m = ngram_eval_metrics(pairs, "cand", "ref", "doc_id", 2,
+                           broadcast_clip=True)
     return m.select(
         "doc_id",
         F.round("p1", 6).alias("p1"), F.round("r1", 6).alias("r1"),
@@ -4946,16 +4949,67 @@ def _q_wordpiece_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece greedy encode (tokenize.wordpiece_encode_stats): per-doc
     token counts under a deterministic char+top-words vocabulary —
     longest-match-first segmentation once per DISTINCT word via the
-    substring-lattice join + one bounded greedy fold.  Rows-only: the
-    greedy walk is an iterative fold, not one-query SQL; pinned against
-    a pure-python greedy reference in tests/test_tokenize.py."""
+    substring-lattice join + one bounded greedy fold.  FULL ORACLE
+    (round 8): the vocab is one deterministic query (chars + top-10
+    words by freq desc, word asc) and the greedy walk is a DuckDB
+    recursive CTE over distinct words joined to a precomputed
+    longest-match table.  top_words=10 (not 200) so the synthetic
+    fixture's 30 distinct multi-char words actually segment instead of
+    all matching as whole pieces."""
     ensure_views(spark, sf_dir)
     from .operators.tokenize import (wordpiece_char_vocab,
                                      wordpiece_encode_stats)
     docs = (spark.table("documents")
             .repartition(spark.sparkContext.defaultParallelism))
-    vocab = wordpiece_char_vocab(docs, top_words=200)
+    vocab = wordpiece_char_vocab(docs, top_words=10)
     return wordpiece_encode_stats(docs, vocab)
+
+
+_ORACLE_WORDPIECE = r"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, lower(t.w) AS word
+  FROM documents, unnest(regexp_extract_all(text, '\S+')) AS t(w)),
+words AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+wpos AS (
+  SELECT word, length(word) AS len, p.s
+  FROM words, unnest(range(1, length(word) + 1)) AS p(s)),
+vocab AS (
+  SELECT DISTINCT substr(word, s, 1) AS piece FROM wpos
+  UNION
+  SELECT DISTINCT '##' || substr(word, s, 1) FROM wpos
+  UNION
+  SELECT word FROM (
+    SELECT word FROM words WHERE length(word) > 1
+    ORDER BY freq DESC, word LIMIT 10)),
+-- longest vocab match per (word, 1-based position); max_piece_len=10
+best AS (
+  SELECT w.word, w.s, max(l.l) AS best_l
+  FROM wpos w, unnest(range(1, least(10, w.len - w.s + 1) + 1)) AS l(l)
+  WHERE (CASE WHEN w.s = 1 THEN substr(w.word, w.s, l.l)
+              ELSE '##' || substr(w.word, w.s, l.l) END)
+        IN (SELECT piece FROM vocab)
+  GROUP BY w.word, w.s),
+-- the greedy longest-match-first walk; dead end mid-word => [UNK] (cnt 1)
+walk AS (
+  SELECT word, length(word) AS len, 0 AS pos, 0 AS cnt, true AS ok
+  FROM words
+  UNION ALL
+  SELECT w.word, w.len,
+         CASE WHEN b.best_l IS NOT NULL THEN w.pos + b.best_l
+              ELSE w.len END,
+         CASE WHEN b.best_l IS NOT NULL THEN w.cnt + 1 ELSE 1 END,
+         b.best_l IS NOT NULL
+  FROM walk w LEFT JOIN best b ON b.word = w.word AND b.s = w.pos + 1
+  WHERE w.pos < w.len AND w.ok),
+seg AS (SELECT word, cnt AS n_pieces, NOT ok AS is_unk
+        FROM walk WHERE pos >= len)
+SELECT t.doc_id, count(*) AS n_words,
+       sum(s.n_pieces) AS n_wordpiece_tokens,
+       sum(CASE WHEN s.is_unk THEN 1 ELSE 0 END) AS n_unk_words
+FROM tok t JOIN seg s USING (word)
+GROUP BY t.doc_id
+"""
 
 
 def _q_weighted_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5815,67 +5869,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_customers": _q_setop_customers,
 }
 
-# Driver-sample rotation for round 7 (see COVERAGE.md "Driver-sample
+# Driver-sample rotation for round 8 (see COVERAGE.md "Driver-sample
 # rotation"): the correctness driver samples the FIRST 50 entries of
-# ``QUERIES``.  51 entries' latest driver row is r4 or older --
-# ``gini_order_values`` (#151, never sampled by any driver round) plus
-# the 50 whose freshest row predates round 5 -- so round 7 front-loads
-# those 51 (gini first; one of the 51 necessarily falls outside the
-# 50-entry window), then the remaining 100 ordered by ascending
-# freshness (r5 rows before r6 rows).  The list is explicit (not
-# computed) so the sampled set is deterministic and reviewable in the
-# diff.
-_ROUND7_ORDER: list[str] = [
-    "gini_order_values",
-    "legend_mapping_orders",
-    "legend_service_part_stats",
-    "legend_service_orders_by_year",
-    "legend_service_orders_97_low",
-    "legend_service_urgent_orders",
-    "legend_dq_lineitem",
-    "q1_pricing_summary",
-    "asof_views_purchases",
-    "asof_forward_views",
-    "range_join_windows",
-    "dedup_exact_docs",
-    "text_quality_by_lang",
-    "sessionize_events",
-    "sessionize_stream",
-    "dedup_stream_docs",
-    "events_hourly",
-    "events_hourly_stream",
-    "window_suite",
-    "rolling_windows",
-    "percentiles_by_segment",
-    "pivot_orders",
-    "distinct_agg",
-    "q3_topk_orders",
-    "q5_region_revenue",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit",
-    "q12_priority_lines",
-    "q14_promo_share",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "q20_significant_suppliers",
-    "q10_returned_revenue",
-    "q6_forecast_revenue",
-    "customers_without_orders",
-    "cube_lineitem",
-    "events_sketch_stats",
-    "events_histogram",
-    "window_top_orders",
-    "rollup_lineitem",
+# ``QUERIES``.  Front-loaded: the 4 entries NEVER driver-sampled
+# (unigram_vocab / unigram_token_stats / eval_ngram_docs /
+# wordpiece_token_stats), the md5-portable trio whose round-7 full
+# oracles (minhash_pairs / simhash_pairs / embedding_dedup_pairs) have
+# never had a driver hash_match row (last sampled r6 as rows-only),
+# and setop_customers (freshest row r4).  The rest follow in ascending
+# driver-row freshness (r5 rows, then r6, then r7).  Explicit, not
+# computed, so the sampled set is deterministic and reviewable.
+_ROUND8_ORDER: list[str] = [
+    "unigram_vocab",
+    "unigram_token_stats",
+    "eval_ngram_docs",
+    "wordpiece_token_stats",
+    "minhash_pairs",
+    "simhash_pairs",
+    "embedding_dedup_pairs",
     "setop_customers",
     "quality_by_source",
     "token_counts_by_source",
@@ -5958,9 +5969,6 @@ _ROUND7_ORDER: list[str] = [
     "pq_ann_topk",
     "semdedup_pairs",
     "semantic_contamination_pairs",
-    "minhash_pairs",
-    "simhash_pairs",
-    "embedding_dedup_pairs",
     "lsh_ann_topk",
     "pair_store_pagerank",
     "intra_dup_span_docs",
@@ -5977,18 +5985,65 @@ _ROUND7_ORDER: list[str] = [
     "benford_orders",
     "reconcile_orders",
     "scd2_user_status",
-    "unigram_vocab",
-    "unigram_token_stats",
-    "eval_ngram_docs",
-    "wordpiece_token_stats",
+    "gini_order_values",
+    "legend_mapping_orders",
+    "legend_service_part_stats",
+    "legend_service_orders_by_year",
+    "legend_service_orders_97_low",
+    "legend_service_urgent_orders",
+    "legend_dq_lineitem",
+    "q1_pricing_summary",
+    "asof_views_purchases",
+    "asof_forward_views",
+    "range_join_windows",
+    "dedup_exact_docs",
+    "text_quality_by_lang",
+    "sessionize_events",
+    "sessionize_stream",
+    "dedup_stream_docs",
+    "events_hourly",
+    "events_hourly_stream",
+    "window_suite",
+    "rolling_windows",
+    "percentiles_by_segment",
+    "pivot_orders",
+    "distinct_agg",
+    "q3_topk_orders",
+    "q5_region_revenue",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit",
+    "q12_priority_lines",
+    "q14_promo_share",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q20_significant_suppliers",
+    "q10_returned_revenue",
+    "q6_forecast_revenue",
+    "customers_without_orders",
+    "cube_lineitem",
+    "events_sketch_stats",
+    "events_histogram",
+    "window_top_orders",
+    "rollup_lineitem",
 ]
-assert set(_ROUND7_ORDER) == set(QUERIES), (
-    sorted(set(_ROUND7_ORDER) ^ set(QUERIES))
+assert set(_ROUND8_ORDER) == set(QUERIES), (
+    sorted(set(_ROUND8_ORDER) ^ set(QUERIES))
 )
-QUERIES = {k: QUERIES[k] for k in _ROUND7_ORDER}
+QUERIES = {k: QUERIES[k] for k in _ROUND8_ORDER}
 
 ORACLES: dict[str, str] = {
     "eval_ngram_docs": _ORACLE_EVAL_NGRAM,
+    "wordpiece_token_stats": _ORACLE_WORDPIECE,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

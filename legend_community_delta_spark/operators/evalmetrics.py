@@ -37,7 +37,8 @@ def _clip_counts(base: DataFrame, id_col: str, cand_col: str,
 
 
 def ngram_eval_metrics(df: DataFrame, cand_col: str, ref_col: str,
-                       id_col: str, n_max: int = 2) -> DataFrame:
+                       id_col: str, n_max: int = 2,
+                       broadcast_clip: bool = False) -> DataFrame:
     """Append per-row eval-metric columns for n = 1..n_max:
 
     * ``p{n}`` — clipped modified n-gram precision (BLEU numerator),
@@ -52,6 +53,11 @@ def ngram_eval_metrics(df: DataFrame, cand_col: str, ref_col: str,
     Zero-length guards: an empty candidate scores 0 precision/BLEU; an
     empty reference scores 0 recall.  All ratios are exact integer
     divisions; only bp/bleu touch exp/pow.
+
+    *broadcast_clip* hints the per-n clipped-count side into a broadcast
+    join.  The clip table has ONE ROW PER INPUT ROW, so this is only
+    safe when the caller knows the corpus is small (an eval slice, not a
+    100 TB scan); the default lets AQE pick the join strategy.
     """
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1 [{n_max}]")
@@ -60,11 +66,11 @@ def ngram_eval_metrics(df: DataFrame, cand_col: str, ref_col: str,
     for n in range(1, n_max + 1):
         clip = _clip_counts(df, id_col, cand_col, ref_col, n,
                             f"__clip{n}")
-        # clip is one row per input row id (a pair of longs) — broadcast
-        # it so the text-carrying side never shuffles; at cluster scale
-        # swap for a shuffle join only when row counts outgrow the
-        # broadcast threshold
-        out = out.join(F.broadcast(clip), id_col, "left")
+        # clip is one row per input row id (a pair of longs): O(corpus)
+        # rows, so only broadcast when the caller opted in for a
+        # known-small eval slice — otherwise AQE picks the strategy
+        out = out.join(F.broadcast(clip) if broadcast_clip else clip,
+                       id_col, "left")
         cg_len = F.size(word_ngrams(cand_col, n))
         rg_len = F.size(word_ngrams(ref_col, n))
         c = F.coalesce(F.col(f"__clip{n}"), F.lit(0))

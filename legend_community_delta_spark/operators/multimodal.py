@@ -500,9 +500,12 @@ def _apply_scan(coefs: dict, comps: list, huff: dict, scan_comps: list,
         if ss > 0 and interleaved:
             raise ValueError(
                 "invalid progressive scan: AC scans are single-component")
-    if interleaved or (not progressive):
+    if interleaved:
         n_units = mcus_x * mcus_y
     else:
+        # T.81 §A.2.2: a NON-INTERLEAVED scan (sequential or progressive)
+        # walks one-block data units in the component's own raster order
+        # — bw x bh blocks, no MCU padding
         cid0 = scan_comps[0][0]
         hs, vs = cinfo[cid0]
         comp_w = (w * hs + hmax - 1) // hmax
@@ -521,7 +524,7 @@ def _apply_scan(coefs: dict, comps: list, huff: dict, scan_comps: list,
             reader = _BitReader(segments[seg_idx])
             pred = {cid: 0 for cid in pred}
             eobrun = 0
-        if interleaved or (not progressive and len(scan_comps) == 1):
+        if interleaved:
             my, mx = divmod(u, mcus_x)
             for cid, _td, _ta in scan_comps:
                 hs, vs = cinfo[cid]
@@ -537,11 +540,14 @@ def _apply_scan(coefs: dict, comps: list, huff: dict, scan_comps: list,
                                 reader, dc_tab, zz, al, pred[cid])
                         else:
                             _dc_refine(reader, zz, al)
-        else:                                   # progressive, one comp
+        else:                                   # non-interleaved, one comp
             by, bx = divmod(u, bw)
             zz = coefs[cid0][by, bx]
             dc_tab, ac_tab = tables[cid0]
-            if ss == 0:
+            if not progressive:
+                pred[cid0] = _seq_block(reader, dc_tab, ac_tab, zz,
+                                        pred[cid0])
+            elif ss == 0:
                 if ah == 0:
                     pred[cid0] = _dc_first(reader, dc_tab, zz, al,
                                            pred[cid0])

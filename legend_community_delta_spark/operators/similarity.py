@@ -578,18 +578,23 @@ def _cell_col(centroids: list[list[float]], vec_col: str,
     exactly, so *assume_normalized* swaps each per-centroid cosine
     (dot + two norms) for one dot against the driver-normalized
     centroid — 3x fewer interpreted lambda evaluations in the scan."""
+    # struct comparison is lexicographic, so storing -cell makes
+    # array_max break similarity TIES toward the LOWEST cell index —
+    # matching numpy argmax in the vectorized path (ties are real for
+    # all-zero vectors or duplicate centroids)
     if assume_normalized:
         sims = F.array(*[
             F.struct(dot(F.col(vec_col), literal_vector(_unit(c)))
-                     .alias("sim"), F.lit(i).alias("cell"))
+                     .alias("sim"), F.lit(-i).alias("negcell"))
             for i, c in enumerate(centroids)])
     else:
         sims = F.array(*[
             F.struct(cosine(F.col(vec_col), literal_vector(c)).alias("sim"),
-                     F.lit(i).alias("cell"))
+                     F.lit(-i).alias("negcell"))
             for i, c in enumerate(centroids)])
     best = F.array_max(sims)
-    return F.struct(best["cell"].alias("cell"), best["sim"].alias("csim"))
+    return F.struct((-best["negcell"]).alias("cell"),
+                    best["sim"].alias("csim"))
 
 
 def _assign_cells(df: DataFrame, centroids: list[list[float]],
@@ -598,8 +603,10 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]],
                  method: str = "auto") -> DataFrame:
     """``(id, vec, __cell, __csim)`` — argmax-cosine cell assignment.
 
-    Two physical strategies, same result (ties are measure-zero with
-    float similarities):
+    Two physical strategies, same result — including on similarity TIES
+    (all-zero vectors, duplicate centroids): both paths break toward the
+    LOWEST cell index, so results cannot change when the centroid count
+    crosses the 16-cell threshold or *method* is forced.
 
     * **literal** (<= 16 cells): one Column expression of per-centroid
       folds — zero extra exchange, fine while the expression stays

@@ -436,10 +436,15 @@ def unigram_em_round(words: DataFrame, pieces: DataFrame,
     counts = (post.select("piece",
                           (F.col("freq") * F.col("e.w")).alias("c"))
               .groupBy("piece").agg(F.sum("c").alias("expected")))
+    # a piece whose posterior mass underflows to exactly 0.0 would make
+    # log(0) -> NULL and poison every lattice containing it next round;
+    # floor the mass instead of dropping the piece so single-char
+    # coverage survives (logp bottoms out near -690, finite and inert)
     total = counts.agg(F.sum("expected").alias("__t"))
     return (counts.crossJoin(F.broadcast(total))
             .select("piece",
-                    (F.log("expected") - F.log("__t")).alias("logp"),
+                    (F.log(F.greatest("expected", F.lit(1e-300)))
+                     - F.log("__t")).alias("logp"),
                     "expected"))
 
 

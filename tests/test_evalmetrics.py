@@ -62,3 +62,22 @@ def test_no_python_udfs(spark):
     plan = (ngram_eval_metrics(df, "cand", "ref", "id", 2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clip_broadcast_is_opt_in(spark):
+    """ADVICE r7: the clip table is O(corpus) rows — the broadcast hint
+    must be opt-in, not the default (default lets AQE pick)."""
+    df = spark.createDataFrame([(1, "a b", "a c")],
+                               "id long, cand string, ref string")
+    default_plan = (ngram_eval_metrics(df, "cand", "ref", "id", 1)
+                    ._jdf.queryExecution().optimizedPlan().toString())
+    hinted_plan = (ngram_eval_metrics(df, "cand", "ref", "id", 1,
+                                      broadcast_clip=True)
+                   ._jdf.queryExecution().optimizedPlan().toString())
+    assert "broadcast" not in default_plan.lower()
+    assert "broadcast" in hinted_plan.lower()
+    # same values either way
+    a = ngram_eval_metrics(df, "cand", "ref", "id", 1).collect()[0]
+    b = ngram_eval_metrics(df, "cand", "ref", "id", 1,
+                           broadcast_clip=True).collect()[0]
+    assert a == b

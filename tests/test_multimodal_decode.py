@@ -952,6 +952,116 @@ def test_progressive_ahash_matches_baseline_reencode():
     assert h_base == h_prog
 
 
+def _seq_scan_symbols_and_emit(blocks, dc_enc=None, ac_enc=None, bw=None):
+    """Full-band sequential entropy coding of one component's blocks in
+    raster order (T.81 baseline block coding, DC pred reset per scan).
+    Pass 1 (no encoders): return (dc_syms, ac_syms); pass 2: write bits."""
+    dc_syms, ac_syms = [], []
+    pred = 0
+    for zz in blocks:
+        d = int(zz[0]) - pred
+        pred = int(zz[0])
+        s, bits = _cat(d)
+        if dc_enc is None:
+            dc_syms.append(s)
+        else:
+            L, code = dc_enc[s]
+            bw.write(code, L)
+            bw.write(bits, s)
+        k, run = 1, 0
+        while k < 64:
+            if zz[k] == 0:
+                run += 1
+            else:
+                while run > 15:
+                    if ac_enc is None:
+                        ac_syms.append(0xF0)
+                    else:
+                        L, code = ac_enc[0xF0]
+                        bw.write(code, L)
+                    run -= 16
+                s, bits = _cat(int(zz[k]))
+                if ac_enc is None:
+                    ac_syms.append((run << 4) | s)
+                else:
+                    L, code = ac_enc[(run << 4) | s]
+                    bw.write(code, L)
+                    bw.write(bits, s)
+                run = 0
+            k += 1
+        if run:
+            if ac_enc is None:
+                ac_syms.append(0x00)
+            else:
+                L, code = ac_enc[0x00]
+                bw.write(code, L)
+    return dc_syms, ac_syms
+
+
+def make_multiscan_sequential_jpeg(px, quality_scale=10, subsample=False):
+    """SOF0 baseline with ONE NON-INTERLEAVED SOS PER COMPONENT —
+    legal per T.81 §A.2.2: each scan walks the component's own bw x bh
+    raster (no MCU padding), which differs from the MCU grid whenever
+    the component is subsampled and its block count is odd."""
+    (zz_grids, samp, qids, qtabs, h, w,
+     _mcus_x, _mcus_y) = _jpeg_quantize(px, quality_scale, subsample)
+    gray = len(zz_grids) == 1
+    out = bytearray(b"\xff\xd8")
+    for tid, q in enumerate(qtabs[:1] if gray else qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(v) for v in q)
+    nc = len(zz_grids)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      qids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for ci in range(nc):
+        blocks = lambda: _comp_band_blocks(zz_grids, ci, samp, h, w)
+        dc_syms, ac_syms = _seq_scan_symbols_and_emit(blocks())
+        dtab = _fixed_huff(dc_syms)
+        atab = _fixed_huff(ac_syms + [0x00])
+        _emit_dht(out, 0, 0, dtab)
+        _emit_dht(out, 1, 0, atab)
+        _emit_sos(out, [(ci + 1, 0, 0)], 0, 63, 0, 0)
+        bw_ = _BitWriter()
+        _seq_scan_symbols_and_emit(blocks(), dc_enc=dtab[2],
+                                   ac_enc=atab[2], bw=bw_)
+        bw_.flush()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_multiscan_sequential_nonintereaved_420():
+    # ADVICE r7: non-interleaved SEQUENTIAL scans must walk bw x bh
+    # component raster order, not MCU geometry.  24x24 4:2:0 makes the
+    # luma raster 3x3 blocks vs a 4x4 MCU-padded grid — decoding with
+    # MCU geometry garbles or errors.  Same quantized coefficients as
+    # the interleaved baseline => bit-identical pixels.
+    yy, xx = np.mgrid[0:24, 0:24]
+    rgb = np.stack([(yy * 9) % 256, (xx * 5) % 256,
+                    ((yy + xx) * 4) % 256], -1).astype(np.uint8)
+    base = decode_image_bytes(make_jpeg(rgb, quality_scale=10,
+                                        subsample=True))
+    multi = decode_image_bytes(make_multiscan_sequential_jpeg(
+        rgb, quality_scale=10, subsample=True))
+    assert np.array_equal(base, multi)
+
+
+def test_decode_jpeg_multiscan_sequential_444_and_gray():
+    px = _rng_px(17, 21, 3, seed=11)
+    base = decode_image_bytes(make_jpeg(px, quality_scale=25))
+    multi = decode_image_bytes(make_multiscan_sequential_jpeg(
+        px, quality_scale=25))
+    assert np.array_equal(base, multi)
+    g = _rng_px(16, 19, 1, seed=12)
+    base = decode_image_bytes(make_jpeg(g, quality_scale=25))
+    multi = decode_image_bytes(make_multiscan_sequential_jpeg(
+        g, quality_scale=25))
+    assert np.array_equal(base, multi)
+
+
 # ---------------------------------------------------------------------------
 # GIF: independent in-test encoder (palette quantization-free: tests use
 # <=256-color images), LZW with periodic CLEAR codes so code width never

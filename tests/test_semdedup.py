@@ -166,3 +166,32 @@ def test_assign_cells_vectorized_matches_literal(spark):
     for k in lit:
         assert lit[k][0] == vec[k][0], k
         assert abs(lit[k][1] - vec[k][1]) < 1e-9, k
+
+
+def test_assign_cells_tie_break_identical_across_paths(spark):
+    """ADVICE r7: on exact similarity TIES (all-zero vectors, duplicate
+    centroids) both paths must break toward the LOWEST cell index, so
+    results cannot flip when the centroid count crosses the vectorized
+    threshold."""
+    from legend_community_delta_spark.operators.similarity import (
+        _assign_cells)
+    rows = [
+        (0, [0.0, 0.0, 0.0]),          # all-zero: ties EVERY centroid
+        (1, [1.0, 0.0, 0.0]),          # ties the duplicate centroids 1&3
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 1.0, 0.0], [1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]]   # 1 and 3 duplicate
+    for norm in (False, True):
+        lit = {r["vec_id"]: r["__cell"]
+               for r in _assign_cells(df, cents, "embedding", "vec_id",
+                                      assume_normalized=norm,
+                                      method="literal").collect()}
+        vec = {r["vec_id"]: r["__cell"]
+               for r in _assign_cells(df, cents, "embedding", "vec_id",
+                                      assume_normalized=norm,
+                                      method="vectorized").collect()}
+        assert lit == vec, (norm, lit, vec)
+        assert lit[0] == 0          # all-zero -> lowest index wins
+        assert lit[1] == 1          # duplicate centroid -> index 1, not 3

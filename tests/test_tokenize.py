@@ -308,6 +308,36 @@ def test_unigram_em_round_matches_reference(spark):
             assert got[p][1] == pytest.approx(ref_exp[p], rel=1e-9)
 
 
+def test_unigram_em_round_floors_underflowed_posteriors(spark):
+    """ADVICE r7: a piece whose posterior mass underflows to exactly 0.0
+    must not yield NULL logp (Spark log(0) is NULL) — NULLs would poison
+    every lattice containing the piece next round.  Force the underflow
+    with a logp far below exp()'s range and assert every output logp is
+    finite and non-NULL."""
+    from legend_community_delta_spark.operators.tokenize import (
+        unigram_em_round, word_freqs)
+    df = spark.createDataFrame([("ab ab ab",)], "text string")
+    words = word_freqs(df)
+    pieces = spark.createDataFrame(
+        [("a", -0.7), ("b", -0.7), ("ab", -800.0)],
+        "piece string, logp double")
+    out = unigram_em_round(words, pieces, 4).collect()
+    got = {r.piece: r for r in out}
+    assert set(got) == {"a", "b", "ab"}
+    for p, r in got.items():
+        assert r.logp is not None, p
+        assert r.logp == r.logp and r.logp > float("-inf"), p  # no NaN
+    # the underflowed piece bottoms out near log(1e-300 / total)
+    assert got["ab"].expected == 0.0
+    assert got["ab"].logp < -600
+    # next round still runs NULL-free on the floored model
+    out2 = unigram_em_round(
+        words, spark.createDataFrame(
+            [(r.piece, r.logp) for r in out],
+            "piece string, logp double"), 4).collect()
+    assert all(r.logp is not None for r in out2)
+
+
 def test_unigram_train_learns_words_and_prunes_to_size(spark):
     from legend_community_delta_spark.operators.tokenize import (
         unigram_train)
