@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "unigram_token_stats",
     "eval_ngram_docs",
     "wordpiece_token_stats",
+    # round-8 additions: suffix-rank exact dedup
+    "exact_span_docs",
+    "longest_dup_span_docs",
 ]
 
 

@@ -3460,6 +3460,56 @@ FROM (
 """
 
 
+def _q_exact_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-rank EXACT substring dedup (operators/suffix.py, round 8):
+    same Lee et al. 15-token cover as dup_span_docs, but window identity
+    comes from prefix-doubled suffix ranks + the overlapping-anchor pair
+    (sparse-table trick) instead of xxhash64 — collision-free at any
+    corpus size, O(log n) bounded rank passes, shuffles keyed on 8-byte
+    longs.  Oracle: the same literal DuckDB cover as dup_span_docs
+    (cleaned text compared verbatim)."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import exact_span_stats
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return exact_span_stats(docs, n=15)
+
+
+def _q_longest_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LONGEST exactly-duplicated substring (tokens): the
+    suffix-array capability the n-gram cover can't express — exact LCPs
+    between rank-order neighbors, descending the prefix-doubling tables.
+    rounds=7 makes 2**7=128 >= the fixture's max 100-token docs, i.e. a
+    FULL suffix sort — the exactness condition (ties then mean wholly
+    identical suffixes, so neighbor LCPs are the true maxima).  Oracle:
+    DuckDB enumerates every (start, length) window per doc and takes the
+    max duplicated length — O(len^2) materialization that is fine at
+    oracle scale and exactly what the rank path avoids at 100 TB."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import longest_dup_span_docs
+    docs = (spark.table("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return longest_dup_span_docs(docs, rounds=7)
+
+
+_ORACLE_LONGEST_DUP = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS s
+  FROM t WHERE len(ts) >= 1),
+wins AS (
+  SELECT doc_id, s, l.l AS l,
+         array_to_string(list_slice(ts, s, s + l.l - 1), chr(31)) AS gram
+  FROM pos, unnest(generate_series(1, len(ts) - s + 1)) AS l(l)),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+m AS (SELECT w.doc_id, max(w.l) AS max_dup_len
+      FROM wins w JOIN dup USING (gram) GROUP BY w.doc_id)
+SELECT t.doc_id, len(t.ts) AS n_tokens,
+       coalesce(m.max_dup_len, 0) AS max_dup_len
+FROM t LEFT JOIN m USING (doc_id)
+"""
+
+
 def _q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weighting (Xie et al., NeurIPS 2023): score every
     raw document by how much likelier its hashed unigram+bigram features
@@ -5803,6 +5853,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-7: generation-eval metrics (full oracle) ------------------
     "eval_ngram_docs": _q_eval_ngram_docs,
     "wordpiece_token_stats": _q_wordpiece_token_stats,
+    # -- round-8 additions: suffix-rank exact dedup -----------------------
+    "exact_span_docs": _q_exact_span_docs,
+    "longest_dup_span_docs": _q_longest_dup_span_docs,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -5888,6 +5941,8 @@ _ROUND8_ORDER: list[str] = [
     "simhash_pairs",
     "embedding_dedup_pairs",
     "setop_customers",
+    "exact_span_docs",
+    "longest_dup_span_docs",
     "quality_by_source",
     "token_counts_by_source",
     "shingle_stats",
@@ -6044,6 +6099,8 @@ QUERIES = {k: QUERIES[k] for k in _ROUND8_ORDER}
 ORACLES: dict[str, str] = {
     "eval_ngram_docs": _ORACLE_EVAL_NGRAM,
     "wordpiece_token_stats": _ORACLE_WORDPIECE,
+    "exact_span_docs": _ORACLE_DUP_SPANS,
+    "longest_dup_span_docs": _ORACLE_LONGEST_DUP,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

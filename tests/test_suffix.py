@@ -1,0 +1,197 @@
+"""Suffix-rank exact-substring dedup (operators/suffix.py): prefix
+doubling, overlapping-anchor window identity, rank-neighbor LCP —
+pinned against a pure-python suffix reference, plus plan checks."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from legend_community_delta_spark.operators.suffix import (
+    exact_span_stats,
+    exact_window_groups,
+    longest_dup_prefix,
+    longest_dup_span_docs,
+    suffix_ranks,
+    token_positions,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2, "a b c d e f g h the quick brown fox jumps over the lazy dog yes"),
+    (3, "unique tokens only here nothing repeats at all zzz"),
+    (4, "a b c a b c a b c a b c"),   # intra-doc overlapping repeats
+    (5, ""),                          # empty doc
+]
+TOKS = {d: t.split() for d, t in DOCS}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_dup_windows(n, min_count=2):
+    occ = defaultdict(list)
+    for d, ts in TOKS.items():
+        for s in range(len(ts) - n + 1):
+            occ[tuple(ts[s:s + n])].append((d, s + 1))
+    return {k: v for k, v in occ.items() if len(v) >= min_count}
+
+
+def _py_span_stats(n, min_count=2):
+    dups = _py_dup_windows(n, min_count)
+    out = {}
+    for d, ts in TOKS.items():
+        starts = {s for v in dups.values() for (dd, s) in v if dd == d}
+        kept = [t for i, t in enumerate(ts)
+                if not any(s <= i + 1 <= s + n - 1 for s in starts)]
+        out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def _py_longest_dup():
+    sufs = [(d, p + 1, tuple(ts[p:])) for d, ts in TOKS.items()
+            for p in range(len(ts))]
+    out = {}
+    for d, ts in TOKS.items():
+        best = 0
+        for p in range(len(ts)):
+            a = ts[p:]
+            for (dd, pp, b) in sufs:
+                if (dd, pp) == (d, p + 1):
+                    continue
+                l = 0
+                while l < len(a) and l < len(b) and a[l] == b[l]:
+                    l += 1
+                best = max(best, l)
+        out[d] = (len(ts), best)
+    return out
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_exact_span_stats_matches_python_reference(spark, docs, n):
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in exact_span_stats(docs, n=n).collect()}
+    assert got == _py_span_stats(n)
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_exact_window_groups_counts_and_identity(spark, docs, n):
+    rows = exact_window_groups(docs, n=n).collect()
+    dups = _py_dup_windows(n)
+    got = sorted((r["doc_id"], r["s"], r["n_occ"]) for r in rows)
+    ref = sorted((d, s, len(v)) for v in dups.values() for (d, s) in v)
+    assert got == ref
+    # the (w1, w2) anchor-rank pair partitions occurrences EXACTLY like
+    # the window's literal token content
+    bykey = defaultdict(set)
+    for r in rows:
+        bykey[(r["w1"], r["w2"])].add((r["doc_id"], r["s"]))
+    refkey = {k: set(v) for k, v in dups.items()}
+    assert sorted(map(sorted, bykey.values())) \
+        == sorted(map(sorted, refkey.values()))
+
+
+def test_exact_equals_hash_twin_on_fixture(spark, docs):
+    """The xxhash64 cover (spans.duplicate_span_stats) and the exact
+    rank cover must agree wherever no hash collision occurs — i.e.
+    everywhere on a test fixture."""
+    from legend_community_delta_spark.operators.spans import (
+        duplicate_span_stats)
+    a = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+         for r in exact_span_stats(docs, n=3).collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+         for r in duplicate_span_stats(docs, n=3).collect()}
+    assert a == b
+
+
+def test_longest_dup_span_docs_matches_python(spark, docs):
+    # exactness condition: 2**rounds >= max doc tokens (18) -> rounds=5
+    got = {r["doc_id"]: (r["n_tokens"], r["max_dup_len"])
+           for r in longest_dup_span_docs(docs, rounds=5).collect()}
+    assert got == _py_longest_dup()
+
+
+def test_longest_dup_tie_group_needs_full_sort(spark):
+    """Regression (found by the sf0.01 oracle): when 2**rounds is SHORTER
+    than the longest duplicate, suffixes tied on their first 2**rounds
+    tokens sit in arbitrary order and the true max-LCP partner may not
+    be rank-adjacent — the result undercounts (lower bound).  With the
+    full-sort rounds it is exact."""
+    rows = [
+        # docs a and c share 7 tokens; doc b shares only the first 5
+        (1, "t1 t2 t3 t4 t5 t6 t7 xa"),
+        (2, "t1 t2 t3 t4 t5 yb yc yd"),
+        (3, "t1 t2 t3 t4 t5 t6 t7 zc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # full sort: 2**3 = 8 >= max doc len 8 -> exact: docs 1 and 3 get 7
+    exact = {r["doc_id"]: r["max_dup_len"]
+             for r in longest_dup_span_docs(df, rounds=3).collect()}
+    assert exact == {1: 7, 2: 5, 3: 7}
+    # under-provisioned rounds: never an overcount, always >= 2**rounds
+    # reached agreement (a real match), i.e. a sound lower bound
+    low = {r["doc_id"]: r["max_dup_len"]
+           for r in longest_dup_span_docs(df, rounds=2).collect()}
+    for d in (1, 2, 3):
+        assert low[d] <= exact[d]
+        assert low[d] >= 4          # first-2**2-token agreement is real
+
+
+def test_longest_dup_prefix_per_suffix_spot_checks(spark, docs):
+    per = {(r["doc_id"], r["pos"]): r["dup_len"]
+           for r in longest_dup_prefix(docs, rounds=5).collect()}
+    # doc 1 pos 1 "the quick brown fox jumps over the lazy dog" repeats
+    # in doc 2 pos 9 — 9 tokens
+    assert per[(1, 1)] == 9 and per[(2, 9)] == 9
+    # doc 3 has no repeated token anywhere
+    assert all(per[(3, p)] == 0 for p in range(1, len(TOKS[3]) + 1))
+    # doc 4 pos 1: "a b c a b c a b c" also starts at pos 4 (9 tokens)
+    assert per[(4, 1)] == 9
+    # suffixes are never matched against themselves
+    assert per[(1, 13)] == 0        # trailing unique token "ok"
+
+
+def test_suffix_ranks_group_and_order_like_lexicographic(spark, docs):
+    pos = token_positions(docs)
+    rk = suffix_ranks(pos, rounds=5)[5]
+    sp = sorted((r["r"], r["doc_id"], r["pos"]) for r in rk.collect())
+    sufs = sorted((tuple(TOKS[d][p - 1:]), d, p)
+                  for d, ts in TOKS.items() for p in range(1, len(ts) + 1))
+    key32 = defaultdict(list)
+    for (s, d, p) in sufs:
+        key32[s[:32]].append((d, p))
+    groups = defaultdict(set)
+    rank_of = {}
+    for (r, d, p) in sp:
+        groups[r].add((d, p))
+        rank_of[(d, p)] = r
+    # equal rank <=> equal first-32-token prefix
+    assert sorted(map(sorted, groups.values())) \
+        == sorted(map(sorted, (set(v) for v in key32.values())))
+    # rank order == lexicographic prefix order
+    keys_sorted = sorted(key32)
+    ranks = [rank_of[key32[k][0]] for k in keys_sorted]
+    assert ranks == sorted(ranks)
+
+
+def test_validation_errors(spark, docs):
+    with pytest.raises(ValueError):
+        exact_window_groups(docs, n=0)
+    with pytest.raises(ValueError):
+        exact_window_groups(docs, min_count=1)
+    with pytest.raises(ValueError):
+        suffix_ranks(token_positions(docs), rounds=-1)
+
+
+def test_plans_no_python_udfs_no_cartesian(spark, docs):
+    for frame in (exact_span_stats(docs, n=3),
+                  longest_dup_span_docs(docs, rounds=3)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
