@@ -821,14 +821,500 @@ def _decode_gif_body(b: bytes) -> np.ndarray:
     raise ValueError("GIF missing image data")
 
 
+# ---------------------------------------------------------------------------
+# WebP — VP8L (lossless) bitstream, pure stdlib + numpy.
+#
+# Implements the public "WebP Lossless Bitstream Specification": LSB-first
+# bit packing, canonical (DEFLATE-convention) Huffman codes with the
+# VP8L code-length-code encoding, color cache, LZ77 backward references
+# (direct and 2D plane distance codes), meta-Huffman entropy images, and
+# all four transforms (predictor, cross-color, subtract-green, color
+# indexing incl. sub-byte pixel bundling).  Lossy VP8 still raises
+# pointedly — it needs a full video-intra codec.
+#
+# Verification note (same class as the progressive-JPEG caveat from the
+# round-7 review): no independent WebP codec exists in this environment,
+# so correctness is pinned by (a) roundtrips against the in-test VP8L
+# encoder written from the same public spec and (b) hand-computed
+# fixtures for the table-driven corners (plane-code map head, predictor
+# edge rules).  The far tail of _VP8L_DIST_MAP is the least-verifiable
+# piece; entries follow the spec's published table.
+# ---------------------------------------------------------------------------
+
+class _VP8LBitReader:
+    """LSB-first bit reader (VP8L convention, like DEFLATE/GIF)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos          # byte position
+        self.bit = 0            # bit position within data[pos]
+
+    def read(self, n: int) -> int:
+        v = 0
+        got = 0
+        while got < n:
+            if self.pos >= len(self.data):
+                raise ValueError("VP8L: bitstream truncated")
+            take = min(8 - self.bit, n - got)
+            chunk = (self.data[self.pos] >> self.bit) & ((1 << take) - 1)
+            v |= chunk << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+                  11, 12, 13, 14, 15)
+
+# 2D offsets for distance codes 1..120 (spec "plane codes"): (dx, dy),
+# distance = dy * xsize + dx (minimum 1).
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
+    (8, 4), (3, 8), (-3, 8), (8, 5), (4, 8), (-4, 8), (6, 7), (-6, 7),
+)
+
+
+def _vp8l_canonical(lengths: list[int]) -> dict:
+    """RFC1951 canonical code assignment: {(length, code): symbol}."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    # completeness (a lone 1-bit code is tolerated like libwebp does)
+    return table
+
+
+class _VP8LTree:
+    """Either a 'simple' (0/1/2-symbol) code or a canonical table."""
+
+    def __init__(self, simple_syms=None, lengths=None):
+        self.simple = simple_syms
+        if simple_syms is None:
+            self.table = _vp8l_canonical(lengths)
+            self.max_len = max(ln for ln in lengths if ln)
+
+    def read(self, br: _VP8LBitReader) -> int:
+        if self.simple is not None:
+            if len(self.simple) == 1:
+                return self.simple[0]
+            return self.simple[br.read(1)]
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)     # MSB-of-code first
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("VP8L: invalid Huffman code")
+
+
+def _vp8l_read_code_lengths(br, cl_tree, alphabet_size):
+    lengths = [0] * alphabet_size
+    if br.read(1):                              # bounded symbol count
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    symbol = 0
+    prev = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_tree.read(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            lengths[symbol:symbol + rep] = [prev] * min(
+                rep, alphabet_size - symbol)
+            symbol += rep
+        elif cl == 17:
+            symbol += 3 + br.read(3)
+        else:                                   # 18
+            symbol += 11 + br.read(7)
+    return lengths
+
+
+def _vp8l_read_tree(br, alphabet_size) -> _VP8LTree:
+    if br.read(1):                              # simple code
+        n_syms = br.read(1) + 1
+        if br.read(1):                          # 8-bit first symbol
+            syms = [br.read(8)]
+        else:
+            syms = [br.read(1)]
+        if n_syms == 2:
+            syms.append(br.read(8))
+        return _VP8LTree(simple_syms=syms)
+    num_cl = br.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_tree = _VP8LTree(lengths=cl_lengths)
+    lengths = _vp8l_read_code_lengths(br, cl_tree, alphabet_size)
+    used = sum(1 for x in lengths if x)
+    if used == 0:
+        raise ValueError("VP8L: empty Huffman tree")
+    if used == 1:                               # degenerate: 0-bit code
+        return _VP8LTree(
+            simple_syms=[next(i for i, x in enumerate(lengths) if x)])
+    return _VP8LTree(lengths=lengths)
+
+
+def _vp8l_prefix_value(br, code: int) -> int:
+    """LZ77 length/distance prefix decoding (shared formula)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_groups(br, w, h, cache_bits, top_level):
+    """Huffman group(s) + optional meta-huffman entropy image."""
+    meta = None
+    hb = 0
+    n_groups = 1
+    if top_level and br.read(1):                # meta huffman
+        hb = br.read(3) + 2
+        mw = (w + (1 << hb) - 1) >> hb
+        mh = (h + (1 << hb) - 1) >> hb
+        ent = _vp8l_decode_image(br, mw, mh, top_level=False)
+        meta = (((ent >> 16) & 0xFF) << 8) | ((ent >> 8) & 0xFF)
+        n_groups = int(meta.max()) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    sizes = [256 + 24 + cache_size, 256, 256, 256, 40]
+    groups = [[_vp8l_read_tree(br, s) for s in sizes]
+              for _ in range(n_groups)]
+    return groups, meta, hb
+
+
+def _vp8l_decode_image(br, w, h, top_level) -> np.ndarray:
+    """Entropy-coded ARGB image -> flat uint32 array of length w*h."""
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError(f"VP8L: invalid color-cache bits {cache_bits}")
+    groups, meta, hb = _vp8l_groups(br, w, h, cache_bits, top_level)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    n = w * h
+    px = np.zeros(n, np.uint32)
+    pos = 0
+    g = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            g = groups[int(meta[(y >> hb) * ((w + (1 << hb) - 1) >> hb)
+                               + (x >> hb)])]
+        s = g[0].read(br)
+        if s < 256:                             # literal
+            red = g[1].read(br)
+            blue = g[2].read(br)
+            alpha = g[3].read(br)
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            px[pos] = argb
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * argb) & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = argb
+        elif s < 256 + 24:                      # backward reference
+            length = _vp8l_prefix_value(br, s - 256)
+            dist_code = _vp8l_prefix_value(br, g[4].read(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(dy * w + dx, 1)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L: backward reference out of range")
+            for i in range(length):
+                argb = int(px[pos - dist])
+                px[pos] = argb
+                pos += 1
+                if cache is not None:
+                    cache[((0x1E35A7BD * argb) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = argb
+        else:                                   # color-cache hit
+            idx = s - 256 - 24
+            if cache is None or idx >= len(cache):
+                raise ValueError("VP8L: cache hit without cache")
+            px[pos] = cache[idx]
+            pos += 1
+    return px
+
+
+def _vp8l_avg2(a, b):
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_clamp_add_sub_full(l, t, tl):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= max(0, min(255, c)) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(ave, tl):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        c = a + (a - ((tl >> sh) & 0xFF)) // 2
+        out |= max(0, min(255, c)) << sh
+    return out
+
+
+def _vp8l_select(l, t, tl):
+    """Predictor 11: pick L or T, whichever is closer (sum of absolute
+    per-channel distances) to the gradient estimate L + T - TL; ties go
+    to L (mirrored by the in-test encoder — see module caveat)."""
+    p_l = p_t = 0
+    for sh in (24, 16, 8, 0):
+        p = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        p_l += abs(p - ((l >> sh) & 0xFF))
+        p_t += abs(p - ((t >> sh) & 0xFF))
+    return l if p_l <= p_t else t
+
+
+def _vp8l_inverse_predictor(px, w, h, bs, modes, mw):
+    out = px.astype(np.int64)
+
+    def predict(mode, x, y):
+        l = int(out[y * w + x - 1]) if x > 0 else 0
+        t = int(out[(y - 1) * w + x]) if y > 0 else 0
+        tl = int(out[(y - 1) * w + x - 1]) if (x > 0 and y > 0) else 0
+        tr = int(out[(y - 1) * w + x + 1]) if (y > 0 and x + 1 < w) \
+            else t
+        if mode == 0:
+            return 0xFF000000
+        if mode == 1:
+            return l
+        if mode == 2:
+            return t
+        if mode == 3:
+            return tr
+        if mode == 4:
+            return tl
+        if mode == 5:
+            return _vp8l_avg2(_vp8l_avg2(l, tr), t)
+        if mode == 6:
+            return _vp8l_avg2(l, tl)
+        if mode == 7:
+            return _vp8l_avg2(l, t)
+        if mode == 8:
+            return _vp8l_avg2(tl, t)
+        if mode == 9:
+            return _vp8l_avg2(t, tr)
+        if mode == 10:
+            return _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+        if mode == 11:
+            return _vp8l_select(l, t, tl)
+        if mode == 12:
+            return _vp8l_clamp_add_sub_full(l, t, tl)
+        if mode == 13:
+            return _vp8l_clamp_add_sub_half(_vp8l_avg2(l, t), tl)
+        raise ValueError(f"VP8L: invalid predictor mode {mode}")
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[x - 1])                   # L
+            elif x == 0:
+                pred = int(out[(y - 1) * w])             # T
+            else:
+                mode = (int(modes[(y >> bs) * mw + (x >> bs)]) >> 8) & 0xFF
+                pred = predict(mode, x, y)
+            v = int(out[y * w + x])
+            res = 0
+            for sh in (24, 16, 8, 0):
+                res |= ((((v >> sh) & 0xFF) + ((pred >> sh) & 0xFF))
+                        & 0xFF) << sh
+            out[y * w + x] = res
+    return out.astype(np.uint32)
+
+
+def _vp8l_delta(t, c):
+    """ColorTransformDelta: (int8(t) * int8(c)) >> 5 (arithmetic)."""
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def _vp8l_inverse_color_transform(px, w, h, bs, elems, mw):
+    out = px.copy()
+    for y in range(h):
+        for x in range(w):
+            e = int(elems[(y >> bs) * mw + (x >> bs)])
+            g2r = (e >> 16) & 0xFF      # red channel of the element
+            g2b = (e >> 8) & 0xFF       # green channel
+            r2b = e & 0xFF              # blue channel
+            v = int(out[y * w + x])
+            a = (v >> 24) & 0xFF
+            r = (v >> 16) & 0xFF
+            g = (v >> 8) & 0xFF
+            b = v & 0xFF
+            r = (r + _vp8l_delta(g2r, g)) & 0xFF
+            b = (b + _vp8l_delta(g2b, g) + _vp8l_delta(r2b, r)) & 0xFF
+            out[y * w + x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def _decode_vp8l(data: bytes) -> np.ndarray:
+    """VP8L chunk payload -> (h, w, 3|4) uint8 pixels."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _VP8LBitReader(data, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+    transforms = []
+    cur_w = w
+    while br.read(1):
+        typ = br.read(2)
+        if any(t[0] == typ for t in transforms):
+            raise ValueError(f"VP8L: duplicate transform {typ}")
+        if typ in (0, 1):                       # predictor / color
+            sb = br.read(3) + 2
+            mw = (cur_w + (1 << sb) - 1) >> sb
+            mh = (h + (1 << sb) - 1) >> sb
+            sub = _vp8l_decode_image(br, mw, mh, top_level=False)
+            transforms.append((typ, sb, sub, mw, cur_w))
+        elif typ == 2:                          # subtract green
+            transforms.append((2, cur_w))
+        else:                                   # color indexing
+            psize = br.read(8) + 1
+            pal = _vp8l_decode_image(br, psize, 1, top_level=False)
+            # palette colors are component-wise delta-coded
+            acc = 0
+            colors = np.zeros(psize, np.uint32)
+            for i in range(psize):
+                v = int(pal[i])
+                s = 0
+                for sh in (24, 16, 8, 0):
+                    s |= ((((acc >> sh) & 0xFF) + ((v >> sh) & 0xFF))
+                          & 0xFF) << sh
+                acc = s
+                colors[i] = s
+            if psize <= 2:
+                wb = 3
+            elif psize <= 4:
+                wb = 2
+            elif psize <= 16:
+                wb = 1
+            else:
+                wb = 0
+            packed_w = (cur_w + (1 << wb) - 1) >> wb
+            transforms.append((3, wb, colors, cur_w))
+            cur_w = packed_w
+    px = _vp8l_decode_image(br, cur_w, h, top_level=True)
+    for t in reversed(transforms):
+        if t[0] == 3:
+            _typ, wb, colors, orig_w = t
+            if wb:
+                per = 1 << wb
+                bits = 8 >> wb
+                mask = (1 << bits) - 1
+                idx = np.zeros(orig_w * h, np.int64)
+                pw = (orig_w + per - 1) >> wb
+                for y in range(h):
+                    for x in range(orig_w):
+                        packed = int(px[y * pw + (x >> wb)])
+                        green = (packed >> 8) & 0xFF
+                        idx[y * orig_w + x] = (green >> ((x % per) * bits)) \
+                            & mask
+            else:
+                idx = ((px >> np.uint32(8)) & np.uint32(0xFF)).astype(
+                    np.int64)
+            idx = np.clip(idx, 0, len(colors) - 1)
+            px = colors[idx]
+            cur_w = orig_w
+        elif t[0] == 2:
+            cw = t[1]
+            g = (px >> np.uint32(8)) & np.uint32(0xFF)
+            r = (((px >> np.uint32(16)) & np.uint32(0xFF)) + g) \
+                & np.uint32(0xFF)
+            b = ((px & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+            px = (px & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+            cur_w = cw
+        elif t[0] == 0:
+            _typ, sb, modes, mw, cw = t
+            px = _vp8l_inverse_predictor(px, cw, h, sb, modes, mw)
+            cur_w = cw
+        else:
+            _typ, sb, elems, mw, cw = t
+            px = _vp8l_inverse_color_transform(px, cw, h, sb, elems, mw)
+            cur_w = cw
+    a = ((px >> np.uint32(24)) & np.uint32(0xFF)).astype(np.uint8)
+    r = ((px >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
+    g = ((px >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+    b = (px & np.uint32(0xFF)).astype(np.uint8)
+    if bool((a != 255).any()):
+        out = np.stack([r, g, b, a], -1)
+    else:
+        out = np.stack([r, g, b], -1)
+    return out.reshape(h, w, -1)
+
+
+def _decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP container -> pixels.  VP8L (lossless) decodes natively;
+    lossy VP8 raises pointedly (needs a video-intra codec)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WEBP RIFF container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8L":
+            return _decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            raise ValueError(
+                "WebP lossy (VP8) needs a video-intra codec; only "
+                "lossless (VP8L) decodes natively")
+        pos += 8 + size + (size & 1)            # chunks are 2-aligned
+    raise ValueError("WEBP container without a VP8L/VP8 chunk")
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Decode BMP/PNM/PNG/GIF/JPEG (baseline, extended-sequential and
-    progressive) payload bytes to an (h, w, c) uint8 pixel array — pure
-    stdlib + numpy, no codec libraries.
+    progressive) and WebP-lossless (VP8L) payload bytes to an (h, w, c)
+    uint8 pixel array — pure stdlib + numpy, no codec libraries.
 
     Raises ``ValueError`` for formats still needing a codec library
-    (WebP/AVIF/...) — at that point swap in PIL; every caller's Spark
-    plumbing is format-agnostic.
+    (lossy WebP/AVIF/...) — at that point swap in PIL; every caller's
+    Spark plumbing is format-agnostic.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -836,14 +1322,16 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
     if payload[:1] == b"P":
         return _decode_pnm(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
     raise ValueError(
         f"unsupported image magic {payload[:4]!r}: stdlib decode covers "
-        "BMP/PGM/PPM/PNG/GIF/JPEG (incl. progressive); WebP/AVIF need "
-        "PIL/libvips in the runtime image")
+        "BMP/PGM/PPM/PNG/GIF/JPEG (incl. progressive)/WebP-lossless; "
+        "lossy WebP and AVIF need PIL/libvips in the runtime image")
 
 
 def encode_pnm(px: np.ndarray) -> bytes:

@@ -90,7 +90,10 @@ def test_decode_pnm_variants():
 
 def test_decode_unsupported_raises():
     with pytest.raises(ValueError, match="unsupported image magic"):
-        decode_image_bytes(b"RIFF....WEBP....")  # WebP: still unsupported
+        decode_image_bytes(b"\x00\x00\x00 ftypavif....")  # AVIF: no codec
+    # WebP container without a recognizable image chunk
+    with pytest.raises(ValueError, match="without a VP8L"):
+        decode_image_bytes(b"RIFF\x04\x00\x00\x00WEBP")
 
 
 def test_decode_wav_golden():
@@ -1188,3 +1191,626 @@ def test_decode_gif_truncated_raises():
     buf = make_gif(px)
     with pytest.raises(ValueError):
         decode_image_bytes(buf[:len(buf) // 2])
+
+
+# ---------------------------------------------------------------------------
+# WebP VP8L: independent in-test encoder written from the same public
+# lossless-bitstream spec as the decoder — normal + simple Huffman codes,
+# code-length rep codes, LZ77 (direct and plane distance codes), color
+# cache, and all four transforms.  No independent codec exists in this
+# environment; see the module caveat in operators/multimodal.py.
+# ---------------------------------------------------------------------------
+
+from legend_community_delta_spark.operators.multimodal import (  # noqa: E402
+    _VP8L_DIST_MAP,
+)
+
+
+class _VP8LWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, val, n):                    # LSB-first
+        self.cur |= (val & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.nbits -= 8
+
+    def flush(self):
+        if self.nbits:
+            self.out.append(self.cur & 0xFF)
+            self.cur = 0
+            self.nbits = 0
+
+
+def _huff_lengths(freqs: dict) -> dict:
+    """Code lengths from frequencies (plain Huffman via heapq; test
+    alphabets are small so lengths stay < 16)."""
+    import heapq
+    if not freqs:
+        return {}
+    if len(freqs) == 1:
+        return {next(iter(freqs)): 1}
+    heap = [(f, i, [s]) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    lengths = {s: 0 for s in freqs}
+    tie = len(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, tie, s1 + s2))
+        tie += 1
+    return lengths
+
+
+def _canon_codes(lengths: dict) -> dict:
+    """{symbol: (len, code)} per RFC1951 canonical assignment."""
+    max_len = max(lengths.values())
+    bl = [0] * (max_len + 1)
+    for ln in lengths.values():
+        bl[ln] += 1
+    code = 0
+    nxt = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl[ln - 1]) << 1
+        nxt[ln] = code
+    out = {}
+    for sym in sorted(lengths):
+        ln = lengths[sym]
+        out[sym] = (ln, nxt[ln])
+        nxt[ln] += 1
+    return out
+
+
+def _write_code(bw, codes, sym):
+    ln, code = codes[sym]
+    for i in range(ln - 1, -1, -1):             # MSB of code first
+        bw.write((code >> i) & 1, 1)
+
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+             11, 12, 13, 14, 15)
+
+
+def _write_tree(bw, freqs, alphabet_size):
+    """Serialize one Huffman tree; returns {symbol: (len, code)}."""
+    syms = sorted(s for s, f in freqs.items() if f)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        if not syms:
+            syms = [0]
+        bw.write(1, 1)                          # simple
+        bw.write(len(syms) - 1, 1)
+        if syms[0] < 2:
+            bw.write(0, 1)                      # 1-bit first symbol
+            bw.write(syms[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+        if len(syms) == 1:
+            return {syms[0]: (0, 0)}
+        return {syms[0]: (1, 0), syms[1]: (1, 1)}
+    bw.write(0, 1)                              # normal
+    lengths = _huff_lengths({s: f for s, f in freqs.items() if f})
+    seq = [lengths.get(s, 0) for s in range(alphabet_size)]
+    # code-length symbols with zero-run rep codes 17 (3-10) / 18 (11-137)
+    cl_syms = []                                # (cl_sym, nbits, extra)
+    i = 0
+    while i < alphabet_size:
+        if seq[i] == 0:
+            j = i
+            while j < alphabet_size and seq[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                r = min(run, 138)
+                cl_syms.append((18, 7, r - 11))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                cl_syms.append((17, 3, r - 3))
+                run -= r
+            cl_syms.extend([(0, 0, 0)] * run)
+            i = j
+        else:
+            cl_syms.append((seq[i], 0, 0))
+            i += 1
+    # trailing zeros can be dropped entirely (reader fills with 0)
+    while cl_syms and cl_syms[-1][0] in (0, 17, 18):
+        cl_syms.pop()
+    cl_freqs = {}
+    for s, _n, _e in cl_syms:
+        cl_freqs[s] = cl_freqs.get(s, 0) + 1
+    cl_lengths = _huff_lengths(cl_freqs)
+    if len(cl_lengths) == 1:                    # 0-bit degenerate code is
+        cl_lengths[next(iter(cl_lengths))] = 1  # not expressible: pad
+        pad = 0 if next(iter(cl_lengths)) != 0 else 1
+        cl_lengths[pad] = 1
+    cl_codes = _canon_codes(cl_lengths)
+    num_cl = max(i for i, s in enumerate(_CL_ORDER)
+                 if cl_lengths.get(s, 0)) + 1
+    num_cl = max(num_cl, 4)
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths.get(_CL_ORDER[i], 0), 3)
+    # trailing zeros were dropped, so the symbol-count bound is REQUIRED
+    # (max_symbol = number of code-length symbol reads)
+    n_reads = len(cl_syms)
+    assert n_reads >= 2
+    k = 0
+    while (n_reads - 2) >= (1 << (2 + 2 * k)):
+        k += 1
+    bw.write(1, 1)
+    bw.write(k, 3)
+    bw.write(n_reads - 2, 2 + 2 * k)
+    for s, nbits, extra in cl_syms:
+        _write_code(bw, cl_codes, s)
+        if nbits:
+            bw.write(extra, nbits)
+    return _canon_codes(lengths)
+
+
+def _prefix_code(value):
+    """(code, n_extra, extra) for the LZ77 length/distance coding."""
+    if value <= 4:
+        return value - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= value <= offset + (1 << extra):
+            return code, extra, value - offset - 1
+    raise AssertionError(value)
+
+
+def _plane_code(dist, w):
+    """Plane code for dist if expressible, else direct (dist + 120)."""
+    for i, (dx, dy) in enumerate(_VP8L_DIST_MAP):
+        if max(dy * w + dx, 1) == dist:
+            return i + 1
+    return dist + 120
+
+
+def _argb_of(px):
+    h, w, c = px.shape
+    a = px[..., 3].astype(np.uint32) if c == 4 else np.full(
+        (h, w), 255, np.uint32)
+    return ((a << 24) | (px[..., 0].astype(np.uint32) << 16)
+            | (px[..., 1].astype(np.uint32) << 8)
+            | px[..., 2].astype(np.uint32)).ravel()
+
+
+def _tokenize_vp8l(argb, w, cache_bits, lz77, prefer_plane):
+    """One pass producing the symbol token list and per-tree freqs."""
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    toks = []                                   # ('lit',a), ('ref',l,d),
+    n = len(argb)                               # ('hit',idx)
+    i = 0
+    while i < n:
+        if lz77 and i >= 1:
+            best_len, best_d = 0, 0
+            for d in ([w, 1] if i >= w else [1]):
+                ln = 0
+                while (i + ln < n and ln < 200
+                       and argb[i + ln] == argb[i + ln - d]):
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_d = ln, d
+            if best_len >= 3:
+                toks.append(("ref", best_len, best_d))
+                if cache is not None:
+                    for j in range(i, i + best_len):
+                        v = int(argb[j])
+                        cache[((0x1E35A7BD * v) & 0xFFFFFFFF)
+                              >> (32 - cache_bits)] = v
+                i += best_len
+                continue
+        v = int(argb[i])
+        if cache is not None:
+            idx = ((0x1E35A7BD * v) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == v:
+                toks.append(("hit", idx))
+                i += 1
+                continue
+            cache[idx] = v
+        toks.append(("lit", v))
+        i += 1
+    return toks
+
+
+def _write_image_stream(bw, argb, w, h, cache_bits=0, lz77=False,
+                        top=False):
+    """Entropy-coded image, single Huffman group (meta bit written 0
+    for top-level streams)."""
+    bw.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.write(cache_bits, 4)
+    if top:
+        bw.write(0, 1)                          # no meta huffman
+    toks = _tokenize_vp8l(argb, w, cache_bits, lz77, True)
+    gf, rf, bf, af, df = {}, {}, {}, {}, {}
+    plan = []
+    for t in toks:
+        if t[0] == "lit":
+            v = t[1]
+            g = (v >> 8) & 0xFF
+            gf[g] = gf.get(g, 0) + 1
+            rf[(v >> 16) & 0xFF] = rf.get((v >> 16) & 0xFF, 0) + 1
+            bf[v & 0xFF] = bf.get(v & 0xFF, 0) + 1
+            af[(v >> 24) & 0xFF] = af.get((v >> 24) & 0xFF, 0) + 1
+        elif t[0] == "ref":
+            lc, _, _ = _prefix_code(t[1])
+            gf[256 + lc] = gf.get(256 + lc, 0) + 1
+            dcode = _plane_code(t[2], w)
+            dc, _, _ = _prefix_code(dcode)
+            df[dc] = df.get(dc, 0) + 1
+        else:
+            s = 256 + 24 + t[1]
+            gf[s] = gf.get(s, 0) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gcodes = _write_tree(bw, gf, 256 + 24 + cache_size)
+    rcodes = _write_tree(bw, rf, 256)
+    bcodes = _write_tree(bw, bf, 256)
+    acodes = _write_tree(bw, af, 256)
+    dcodes = _write_tree(bw, df, 40)
+    for t in toks:
+        if t[0] == "lit":
+            v = t[1]
+            _write_code(bw, gcodes, (v >> 8) & 0xFF)
+            _write_code(bw, rcodes, (v >> 16) & 0xFF)
+            _write_code(bw, bcodes, v & 0xFF)
+            _write_code(bw, acodes, (v >> 24) & 0xFF)
+        elif t[0] == "ref":
+            lc, ln_bits, ln_extra = _prefix_code(t[1])
+            _write_code(bw, gcodes, 256 + lc)
+            if ln_bits:
+                bw.write(ln_extra, ln_bits)
+            dcode = _plane_code(t[2], w)
+            dc, d_bits, d_extra = _prefix_code(dcode)
+            _write_code(bw, dcodes, dc)
+            if d_bits:
+                bw.write(d_extra, d_bits)
+        else:
+            _write_code(bw, gcodes, 256 + 24 + t[1])
+
+
+def _vp8l_fwd_delta(t, c):
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def make_vp8l(px, subtract_green=False, predictor=None, palette=False,
+              color_transform=None, cache_bits=0, lz77=False):
+    """Spec-mirror VP8L encoder.  predictor=(size_bits, mode) applies one
+    mode everywhere; color_transform=(size_bits, g2r, g2b, r2b)."""
+    h, w = px.shape[:2]
+    argb = _argb_of(px)
+    bw = _VP8LWriter()
+    cur_w = w
+    # transforms are signalled in stream order and inverted in reverse,
+    # so forward-apply in reverse of the order written below
+    # forward-apply in stream order (palette, subtract-green, color,
+    # predictor) so the decoder's reverse-order inverses line up
+    assert not (palette and (subtract_green or predictor is not None
+                             or color_transform is not None))
+    if subtract_green:
+        g = (argb >> np.uint32(8)) & np.uint32(0xFF)
+        r = (((argb >> np.uint32(16)) & np.uint32(0xFF)) - g) \
+            & np.uint32(0xFF)
+        b = ((argb & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+        argb = ((argb & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b)
+    if color_transform is not None:
+        _sb, g2r, g2b, r2b = color_transform
+        res = argb.copy()
+        for i in range(len(argb)):
+            v = int(argb[i])
+            a = (v >> 24) & 0xFF
+            r = (v >> 16) & 0xFF
+            g = (v >> 8) & 0xFF
+            b = v & 0xFF
+            nr = (r - _vp8l_fwd_delta(g2r, g)) & 0xFF
+            nb = (b - _vp8l_fwd_delta(g2b, g) - _vp8l_fwd_delta(r2b, r)) \
+                & 0xFF
+            res[i] = (a << 24) | (nr << 16) | (g << 8) | nb
+        argb = res
+    if predictor is not None:
+        sb, mode = predictor
+        res = argb.copy()
+        from legend_community_delta_spark.operators import multimodal as MM
+        for i in range(len(argb) - 1, -1, -1):
+            y, x = divmod(i, cur_w)
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(argb[i - 1])
+            elif x == 0:
+                pred = int(argb[(y - 1) * cur_w])
+            else:
+                l = int(argb[i - 1])
+                t = int(argb[(y - 1) * cur_w + x])
+                tl = int(argb[(y - 1) * cur_w + x - 1])
+                tr = int(argb[(y - 1) * cur_w + x + 1]) \
+                    if x + 1 < cur_w else t
+                pred = {
+                    0: 0xFF000000, 1: l, 2: t, 3: tr, 4: tl,
+                    5: MM._vp8l_avg2(MM._vp8l_avg2(l, tr), t),
+                    6: MM._vp8l_avg2(l, tl), 7: MM._vp8l_avg2(l, t),
+                    8: MM._vp8l_avg2(tl, t), 9: MM._vp8l_avg2(t, tr),
+                    10: MM._vp8l_avg2(MM._vp8l_avg2(l, tl),
+                                      MM._vp8l_avg2(t, tr)),
+                    11: MM._vp8l_select(l, t, tl),
+                    12: MM._vp8l_clamp_add_sub_full(l, t, tl),
+                    13: MM._vp8l_clamp_add_sub_half(
+                        MM._vp8l_avg2(l, t), tl),
+                }[mode]
+            v = int(argb[i])
+            r = 0
+            for sh in (24, 16, 8, 0):
+                r |= ((((v >> sh) & 0xFF) - ((pred >> sh) & 0xFF))
+                      & 0xFF) << sh
+            res[i] = r
+        argb = res
+    pal_colors = None
+    if palette:
+        colors = sorted({int(v) for v in argb})
+        assert len(colors) <= 256
+        cmap = {c: i for i, c in enumerate(colors)}
+        idx = np.array([cmap[int(v)] for v in argb], np.int64)
+        psize = len(colors)
+        if psize <= 2:
+            wb = 3
+        elif psize <= 4:
+            wb = 2
+        elif psize <= 16:
+            wb = 1
+        else:
+            wb = 0
+        per = 1 << wb
+        bits = 8 >> wb
+        pw = (cur_w + per - 1) >> wb
+        packed = np.zeros(pw * h, np.uint32)
+        for y in range(h):
+            for x in range(cur_w):
+                j = y * pw + (x >> wb)
+                packed[j] |= np.uint32(
+                    idx[y * cur_w + x] << ((x % per) * bits + 8))
+        packed |= np.uint32(0xFF000000)
+        pal_colors = colors
+        argb = packed
+        new_w = pw
+    # ---- header ----
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if px.shape[2] == 4 else 0, 1)
+    bw.write(0, 3)                              # version
+    # ---- transform list (stream order; inverse applied in reverse) ----
+    if palette:
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(len(pal_colors) - 1, 8)
+        deltas = []
+        prev = 0
+        for c in pal_colors:
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= (((c >> sh) - (prev >> sh)) & 0xFF) << sh
+            deltas.append(d)
+            prev = c
+        _write_image_stream(bw, np.array(deltas, np.uint32),
+                            len(pal_colors), 1)
+        cur_w = new_w
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)
+    if color_transform is not None:
+        sb, g2r, g2b, r2b = color_transform
+        bw.write(1, 1)
+        bw.write(1, 2)
+        bw.write(sb - 2, 3)
+        mw = (cur_w + (1 << sb) - 1) >> sb
+        mh = (h + (1 << sb) - 1) >> sb
+        elem = np.full(mw * mh,
+                       0xFF000000 | (g2r << 16) | (g2b << 8) | r2b,
+                       np.uint32)
+        _write_image_stream(bw, elem, mw, mh)
+    if predictor is not None:
+        sb, mode = predictor
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bw.write(sb - 2, 3)
+        mw = (cur_w + (1 << sb) - 1) >> sb
+        mh = (h + (1 << sb) - 1) >> sb
+        modes = np.full(mw * mh, 0xFF000000 | (mode << 8), np.uint32)
+        _write_image_stream(bw, modes, mw, mh)
+    bw.write(0, 1)                              # end of transforms
+    _write_image_stream(bw, argb, cur_w, h, cache_bits=cache_bits,
+                        lz77=lz77, top=True)
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return riff
+
+
+def _vp8l_px(h, w, ncolors=5, seed=3, alpha=False):
+    rng = np.random.default_rng(seed)
+    pool = rng.integers(0, 256, (ncolors, 4 if alpha else 3), np.uint8)
+    if alpha:
+        pool[0, 3] = 200
+    idx = rng.integers(0, ncolors, (h, w))
+    return pool[idx]
+
+
+def test_vp8l_literals_roundtrip_rgb_and_rgba():
+    px = _vp8l_px(11, 13, ncolors=40, seed=1)
+    got = decode_image_bytes(make_vp8l(px))
+    assert np.array_equal(got, px)
+    pxa = _vp8l_px(9, 7, ncolors=6, seed=2, alpha=True)
+    got = decode_image_bytes(make_vp8l(pxa))
+    assert got.shape == (9, 7, 4)
+    assert np.array_equal(got, pxa)
+
+
+def test_vp8l_simple_codes_two_color():
+    px = np.where(np.arange(8 * 9).reshape(8, 9, 1) % 2 == 0,
+                  np.uint8(250), np.uint8(3)) * np.ones(
+        (8, 9, 3), np.uint8)
+    got = decode_image_bytes(make_vp8l(px))
+    assert np.array_equal(got, px)
+
+
+def test_vp8l_subtract_green_roundtrip():
+    px = _vp8l_px(10, 10, ncolors=12, seed=4)
+    got = decode_image_bytes(make_vp8l(px, subtract_green=True))
+    assert np.array_equal(got, px)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_vp8l_predictor_modes_roundtrip(mode):
+    px = _vp8l_px(12, 11, ncolors=9, seed=mode + 10)
+    got = decode_image_bytes(make_vp8l(px, predictor=(4, mode)))
+    assert np.array_equal(got, px), mode
+
+
+def test_vp8l_color_transform_roundtrip():
+    px = _vp8l_px(10, 9, ncolors=15, seed=6)
+    got = decode_image_bytes(make_vp8l(px,
+                                       color_transform=(3, 37, 220, 5)))
+    assert np.array_equal(got, px)
+
+
+@pytest.mark.parametrize("ncolors", [2, 4, 12, 60])
+def test_vp8l_palette_bundling_roundtrip(ncolors):
+    px = _vp8l_px(13, 17, ncolors=ncolors, seed=ncolors)
+    got = decode_image_bytes(make_vp8l(px, palette=True))
+    assert np.array_equal(got, px), ncolors
+
+
+def test_vp8l_lz77_and_cache_roundtrip():
+    # repeated rows -> row-distance refs; flat runs -> dist-1 refs
+    base = _vp8l_px(4, 16, ncolors=7, seed=8)
+    px = np.concatenate([base, base, base], axis=0)
+    px[5, :8] = px[5, 0]
+    got = decode_image_bytes(make_vp8l(px, lz77=True))
+    assert np.array_equal(got, px)
+    got = decode_image_bytes(make_vp8l(px, lz77=True, cache_bits=4))
+    assert np.array_equal(got, px)
+    got = decode_image_bytes(make_vp8l(px, cache_bits=6))
+    assert np.array_equal(got, px)
+
+
+def test_vp8l_plane_distance_codes_head_pinned():
+    # hand-pinned head of the 2D distance map: code 1 = pixel above,
+    # code 2 = pixel left, code 3 = above-left diag neighbors
+    assert _VP8L_DIST_MAP[0] == (0, 1)
+    assert _VP8L_DIST_MAP[1] == (1, 0)
+    assert _VP8L_DIST_MAP[2] == (1, 1)
+    assert _VP8L_DIST_MAP[3] == (-1, 1)
+    assert len(_VP8L_DIST_MAP) == 120
+    assert len(set(_VP8L_DIST_MAP)) == 120
+    # every entry maps to a positive distance for any w >= 9
+    assert all(max(dy * 9 + dx, 1) >= 1 for dx, dy in _VP8L_DIST_MAP)
+    # row-repeat refs use plane code 1 (dist == w) — roundtrip above
+    # already covers the decode path; pin the encoder mapping too
+    assert _plane_code(16, 16) == 1
+    assert _plane_code(1, 16) == 2
+    assert _plane_code(17, 16) == 3
+
+
+def test_vp8l_transform_stack_roundtrip():
+    px = _vp8l_px(14, 15, ncolors=10, seed=9)
+    got = decode_image_bytes(make_vp8l(px, subtract_green=True,
+                                       predictor=(4, 7), lz77=True,
+                                       cache_bits=3))
+    assert np.array_equal(got, px)
+
+
+def test_vp8l_lossy_vp8_raises_pointedly():
+    fake = (b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="lossless"):
+        decode_image_bytes(fake)
+
+
+def test_vp8l_decode_images_pipeline(spark):
+    from legend_community_delta_spark.operators.multimodal import (
+        decode_images)
+    px = _vp8l_px(8, 8, ncolors=4, seed=11)
+    rows = [Row(img_id=1, payload=bytes(make_vp8l(px, palette=True)))]
+    df = spark.createDataFrame(rows)
+    out = decode_images(df, "payload", id_col="img_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["height"], r["width"]) == (8, 8)
+    assert r["decode_error"] is None
+
+
+def test_vp8l_ahash_matches_bmp_png_reencodes():
+    from legend_community_delta_spark.operators.multimodal import (
+        image_ahash_bytes)
+    px = _vp8l_px(32, 32, ncolors=24, seed=12)
+    h_bmp = image_ahash_bytes(make_bmp(px))
+    h_png = image_ahash_bytes(make_png(px))
+    h_vp8l = image_ahash_bytes(make_vp8l(px, subtract_green=True,
+                                         lz77=True))
+    assert h_bmp == h_png == h_vp8l
+
+
+def test_decode_jpeg_progressive_hand_assembled_fixture():
+    """ADVICE r7: progressive decode was only validated against the
+    in-repo encoder + baseline decoder (same-round code, shared-
+    misconception risk).  This fixture is assembled BYTE BY HAND from
+    T.81 itself — four scans (DC first Al=1, DC refine, AC first Al=1,
+    AC refine) coding an 8x8 grayscale block with quantized DC=4 and
+    AC(0,1)=2 under a flat q=16 table — and the expected pixels come
+    from an IDCT computed inline from the DCT-II definition, not from
+    any repo code path."""
+    dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+    sof = b"\xff\xc2" + struct.pack(">H", 11) \
+        + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    # DC table: single symbol (category 2) with a 1-bit code '0'
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x00]) \
+        + bytes([1] + [0] * 15) + bytes([0x02])
+    # scan 1 — DC first, Al=1: sends DC>>1 = 2: code '0' + bits '10'
+    sos1 = b"\xff\xda" + struct.pack(">H", 8) \
+        + bytes([1, 1, 0x00, 0, 0, 0x01]) + bytes([0b01011111])
+    # scan 2 — DC refine (raw LSB): bit 0
+    sos2 = b"\xff\xda" + struct.pack(">H", 8) \
+        + bytes([1, 1, 0x00, 0, 0, 0x10]) + bytes([0b01111111])
+    # AC table: symbols 0x01 (code '0') and 0x00/EOB (code '1')
+    dht_ac1 = b"\xff\xc4" + struct.pack(">H", 21) + bytes([0x10]) \
+        + bytes([2] + [0] * 15) + bytes([0x01, 0x00])
+    # scan 3 — AC first, Ss=1..63, Al=1: sends AC>>1 = +1 then EOB:
+    # '0' (rs=0x01) + '1' (value bit, positive) + '1' (EOB)
+    sos3 = b"\xff\xda" + struct.pack(">H", 8) \
+        + bytes([1, 1, 0x00, 1, 63, 0x01]) + bytes([0b01111111])
+    # AC refine table: single EOB symbol, code '0'
+    dht_ac2 = b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x10]) \
+        + bytes([1] + [0] * 15) + bytes([0x00])
+    # scan 4 — AC refine: EOB ('0') then one correction bit 0 for the
+    # already-nonzero AC(0,1)
+    sos4 = b"\xff\xda" + struct.pack(">H", 8) \
+        + bytes([1, 1, 0x00, 1, 63, 0x10]) + bytes([0b00111111])
+    buf = (b"\xff\xd8" + dqt + sof + dht_dc + sos1 + sos2
+           + dht_ac1 + sos3 + dht_ac2 + sos4 + b"\xff\xd9")
+    got = decode_image_bytes(buf)
+    assert got.shape == (8, 8, 1)
+    # expected: F(0,0)=4*16=64, F(u=1 horizontal)=2*16=32, IDCT-II from
+    # first principles + 128 level shift
+    xs = np.arange(8)
+    f = (0.25 * (64 / 2.0
+                 + 32 * (1 / np.sqrt(2.0))
+                 * np.cos((2 * xs + 1) * np.pi / 16)))
+    want = np.clip(np.round(f + 128), 0, 255)
+    got2 = got[..., 0].astype(np.float64)
+    assert (got2 == got2[0]).all()              # rows identical (v=0)
+    assert np.abs(got2[0] - want).max() <= 1    # rounding-convention slack
