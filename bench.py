@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     # round-8 additions: suffix-rank exact dedup
     "exact_span_docs",
     "longest_dup_span_docs",
+    "exact_span_keep_first",
+    "top_dup_windows",
 ]
 
 
@@ -154,11 +156,24 @@ def main() -> None:
     # the 71-query line outgrew it), so if the full dict doesn't fit,
     # the smallest timings are folded into "other_sec" and the count
     # noted — the heavy queries stay individually visible.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # provenance (round-7 review: BENCH_DETAIL.json is overwritten by
+    # every run, so committed numbers were silently replaced by later
+    # contended runs): stamp each run and append it to an append-only
+    # history so rounds stay comparable
+    stamp = {
+        "ts_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "load_1m": round(os.getloadavg()[0], 2),
+        "cpus": CPUS,
+    }
+    payload_full = {"metric": "bench_total_sec", "value": total,
+                    "unit": "sec", "queries": timings, "sf": SF_DIR,
+                    "run": stamp}
     with open(detail_path, "w") as f:
-        json.dump({"metric": "bench_total_sec", "value": total,
-                   "unit": "sec", "queries": timings, "sf": SF_DIR}, f)
+        json.dump(payload_full, f)
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps(payload_full, separators=(",", ":")) + "\n")
 
     def line(q: dict, omitted: int, other: float) -> str:
         payload = {"metric": "bench_total_sec", "value": total,

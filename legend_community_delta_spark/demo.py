@@ -329,6 +329,18 @@ def ensure_views(spark: SparkSession, sf_dir: str) -> None:
         pass
 
 
+def _spread(df: "DataFrame", spark: SparkSession) -> "DataFrame":
+    """Repartition ONLY when the scan arrived under-split (the single-
+    file sf fixtures read as one split).  A real multi-split scan at
+    cluster scale already has >= cores partitions — repartitioning it
+    would model a full corpus shuffle no production pipeline pays
+    (round-7 review item)."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def build_legend(spark: SparkSession) -> Legend:
     return Legend(load_dicts(TPCH_ENTITIES), spark)
 
@@ -2163,8 +2175,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     # single-file input arrives as one split; spread the shingle md5 +
     # min aggregates across cores the way a multi-split scan would be
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return DD.minhash_dedup(docs,
                             num_hashes=_MH_HASHES, bands=_MH_BANDS,
                             shingle_k=_MH_K, threshold=_MH_THRESH,
@@ -2236,8 +2247,7 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5-portable 60-bit signature (15 md5 hex
     chars as an integer — no 64-bit overflow drift) — full duckdb oracle."""
     ensure_views(spark, sf_dir)
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return DD.simhash_dedup(docs, max_hamming=_SH_HAMMING, hash="md5")
 
 
@@ -3470,8 +3480,7 @@ def _q_exact_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cleaned text compared verbatim)."""
     ensure_views(spark, sf_dir)
     from .operators.suffix import exact_span_stats
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return exact_span_stats(docs, n=15)
 
 
@@ -3487,9 +3496,83 @@ def _q_longest_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle scale and exactly what the rank path avoids at 100 TB."""
     ensure_views(spark, sf_dir)
     from .operators.suffix import longest_dup_span_docs
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return longest_dup_span_docs(docs, rounds=7)
+
+
+def _q_exact_span_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. KEEP-ONE span dedup (suffix.exact_span_stats with
+    keep_first=True): each duplicate group's canonical occurrence
+    (lowest (doc_id, start)) survives, so exactly one copy of every
+    duplicated 15-token substring remains in the corpus.  Oracle:
+    the literal DuckDB cover minus each gram's argmin occurrence."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import exact_span_stats
+    docs = _spread(spark.table("documents"), spark)
+    return exact_span_stats(docs, n=15, keep_first=True)
+
+
+def _q_top_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostics: the 20 most-repeated 15-token windows with
+    occurrence/doc counts and the canonical first occurrence
+    (suffix.top_dup_windows) — window identity from exact rank pairs;
+    text reconstructed only for the k winners."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import top_dup_windows
+    docs = _spread(spark.table("documents"), spark)
+    return top_dup_windows(docs, n=15, k=20)
+
+
+_ORACLE_KEEP_FIRST_SPANS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+gg AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+  FROM t WHERE len(ts) >= 15
+), g2 AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram
+  FROM gg
+), d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+canon AS (
+  SELECT gram, min(struct_pack(doc_id := doc_id, s := s)) AS c
+  FROM g2 JOIN d USING (gram) GROUP BY gram
+), flagged AS (
+  SELECT g2.doc_id, g2.s
+  FROM g2 JOIN canon USING (gram)
+  WHERE NOT (g2.doc_id = canon.c.doc_id AND g2.s = canon.c.s)
+), fl AS (SELECT doc_id, list(DISTINCT s) AS ss FROM flagged GROUP BY doc_id),
+r AS (SELECT t.doc_id, t.ts, coalesce(fl.ss, []) AS ss
+      FROM t LEFT JOIN fl USING (doc_id))
+SELECT doc_id, len(ts) AS n_tokens, len(ts) - len(kept) AS n_removed,
+       coalesce(array_to_string(list_transform(kept, p -> ts[p]), ' '), '')
+         AS clean_text
+FROM (
+  SELECT doc_id, ts,
+         list_filter(generate_series(1, len(ts)),
+                     p -> len(list_filter(ss, s -> p >= s AND p <= s + 14)) = 0)
+           AS kept
+  FROM r
+)
+"""
+
+
+_ORACLE_TOP_DUP_WINDOWS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+gg AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+  FROM t WHERE len(ts) >= 15
+), g2 AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 14), ' ') AS gram
+  FROM gg
+), grp AS (
+  SELECT gram AS window_text, count(*) AS n_occ,
+         count(DISTINCT doc_id) AS n_docs,
+         min(struct_pack(doc_id := doc_id, s := s)) AS c
+  FROM g2 GROUP BY gram HAVING count(*) >= 2
+)
+SELECT window_text, n_occ, n_docs, c.doc_id AS first_id, c.s AS first_pos
+FROM grp
+ORDER BY n_occ DESC, window_text LIMIT 20
+"""
 
 
 _ORACLE_LONGEST_DUP = r"""
@@ -3524,8 +3607,7 @@ def _q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scoring import dsir_logratios, dsir_weights
     # single-file input arrives as one split; spread the md5 feature
     # hashing across cores the way a real multi-split scan would be
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     lr = dsir_logratios(docs.where(F.col("lang") == "en"), docs)
     return (dsir_weights(docs, lr)
             .select("doc_id", "n_feats",
@@ -3709,7 +3791,7 @@ def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet arrives as ONE input split, so the repartition stands in
     # for the many-splits layout any real corpus scan has)
     n_cells = max(8, emb.count() // 100)
-    unit = emb.repartition(spark.sparkContext.defaultParallelism).select(
+    unit = _spread(emb, spark).select(
         "vec_id",
         F.transform("embedding",
                     lambda x: x.cast("double") / norm("embedding"))
@@ -3732,8 +3814,7 @@ def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import bigram_surprisal
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return (bigram_surprisal(docs)
             .select("doc_id", "n_bigrams",
                     F.round("mean_neg_logprob2", 6)
@@ -4053,8 +4134,7 @@ def _q_cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scoring import cdc_chunks
     # single-file input arrives as one split; spread the per-window
     # hashing across cores the way a multi-split scan would be
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return (cdc_chunks(docs, window=4,
                        boundary_hex=1, min_tokens=1, portable=True)
             .select("doc_id", F.col("chunk_id").cast("long")
@@ -4103,8 +4183,7 @@ def _q_kn_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     KN model fully oracle-checkable."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import kn_bigram_surprisal
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return (kn_bigram_surprisal(docs)
             .select("doc_id", "n_bigrams",
                     F.round("mean_neg_logprob_kn", 6)
@@ -4260,8 +4339,7 @@ def _q_dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import dsir_select
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     return (dsir_select(docs, docs.where(F.col("lang") == "en"), 100)
             .select("doc_id", "n_feats",
                     F.round("logratio_avg", 6).alias("logratio_avg")))
@@ -4467,8 +4545,7 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     from .operators.retrieval import bm25_topk
     # single-file input arrives as one split; spread the tokenize work
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     queries = spark.createDataFrame(
         [("q1", "spark hash join"), ("q2", "window sort table"),
          ("q3", "merge batch value"), ("q4", "slow scan row")],
@@ -4879,8 +4956,7 @@ def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-python reference in tests/test_tokenize.py."""
     ensure_views(spark, sf_dir)
     from .operators.tokenize import unigram_train
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     pieces = unigram_train(docs, vocab_size=150, n_em=1,
                            max_piece_len=5, seed_size=500)
     return pieces.select("piece", F.round("logp", 6).alias("logp"))
@@ -4893,8 +4969,7 @@ def _q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (same EM rationale); OOV chars fall back to char count."""
     ensure_views(spark, sf_dir)
     from .operators.tokenize import unigram_encode_stats, unigram_train
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     pieces = unigram_train(docs, vocab_size=150, n_em=1,
                            max_piece_len=5, seed_size=500)
     return unigram_encode_stats(docs, pieces, max_piece_len=5)
@@ -4911,8 +4986,7 @@ def _q_eval_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.evalmetrics import ngram_eval_metrics
     # single-file input arrives as one split; spread the gram explode +
     # counting across cores the way a multi-split scan would be
-    d = (spark.table("documents")
-         .repartition(spark.sparkContext.defaultParallelism))
+    d = _spread(spark.table("documents"), spark)
     a = d.select("doc_id", F.col("text").alias("cand"))
     b = d.select((F.col("doc_id") - 1).alias("doc_id"),
                  F.col("text").alias("ref"))
@@ -5009,8 +5083,7 @@ def _q_wordpiece_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     from .operators.tokenize import (wordpiece_char_vocab,
                                      wordpiece_encode_stats)
-    docs = (spark.table("documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = _spread(spark.table("documents"), spark)
     vocab = wordpiece_char_vocab(docs, top_words=10)
     return wordpiece_encode_stats(docs, vocab)
 
@@ -5856,6 +5929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-8 additions: suffix-rank exact dedup -----------------------
     "exact_span_docs": _q_exact_span_docs,
     "longest_dup_span_docs": _q_longest_dup_span_docs,
+    "exact_span_keep_first": _q_exact_span_keep_first,
+    "top_dup_windows": _q_top_dup_windows,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -5943,6 +6018,8 @@ _ROUND8_ORDER: list[str] = [
     "setop_customers",
     "exact_span_docs",
     "longest_dup_span_docs",
+    "exact_span_keep_first",
+    "top_dup_windows",
     "quality_by_source",
     "token_counts_by_source",
     "shingle_stats",
@@ -6101,6 +6178,8 @@ ORACLES: dict[str, str] = {
     "wordpiece_token_stats": _ORACLE_WORDPIECE,
     "exact_span_docs": _ORACLE_DUP_SPANS,
     "longest_dup_span_docs": _ORACLE_LONGEST_DUP,
+    "exact_span_keep_first": _ORACLE_KEEP_FIRST_SPANS,
+    "top_dup_windows": _ORACLE_TOP_DUP_WINDOWS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

@@ -170,16 +170,28 @@ def exact_window_groups(df: DataFrame, text_col: str = "text",
 
 def exact_span_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 15,
-                     min_count: int = 2) -> DataFrame:
+                     min_count: int = 2,
+                     keep_first: bool = False) -> DataFrame:
     """EXACT twin of :func:`..operators.spans.duplicate_span_stats`:
     ``(id, n_tokens, n_removed, clean_text)`` with every token covered
     by a corpus-duplicated n-token window removed — but grouped on
     suffix-rank anchor pairs instead of xxhash64, so no collision can
-    ever remove (or spare) the wrong span, at any corpus size."""
+    ever remove (or spare) the wrong span, at any corpus size.
+
+    *keep_first* switches to the Lee et al. keep-one semantics: each
+    duplicate group's CANONICAL occurrence (lowest ``(id, s)``) is
+    spared, so exactly one copy of every duplicated substring survives
+    the corpus instead of zero."""
     base = df.select(F.col(id_col),
                      TX.tokens(F.col(text_col)).alias("__toks"))
-    flagged = (exact_window_groups(df, text_col, id_col, n, min_count)
-               .groupBy(id_col)
+    wins = exact_window_groups(df, text_col, id_col, n, min_count)
+    if keep_first:
+        canon = (wins.groupBy("w1", "w2")
+                 .agg(F.min(F.struct(id_col, "s")).alias("__c")))
+        wins = (wins.join(canon, ["w1", "w2"])
+                .where(~((F.col(id_col) == F.col("__c")[id_col])
+                         & (F.col("s") == F.col("__c")["s"]))))
+    flagged = (wins.groupBy(id_col)
                .agg(F.collect_set("s").alias("__starts")))
     joined = base.join(flagged, id_col, "left")
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
@@ -195,6 +207,33 @@ def exact_span_stats(df: DataFrame, text_col: str = "text",
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def top_dup_windows(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 15,
+                    min_count: int = 2, k: int = 20) -> DataFrame:
+    """Corpus diagnostics: the *k* most-repeated n-token windows —
+    ``(window_text, n_occ, n_docs, first_id, first_pos)`` ranked by
+    ``(n_occ desc, window_text asc)``.  Identity comes from the exact
+    rank pairs; the TEXT is reconstructed only for each group's
+    canonical occurrence (one slice join, k-bounded output) — the
+    corpus-wide stages never carry strings longer than one token."""
+    wins = exact_window_groups(df, text_col, id_col, n, min_count)
+    groups = (wins.groupBy("w1", "w2")
+              .agg(F.max("n_occ").alias("n_occ"),
+                   F.countDistinct(id_col).alias("n_docs"),
+                   F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("s").alias("s"))).alias("__c")))
+    base = df.select(F.col(id_col).alias("__ri"),
+                     TX.tokens(F.col(text_col)).alias("__toks"))
+    rep = (groups.join(base, groups["__c"]["i"] == F.col("__ri"))
+           .select(F.concat_ws(
+               " ", F.slice("__toks", F.col("__c")["s"], n))
+               .alias("window_text"),
+               "n_occ", "n_docs",
+               F.col("__c")["i"].alias("first_id"),
+               F.col("__c")["s"].alias("first_pos")))
+    return rep.orderBy(F.desc("n_occ"), "window_text").limit(k)
 
 
 def longest_dup_prefix(df: DataFrame, text_col: str = "text",

@@ -195,3 +195,48 @@ def test_plans_no_python_udfs_no_cartesian(spark, docs):
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+def test_exact_span_keep_first_spares_canonical(spark, docs):
+    from legend_community_delta_spark.operators.suffix import (
+        exact_span_stats as ess)
+    n = 3
+    dups = _py_dup_windows(n)
+    ref = {}
+    for d, ts in TOKS.items():
+        starts = set()
+        for occs in dups.values():
+            canon = min(occs)
+            starts |= {s for (dd, s) in occs if dd == d
+                       and (dd, s) != canon}
+        kept = [t for i, t in enumerate(ts)
+                if not any(s <= i + 1 <= s + n - 1 for s in starts)]
+        ref[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in ess(docs, n=n, keep_first=True).collect()}
+    assert got == ref
+    # keep-one removes strictly less than remove-all on this fixture
+    alln = {r["doc_id"]: r["n_removed"]
+            for r in ess(docs, n=n).collect()}
+    assert sum(got[d][1] for d in got) < sum(alln.values())
+    # every duplicated window still has exactly >= 1 surviving copy:
+    # doc 1's shared 9-token prefix must survive SOMEWHERE
+    assert "the quick brown" in got[1][2] or "the quick brown" in got[2][2]
+
+
+def test_top_dup_windows_report(spark, docs):
+    from legend_community_delta_spark.operators.suffix import (
+        top_dup_windows)
+    rows = top_dup_windows(docs, n=3, k=5).collect()
+    dups = _py_dup_windows(3)
+    ref = sorted(
+        ((" ".join(g), len(v), len({d for d, _ in v}), *min(v))
+         for g, v in dups.items()),
+        key=lambda t: (-t[1], t[0]))[:5]
+    got = [(r["window_text"], r["n_occ"], r["n_docs"],
+            r["first_id"], r["first_pos"]) for r in rows]
+    assert got == ref
+    # "a b c" leads the report: 4 starts inside doc 4 + doc 2's prefix
+    assert got[0][0] == "a b c" and got[0][1] == 5
+    assert got[0][2] == 2                       # seen in 2 docs
+    assert (got[0][3], got[0][4]) == (2, 1)     # canonical occurrence
