@@ -106,17 +106,32 @@ def token_positions(df: DataFrame, text_col: str = "text",
 
 
 def suffix_ranks(positions: DataFrame, id_col: str = "doc_id",
-                 rounds: int = 6) -> list[DataFrame]:
+                 rounds: int = 6,
+                 early_stop: bool = True) -> list[DataFrame]:
     """Prefix-doubled order ranks: returns ``[r_0, ..., r_rounds]``
     where ``r_k`` is ``(id, pos, r)`` ranking every suffix by its first
     ``2**k`` tokens (end-padded with a sticky sentinel).  Each table is
-    localCheckpointed — O(log cap) bounded passes over 8-byte keys."""
+    localCheckpointed — O(log cap) bounded passes over 8-byte keys.
+
+    *early_stop* (default): once ranks are UNIQUE — a full suffix sort,
+    reached as soon as ``2**k`` passes the corpus's longest repeated
+    prefix — the remaining rounds can't split anything further, so the
+    final table is reused for them (one cheap max-aggregate per round
+    on a checkpointed table buys skipping the tail rounds entirely; on
+    corpora without long exact repeats that's most of them).  Unique
+    ranks also satisfy :func:`longest_dup_prefix`'s exactness condition
+    outright, whatever ``rounds`` was."""
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0 [{rounds}]")
+    # each round's table is read MANY times downstream (next round's
+    # pairs twice, the LCP descent twice per level, the early-stop
+    # aggregate) — materialize it once per round
     r0 = (_order_rank(positions, ["tok"], "r")
-          .select(id_col, "pos", "r"))
+          .select(id_col, "pos", "r")
+          .localCheckpoint(eager=True))
     out = [r0]
     cur = r0
+    n_pos = None
     for k in range(1, rounds + 1):
         half = 1 << (k - 1)
         nxt = cur.select(id_col, (F.col("pos") - half).alias("pos"),
@@ -125,8 +140,17 @@ def suffix_ranks(positions: DataFrame, id_col: str = "doc_id",
                  .select(id_col, "pos", "r",
                          F.coalesce("__r2", F.lit(0)).alias("r2")))
         cur = (_order_rank(pairs, ["r", "r2"], "__nr")
-               .select(id_col, "pos", F.col("__nr").alias("r")))
+               .select(id_col, "pos", F.col("__nr").alias("r"))
+               .localCheckpoint(eager=True))
         out.append(cur)
+        if early_stop and k < rounds:
+            agg = cur.agg(F.max("r").alias("m"),
+                          F.count(F.lit(1)).alias("n")).first()
+            if n_pos is None:
+                n_pos = agg["n"]
+            if agg["m"] == n_pos:               # full suffix sort reached
+                out.extend([cur] * (rounds - k))
+                break
     return out
 
 

@@ -240,3 +240,86 @@ def test_top_dup_windows_report(spark, docs):
     assert got[0][0] == "a b c" and got[0][1] == 5
     assert got[0][2] == 2                       # seen in 2 docs
     assert (got[0][3], got[0][4]) == (2, 1)     # canonical occurrence
+
+
+def test_suffix_differential_fuzz_vs_python(spark):
+    """Randomized differential check (derandomized profile in CI, see
+    conftest): exact_span_stats and longest_dup_span_docs vs the plain
+    pure-python reference on small random corpora with a tiny alphabet
+    (maximizes repeats, overlaps, ties and cross-doc duplicates)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "ab"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.integers(2, 3))
+    def check(texts, n):
+        toks = {i + 1: t.split() for i, t in enumerate(texts)}
+        df = spark.createDataFrame(list(enumerate(texts, 1)),
+                                   "doc_id long, text string")
+        # --- span stats ---
+        occ = defaultdict(list)
+        for d, ts in toks.items():
+            for s in range(len(ts) - n + 1):
+                occ[tuple(ts[s:s + n])].append((d, s + 1))
+        dups = {k: v for k, v in occ.items() if len(v) >= 2}
+        ref = {}
+        for d, ts in toks.items():
+            starts = {s for v in dups.values() for (dd, s) in v if dd == d}
+            kept = [t for i, t in enumerate(ts)
+                    if not any(s <= i + 1 <= s + n - 1 for s in starts)]
+            ref[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+        got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+               for r in exact_span_stats(df, n=n).collect()}
+        assert got == ref, (texts, n)
+        # --- longest dup (rounds=4: 2**4=16 >= max doc len 14) ---
+        sufs = [(d, p + 1, tuple(ts[p:])) for d, ts in toks.items()
+                for p in range(len(ts))]
+        lref = {}
+        for d, ts in toks.items():
+            best = 0
+            for p in range(len(ts)):
+                a = ts[p:]
+                for (dd, pp, b) in sufs:
+                    if (dd, pp) == (d, p + 1):
+                        continue
+                    ln = 0
+                    while ln < len(a) and ln < len(b) and a[ln] == b[ln]:
+                        ln += 1
+                    best = max(best, ln)
+            lref[d] = best
+        lgot = {r["doc_id"]: r["max_dup_len"]
+                for r in longest_dup_span_docs(df, rounds=4).collect()}
+        assert lgot == lref, (texts,)
+
+    check()
+
+
+def test_suffix_ranks_early_stop_when_unique(spark):
+    """Once ranks are unique (full suffix sort) remaining rounds are
+    skipped and the final table is reused — results identical to the
+    non-stopped run, and longest-dup exactness holds outright."""
+    rows = [(1, "u1 u2 u3 u4 u5 u6"), (2, "v1 v2 v3 u1 w5 w6")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = token_positions(df)
+    fast = suffix_ranks(pos, rounds=6, early_stop=True)
+    slow = suffix_ranks(pos, rounds=6, early_stop=False)
+    assert len(fast) == len(slow) == 7
+    # only one shared token ("u1") -> ranks unique by round 2; the tail
+    # tables are the SAME object (skipped rounds), not recomputed
+    assert any(fast[k] is fast[6] for k in range(2, 6))
+    for k in (0, 2, 6):
+        a = {(r["doc_id"], r["pos"]): r["r"] for r in fast[k].collect()}
+        b = {(r["doc_id"], r["pos"]): r["r"] for r in slow[k].collect()}
+        # grouping must match exactly (rank VALUES may differ only by
+        # relabeling; with unique ranks order must match too)
+        ga = sorted(sorted(kk for kk, v in a.items() if v == val)
+                    for val in set(a.values()))
+        gb = sorted(sorted(kk for kk, v in b.items() if v == val)
+                    for val in set(b.values()))
+        assert ga == gb, k
+    # longest-dup is exact through the early-stopped path too
+    got = {r["doc_id"]: r["max_dup_len"]
+           for r in longest_dup_span_docs(df, rounds=6).collect()}
+    assert got == {1: 1, 2: 1}                  # only "u1" repeats
