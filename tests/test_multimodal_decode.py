@@ -1386,7 +1386,8 @@ def _argb_of(px):
             | px[..., 2].astype(np.uint32)).ravel()
 
 
-def _tokenize_vp8l(argb, w, cache_bits, lz77, prefer_plane):
+def _tokenize_vp8l(argb, w, cache_bits, lz77, prefer_plane,
+                   cand_dists=None):
     """One pass producing the symbol token list and per-tree freqs."""
     cache = [None] * (1 << cache_bits) if cache_bits else None
     toks = []                                   # ('lit',a), ('ref',l,d),
@@ -1395,7 +1396,7 @@ def _tokenize_vp8l(argb, w, cache_bits, lz77, prefer_plane):
     while i < n:
         if lz77 and i >= 1:
             best_len, best_d = 0, 0
-            for d in ([w, 1] if i >= w else [1]):
+            for d in [d for d in (cand_dists or [w, 1]) if d <= i]:
                 ln = 0
                 while (i + ln < n and ln < 200
                        and argb[i + ln] == argb[i + ln - d]):
@@ -1425,7 +1426,7 @@ def _tokenize_vp8l(argb, w, cache_bits, lz77, prefer_plane):
 
 
 def _write_image_stream(bw, argb, w, h, cache_bits=0, lz77=False,
-                        top=False):
+                        top=False, cand_dists=None):
     """Entropy-coded image, single Huffman group (meta bit written 0
     for top-level streams)."""
     bw.write(1 if cache_bits else 0, 1)
@@ -1433,7 +1434,7 @@ def _write_image_stream(bw, argb, w, h, cache_bits=0, lz77=False,
         bw.write(cache_bits, 4)
     if top:
         bw.write(0, 1)                          # no meta huffman
-    toks = _tokenize_vp8l(argb, w, cache_bits, lz77, True)
+    toks = _tokenize_vp8l(argb, w, cache_bits, lz77, True, cand_dists)
     gf, rf, bf, af, df = {}, {}, {}, {}, {}
     plan = []
     for t in toks:
@@ -1814,3 +1815,119 @@ def test_decode_jpeg_progressive_hand_assembled_fixture():
     got2 = got[..., 0].astype(np.float64)
     assert (got2 == got2[0]).all()              # rows identical (v=0)
     assert np.abs(got2[0] - want).max() <= 1    # rounding-convention slack
+
+
+def _write_image_stream_meta(bw, argb, w, h, hb, group_of_block):
+    """Top-level entropy-coded image with META HUFFMAN: literal-only,
+    per-block huffman groups from *group_of_block* (mw x mh flat list)."""
+    bw.write(0, 1)                              # no color cache
+    bw.write(1, 1)                              # meta huffman present
+    bw.write(hb - 2, 3)
+    mw = (w + (1 << hb) - 1) >> hb
+    mh = (h + (1 << hb) - 1) >> hb
+    assert len(group_of_block) == mw * mh
+    ent = np.array([0xFF000000 | ((g >> 8) << 16) | ((g & 0xFF) << 8)
+                    for g in group_of_block], np.uint32)
+    _write_image_stream(bw, ent, mw, mh)        # entropy image (no meta)
+    n_groups = max(group_of_block) + 1
+    freqs = [[{}, {}, {}, {}, {}] for _ in range(n_groups)]
+    for i, v in enumerate(map(int, argb)):
+        y, x = divmod(i, w)
+        g = group_of_block[(y >> hb) * mw + (x >> hb)]
+        fr = freqs[g]
+        for j, ch in enumerate(((v >> 8) & 0xFF, (v >> 16) & 0xFF,
+                                v & 0xFF, (v >> 24) & 0xFF)):
+            fr[j][ch] = fr[j].get(ch, 0) + 1
+    codes = []
+    for g in range(n_groups):
+        gf, rf, bf, af, df = freqs[g]
+        codes.append((_write_tree(bw, gf, 256 + 24),
+                      _write_tree(bw, rf, 256),
+                      _write_tree(bw, bf, 256),
+                      _write_tree(bw, af, 256),
+                      _write_tree(bw, df, 40)))
+    for i, v in enumerate(map(int, argb)):
+        y, x = divmod(i, w)
+        g = group_of_block[(y >> hb) * mw + (x >> hb)]
+        gc, rc, bc, ac, _dc = codes[g]
+        _write_code(bw, gc, (v >> 8) & 0xFF)
+        _write_code(bw, rc, (v >> 16) & 0xFF)
+        _write_code(bw, bc, v & 0xFF)
+        _write_code(bw, ac, (v >> 24) & 0xFF)
+
+
+def make_vp8l_meta(px, hb=2):
+    """VP8L with a meta-Huffman entropy image: left/right halves use
+    different huffman groups."""
+    h, w = px.shape[:2]
+    argb = _argb_of(px)
+    mw = (w + (1 << hb) - 1) >> hb
+    mh = (h + (1 << hb) - 1) >> hb
+    groups = [0 if bx < mw // 2 else 1
+              for _by in range(mh) for bx in range(mw)]
+    bw = _VP8LWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                              # no transforms
+    _write_image_stream_meta(bw, argb, w, h, hb, groups)
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_vp8l_meta_huffman_roundtrip():
+    px = _vp8l_px(12, 16, ncolors=14, seed=13)
+    got = decode_image_bytes(make_vp8l_meta(px, hb=2))
+    assert np.array_equal(got, px)
+    got = decode_image_bytes(make_vp8l_meta(px, hb=3))
+    assert np.array_equal(got, px)
+
+
+def test_vp8l_inside_vp8x_container():
+    # extended container: VP8X chunk first, VP8L after — the chunk walk
+    # must skip unknown chunks (incl. odd-size padding)
+    px = _vp8l_px(6, 7, ncolors=5, seed=14)
+    riff = make_vp8l(px)
+    vp8l_chunk = riff[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    odd = b"XMP " + struct.pack("<I", 3) + b"abc\x00"   # odd size + pad
+    body = b"WEBP" + vp8x + odd + vp8l_chunk
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = decode_image_bytes(buf)
+    assert np.array_equal(got, px)
+
+
+def test_vp8l_direct_distance_codes_beyond_plane_map():
+    """Backward refs farther than the 2D plane map (dy > 8) must use
+    direct distance codes (dist + 120) — the tokenizer's default
+    row/run candidates always land in the plane map, so force a
+    10-rows-back candidate distance here."""
+    rng = np.random.default_rng(15)
+    px = rng.integers(0, 255, (14, 20, 3), np.uint8)
+    px[10] = px[0]                               # repeat 10 rows back
+    px[11] = px[1]
+    h, w = px.shape[:2]
+    argb = _argb_of(px)
+    bw = _VP8LWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                              # no transforms
+    _write_image_stream(bw, argb, w, h, lz77=True, top=True,
+                        cand_dists=[10 * w])
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    buf = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    # the ref distance 200 maps past the 120 plane codes
+    assert _plane_code(10 * w, w) == 10 * w + 120
+    got = decode_image_bytes(buf)
+    assert np.array_equal(got, px)
