@@ -1931,3 +1931,34 @@ def test_vp8l_direct_distance_codes_beyond_plane_map():
     assert _plane_code(10 * w, w) == 10 * w + 120
     got = decode_image_bytes(buf)
     assert np.array_equal(got, px)
+
+
+def test_vp8l_roundtrip_fuzz():
+    """Randomized encode/decode roundtrip (derandomized profile in CI):
+    random dims/palette sizes/alpha and random transform+cache+lz77
+    combinations — bit-level corners (huffman depths, rep-code runs,
+    bundling widths) that fixed fixtures can miss."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 18), st.integers(1, 18), st.integers(2, 40),
+           st.booleans(), st.booleans(),
+           st.sampled_from([None, (2, 1), (3, 2), (4, 7), (2, 12)]),
+           st.integers(0, 6), st.booleans(), st.integers(0, 2 ** 31 - 1))
+    def check(h, w, ncolors, alpha, subtract_green, predictor,
+              cache_bits, lz77, seed):
+        rng = np.random.default_rng(seed)
+        pool = rng.integers(0, 256, (ncolors, 4 if alpha else 3),
+                            np.uint8)
+        px = pool[rng.integers(0, ncolors, (h, w))]
+        buf = make_vp8l(px, subtract_green=subtract_green,
+                        predictor=predictor, cache_bits=cache_bits,
+                        lz77=lz77)
+        got = decode_image_bytes(buf)
+        want = px
+        if alpha and (px[..., 3] == 255).all():
+            want = px[..., :3]                  # RGB collapse is correct
+        assert got.shape == want.shape, (h, w, ncolors)
+        assert np.array_equal(got, want)
+
+    check()
