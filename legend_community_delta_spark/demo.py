@@ -5128,8 +5128,9 @@ walk AS (
 seg AS (SELECT word, cnt AS n_pieces, NOT ok AS is_unk
         FROM walk WHERE pos >= len)
 SELECT t.doc_id, count(*) AS n_words,
-       sum(s.n_pieces) AS n_wordpiece_tokens,
-       sum(CASE WHEN s.is_unk THEN 1 ELSE 0 END) AS n_unk_words
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_wordpiece_tokens,
+       CAST(sum(CASE WHEN s.is_unk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unk_words
 FROM tok t JOIN seg s USING (word)
 GROUP BY t.doc_id
 """

@@ -30,13 +30,13 @@ def test_entry_contract(spark):
     rows_only = set(qs) - set(oracles)
     assert rows_only == set(mod.ROWS_ONLY_RATIONALE)
     # round 7: minhash/simhash/embedding_dedup pairs moved to full
-    # oracles via the md5-portable signature mode; unigram-LM training
-    # added (rows-only: iterative EM)
+    # oracles via the md5-portable signature mode; round 8:
+    # wordpiece_token_stats moved to a full oracle (recursive-CTE
+    # greedy walk), leaving only the genuinely iterative/approximate
     assert rows_only == {"lsh_ann_topk",
                          "lsh_index_topk", "ivf_index_topk",
                          "pq_ann_topk", "semdedup_pairs",
                          "semantic_contamination_pairs",
                          "events_sketch_stats",
                          "bpe_merge_table", "bpe_token_stats",
-                         "unigram_vocab", "unigram_token_stats",
-                         "wordpiece_token_stats"}
+                         "unigram_vocab", "unigram_token_stats"}
