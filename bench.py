@@ -108,6 +108,7 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    load_at_start = round(os.getloadavg()[0], 2)
     from pyspark.sql import SparkSession
 
     spark = (
@@ -164,7 +165,10 @@ def main() -> None:
     # history so rounds stay comparable
     stamp = {
         "ts_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "load_1m": round(os.getloadavg()[0], 2),
+        # start load = pre-existing contention; end load is mostly the
+        # bench's own local[32] JVM and only flags EXTRA pressure
+        "load_1m_start": load_at_start,
+        "load_1m_end": round(os.getloadavg()[0], 2),
         "cpus": CPUS,
     }
     payload_full = {"metric": "bench_total_sec", "value": total,

@@ -33,6 +33,13 @@ a sticky end-sentinel (rank 0), exactly like $-padded suffix sorting;
 true LCPs are clamped by both suffixes' remaining lengths, so the
 padding can never invent a cross-document match.
 
+Ranks are CORPUS-RELATIVE: adding documents changes every rank, so
+this module is the batch/full-rebuild path.  For incremental pipelines
+(new batches against a persisted state) use the hash-keyed span store
+in :mod:`..operators.spans` — its xxhash64 window keys are stable
+across batches, which is exactly the property ranks trade away for
+collision-freedom.
+
 Reference repo has no such operator (scope ends at Legend queries,
 `/root/reference/README.md`); this extends the training-data surface.
 """
