@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "longest_dup_span_docs",
     "exact_span_keep_first",
     "top_dup_windows",
+    "max_dup_spans",
 ]
 
 

@@ -3523,6 +3523,44 @@ def _q_top_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_dup_windows(docs, n=15, k=20)
 
 
+def _q_max_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span inventory (suffix.max_dup_spans): every
+    (doc_id, start, length) whose longest duplicated prefix is >= 10
+    tokens and extends past the previous position's span — the explicit
+    repeat map a fixed-width cover can't produce.  rounds=7 = full
+    suffix sort on the fixture (exactness condition).  Oracle: per
+    (doc, start) max duplicated window length in DuckDB, lag-shadow
+    filtered."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import max_dup_spans
+    docs = _spread(spark.table("documents"), spark)
+    return max_dup_spans(docs, min_len=10, rounds=7)
+
+
+_ORACLE_MAX_DUP_SPANS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS s
+  FROM t WHERE len(ts) >= 1),
+wins AS (
+  SELECT doc_id, s, l.l AS l,
+         array_to_string(list_slice(ts, s, s + l.l - 1), chr(31)) AS gram
+  FROM pos, unnest(generate_series(1, len(ts) - s + 1)) AS l(l)),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+md AS (SELECT w.doc_id, w.s, max(w.l) AS m
+       FROM wins w JOIN dup USING (gram) GROUP BY w.doc_id, w.s),
+full_md AS (
+  SELECT p.doc_id, p.s, coalesce(md.m, 0) AS m
+  FROM pos p LEFT JOIN md USING (doc_id, s)),
+shadow AS (
+  SELECT doc_id, s, m,
+         coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pm
+  FROM full_md)
+SELECT doc_id, s AS start, m AS length
+FROM shadow WHERE m >= 10 AND pm < m + 1
+"""
+
+
 _ORACLE_KEEP_FIRST_SPANS = r"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
 gg AS (
@@ -5932,6 +5970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "longest_dup_span_docs": _q_longest_dup_span_docs,
     "exact_span_keep_first": _q_exact_span_keep_first,
     "top_dup_windows": _q_top_dup_windows,
+    "max_dup_spans": _q_max_dup_spans,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6021,6 +6060,7 @@ _ROUND8_ORDER: list[str] = [
     "longest_dup_span_docs",
     "exact_span_keep_first",
     "top_dup_windows",
+    "max_dup_spans",
     "quality_by_source",
     "token_counts_by_source",
     "shingle_stats",
@@ -6181,6 +6221,7 @@ ORACLES: dict[str, str] = {
     "longest_dup_span_docs": _ORACLE_LONGEST_DUP,
     "exact_span_keep_first": _ORACLE_KEEP_FIRST_SPANS,
     "top_dup_windows": _ORACLE_TOP_DUP_WINDOWS,
+    "max_dup_spans": _ORACLE_MAX_DUP_SPANS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

@@ -339,6 +339,29 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
                     F.coalesce("dup_len", F.lit(0)).alias("dup_len")))
 
 
+def max_dup_spans(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_len: int = 10,
+                  rounds: int = 6) -> DataFrame:
+    """MAXIMAL duplicated spans: ``(id, start, length)`` — every
+    position whose longest duplicated prefix is >= *min_len* and is not
+    contained in the previous position's span.  Containment only needs
+    the IMMEDIATE predecessor: a duplicated substring of length L at
+    p-1 implies one of length L-1 at p, so dup_len can fall by at most
+    1 per step and any older span that covered this one would cover
+    p-1's too.  One lag window per document on top of
+    :func:`longest_dup_prefix` (same exactness condition)."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1 [{min_len}]")
+    per = longest_dup_prefix(df, text_col, id_col, rounds)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("dup_len", 1, 0).over(w)
+    return (per.withColumn("__prev", prev)
+            .where((F.col("dup_len") >= min_len)
+                   & (F.col("__prev") < F.col("dup_len") + 1))
+            .select(id_col, F.col("pos").alias("start"),
+                    F.col("dup_len").alias("length")))
+
+
 def longest_dup_span_docs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           rounds: int = 6) -> DataFrame:

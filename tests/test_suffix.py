@@ -323,3 +323,46 @@ def test_suffix_ranks_early_stop_when_unique(spark):
     got = {r["doc_id"]: r["max_dup_len"]
            for r in longest_dup_span_docs(df, rounds=6).collect()}
     assert got == {1: 1, 2: 1}                  # only "u1" repeats
+
+
+def test_max_dup_spans_matches_python(spark, docs):
+    from legend_community_delta_spark.operators.suffix import (
+        max_dup_spans)
+    # python reference: per position longest duplicated prefix, then
+    # drop spans contained in the predecessor's span
+    sufs = [(d, p + 1, tuple(ts[p:])) for d, ts in TOKS.items()
+            for p in range(len(ts))]
+    dl = {}
+    for d, ts in TOKS.items():
+        for p in range(len(ts)):
+            a = ts[p:]
+            best = 0
+            for (dd, pp, b) in sufs:
+                if (dd, pp) == (d, p + 1):
+                    continue
+                ln = 0
+                while ln < len(a) and ln < len(b) and a[ln] == b[ln]:
+                    ln += 1
+                best = max(best, ln)
+            dl[(d, p + 1)] = best
+    for min_len in (2, 4, 9):
+        ref = sorted(
+            (d, p, dl[(d, p)]) for (d, p) in dl
+            if dl[(d, p)] >= min_len
+            and dl.get((d, p - 1), 0) < dl[(d, p)] + 1)
+        got = sorted((r["doc_id"], r["start"], r["length"])
+                     for r in max_dup_spans(docs, min_len=min_len,
+                                            rounds=5).collect())
+        assert got == ref, min_len
+    # spot: doc 1's 9-token shared prefix is ONE maximal span at pos 1
+    got9 = {(r["doc_id"], r["start"], r["length"])
+            for r in max_dup_spans(docs, min_len=9, rounds=5).collect()}
+    assert (1, 1, 9) in got9 and (2, 9, 9) in got9
+    # no span is shadowed by its predecessor
+    by_doc = defaultdict(list)
+    for (d, s, ln) in got9:
+        by_doc[d].append((s, ln))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, l1), (s2, l2) in zip(spans, spans[1:]):
+            assert s1 + l1 - 1 < s2 + l2 - 1   # strictly extends cover
