@@ -108,8 +108,34 @@ BENCH_QUERIES = [
 ]
 
 
+def _await_idle(getloadavg=os.getloadavg, sleep=time.sleep,
+                gate: float | None = None,
+                max_wait: float | None = None) -> tuple[float, bool]:
+    """Idle-gate for comparable timings (BENCH_HISTORY showed 2.4x
+    run-to-run drift from ambient load on the shared machine): wait in
+    5 s steps until the 1-minute load average drops below *gate* or
+    *max_wait* elapses, then return ``(load_1m, contended)``.
+    ``contended=True`` means the run proceeded anyway and its numbers
+    should not be used as a round-over-round reference."""
+    if gate is None:
+        gate = float(os.environ.get("BENCH_LOAD_GATE", "1.0"))
+    if max_wait is None:
+        max_wait = float(os.environ.get("BENCH_LOAD_MAX_WAIT", "90"))
+    load = round(getloadavg()[0], 2)
+    waited = 0.0
+    while load > gate and waited < max_wait:
+        sleep(5.0)
+        waited += 5.0
+        load = round(getloadavg()[0], 2)
+    return load, load > gate
+
+
 def main() -> None:
-    load_at_start = round(os.getloadavg()[0], 2)
+    load_at_start, contended = _await_idle()
+    if contended:
+        print(f"  WARNING: load_1m={load_at_start} above gate after "
+              "max wait; run marked contended", file=sys.stderr,
+              flush=True)
     from pyspark.sql import SparkSession
 
     spark = (
@@ -171,6 +197,7 @@ def main() -> None:
         "load_1m_start": load_at_start,
         "load_1m_end": round(os.getloadavg()[0], 2),
         "cpus": CPUS,
+        "contended": contended,
     }
     payload_full = {"metric": "bench_total_sec", "value": total,
                     "unit": "sec", "queries": timings, "sf": SF_DIR,
@@ -183,6 +210,8 @@ def main() -> None:
     def line(q: dict, omitted: int, other: float) -> str:
         payload = {"metric": "bench_total_sec", "value": total,
                    "unit": "sec", "queries": q, "sf": SF_DIR}
+        if contended:
+            payload["contended"] = True
         if omitted:
             payload["queries_omitted"] = omitted
             payload["other_sec"] = round(other, 3)

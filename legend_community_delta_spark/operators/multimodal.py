@@ -1084,10 +1084,14 @@ def _vp8l_clamp_add_sub_full(l, t, tl):
 
 
 def _vp8l_clamp_add_sub_half(ave, tl):
+    # Spec / libwebp use C integer division (truncation toward zero) for
+    # (a - tl) / 2; Python's // floors, which differs for negative odd
+    # deltas (e.g. a=10, tl=13: trunc -> 9, floor -> 8).
     out = 0
     for sh in (24, 16, 8, 0):
         a = (ave >> sh) & 0xFF
-        c = a + (a - ((tl >> sh) & 0xFF)) // 2
+        d = a - ((tl >> sh) & 0xFF)
+        c = a + (d // 2 if d >= 0 else -((-d) // 2))
         out |= max(0, min(255, c)) << sh
     return out
 
@@ -1095,13 +1099,14 @@ def _vp8l_clamp_add_sub_half(ave, tl):
 def _vp8l_select(l, t, tl):
     """Predictor 11: pick L or T, whichever is closer (sum of absolute
     per-channel distances) to the gradient estimate L + T - TL; ties go
-    to L (mirrored by the in-test encoder — see module caveat)."""
+    to T, matching the spec (`if (pL < pT) return L; else return T`) and
+    libwebp (`pa_minus_pb <= 0 ? T : L`)."""
     p_l = p_t = 0
     for sh in (24, 16, 8, 0):
         p = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         p_l += abs(p - ((l >> sh) & 0xFF))
         p_t += abs(p - ((t >> sh) & 0xFF))
-    return l if p_l <= p_t else t
+    return t if p_t <= p_l else l
 
 
 def _vp8l_inverse_predictor(px, w, h, bs, modes, mw):
@@ -1257,8 +1262,10 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
             else:
                 idx = ((px >> np.uint32(8)) & np.uint32(0xFF)).astype(
                     np.int64)
-            idx = np.clip(idx, 0, len(colors) - 1)
-            px = colors[idx]
+            # Indices >= color_table_size decode as 0x00000000
+            # (transparent black) per the spec, not the last entry.
+            ext = np.concatenate([colors, np.zeros(1, np.uint32)])
+            px = ext[np.minimum(idx, len(colors))]
             cur_w = orig_w
         elif t[0] == 2:
             cw = t[1]

@@ -103,12 +103,32 @@ def _global_row_number(df: DataFrame, cols: list[str],
             .drop("__pid", "__lr", "__off"))
 
 
+def _unit_array(col, unit: str):
+    """Text -> array of dedup units.  ``token`` = whitespace tokens (the
+    default, matching :mod:`..operators.spans`); ``char`` = individual
+    characters of the RAW text (Lee et al. deduplicate at byte/BPE-token
+    granularity — char level makes intra-token duplication in markup,
+    CJK, and code visible, which whitespace tokens cannot)."""
+    if unit == "token":
+        return TX.tokens(col)
+    if unit == "char":
+        return F.when(F.length(col) > 0, F.split(col, "")) \
+            .otherwise(F.array().cast("array<string>"))
+    raise ValueError(f"unit must be 'token' or 'char' [{unit}]")
+
+
+def _unit_joiner(unit: str) -> str:
+    return " " if unit == "token" else ""
+
+
 def token_positions(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """``(id, pos, tok)`` — one row per token, 1-based positions."""
+                    id_col: str = "doc_id",
+                    unit: str = "token") -> DataFrame:
+    """``(id, pos, tok)`` — one row per unit, 1-based positions."""
     return df.select(
         F.col(id_col),
-        F.posexplode(TX.tokens(F.col(text_col))).alias("__p", "tok"),
+        F.posexplode(_unit_array(F.col(text_col), unit))
+        .alias("__p", "tok"),
     ).select(id_col, (F.col("__p") + 1).alias("pos"), "tok")
 
 
@@ -211,8 +231,12 @@ def exact_span_stats(df: DataFrame, text_col: str = "text",
 
     *keep_first* switches to the Lee et al. keep-one semantics: each
     duplicate group's CANONICAL occurrence (lowest ``(id, s)``) is
-    spared, so exactly one copy of every duplicated substring survives
-    the corpus instead of zero."""
+    exempted from its own group's removal.  Note the standard Lee et
+    al. caveat: that spared occurrence's tokens may still be removed
+    when a *different* duplicated window group overlaps the same
+    positions, so a duplicated substring is not guaranteed to survive
+    with one intact copy — only its canonical window is never removed
+    on account of its own group."""
     base = df.select(F.col(id_col),
                      TX.tokens(F.col(text_col)).alias("__toks"))
     wins = exact_window_groups(df, text_col, id_col, n, min_count)

@@ -1204,6 +1204,9 @@ def test_decode_gif_truncated_raises():
 from legend_community_delta_spark.operators.multimodal import (  # noqa: E402
     _VP8L_DIST_MAP,
 )
+from legend_community_delta_spark.operators import (  # noqa: E402
+    multimodal as MM,
+)
 
 
 class _VP8LWriter:
@@ -1962,3 +1965,123 @@ def test_vp8l_roundtrip_fuzz():
         assert np.array_equal(got, want)
 
     check()
+
+# ---------------------------------------------------------------------------
+# Hand-assembled VP8L fixtures (round 9).
+#
+# The roundtrip tests above share predictor helpers between the in-test
+# encoder and the decoder, so a helper deviating from the spec cancels out
+# (encoder subtracts the same wrong prediction the decoder adds back).
+# These fixtures break that self-reference: the residual stream AND the
+# expected pixels are hand-computed literals derived from the public WebP
+# lossless spec, never from the decoder's own helpers.
+# ---------------------------------------------------------------------------
+
+
+def _make_vp8l_hand(w, h, stream_argb, *, predictor_mode=None,
+                    palette_deltas=None, alpha_hint=0):
+    """Assemble a VP8L RIFF from raw (already-residual / already-indexed)
+    ARGB stream values — no forward transform is applied here."""
+    bw = _VP8LWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(alpha_hint, 1)
+    bw.write(0, 3)                              # version
+    cur_w = w
+    if palette_deltas is not None:
+        psize = len(palette_deltas)
+        bw.write(1, 1)
+        bw.write(3, 2)                          # color indexing
+        bw.write(psize - 1, 8)
+        _write_image_stream(bw, np.array(palette_deltas, np.uint32),
+                            psize, 1)
+        if psize <= 2:
+            wb = 3
+        elif psize <= 4:
+            wb = 2
+        elif psize <= 16:
+            wb = 1
+        else:
+            wb = 0
+        cur_w = (w + (1 << wb) - 1) >> wb
+    if predictor_mode is not None:
+        sb = 2                                  # 4x4 blocks
+        bw.write(1, 1)
+        bw.write(0, 2)                          # predictor transform
+        bw.write(sb - 2, 3)
+        mw = (cur_w + (1 << sb) - 1) >> sb
+        mh = (h + (1 << sb) - 1) >> sb
+        modes = np.full(mw * mh, 0xFF000000 | (predictor_mode << 8),
+                        np.uint32)
+        _write_image_stream(bw, modes, mw, mh)
+    bw.write(0, 1)                              # end of transforms
+    _write_image_stream(bw, np.array(stream_argb, np.uint32), cur_w, h,
+                        top=True)
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_vp8l_predictor13_truncating_division_hand_fixture():
+    """ClampAddSubtractHalf must use C integer division (truncation
+    toward zero).  Decode walk, green channel, hand-computed:
+
+      P(0,0): pred = 0xFF000000, residual g=13  -> g=13   (this is TL)
+      P(1,0): y=0 so pred = L,   residual g=253 -> g=10   (this is T)
+      P(0,1): x=0 so pred = T,   residual g=253 -> g=10   (this is L)
+      P(1,1): mode 13: a = avg2(L,T).g = 10, d = 10 - TL.g = -3,
+              trunc(-3/2) = -1 -> pred g = 9; residual 0 -> g = 9.
+
+    A floor-division decoder predicts g = 10 + floor(-1.5) = 8."""
+    residuals = [0x00000D00, 0x0000FD00,
+                 0x0000FD00, 0x00000000]
+    got = decode_image_bytes(_make_vp8l_hand(2, 2, residuals,
+                                             predictor_mode=13))
+    expected = np.array([[[0, 13, 0], [0, 10, 0]],
+                         [[0, 10, 0], [0, 9, 0]]], np.uint8)
+    assert np.array_equal(got, expected)
+
+
+def test_vp8l_predictor11_tie_goes_to_top_hand_fixture():
+    """Select predictor ties must return T (spec: `if (pL < pT) return L;
+    else return T`).  Hand-computed, green channel:
+
+      TL g=15, T g=20, L g=10; p = L + T - TL = 15 per channel sum,
+      pL = |15-10| = 5, pT = |15-20| = 5 -> tie -> pred = T (g=20).
+      Residual 0 -> P(1,1) g = 20.  A tie-to-L decoder yields g = 10."""
+    residuals = [0x00000F00, 0x00000500,
+                 0x0000FB00, 0x00000000]
+    got = decode_image_bytes(_make_vp8l_hand(2, 2, residuals,
+                                             predictor_mode=11))
+    expected = np.array([[[0, 15, 0], [0, 20, 0]],
+                         [[0, 10, 0], [0, 20, 0]]], np.uint8)
+    assert np.array_equal(got, expected)
+
+
+def test_vp8l_palette_out_of_range_index_is_transparent_black():
+    """An index >= color_table_size decodes as 0x00000000 (transparent
+    black) per the spec — not a clamp to the last palette entry.
+    3-color palette -> 2-bit indices, so index 3 is expressible and
+    out of range.  Packed green byte = 0 | 1<<2 | 2<<4 | 3<<6 = 0xE4."""
+    deltas = [0xFF102030, 0x00303030, 0x00303030]   # C0,C1,C2 deltas
+    stream = [0xFF000000 | (0xE4 << 8)]             # one packed pixel
+    got = decode_image_bytes(_make_vp8l_hand(4, 1, stream,
+                                             palette_deltas=deltas,
+                                             alpha_hint=1))
+    expected = np.array([[[0x10, 0x20, 0x30, 0xFF],
+                          [0x40, 0x50, 0x60, 0xFF],
+                          [0x70, 0x80, 0x90, 0xFF],
+                          [0x00, 0x00, 0x00, 0x00]]], np.uint8)
+    assert np.array_equal(got, expected)
+
+
+def test_vp8l_predictor_helper_units_hand_pinned():
+    # trunc-toward-zero on negative odd delta: a=10, tl=13 -> 9 (not 8)
+    assert MM._vp8l_clamp_add_sub_half(0xFF000A00, 0xFF000D00) \
+        == 0xFF000900
+    # select tie with L != T returns T
+    assert MM._vp8l_select(0xFF000A00, 0xFF001400, 0xFF000F00) \
+        == 0xFF001400
