@@ -3561,6 +3561,91 @@ FROM shadow WHERE m >= 10 AND pm < m + 1
 """
 
 
+def _q_exact_span_docs_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR-level exact-substring dedup (suffix.exact_span_stats with
+    unit='char', round 9): Lee et al. deduplicate at byte/BPE-token
+    granularity, so intra-token duplication (markup, CJK, code) that
+    whitespace tokens cannot see is visible here.  Every character
+    covered by a corpus-duplicated 25-char window is removed; window
+    identity is the same overlapping-anchor rank pair, now over
+    character positions (only rank rounds 0..4 needed: 2**4 <= 25).
+    Oracle: the literal DuckDB 25-char cover with the cleaned text
+    compared verbatim."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import exact_span_stats
+    docs = _spread(spark.table("documents"), spark)
+    return exact_span_stats(docs, n=25, unit="char")
+
+
+_ORACLE_DUP_SPANS_CHAR = r"""
+WITH t AS (SELECT doc_id, string_split(text, '') AS ts FROM documents),
+gg AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 24)) AS s
+  FROM t WHERE len(ts) >= 25
+), g2 AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 24), '') AS gram
+  FROM gg
+), d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+fl AS (SELECT doc_id, list(DISTINCT s) AS ss FROM g2 JOIN d USING (gram)
+       GROUP BY doc_id),
+r AS (SELECT t.doc_id, t.ts, coalesce(fl.ss, []) AS ss
+      FROM t LEFT JOIN fl USING (doc_id))
+SELECT doc_id, len(ts) AS n_tokens, len(ts) - len(kept) AS n_removed,
+       coalesce(array_to_string(list_transform(kept, p -> ts[p]), ''), '')
+         AS clean_text
+FROM (
+  SELECT doc_id, ts,
+         list_filter(generate_series(1, len(ts)),
+                     p -> len(list_filter(ss, s -> p >= s AND p <= s + 24)) = 0)
+           AS kept
+  FROM r
+)
+"""
+
+
+def _q_max_dup_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR-level maximal duplicated-span inventory (suffix.max_dup_spans
+    with unit='char', round 9) on the doc_id % 10 sample: every
+    (doc_id, start, length) whose longest duplicated CHARACTER prefix is
+    >= 20 and extends past the previous position's span.  rounds=10
+    makes 2**10 = 1024 >= the fixture's 577-char max doc — the full
+    suffix sort exactness condition at character granularity (early-stop
+    finishes far sooner: the sample's longest repeat is ~26 chars).
+    The sample bounds the O(len^2) brute-force oracle, not the operator.
+    Oracle: per (doc, start) max duplicated substring length over ALL
+    window lengths in DuckDB, lag-shadow filtered."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import max_dup_spans
+    docs = _spread(
+        spark.table("documents").where(F.col("doc_id") % 10 == 0), spark)
+    return max_dup_spans(docs, min_len=20, rounds=10, unit="char")
+
+
+_ORACLE_MAX_DUP_SPANS_CHAR = r"""
+WITH t AS (SELECT doc_id, string_split(text, '') AS ts FROM documents
+           WHERE doc_id % 10 = 0),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS s
+  FROM t WHERE len(ts) >= 1),
+wins AS (
+  SELECT doc_id, s, l.l AS l,
+         array_to_string(list_slice(ts, s, s + l.l - 1), '') AS gram
+  FROM pos, unnest(generate_series(1, len(ts) - s + 1)) AS l(l)),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+md AS (SELECT w.doc_id, w.s, max(w.l) AS m
+       FROM wins w JOIN dup USING (gram) GROUP BY w.doc_id, w.s),
+full_md AS (
+  SELECT p.doc_id, p.s, coalesce(md.m, 0) AS m
+  FROM pos p LEFT JOIN md USING (doc_id, s)),
+shadow AS (
+  SELECT doc_id, s, m,
+         coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pm
+  FROM full_md)
+SELECT doc_id, s AS start, m AS length
+FROM shadow WHERE m >= 20 AND pm < m + 1
+"""
+
+
 _ORACLE_KEEP_FIRST_SPANS = r"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
 gg AS (
@@ -5971,6 +6056,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_span_keep_first": _q_exact_span_keep_first,
     "top_dup_windows": _q_top_dup_windows,
     "max_dup_spans": _q_max_dup_spans,
+    # -- round-9 additions: char-level suffix dedup -----------------------
+    "exact_span_docs_char": _q_exact_span_docs_char,
+    "max_dup_spans_char": _q_max_dup_spans_char,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6209,10 +6297,13 @@ _ROUND8_ORDER: list[str] = [
     "window_top_orders",
     "rollup_lineitem",
 ]
-assert set(_ROUND8_ORDER) == set(QUERIES), (
-    sorted(set(_ROUND8_ORDER) ^ set(QUERIES))
+assert set(_ROUND8_ORDER) <= set(QUERIES), (
+    sorted(set(_ROUND8_ORDER) - set(QUERIES))
 )
-QUERIES = {k: QUERIES[k] for k in _ROUND8_ORDER}
+# Legacy hand-rotation order (round 8).  __spark_entry__._rotation_order
+# now re-sorts by driver-artifact freshness at contract time; entries not
+# listed here (round-9+) keep their registration order at the tail.
+QUERIES = {**{k: QUERIES[k] for k in _ROUND8_ORDER}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "eval_ngram_docs": _ORACLE_EVAL_NGRAM,
@@ -6222,6 +6313,8 @@ ORACLES: dict[str, str] = {
     "exact_span_keep_first": _ORACLE_KEEP_FIRST_SPANS,
     "top_dup_windows": _ORACLE_TOP_DUP_WINDOWS,
     "max_dup_spans": _ORACLE_MAX_DUP_SPANS,
+    "exact_span_docs_char": _ORACLE_DUP_SPANS_CHAR,
+    "max_dup_spans_char": _ORACLE_MAX_DUP_SPANS_CHAR,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

@@ -190,7 +190,8 @@ def _floor_log2(n: int) -> int:
 
 def exact_window_groups(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 15,
-                        min_count: int = 2) -> DataFrame:
+                        min_count: int = 2,
+                        unit: str = "token") -> DataFrame:
     """All corpus-duplicated n-token windows, EXACTLY: ``(id, s, w1, w2,
     n_occ)`` where ``(w1, w2)`` is the overlapping-anchor rank pair that
     identifies the window's token content (equal pair <=> equal window)
@@ -201,7 +202,7 @@ def exact_window_groups(df: DataFrame, text_col: str = "text",
         raise ValueError(f"n must be >= 1 [{n}]")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2 [{min_count}]")
-    pos = token_positions(df, text_col, id_col)
+    pos = token_positions(df, text_col, id_col, unit)
     k1 = _floor_log2(n)
     rk = suffix_ranks(pos, id_col, k1)[k1]
     lens = pos.groupBy(id_col).agg(F.max("pos").alias("__len"))
@@ -222,7 +223,8 @@ def exact_window_groups(df: DataFrame, text_col: str = "text",
 def exact_span_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 15,
                      min_count: int = 2,
-                     keep_first: bool = False) -> DataFrame:
+                     keep_first: bool = False,
+                     unit: str = "token") -> DataFrame:
     """EXACT twin of :func:`..operators.spans.duplicate_span_stats`:
     ``(id, n_tokens, n_removed, clean_text)`` with every token covered
     by a corpus-duplicated n-token window removed — but grouped on
@@ -238,8 +240,8 @@ def exact_span_stats(df: DataFrame, text_col: str = "text",
     with one intact copy — only its canonical window is never removed
     on account of its own group."""
     base = df.select(F.col(id_col),
-                     TX.tokens(F.col(text_col)).alias("__toks"))
-    wins = exact_window_groups(df, text_col, id_col, n, min_count)
+                     _unit_array(F.col(text_col), unit).alias("__toks"))
+    wins = exact_window_groups(df, text_col, id_col, n, min_count, unit)
     if keep_first:
         canon = (wins.groupBy("w1", "w2")
                  .agg(F.min(F.struct(id_col, "s")).alias("__c")))
@@ -260,30 +262,31 @@ def exact_span_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.concat_ws(_unit_joiner(unit), kept).alias("clean_text"),
     )
 
 
 def top_dup_windows(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 15,
-                    min_count: int = 2, k: int = 20) -> DataFrame:
+                    min_count: int = 2, k: int = 20,
+                    unit: str = "token") -> DataFrame:
     """Corpus diagnostics: the *k* most-repeated n-token windows —
     ``(window_text, n_occ, n_docs, first_id, first_pos)`` ranked by
     ``(n_occ desc, window_text asc)``.  Identity comes from the exact
     rank pairs; the TEXT is reconstructed only for each group's
     canonical occurrence (one slice join, k-bounded output) — the
     corpus-wide stages never carry strings longer than one token."""
-    wins = exact_window_groups(df, text_col, id_col, n, min_count)
+    wins = exact_window_groups(df, text_col, id_col, n, min_count, unit)
     groups = (wins.groupBy("w1", "w2")
               .agg(F.max("n_occ").alias("n_occ"),
                    F.countDistinct(id_col).alias("n_docs"),
                    F.min(F.struct(F.col(id_col).alias("i"),
                                   F.col("s").alias("s"))).alias("__c")))
     base = df.select(F.col(id_col).alias("__ri"),
-                     TX.tokens(F.col(text_col)).alias("__toks"))
+                     _unit_array(F.col(text_col), unit).alias("__toks"))
     rep = (groups.join(base, groups["__c"]["i"] == F.col("__ri"))
            .select(F.concat_ws(
-               " ", F.slice("__toks", F.col("__c")["s"], n))
+               _unit_joiner(unit), F.slice("__toks", F.col("__c")["s"], n))
                .alias("window_text"),
                "n_occ", "n_docs",
                F.col("__c")["i"].alias("first_id"),
@@ -293,7 +296,8 @@ def top_dup_windows(df: DataFrame, text_col: str = "text",
 
 def longest_dup_prefix(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       rounds: int = 6) -> DataFrame:
+                       rounds: int = 6,
+                       unit: str = "token") -> DataFrame:
     """Per-suffix longest duplicated prefix: ``(id, pos, dup_len)`` =
     the length of the longest substring starting at (id, pos) that also
     occurs at some OTHER position in the corpus (0 if none).
@@ -313,7 +317,7 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
     order inside the tie group and the true max-LCP partner may not be
     adjacent: the result is then a LOWER BOUND (never an overcount —
     every reported match is a real one)."""
-    pos = token_positions(df, text_col, id_col)
+    pos = token_positions(df, text_col, id_col, unit)
     rks = suffix_ranks(pos, id_col, rounds)
     lens = pos.groupBy(id_col).agg(F.max("pos").alias("__len"))
     final = (rks[rounds]
@@ -365,7 +369,8 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
 
 def max_dup_spans(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", min_len: int = 10,
-                  rounds: int = 6) -> DataFrame:
+                  rounds: int = 6,
+                  unit: str = "token") -> DataFrame:
     """MAXIMAL duplicated spans: ``(id, start, length)`` — every
     position whose longest duplicated prefix is >= *min_len* and is not
     contained in the previous position's span.  Containment only needs
@@ -376,7 +381,7 @@ def max_dup_spans(df: DataFrame, text_col: str = "text",
     :func:`longest_dup_prefix` (same exactness condition)."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1 [{min_len}]")
-    per = longest_dup_prefix(df, text_col, id_col, rounds)
+    per = longest_dup_prefix(df, text_col, id_col, rounds, unit)
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("dup_len", 1, 0).over(w)
     return (per.withColumn("__prev", prev)
@@ -388,15 +393,17 @@ def max_dup_spans(df: DataFrame, text_col: str = "text",
 
 def longest_dup_span_docs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
-                          rounds: int = 6) -> DataFrame:
+                          rounds: int = 6,
+                          unit: str = "token") -> DataFrame:
     """Per-document longest exactly-duplicated substring length (in
     tokens, 0 when nothing repeats): ``(id, n_tokens, max_dup_len)``.
     Exact when ``2**rounds`` reaches the longest document's token count
     (full suffix sort — see :func:`longest_dup_prefix`); a lower bound
     otherwise."""
-    per = longest_dup_prefix(df, text_col, id_col, rounds)
-    toks = df.select(F.col(id_col),
-                     F.size(TX.tokens(F.col(text_col))).alias("n_tokens"))
+    per = longest_dup_prefix(df, text_col, id_col, rounds, unit)
+    toks = df.select(
+        F.col(id_col),
+        F.size(_unit_array(F.col(text_col), unit)).alias("n_tokens"))
     agg = per.groupBy(id_col).agg(F.max("dup_len").alias("max_dup_len"))
     return (toks.join(agg, id_col, "left")
             .select(id_col, "n_tokens",

@@ -366,3 +366,94 @@ def test_max_dup_spans_matches_python(spark, docs):
         spans.sort()
         for (s1, l1), (s2, l2) in zip(spans, spans[1:]):
             assert s1 + l1 - 1 < s2 + l2 - 1   # strictly extends cover
+
+
+# ---------------------------------------------------------------------------
+# unit="char" (round 9): Lee et al. dedup at byte/BPE granularity; the
+# char unit makes intra-token duplication (markup, CJK, code) visible.
+# ---------------------------------------------------------------------------
+
+CHAR_DOCS = [
+    (1, "<div class=x>hello</div> ok"),
+    (2, "zz<div class=x>hello</div>!"),      # same markup, no shared token
+    (3, "abcabcabcabc"),                     # intra-doc char repeats
+    (4, "totally different text qq"),
+    (5, ""),
+]
+CHAR_TOKS = {d: list(t) for d, t in CHAR_DOCS}
+
+
+@pytest.fixture(scope="module")
+def char_docs(spark):
+    return spark.createDataFrame(CHAR_DOCS, "doc_id long, text string")
+
+
+def _py_char_span_stats(n, min_count=2):
+    occ = defaultdict(list)
+    for d, ts in CHAR_TOKS.items():
+        for s in range(len(ts) - n + 1):
+            occ[tuple(ts[s:s + n])].append((d, s + 1))
+    dups = {k: v for k, v in occ.items() if len(v) >= min_count}
+    out = {}
+    for d, ts in CHAR_TOKS.items():
+        starts = {s for v in dups.values() for (dd, s) in v if dd == d}
+        kept = [t for i, t in enumerate(ts)
+                if not any(s <= i + 1 <= s + n - 1 for s in starts)]
+        out[d] = (len(ts), len(ts) - len(kept), "".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("n", [3, 6])
+def test_char_unit_span_stats_matches_python(spark, char_docs, n):
+    ref = _py_char_span_stats(n)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in exact_span_stats(char_docs, n=n, unit="char").collect()}
+    assert got == ref
+
+
+def test_char_unit_sees_intra_token_duplication(spark, char_docs):
+    # docs 1 and 2 share the 24-char markup span but NO whitespace token
+    # ("<div" vs "zz<div", "ok" vs "!") — token unit finds nothing to
+    # remove across them, char unit removes the whole shared span
+    tok = {r["doc_id"]: r["n_removed"]
+           for r in exact_span_stats(char_docs, n=4).collect()}
+    ch = {r["doc_id"]: r["n_removed"]
+          for r in exact_span_stats(char_docs, n=4, unit="char").collect()}
+    assert tok[1] == 0 and tok[2] == 0
+    assert ch[1] >= 24 and ch[2] >= 24
+    assert ch[4] == 0                        # unrelated doc untouched
+
+
+def test_char_unit_max_dup_spans_matches_python(spark, char_docs):
+    from legend_community_delta_spark.operators.suffix import max_dup_spans
+
+    sufs = [(d, p + 1, tuple(ts[p:])) for d, ts in CHAR_TOKS.items()
+            for p in range(len(ts))]
+    dl = {}
+    for d, ts in CHAR_TOKS.items():
+        for p in range(len(ts)):
+            a = ts[p:]
+            best = 0
+            for (dd, pp, b) in sufs:
+                if (dd, pp) == (d, p + 1):
+                    continue
+                ln = 0
+                while ln < len(a) and ln < len(b) and a[ln] == b[ln]:
+                    ln += 1
+                best = max(best, ln)
+            dl[(d, p + 1)] = best
+    for min_len in (4, 10):
+        ref = sorted(
+            (d, p, dl[(d, p)]) for (d, p) in dl
+            if dl[(d, p)] >= min_len
+            and dl.get((d, p - 1), 0) < dl[(d, p)] + 1)
+        got = sorted((r["doc_id"], r["start"], r["length"])
+                     for r in max_dup_spans(char_docs, min_len=min_len,
+                                            rounds=5,
+                                            unit="char").collect())
+        assert got == ref, min_len
+
+
+def test_char_unit_validation(spark, char_docs):
+    with pytest.raises(ValueError, match="unit"):
+        token_positions(char_docs, unit="byte")
