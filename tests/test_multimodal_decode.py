@@ -1001,11 +1001,15 @@ def _seq_scan_symbols_and_emit(blocks, dc_enc=None, ac_enc=None, bw=None):
     return dc_syms, ac_syms
 
 
-def make_multiscan_sequential_jpeg(px, quality_scale=10, subsample=False):
+def make_multiscan_sequential_jpeg(px, quality_scale=10, subsample=False,
+                                   restart=0):
     """SOF0 baseline with ONE NON-INTERLEAVED SOS PER COMPONENT —
     legal per T.81 §A.2.2: each scan walks the component's own bw x bh
     raster (no MCU padding), which differs from the MCU grid whenever
-    the component is subsampled and its block count is odd."""
+    the component is subsampled and its block count is odd.  *restart*
+    (blocks per interval — the data unit of a non-interleaved scan)
+    emits a DRI segment and RSTn markers inside every scan; DC
+    prediction resets per interval, the RST index resets per scan."""
     (zz_grids, samp, qids, qtabs, h, w,
      _mcus_x, _mcus_y) = _jpeg_quantize(px, quality_scale, subsample)
     gray = len(zz_grids) == 1
@@ -1019,19 +1023,33 @@ def make_multiscan_sequential_jpeg(px, quality_scale=10, subsample=False):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
                       qids[ci]])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
     for ci in range(nc):
-        blocks = lambda: _comp_band_blocks(zz_grids, ci, samp, h, w)
-        dc_syms, ac_syms = _seq_scan_symbols_and_emit(blocks())
+        blist = list(_comp_band_blocks(zz_grids, ci, samp, h, w))
+        parts = [blist[i:i + restart]
+                 for i in range(0, len(blist), restart)] \
+            if restart else [blist]
+        # pass 1 per interval: _seq_scan_symbols_and_emit resets DC pred
+        # per call, which is exactly the per-interval reset semantics
+        dc_syms, ac_syms = [], []
+        for part in parts:
+            d, a = _seq_scan_symbols_and_emit(part)
+            dc_syms += d
+            ac_syms += a
         dtab = _fixed_huff(dc_syms)
         atab = _fixed_huff(ac_syms + [0x00])
         _emit_dht(out, 0, 0, dtab)
         _emit_dht(out, 1, 0, atab)
         _emit_sos(out, [(ci + 1, 0, 0)], 0, 63, 0, 0)
-        bw_ = _BitWriter()
-        _seq_scan_symbols_and_emit(blocks(), dc_enc=dtab[2],
-                                   ac_enc=atab[2], bw=bw_)
-        bw_.flush()
-        out += bw_.out
+        for j, part in enumerate(parts):
+            if j:
+                out += bytes([0xFF, 0xD0 + ((j - 1) & 7)])
+            bw_ = _BitWriter()
+            _seq_scan_symbols_and_emit(part, dc_enc=dtab[2],
+                                       ac_enc=atab[2], bw=bw_)
+            bw_.flush()
+            out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1050,6 +1068,31 @@ def test_decode_jpeg_multiscan_sequential_nonintereaved_420():
     multi = decode_image_bytes(make_multiscan_sequential_jpeg(
         rgb, quality_scale=10, subsample=True))
     assert np.array_equal(base, multi)
+
+
+def test_jpeg_multiscan_sequential_randomized_fuzz():
+    """VERDICT r8 item 6: randomized multi-SOS SOF0 sweep over
+    (subsampling x scan-split x restart markers).  Per-component
+    sequential scans carry the SAME quantized coefficients as the
+    interleaved baseline, so restart markers and scan structure must
+    never change a pixel; odd dimensions force component rasters that
+    differ from the MCU grid under 4:2:0."""
+    rng = np.random.default_rng(77)
+    combos = [(gray, sub, rst)
+              for gray in (False, True)
+              for sub in ((False, True) if not gray else (False,))
+              for rst in (0, 1, 2, 5)]
+    for gray, sub, rst in combos:
+        h = int(rng.integers(9, 41)) | 1        # odd dims: raster != MCU
+        w = int(rng.integers(9, 41)) | 1
+        px = _rng_px(h, w, 1 if gray else 3,
+                     seed=int(rng.integers(1 << 30)))
+        qs = int(rng.choice([10, 25, 50]))
+        base = decode_image_bytes(make_jpeg(px, quality_scale=qs,
+                                            subsample=sub))
+        multi = decode_image_bytes(make_multiscan_sequential_jpeg(
+            px, quality_scale=qs, subsample=sub, restart=rst))
+        assert np.array_equal(base, multi), (gray, sub, rst, h, w, qs)
 
 
 def test_decode_jpeg_multiscan_sequential_444_and_gray():
@@ -2085,3 +2128,121 @@ def test_vp8l_predictor_helper_units_hand_pinned():
     # select tie with L != T returns T
     assert MM._vp8l_select(0xFF000A00, 0xFF001400, 0xFF000F00) \
         == 0xFF001400
+
+
+def _make_vp8l_symbols(w, h, tokens, cache_bits=0, alpha_hint=0):
+    """Assemble a transform-free VP8L RIFF from an explicit symbol/token
+    list — ('lit', argb), ('ref', len_sym, len_eb, len_extra, dist_sym,
+    dist_eb, dist_extra), ('hit', idx) — so backward-reference prefix
+    values and color-cache indices can be hand-chosen rather than
+    derived by an encoder-side twin of the decoder's formulas."""
+    bw = _VP8LWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(alpha_hint, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                              # no transforms
+    bw.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.write(cache_bits, 4)
+    bw.write(0, 1)                              # no meta huffman
+    gf, rf, bf, af, df = {}, {}, {}, {}, {}
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            gf[(v >> 8) & 0xFF] = gf.get((v >> 8) & 0xFF, 0) + 1
+            rf[(v >> 16) & 0xFF] = rf.get((v >> 16) & 0xFF, 0) + 1
+            bf[v & 0xFF] = bf.get(v & 0xFF, 0) + 1
+            af[(v >> 24) & 0xFF] = af.get((v >> 24) & 0xFF, 0) + 1
+        elif t[0] == "ref":
+            gf[256 + t[1]] = gf.get(256 + t[1], 0) + 1
+            df[t[4]] = df.get(t[4], 0) + 1
+        else:
+            s = 256 + 24 + t[1]
+            gf[s] = gf.get(s, 0) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gcodes = _write_tree(bw, gf, 256 + 24 + cache_size)
+    rcodes = _write_tree(bw, rf, 256)
+    bcodes = _write_tree(bw, bf, 256)
+    acodes = _write_tree(bw, af, 256)
+    dcodes = _write_tree(bw, df, 40)
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            _write_code(bw, gcodes, (v >> 8) & 0xFF)
+            _write_code(bw, rcodes, (v >> 16) & 0xFF)
+            _write_code(bw, bcodes, v & 0xFF)
+            _write_code(bw, acodes, (v >> 24) & 0xFF)
+        elif t[0] == "ref":
+            _lbl, len_sym, len_eb, len_extra, dist_sym, dist_eb, \
+                dist_extra = t
+            _write_code(bw, gcodes, 256 + len_sym)
+            if len_eb:
+                bw.write(len_extra, len_eb)
+            _write_code(bw, dcodes, dist_sym)
+            if dist_eb:
+                bw.write(dist_extra, dist_eb)
+        else:
+            _write_code(bw, gcodes, 256 + 24 + t[1])
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_vp8l_backward_ref_length_prefix_hand_fixture():
+    """Length prefix values per the spec: symbol < 4 -> symbol + 1; else
+    extra_bits = (symbol - 2) >> 1, offset = (2 + (symbol & 1)) <<
+    extra_bits, length = offset + extra + 1.  Symbol 6 has 2 extra
+    bits, offset = 2 << 2 = 8; extra = 2 -> length 11.  Distance code 2
+    maps to head entry (1, 0) -> distance 1, so the reference copies
+    the previous pixel 11 times.  The expected pixels are hand-written
+    — an encoder-side twin of the prefix formula never runs."""
+    A, B, C, D, E = (0xFF010000, 0xFF020000, 0xFF030000,
+                     0xFF040000, 0xFF050000)
+    toks = [("lit", A), ("lit", B), ("lit", C), ("lit", D), ("lit", E),
+            ("ref", 6, 2, 2, 1, 0, 0)]   # len_sym=6 extra=2; dist_sym=1
+    got = decode_image_bytes(_make_vp8l_symbols(16, 1, toks))
+    expected = np.array(
+        [[[1, 0, 0], [2, 0, 0], [3, 0, 0], [4, 0, 0]]
+         + [[5, 0, 0]] * 12], np.uint8)
+    assert np.array_equal(got, expected)
+
+
+def test_vp8l_color_cache_hand_fixture():
+    """Color-cache indices per the spec: idx = (0x1E35A7BD * argb mod
+    2**32) >> (32 - cache_bits).  The indices below are computed with
+    that formula inline — NOT with the decoder's cache code — and the
+    'hit' token must resolve to the earlier literal's color."""
+    cb = 4
+    A, B = 0xFF102030, 0xFF405060
+    idx_a = ((0x1E35A7BD * A) & 0xFFFFFFFF) >> (32 - cb)
+    idx_b = ((0x1E35A7BD * B) & 0xFFFFFFFF) >> (32 - cb)
+    assert idx_a != idx_b                    # distinct cells, no evict
+    toks = [("lit", A), ("lit", B), ("hit", idx_a), ("hit", idx_b)]
+    got = decode_image_bytes(_make_vp8l_symbols(4, 1, toks,
+                                                cache_bits=cb))
+    expected = np.array([[[0x10, 0x20, 0x30], [0x40, 0x50, 0x60],
+                          [0x10, 0x20, 0x30], [0x40, 0x50, 0x60]]],
+                        np.uint8)
+    assert np.array_equal(got, expected)
+
+
+def test_vp8l_backward_ref_pixels_enter_cache_hand_fixture():
+    """Pixels copied by a backward reference must be inserted into the
+    color cache too: ref copies A (distance 1... via head map entry
+    (1,0)), then a 'hit' on A's cell must succeed and yield A."""
+    cb = 5
+    A, B = 0xFF0A0B0C, 0xFF0D0E0F
+    idx_a = ((0x1E35A7BD * A) & 0xFFFFFFFF) >> (32 - cb)
+    toks = [("lit", B), ("lit", A),
+            ("ref", 0, 0, 0, 1, 0, 0),       # len 1, dist 1 -> copies A
+            ("hit", idx_a)]
+    got = decode_image_bytes(_make_vp8l_symbols(4, 1, toks,
+                                                cache_bits=cb))
+    expected = np.array([[[0x0D, 0x0E, 0x0F], [0x0A, 0x0B, 0x0C],
+                          [0x0A, 0x0B, 0x0C], [0x0A, 0x0B, 0x0C]]],
+                        np.uint8)
+    assert np.array_equal(got, expected)
