@@ -22,6 +22,30 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def unit_array(col: Column | str, unit: str = "token") -> Column:
+    """Text -> array of dedup units.  ``token`` = whitespace tokens;
+    ``char`` = individual characters of the RAW text (Lee et al.
+    deduplicate at byte/BPE granularity — char level makes intra-token
+    duplication in markup, CJK, and code visible, which whitespace
+    tokens cannot see).  Shared by the hash-keyed (spans) and
+    suffix-rank (suffix) dedup families so both units mean the same
+    thing in both."""
+    c = F.col(col) if isinstance(col, str) else col
+    if unit == "token":
+        return tokens(c)
+    if unit == "char":
+        return F.when(F.length(c) > 0, F.split(c, "")) \
+            .otherwise(F.array().cast("array<string>"))
+    raise ValueError(f"unit must be 'token' or 'char' [{unit}]")
+
+
+def unit_joiner(unit: str) -> str:
+    """Separator that reassembles a unit array into text."""
+    if unit not in ("token", "char"):
+        raise ValueError(f"unit must be 'token' or 'char' [{unit}]")
+    return " " if unit == "token" else ""
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish token count: splits on whitespace AND punctuation AND
     digit/letter boundaries — a cheap, deterministic proxy for a BPE

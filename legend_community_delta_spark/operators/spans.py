@@ -67,6 +67,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     n: int = 15,
     min_count: int = 2,
+    unit: str = "token",
 ) -> DataFrame:
     """Per-document duplicate-span removal result.
 
@@ -76,14 +77,16 @@ def duplicate_span_stats(
     counted globally (a window repeated inside ONE document also counts
     toward ``min_count`` — self-repetition is training-data noise too).
 
-    Documents shorter than ``n`` tokens are never touched.
+    Documents shorter than ``n`` units are never touched.  *unit* =
+    ``'token'`` (whitespace, default) or ``'char'`` (see
+    :func:`..functions.text.unit_array`).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
     base = df.select(
-        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col), TX.unit_array(F.col(text_col), unit).alias("__toks")
     )
     grams = _window_grams(base, id_col, n)
     flagged_windows = (
@@ -109,7 +112,7 @@ def duplicate_span_stats(
         F.col(id_col),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.concat_ws(TX.unit_joiner(unit), kept).alias("clean_text"),
     )
 
 
@@ -120,6 +123,7 @@ def dedup_spans(
     n: int = 15,
     min_count: int = 2,
     drop_empty: bool = True,
+    unit: str = "token",
 ) -> DataFrame:
     """Corpus with duplicated spans removed in place.
 
@@ -128,7 +132,8 @@ def dedup_spans(
     documents whose every token sat inside a duplicated span.
     """
     stats = duplicate_span_stats(
-        df, text_col=text_col, id_col=id_col, n=n, min_count=min_count
+        df, text_col=text_col, id_col=id_col, n=n, min_count=min_count,
+        unit=unit,
     ).select(id_col, "clean_text", "n_removed")
     out = df.join(stats, id_col).withColumn(
         text_col, F.col("clean_text")
@@ -140,7 +145,8 @@ def dedup_spans(
 
 def write_span_store(df: DataFrame, path: str, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 15,
-                     mode: str = "overwrite") -> None:
+                     mode: str = "overwrite",
+                     unit: str = "token") -> None:
     """Persist per-window gram-hash counts as parquet ``(gh, cnt)`` so
     span dedup becomes *incremental*: a daily batch counts only its own
     windows and merges against the store — the historical corpus is
@@ -153,6 +159,7 @@ def write_span_store(df: DataFrame, path: str, text_col: str = "text",
     window width ``n`` is recorded in a ``__meta`` footer and validated
     on read: counts of different widths must never merge.
     """
+    TX.unit_joiner(unit)                        # validate early
     if mode == "append":
         try:
             existing = df.sparkSession.read.parquet(f"{path}__meta").first()
@@ -164,11 +171,23 @@ def write_span_store(df: DataFrame, path: str, text_col: str = "text",
                 f"counts; append called with n={n} — different-width "
                 "windows are incompatible. Match the store or rebuild "
                 "with mode='overwrite'.")
-    base = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+        # pre-unit stores carry no unit column and were token-built
+        existing_unit = (existing["unit"] if existing is not None
+                         and "unit" in existing.asDict() else
+                         None if existing is None else "token")
+        if existing_unit is not None and existing_unit != unit:
+            raise ValueError(
+                f"span store at [{path}] holds unit={existing_unit} "
+                f"window counts; append called with unit={unit} — "
+                "different units are incompatible. Match the store or "
+                "rebuild with mode='overwrite'.")
+    base = df.select(F.col(id_col),
+                     TX.unit_array(F.col(text_col), unit).alias("__toks"))
     counts = (_window_grams(base, id_col, n)
               .groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")))
     counts.write.mode(mode).parquet(path)
-    meta = df.sparkSession.createDataFrame([(int(n),)], "n int")
+    meta = df.sparkSession.createDataFrame([(int(n), unit)],
+                                           "n int, unit string")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 
 
@@ -188,12 +207,15 @@ def incremental_dup_spans(spark, path: str, new_docs: DataFrame,
     then the usual flagged-start collect + array rebuild."""
     meta = spark.read.parquet(f"{path}__meta").first()
     n = int(meta["n"])
+    # pre-unit stores carry no unit column and were token-built
+    unit = meta["unit"] if "unit" in meta.asDict() else "token"
     # appends leave multiple partial-count rows per hash — re-aggregate
     # before merging or the left join would replicate batch counts
     store = (spark.read.parquet(path)
              .groupBy("gh").agg(F.sum("cnt").alias("cnt")))
     base = new_docs.select(F.col(id_col),
-                           TX.tokens(F.col(text_col)).alias("__toks"))
+                           TX.unit_array(F.col(text_col), unit)
+                           .alias("__toks"))
     grams = _window_grams(base, id_col, n)
     batch_counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__bc"))
     merged = (batch_counts.join(store, "gh", "left")
@@ -216,7 +238,7 @@ def incremental_dup_spans(spark, path: str, new_docs: DataFrame,
         F.col(id_col),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.concat_ws(TX.unit_joiner(unit), kept).alias("clean_text"),
     )
 
 
@@ -225,6 +247,7 @@ def intra_doc_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 10,
+    unit: str = "token",
 ) -> DataFrame:
     """WITHIN-document repeated-window removal — the map-only twin of
     :func:`duplicate_span_stats`.
@@ -248,7 +271,7 @@ def intra_doc_dup_spans(
     if n < 1:
         raise ValueError("n must be >= 1")
     base = df.select(
-        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+        F.col(id_col), TX.unit_array(F.col(text_col), unit).alias("__toks"))
     starts = F.when(
         F.size("__toks") >= n,
         F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
@@ -275,4 +298,4 @@ def intra_doc_dup_spans(
         F.col(id_col),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"))
+        F.concat_ws(TX.unit_joiner(unit), kept).alias("clean_text"))

@@ -103,22 +103,10 @@ def _global_row_number(df: DataFrame, cols: list[str],
             .drop("__pid", "__lr", "__off"))
 
 
-def _unit_array(col, unit: str):
-    """Text -> array of dedup units.  ``token`` = whitespace tokens (the
-    default, matching :mod:`..operators.spans`); ``char`` = individual
-    characters of the RAW text (Lee et al. deduplicate at byte/BPE-token
-    granularity — char level makes intra-token duplication in markup,
-    CJK, and code visible, which whitespace tokens cannot)."""
-    if unit == "token":
-        return TX.tokens(col)
-    if unit == "char":
-        return F.when(F.length(col) > 0, F.split(col, "")) \
-            .otherwise(F.array().cast("array<string>"))
-    raise ValueError(f"unit must be 'token' or 'char' [{unit}]")
-
-
-def _unit_joiner(unit: str) -> str:
-    return " " if unit == "token" else ""
+# shared with the hash-keyed spans family so unit="char" means the same
+# thing on both the batch-exact and incremental paths
+_unit_array = TX.unit_array
+_unit_joiner = TX.unit_joiner
 
 
 def token_positions(df: DataFrame, text_col: str = "text",

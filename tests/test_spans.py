@@ -225,3 +225,83 @@ def test_intra_doc_dup_spans_plan_is_map_only(spark):
             "formatted"))
     assert "Exchange" not in plan        # zero shuffles
     assert "EvalPython" not in plan      # zero Python
+
+
+# -- round-9: unit="char" on the hash-keyed family -------------------------
+
+def test_char_unit_agrees_with_suffix_exact_twin(spark):
+    """Cross-family consistency: the hash-keyed cover at unit='char'
+    must produce the same spans as the collision-free suffix-rank twin
+    on the same corpus (hash collisions are impossible at this size)."""
+    from legend_community_delta_spark.operators.suffix import (
+        exact_span_stats)
+    docs = _docs(spark, [
+        (1, "<div class=x>hello</div> ok"),
+        (2, "zz<div class=x>hello</div>!"),
+        (3, "abcabcabcabc"),
+        (4, "no overlap at all here qq"),
+    ])
+    a = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+         for r in duplicate_span_stats(docs, n=6, unit="char").collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+         for r in exact_span_stats(docs, n=6, unit="char").collect()}
+    assert a == b
+    assert a[1][1] >= 24                 # the shared markup span went
+    assert a[4][1] == 0
+
+
+def test_char_unit_incremental_reads_unit_from_store(spark, tmp_path):
+    from legend_community_delta_spark.operators.spans import (
+        incremental_dup_spans, write_span_store)
+    path = str(tmp_path / "cstore")
+    hist = _docs(spark, [(1, "xx<span>boilerplate</span>yy")])
+    write_span_store(hist, path, n=8, unit="char")
+    new = _docs(spark, [(10, "qq<span>boilerplate</span>ww")])
+    out = {r["doc_id"]: r for r in
+           incremental_dup_spans(spark, path, new).collect()}
+    # the shared char windows (store 1 + batch 1 = 2) are removed even
+    # though the docs share no whitespace token
+    assert out[10]["n_removed"] >= 24
+    assert "boilerplate" not in out[10]["clean_text"]
+
+
+def test_char_unit_store_mismatch_refused(spark, tmp_path):
+    from legend_community_delta_spark.operators.spans import write_span_store
+    path = str(tmp_path / "mstore")
+    write_span_store(_docs(spark, [(1, SHARED)]), path, n=10, unit="token")
+    with pytest.raises(ValueError, match="unit"):
+        write_span_store(_docs(spark, [(2, SHARED)]), path, n=10,
+                         mode="append", unit="char")
+
+
+def test_pre_unit_store_defaults_to_token(spark, tmp_path):
+    """Stores written before the unit column existed (footer = n only)
+    must keep reading as token-built."""
+    from legend_community_delta_spark.operators.spans import (
+        incremental_dup_spans, _window_grams)
+    from legend_community_delta_spark.functions import text as TX
+    path = str(tmp_path / "oldstore")
+    hist = _docs(spark, [(1, SHARED + " old1")])
+    base = hist.select(F.col("doc_id"), TX.tokens(F.col("text"))
+                       .alias("__toks"))
+    (_window_grams(base, "doc_id", 10)
+     .groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+     .write.mode("overwrite").parquet(path))
+    spark.createDataFrame([(10,)], "n int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
+    new = _docs(spark, [(10, SHARED + " new1")])
+    out = {r["doc_id"]: r for r in
+           incremental_dup_spans(spark, path, new).collect()}
+    assert out[10]["clean_text"] == "new1"
+
+
+def test_intra_doc_char_unit(spark):
+    from legend_community_delta_spark.operators.spans import (
+        intra_doc_dup_spans)
+    docs = _docs(spark, [(1, "abcdefabcdef"), (2, "xyzw")])
+    out = {r["doc_id"]: r for r in
+           intra_doc_dup_spans(docs, n=6, unit="char").collect()}
+    # the second abcdef repeats the first at distance n -> removed
+    assert out[1]["clean_text"] == "abcdef"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["n_removed"] == 0
