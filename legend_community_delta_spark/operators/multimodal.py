@@ -1567,6 +1567,12 @@ AHASH_SCHEMA = T.StructType([
     T.StructField("decode_error", T.StringType(), True),
 ])
 
+IHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ihash", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
 
 def image_ahash_bytes(payload: bytes, grid: int = 8) -> int:
     """Average-hash of decoded pixels: grayscale, nearest-resize to
@@ -1586,6 +1592,92 @@ def image_ahash_bytes(payload: bytes, grid: int = 8) -> int:
             val |= 1 << i
     # wrap to signed 64-bit (Spark LongType)
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _gray_grid(payload: bytes, gh: int, gw: int) -> np.ndarray:
+    """Decoded payload -> grayscale nearest-sampled to (gh, gw)."""
+    px = decode_image_bytes(payload).astype(np.float64)
+    gray = px.mean(axis=2) if px.ndim == 3 else px
+    h0, w0 = gray.shape
+    yi = (np.arange(gh) * h0 // gh)
+    xi = (np.arange(gw) * w0 // gw)
+    return gray[yi][:, xi]
+
+
+def _bits_to_long(bits: np.ndarray) -> int:
+    val = 0
+    for i, b in enumerate(bits.flatten()):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash_bytes(payload: bytes, grid: int = 8) -> int:
+    """Difference-hash: grayscale (grid x grid+1), bit = left pixel
+    brighter than its right neighbor.  Captures gradients rather than
+    absolute levels, so it survives global brightness/contrast shifts
+    that flip ahash bits near the mean."""
+    small = _gray_grid(payload, grid, grid + 1)
+    return _bits_to_long(small[:, :-1] > small[:, 1:])
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    a = np.sqrt(2.0 / n) * np.cos((2 * m + 1) * k * np.pi / (2 * n))
+    a[0] = np.sqrt(1.0 / n)
+    return a
+
+
+_PHASH_DCT = _dct_matrix(32)
+
+
+def image_phash_bytes(payload: bytes, grid: int = 32,
+                      keep: int = 8) -> int:
+    """DCT perceptual hash: grayscale (grid x grid), orthonormal 2D
+    DCT-II, keep the top-left ``keep x keep`` low-frequency block, bit =
+    coefficient above the block's median (the imagehash convention,
+    DC included in both block and median).  The most re-encoding- and
+    resize-robust of the three hashes; still pure numpy."""
+    small = _gray_grid(payload, grid, grid)
+    a = _PHASH_DCT if grid == 32 else _dct_matrix(grid)
+    coef = a @ small @ a.T
+    low = coef[:keep, :keep]
+    return _bits_to_long(low > np.median(low))
+
+
+_IMAGE_HASHERS = {
+    "ahash": image_ahash_bytes,
+    "dhash": image_dhash_bytes,
+    "phash": image_phash_bytes,
+}
+
+
+def image_hash(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "media_id",
+               method: str = "ahash") -> DataFrame:
+    """Per-image perceptual hash (``ahash`` / ``dhash`` / ``phash``)
+    over Arrow batches — same shape as :func:`image_ahash` but with the
+    hash family selectable; output column is ``ihash``."""
+    try:
+        hasher = _IMAGE_HASHERS[method]
+    except KeyError:
+        raise ValueError(
+            f"method must be one of {sorted(_IMAGE_HASHERS)} [{method}]")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rows.append((mid, hasher(bytes(p)), None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((mid, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ihash", "decode_error"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=IHASH_SCHEMA)
 
 
 def image_ahash(df: DataFrame, payload_col: str = "payload",
@@ -1613,16 +1705,22 @@ def image_ahash(df: DataFrame, payload_col: str = "payload",
 
 def image_near_dup_pairs(df: DataFrame, payload_col: str = "payload",
                          id_col: str = "media_id", max_hamming: int = 3,
-                         max_bucket: int = 200) -> DataFrame:
-    """Perceptual image dedup: average-hash signatures through the same
-    pigeonhole 16-bit-chunk hamming join the text SimHash family uses
-    (``dedup.hamming_pairs``) — re-encoded/renamed copies of an image
-    collide, the join stays equi-key, and undecodable payloads simply
-    propose no pairs.  Returns ``(id_a, id_b, hamming)``."""
+                         max_bucket: int = 200,
+                         method: str = "ahash") -> DataFrame:
+    """Perceptual image dedup: ahash/dhash/phash signatures through the
+    same pigeonhole 16-bit-chunk hamming join the text SimHash family
+    uses (``dedup.hamming_pairs``) — re-encoded/renamed copies of an
+    image collide, the join stays equi-key, and undecodable payloads
+    simply propose no pairs.  Returns ``(id_a, id_b, hamming)``."""
     from .dedup import hamming_pairs
-    sigs = (image_ahash(df, payload_col, id_col)
-            .where(F.col("decode_error").isNull()))
-    return hamming_pairs(sigs, id_col="media_id", sig_col="ahash",
+    if method == "ahash":
+        sigs = image_ahash(df, payload_col, id_col)
+        sig_col = "ahash"
+    else:
+        sigs = image_hash(df, payload_col, id_col, method=method)
+        sig_col = "ihash"
+    sigs = sigs.where(F.col("decode_error").isNull())
+    return hamming_pairs(sigs, id_col="media_id", sig_col=sig_col,
                          max_hamming=max_hamming, max_bucket=max_bucket)
 
 

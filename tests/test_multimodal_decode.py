@@ -219,6 +219,75 @@ def test_image_near_dup_pairs_finds_reencoded_copy(spark):
     assert pairs[(1, 2)] == 0
 
 
+def test_image_dhash_gradient_and_brightness_shift():
+    from legend_community_delta_spark.operators.multimodal import (
+        image_dhash_bytes)
+    # horizontal ramp: every left pixel darker than its right neighbor
+    # -> all 64 bits clear; reversed ramp -> all set
+    xx = np.tile(np.arange(64, dtype=np.uint8) * 3, (16, 1))
+    ramp = np.stack([xx] * 3, -1)
+    assert image_dhash_bytes(encode_pnm(ramp)) == 0
+    rev = ramp[:, ::-1]
+    assert image_dhash_bytes(encode_pnm(np.ascontiguousarray(rev))) == -1
+    # global brightness offset preserves every left-right comparison
+    px = (_img(21) % 200).astype(np.uint8)    # headroom: +40 can't clip
+    shifted = (px.astype(np.int32) + 40).astype(np.uint8)
+    assert image_dhash_bytes(encode_pnm(px)) \
+        == image_dhash_bytes(encode_pnm(shifted))
+
+
+def test_image_phash_reencode_exact_and_noise_robust():
+    from legend_community_delta_spark.operators.multimodal import (
+        image_phash_bytes)
+    px = _img(30, h=48, w=40)
+    base = image_phash_bytes(encode_pnm(px))
+    # identical pixels, different codec: identical hash
+    assert image_phash_bytes(make_bmp(px)) == base
+    # mild noise moves few low-frequency bits; unrelated image is far
+    noisy = np.clip(px.astype(np.int32)
+                    + np.random.RandomState(1).randint(-8, 9, px.shape),
+                    0, 255).astype(np.uint8)
+    d_noise = bin((image_phash_bytes(encode_pnm(noisy)) ^ base)
+                  & ((1 << 64) - 1)).count("1")
+    other = image_phash_bytes(encode_pnm(_img(31)))
+    d_other = bin((other ^ base) & ((1 << 64) - 1)).count("1")
+    assert d_noise <= 6
+    assert d_other > 12
+
+
+def test_dct_matrix_is_orthonormal():
+    from legend_community_delta_spark.operators.multimodal import (
+        _dct_matrix)
+    a = _dct_matrix(32)
+    assert np.allclose(a @ a.T, np.eye(32), atol=1e-12)
+
+
+def test_image_hash_dataframe_and_method_pairs(spark):
+    from legend_community_delta_spark.operators.multimodal import (
+        image_hash, image_near_dup_pairs)
+    px = _img(40)
+    rows = [
+        (1, bytearray(encode_pnm(px))),
+        (2, bytearray(make_bmp(px))),            # re-encoded copy
+        (3, bytearray(encode_pnm(_img(41)))),
+        (4, bytearray(b"\x00garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    for method in ("dhash", "phash"):
+        sigs = {r["media_id"]: r for r in
+                image_hash(df, method=method).collect()}
+        assert sigs[1]["ihash"] == sigs[2]["ihash"]
+        assert sigs[4]["ihash"] is None
+        assert sigs[4]["decode_error"]
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in image_near_dup_pairs(
+                     df, max_hamming=3, method=method).collect()}
+        assert set(pairs) == {(1, 2)}, method
+        assert pairs[(1, 2)] == 0
+    with pytest.raises(ValueError, match="method"):
+        image_hash(df, method="whash")
+
+
 def test_audio_energy_hash_gain_invariant_and_pairs(spark):
     from legend_community_delta_spark.operators.multimodal import (
         audio_energy_hash_bytes, audio_near_dup_pairs)
