@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "exact_span_keep_first",
     "top_dup_windows",
     "max_dup_spans",
+    # round-9 additions: char-level suffix dedup
+    "exact_span_docs_char",
+    "max_dup_spans_char",
 ]
 
 

@@ -226,16 +226,19 @@ def span_dedup_stream(stream: DataFrame, spark: SparkSession,
     operator exactly — that equality is the contract oracle.  Returns
     the batch schema ``(id, n_tokens, n_removed, clean_text)``.
     """
-    from ..functions.text import tokens as _tokens
+    from ..functions.text import unit_array, unit_joiner
 
     meta = spark.read.parquet(f"{store_path}__meta").first()
     n = int(meta["n"])
+    # the store footer owns the unit (pre-unit stores were token-built),
+    # so char-level stores flow through the gate with no API change
+    unit = meta["unit"] if "unit" in meta.asDict() else "token"
     flagged = (spark.read.parquet(store_path)
                .groupBy("gh").agg(F.sum("cnt").alias("__cnt"))
                .where(F.col("__cnt") >= min_count)
                .select("gh", F.lit(1).alias("__dup")))
     base = stream.select(F.col(id_col).alias("__id"),
-                         _tokens(text_col).alias("__toks"))
+                         unit_array(text_col, unit).alias("__toks"))
     starts = F.when(
         F.size("__toks") >= n,
         F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
@@ -262,7 +265,7 @@ def span_dedup_stream(stream: DataFrame, spark: SparkSession,
         F.col("__id").alias(id_col),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"))
+        F.concat_ws(unit_joiner(unit), kept).alias("clean_text"))
 
 
 def nb_score_stream(stream: DataFrame, model_wide: DataFrame,

@@ -577,3 +577,42 @@ def test_watermark_append_mode_drops_late_data(spark, tmp_path):
     assert got2.get("2026-01-01 10:05:00") == (1, 1.0), got2
     assert got2.get("2026-01-01 10:00:00") == (2, 2.0), got2
     assert not any(s in (99.0, 101.0) for _, s in got2.values())
+
+
+def test_span_dedup_stream_char_unit_from_store(spark, tmp_path):
+    """A char-built span store drives the streaming gate at char
+    granularity with no API change: the unit rides in the store footer.
+    Backfill over the corpus the store was built from == the batch char
+    operator."""
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.spans import (
+        duplicate_span_stats, write_span_store)
+    from legend_community_delta_spark.streaming import span_dedup_stream
+
+    rows = [Row(doc_id=1, text="<div class=x>hello</div> ok"),
+            Row(doc_id=2, text="zz<div class=x>hello</div>!"),
+            Row(doc_id=3, text="nothing shared here qq")]
+    corpus = spark.createDataFrame(rows)
+    store = str(tmp_path / "cstore")
+    write_span_store(corpus, store, n=8, unit="char")
+    src = str(tmp_path / "csrc")
+    corpus.write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    q = (span_dedup_stream(stream, spark, store)
+         .writeStream.format("memory").queryName("__span_char_t")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "cckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["doc_id"]: r for r in spark.table("__span_char_t").collect()}
+    batch = {r["doc_id"]: r for r in
+             duplicate_span_stats(corpus, n=8, unit="char").collect()}
+    assert set(got) == set(batch) == {1, 2, 3}
+    for k in got:
+        assert got[k]["clean_text"] == batch[k]["clean_text"]
+        assert got[k]["n_removed"] == batch[k]["n_removed"]
+    # the cross-doc markup span is removed even with zero shared tokens
+    assert got[1]["n_removed"] >= 24
+    assert got[3]["n_removed"] == 0
