@@ -1814,10 +1814,17 @@ FRAME_HASH_SCHEMA = T.StructType([
 
 def video_frame_hashes(df: DataFrame, every_ms: int = 1000,
                        payload_col: str = "payload",
-                       id_col: str = "media_id") -> DataFrame:
+                       id_col: str = "media_id",
+                       method: str = "ahash") -> DataFrame:
     """Sampled-frame perceptual hashes: ``sample_video_frames`` → one
-    average-hash per sampled luma frame — the unit of video identity
-    (``(media_id, frame_idx, ahash)``)."""
+    perceptual hash per sampled luma frame — the unit of video identity
+    (``(media_id, frame_idx, ahash)``; the ``ahash`` column carries
+    whichever *method* (ahash/dhash/phash) was selected)."""
+    try:
+        hasher = _IMAGE_HASHERS[method]
+    except KeyError:
+        raise ValueError(
+            f"method must be one of {sorted(_IMAGE_HASHERS)} [{method}]")
     frames = sample_video_frames(df, every_ms, payload_col, id_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1831,7 +1838,7 @@ def video_frame_hashes(df: DataFrame, every_ms: int = 1000,
                     continue
                 try:
                     rows.append((mid, int(fi),
-                                 image_ahash_bytes(bytes(fp)), None))
+                                 hasher(bytes(fp)), None))
                 except Exception as e:  # noqa: BLE001
                     rows.append((mid, int(fi), None, str(e)))
             yield pd.DataFrame(rows, columns=[
@@ -1844,7 +1851,8 @@ def video_near_dup_pairs(df: DataFrame, every_ms: int = 1000,
                          min_shared: float = 0.5, max_hamming: int = 3,
                          payload_col: str = "payload",
                          id_col: str = "media_id",
-                         max_bucket: int = 200) -> DataFrame:
+                         max_bucket: int = 200,
+                         method: str = "ahash") -> DataFrame:
     """Video dedup by frame-hash containment: two videos are near-dups
     when at least ``min_shared`` of the shorter one's sampled frames
     have a hamming-close (≤ ``max_hamming``) counterpart in the other —
@@ -1858,7 +1866,7 @@ def video_near_dup_pairs(df: DataFrame, every_ms: int = 1000,
     aggregate.  Returns ``(id_a, id_b, shared_frames, shared_frac)``.
     """
     from .dedup import hamming_pairs
-    fh = (video_frame_hashes(df, every_ms, payload_col, id_col)
+    fh = (video_frame_hashes(df, every_ms, payload_col, id_col, method)
           .where(F.col("ahash").isNotNull())
           .withColumn("__fid", F.col("media_id") * F.lit(1 << 20)
                       + F.col("frame_idx")))

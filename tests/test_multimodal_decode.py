@@ -333,6 +333,32 @@ def test_video_near_dup_pairs_reencode_and_trim(spark):
     assert got[(1, 2)]["shared_frac"] == 1.0
 
 
+def test_video_frame_hashes_method_selectable(spark):
+    from legend_community_delta_spark.operators.multimodal import (
+        video_frame_hashes, video_near_dup_pairs)
+    rng = np.random.RandomState(12)
+    frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8)
+              for _ in range(3)]
+    rows = [(1, bytearray(make_y4m(frames, fps=1))),
+            (2, bytearray(make_y4m(frames[:2], fps=1)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    a = {(r["media_id"], r["frame_idx"]): r["ahash"] for r in
+         video_frame_hashes(df, every_ms=1000).collect()}
+    p = {(r["media_id"], r["frame_idx"]): r["ahash"] for r in
+         video_frame_hashes(df, every_ms=1000, method="phash").collect()}
+    assert set(a) == set(p) and len(a) == 5
+    # identical frames hash identically under BOTH methods, and the
+    # two methods genuinely differ somewhere
+    assert a[(1, 0)] == a[(2, 0)] and p[(1, 0)] == p[(2, 0)]
+    assert any(a[k] != p[k] for k in a)
+    got = {(r["id_a"], r["id_b"]) for r in
+           video_near_dup_pairs(df, every_ms=1000, min_shared=0.5,
+                                method="phash").collect()}
+    assert got == {(1, 2)}
+    with pytest.raises(ValueError, match="method"):
+        video_frame_hashes(df, method="whash")
+
+
 # --- round-6: PNG + baseline JPEG (independent in-test encoders) ----------
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
