@@ -1579,19 +1579,8 @@ def image_ahash_bytes(payload: bytes, grid: int = 8) -> int:
     ``grid``x``grid``, threshold at the mean → a 64-bit signed int
     (row-major bit order).  Deterministic, codec-free, and robust to
     re-encoding / resizing — the standard cheap perceptual fingerprint."""
-    px = decode_image_bytes(payload).astype(np.float64)
-    gray = px.mean(axis=2) if px.ndim == 3 else px
-    h0, w0 = gray.shape
-    yi = (np.arange(grid) * h0 // grid)
-    xi = (np.arange(grid) * w0 // grid)
-    small = gray[yi][:, xi]
-    bits = (small > small.mean()).flatten()
-    val = 0
-    for i, b in enumerate(bits):
-        if b:
-            val |= 1 << i
-    # wrap to signed 64-bit (Spark LongType)
-    return val - (1 << 64) if val >= (1 << 63) else val
+    small = _gray_grid(payload, grid, grid)
+    return _bits_to_long(small > small.mean())
 
 
 def _gray_grid(payload: bytes, gh: int, gw: int) -> np.ndarray:
