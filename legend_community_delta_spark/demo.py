@@ -3646,6 +3646,85 @@ FROM shadow WHERE m >= 20 AND pm < m + 1
 """
 
 
+def _q_exact_contamination_spans(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT cross-corpus contamination spans (round 9,
+    suffix.exact_contamination_spans): every eval-split (doc_id % 5 ==
+    0) 15-token window whose exact content occurs anywhere in the train
+    split — the suffix-rank, collision-free counterpart of the
+    Jaccard/gram-overlap decontamination family.  Never a self-join;
+    corpus-wide stages carry rank pairs only.  Oracle: literal DuckDB
+    gram join between the two splits."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import exact_contamination_spans
+    docs = _spread(spark.table("documents"), spark)
+    return exact_contamination_spans(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0), n=15)
+
+
+_ORACLE_EXACT_CONTAM_SPANS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+tg AS (
+  SELECT array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram,
+         count(*) AS n_train_occ
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+        FROM t WHERE doc_id % 5 != 0 AND len(ts) >= 15)
+  GROUP BY gram),
+eg AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+        FROM t WHERE doc_id % 5 = 0 AND len(ts) >= 15))
+SELECT eg.doc_id, eg.s, tg.n_train_occ
+FROM eg JOIN tg USING (gram)
+"""
+
+
+def _q_exact_contamination_docs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-eval-doc exact-contamination report
+    (suffix.exact_contamination_stats): tokens covered by >= 1 window
+    exactly present in train, as count + fraction — the span-cover
+    measure the PaLM-style distinct-gram report can't give (it scores
+    gram SETS; this scores positional coverage)."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import exact_contamination_stats
+    docs = _spread(spark.table("documents"), spark)
+    return exact_contamination_stats(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0), n=15)
+
+
+_ORACLE_EXACT_CONTAM_DOCS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+tg AS (
+  SELECT array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+        FROM t WHERE doc_id % 5 != 0 AND len(ts) >= 15)
+  GROUP BY gram),
+ev AS (SELECT doc_id, ts FROM t WHERE doc_id % 5 = 0),
+eg AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+        FROM ev WHERE len(ts) >= 15)),
+fl AS (SELECT eg.doc_id, list(DISTINCT eg.s) AS ss
+       FROM eg JOIN tg USING (gram) GROUP BY eg.doc_id),
+r AS (SELECT ev.doc_id, ev.ts, coalesce(fl.ss, []) AS ss
+      FROM ev LEFT JOIN fl USING (doc_id))
+SELECT doc_id, n_tokens, n_contaminated,
+       CASE WHEN n_tokens > 0
+            THEN round(n_contaminated / n_tokens, 6)
+            ELSE 0.0 END AS contaminated_frac
+FROM (
+  SELECT doc_id, len(ts) AS n_tokens,
+         len(list_filter(generate_series(1, len(ts)),
+             p -> len(list_filter(ss, s -> p >= s AND p <= s + 14)) > 0))
+           AS n_contaminated
+  FROM r
+)
+"""
+
+
 _ORACLE_KEEP_FIRST_SPANS = r"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
 gg AS (
@@ -6059,6 +6138,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-9 additions: char-level suffix dedup -----------------------
     "exact_span_docs_char": _q_exact_span_docs_char,
     "max_dup_spans_char": _q_max_dup_spans_char,
+    # -- round-9 additions: exact cross-corpus contamination --------------
+    "exact_contamination_spans": _q_exact_contamination_spans,
+    "exact_contamination_docs": _q_exact_contamination_docs,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6315,6 +6397,8 @@ ORACLES: dict[str, str] = {
     "max_dup_spans": _ORACLE_MAX_DUP_SPANS,
     "exact_span_docs_char": _ORACLE_DUP_SPANS_CHAR,
     "max_dup_spans_char": _ORACLE_MAX_DUP_SPANS_CHAR,
+    "exact_contamination_spans": _ORACLE_EXACT_CONTAM_SPANS,
+    "exact_contamination_docs": _ORACLE_EXACT_CONTAM_DOCS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

@@ -282,6 +282,76 @@ def top_dup_windows(df: DataFrame, text_col: str = "text",
     return rep.orderBy(F.desc("n_occ"), "window_text").limit(k)
 
 
+def exact_contamination_spans(train: DataFrame, eval_df: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 15,
+                              unit: str = "token") -> DataFrame:
+    """EXACT cross-corpus contamination spans: every eval-side n-unit
+    window whose exact content occurs anywhere in *train* —
+    ``(id, s, n_train_occ)`` with 1-based eval positions.  The
+    suffix-rank counterpart of the n-gram-Jaccard decontamination
+    family: window identity is the collision-free overlapping-anchor
+    rank pair over the tagged UNION corpus, so no hash collision can
+    fabricate (or hide) a leak at any corpus size, and no string or
+    hash wider than one unit ever shuffles.
+
+    Windows duplicated only WITHIN eval are not reported (the filter is
+    on the train-side occurrence count, not the total), and train-only
+    duplication never produces a row — this is never a self-join."""
+    def tag(df: DataFrame, c: int) -> DataFrame:
+        return df.select(
+            F.struct(F.lit(c).alias("c"), F.col(id_col).alias("i"))
+            .alias("__xid"), F.col(text_col).alias(text_col))
+
+    union = tag(train, 0).unionByName(tag(eval_df, 1))
+    # min_count=2 is the cheapest corpus-wide prefilter: an eval window
+    # with >=1 train occurrence has total count >= 2 by construction
+    wins = exact_window_groups(union, text_col, "__xid", n,
+                               min_count=2, unit=unit)
+    tcnt = (wins.where(F.col("__xid")["c"] == 0)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_train_occ")))
+    return (wins.where(F.col("__xid")["c"] == 1)
+            .join(tcnt, ["w1", "w2"])
+            .select(F.col("__xid")["i"].alias(id_col), "s",
+                    "n_train_occ"))
+
+
+def exact_contamination_stats(train: DataFrame, eval_df: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 15,
+                              unit: str = "token") -> DataFrame:
+    """Per-eval-document exact-contamination report: ``(id, n_tokens,
+    n_contaminated, contaminated_frac)`` where ``n_contaminated``
+    counts eval units covered by at least one window that exactly
+    occurs in *train* (the Lee et al. span-cover measure, cross-corpus
+    flavor).  Decontaminate by dropping docs above a threshold or by
+    removing the spans themselves via the cover rebuild."""
+    spans = exact_contamination_spans(train, eval_df, text_col, id_col,
+                                      n, unit)
+    base = eval_df.select(
+        F.col(id_col),
+        _unit_array(F.col(text_col), unit).alias("__toks"))
+    flagged = (spans.groupBy(id_col)
+               .agg(F.collect_set("s").alias("__starts")))
+    joined = base.join(flagged, id_col, "left")
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    covered = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
+        lambda p: F.exists(
+            starts, lambda s: (p >= s) & (p <= s + F.lit(n - 1))),
+    )
+    n_cov = F.when(F.size("__toks") > 0, F.size(covered)).otherwise(0)
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        n_cov.alias("n_contaminated"),
+        F.when(F.size("__toks") > 0,
+               F.round(n_cov / F.size("__toks"), 6))
+        .otherwise(F.lit(0.0)).alias("contaminated_frac"),
+    )
+
+
 def longest_dup_prefix(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        rounds: int = 6,

@@ -457,3 +457,75 @@ def test_char_unit_max_dup_spans_matches_python(spark, char_docs):
 def test_char_unit_validation(spark, char_docs):
     with pytest.raises(ValueError, match="unit"):
         token_positions(char_docs, unit="byte")
+
+
+# ---------------------------------------------------------------------------
+# exact cross-corpus contamination (round 9)
+# ---------------------------------------------------------------------------
+
+def test_exact_contamination_spans_and_stats(spark):
+    from legend_community_delta_spark.operators.suffix import (
+        exact_contamination_spans, exact_contamination_stats)
+    train = spark.createDataFrame([
+        (1, "a b c d e f g h"),
+        (2, "x y z a b c d q"),
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame([
+        (1, "p p a b c d w w"),      # leak; id COLLIDES with train id 1
+        (9, "m m m n n n o o"),      # clean
+        (10, "k k k k j j j j"),     # eval-internal dup pair — must NOT
+        (11, "k k k k j j j j"),     # count as train contamination
+        (12, ""),
+    ], "doc_id long, text string")
+    spans = sorted((r["doc_id"], r["s"], r["n_train_occ"]) for r in
+                   exact_contamination_spans(train, ev, n=4).collect())
+    # 'a b c d' occurs at train(1) pos 1 and train(2) pos 4 -> 2 occs;
+    # the colliding eval id must still resolve to the EVAL document
+    assert spans == [(1, 3, 2)]
+    stats = {r["doc_id"]: (r["n_tokens"], r["n_contaminated"],
+                           r["contaminated_frac"]) for r in
+             exact_contamination_stats(train, ev, n=4).collect()}
+    assert stats == {1: (8, 4, 0.5), 9: (8, 0, 0.0),
+                     10: (8, 0, 0.0), 11: (8, 0, 0.0),
+                     12: (0, 0, 0.0)}
+
+
+def test_exact_contamination_char_unit(spark):
+    from legend_community_delta_spark.operators.suffix import (
+        exact_contamination_spans)
+    train = spark.createDataFrame(
+        [(1, "xx<secret token>yy")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(5, "aa<secret token>bb"), (6, "nothing shared qq")],
+        "doc_id long, text string")
+    # no whitespace token is shared (xx<secret vs aa<secret, token>yy vs
+    # token>bb) so token-level finds nothing; char-level finds the leak
+    tok = exact_contamination_spans(train, ev, n=5).count()
+    ch = sorted((r["doc_id"], r["s"]) for r in
+                exact_contamination_spans(train, ev, n=14,
+                                          unit="char").collect())
+    assert tok == 0
+    assert ch == [(5, 3)]                     # '<secret token>' at pos 3
+
+
+def test_exact_contamination_matches_python_reference(spark, docs):
+    """Split the module corpus odd/even and pin against brute force."""
+    from legend_community_delta_spark.operators.suffix import (
+        exact_contamination_spans)
+    train_ids = {d for d in TOKS if d % 2 == 0}
+    n = 3
+    train_grams = defaultdict(int)
+    for d in train_ids:
+        ts = TOKS[d]
+        for s in range(len(ts) - n + 1):
+            train_grams[tuple(ts[s:s + n])] += 1
+    ref = sorted(
+        (d, s + 1, train_grams[tuple(TOKS[d][s:s + n])])
+        for d in TOKS if d not in train_ids
+        for s in range(len(TOKS[d]) - n + 1)
+        if train_grams.get(tuple(TOKS[d][s:s + n]), 0) >= 1)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    got = sorted((r["doc_id"], r["s"], r["n_train_occ"]) for r in
+                 exact_contamination_spans(train, ev, n=n).collect())
+    assert got == ref
