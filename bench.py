@@ -105,9 +105,11 @@ BENCH_QUERIES = [
     "exact_span_keep_first",
     "top_dup_windows",
     "max_dup_spans",
-    # round-9 additions: char-level suffix dedup
+    # round-9 additions: char-level suffix dedup + exact contamination
     "exact_span_docs_char",
     "max_dup_spans_char",
+    "exact_contamination_spans",
+    "exact_contamination_docs",
 ]
 
 
