@@ -137,6 +137,7 @@ def _await_idle(getloadavg=os.getloadavg, sleep=time.sleep,
 
 def main() -> None:
     load_at_start, contended = _await_idle()
+    load5_at_start = round(os.getloadavg()[1], 2)
     if contended:
         print(f"  WARNING: load_1m={load_at_start} above gate after "
               "max wait; run marked contended", file=sys.stderr,
@@ -200,6 +201,11 @@ def main() -> None:
         # start load = pre-existing contention; end load is mostly the
         # bench's own local[32] JVM and only flags EXTRA pressure
         "load_1m_start": load_at_start,
+        # the 1m gate can pass right after a heavy job while its
+        # page-cache/cgroup effects linger — the 5m average makes such
+        # runs identifiable post hoc (r9: 310 s at 1m=0.97/5m~7 vs
+        # 257 s at 1m=0.02/5m~1 for the same 84 queries)
+        "load_5m_start": load5_at_start,
         "load_1m_end": round(os.getloadavg()[0], 2),
         "cpus": CPUS,
         "contended": contended,
