@@ -3725,6 +3725,50 @@ FROM (
 """
 
 
+def _q_exact_decontaminated_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Span-level decontamination (suffix.exact_decontaminate): the
+    eval split rewritten with every token covered by a train-present
+    15-token window removed — keep the doc, excise the leak.  Oracle
+    compares the CLEANED TEXT verbatim (the strongest check), via the
+    literal DuckDB cross-corpus cover."""
+    ensure_views(spark, sf_dir)
+    from .operators.suffix import exact_decontaminate
+    docs = _spread(spark.table("documents"), spark)
+    return exact_decontaminate(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0), n=15)
+
+
+_ORACLE_EXACT_DECONTAM_DOCS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
+tg AS (
+  SELECT array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+        FROM t WHERE doc_id % 5 != 0 AND len(ts) >= 15)
+  GROUP BY gram),
+ev AS (SELECT doc_id, ts FROM t WHERE doc_id % 5 = 0),
+eg AS (
+  SELECT doc_id, s, array_to_string(list_slice(ts, s, s + 14), chr(31)) AS gram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 14)) AS s
+        FROM ev WHERE len(ts) >= 15)),
+fl AS (SELECT eg.doc_id, list(DISTINCT eg.s) AS ss
+       FROM eg JOIN tg USING (gram) GROUP BY eg.doc_id),
+r AS (SELECT ev.doc_id, ev.ts, coalesce(fl.ss, []) AS ss
+      FROM ev LEFT JOIN fl USING (doc_id))
+SELECT doc_id, len(ts) AS n_tokens, len(ts) - len(kept) AS n_removed,
+       coalesce(array_to_string(list_transform(kept, p -> ts[p]), ' '), '')
+         AS clean_text
+FROM (
+  SELECT doc_id, ts,
+         list_filter(generate_series(1, len(ts)),
+                     p -> len(list_filter(ss, s -> p >= s AND p <= s + 14)) = 0)
+           AS kept
+  FROM r
+)
+"""
+
+
 _ORACLE_KEEP_FIRST_SPANS = r"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text,'\S+') AS ts FROM documents),
 gg AS (
@@ -6141,6 +6185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-9 additions: exact cross-corpus contamination --------------
     "exact_contamination_spans": _q_exact_contamination_spans,
     "exact_contamination_docs": _q_exact_contamination_docs,
+    "exact_decontaminated_docs": _q_exact_decontaminated_docs,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6399,6 +6444,7 @@ ORACLES: dict[str, str] = {
     "max_dup_spans_char": _ORACLE_MAX_DUP_SPANS_CHAR,
     "exact_contamination_spans": _ORACLE_EXACT_CONTAM_SPANS,
     "exact_contamination_docs": _ORACLE_EXACT_CONTAM_DOCS,
+    "exact_decontaminated_docs": _ORACLE_EXACT_DECONTAM_DOCS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

@@ -352,6 +352,39 @@ def exact_contamination_stats(train: DataFrame, eval_df: DataFrame,
     )
 
 
+def exact_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 15,
+                        unit: str = "token") -> DataFrame:
+    """Eval corpus with every unit covered by a train-present n-unit
+    window REMOVED — the cross-corpus flavor of
+    :func:`exact_span_stats`'s cover rebuild, for pipelines that keep
+    the eval doc but excise the leaked spans instead of dropping the
+    whole document.  Returns ``(id, n_tokens, n_removed, clean_text)``
+    over the EVAL corpus (train is never rewritten)."""
+    spans = exact_contamination_spans(train, eval_df, text_col, id_col,
+                                      n, unit)
+    base = eval_df.select(
+        F.col(id_col),
+        _unit_array(F.col(text_col), unit).alias("__toks"))
+    flagged = (spans.groupBy(id_col)
+               .agg(F.collect_set("s").alias("__starts")))
+    joined = base.join(flagged, id_col, "left")
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            starts, lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(n - 1))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(_unit_joiner(unit), kept).alias("clean_text"),
+    )
+
+
 def longest_dup_prefix(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        rounds: int = 6,

@@ -625,3 +625,48 @@ def test_grouping_sets_fuzz_spark_equals_duckdb(spark, sql):
     srows = [_canon_row(tuple(r)) for r in spark.sql(sql).collect()]
     orows = [_canon_row(tuple(r)) for r in con.execute(sql).fetchall()]
     assert srows == orows, sql
+
+
+# ---------------------------------------------------------------------------
+# exact cross-corpus contamination == python brute force, adversarial shapes
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _split_corpora(draw):
+    n_train = draw(st.integers(min_value=1, max_value=5))
+    n_eval = draw(st.integers(min_value=1, max_value=5))
+    mk = lambda i: (i, " ".join(draw(st.lists(  # noqa: E731
+        st.sampled_from(_WORDS), min_size=0, max_size=10))))
+    # eval ids deliberately OVERLAP train ids (the tagged union must
+    # keep them distinct)
+    train = [mk(i) for i in range(n_train)]
+    ev = [mk(i) for i in range(n_eval)]
+    n = draw(st.integers(min_value=1, max_value=4))
+    return train, ev, n
+
+
+@settings(max_examples=20, deadline=None)
+@given(corpus=_split_corpora())
+def test_exact_contamination_fuzz_vs_python(spark, corpus):
+    """Differential fuzz over duplicate-heavy tiny corpora (empty docs,
+    colliding train/eval ids, n from 1 to > doc length): suffix-rank
+    contamination spans equal the brute-force gram intersection."""
+    from legend_community_delta_spark.operators.suffix import (
+        exact_contamination_spans)
+    train_rows, eval_rows, n = corpus
+    tg = {}
+    for _i, text in train_rows:
+        ts = text.split()
+        for s in range(len(ts) - n + 1):
+            g = tuple(ts[s:s + n])
+            tg[g] = tg.get(g, 0) + 1
+    ref = sorted(
+        (i, s + 1, tg[tuple(text.split()[s:s + n])])
+        for i, text in eval_rows
+        for s in range(len(text.split()) - n + 1)
+        if tuple(text.split()[s:s + n]) in tg)
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = sorted((r["doc_id"], r["s"], r["n_train_occ"]) for r in
+                 exact_contamination_spans(train, ev, n=n).collect())
+    assert got == ref
