@@ -529,3 +529,32 @@ def test_exact_contamination_matches_python_reference(spark, docs):
     got = sorted((r["doc_id"], r["s"], r["n_train_occ"]) for r in
                  exact_contamination_spans(train, ev, n=n).collect())
     assert got == ref
+
+
+def test_exact_decontaminate_rebuilds_text(spark):
+    from legend_community_delta_spark.operators.suffix import (
+        exact_decontaminate)
+    train = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string")
+    ev = spark.createDataFrame([
+        (5, "x x a b c d y"),        # leak in the middle
+        (6, "clean text here"),
+        (7, ""),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           exact_decontaminate(train, ev, n=4).collect()}
+    assert out[5]["clean_text"] == "x x y"
+    assert out[5]["n_removed"] == 4
+    assert out[6] == out[6].__class__(doc_id=6, n_tokens=3, n_removed=0,
+                                      clean_text="clean text here")
+    assert out[7]["n_tokens"] == 0 and out[7]["clean_text"] == ""
+    # char unit: excise an intra-token leak, text rejoined with ''
+    ch = {r["doc_id"]: r for r in
+          exact_decontaminate(
+              spark.createDataFrame([(1, "xx<k>yy")],
+                                    "doc_id long, text string"),
+              spark.createDataFrame([(5, "ab<k>cd")],
+                                    "doc_id long, text string"),
+              n=3, unit="char").collect()}
+    assert ch[5]["clean_text"] == "abcd"
+    assert ch[5]["n_removed"] == 3
