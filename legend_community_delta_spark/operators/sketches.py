@@ -374,3 +374,81 @@ def read_agg_store(spark, path: str,
         fn = {"sum": F.sum, "min": F.min, "max": F.max}[merge]
         exprs.append(fn(c).alias(name))
     return store.groupBy(*group_cols).agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters with bounded aggregation state (CMS cell filter).
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(items: DataFrame, item_col: str, min_count: int,
+                  width_exp: int = 16, depth: int = 2,
+                  seed: int = 0x9E3779B9) -> DataFrame:
+    """EXACT set of items occurring >= *min_count* times, without the
+    unbounded partial-aggregation state of a plain
+    ``groupBy(item).count()``.
+
+    At 100 TB the distinct-item space (think 5-grams) dwarfs executor
+    memory, so the map-side partial aggregate of a naive wordcount
+    spills continuously and the shuffle approaches one record per
+    DISTINCT item per task.  This is the count-min *cell filter*
+    instead (the candidate trick behind Manku-Motwani / CMS heavy
+    hitters, made exact):
+
+    1. *depth* independent hash dimensions fold every occurrence into
+       ``2**width_exp`` cells each — ONE scan, one aggregation whose
+       state is exactly ``depth * 2**width_exp`` longs, regardless of
+       corpus size.  A cell's total >= the count of every item in it,
+       so "item is heavy" implies "all its cells are heavy": keeping
+       only items whose *every* cell total >= min_count NEVER drops a
+       true heavy hitter (deterministic — no sampling, no luck).
+    2. Exact recount of the survivors only: the second aggregation's
+       state is the true heavy hitters plus collision passengers,
+       which shrink multiplicatively with *depth* (an item survives
+       only when ALL its cells are saturated by someone else).
+
+    The cell filters join on small int sets; AQE broadcasts them when
+    they fit (cells with total >= min_count number at most
+    occurrences/min_count — metadata-sized for any threshold worth
+    calling "heavy").  Returns ``(item, n_occurrences)`` with
+    ``n_occurrences >= min_count``, exactly.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1 [{min_count}]")
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth must be in [1, 8] [{depth}]")
+    width = 1 << width_exp
+    src = items.select(F.col(item_col).alias("item"))
+    cells = [F.pmod(F.xxhash64(F.col("item"), F.lit(seed + d)),
+                    F.lit(width)).alias(f"__c{d}") for d in range(depth)]
+    with_cells = src.select("item", *cells)
+    # one scan, one shuffle of (dim, cell) partials: state = depth*width
+    stacked = with_cells.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("dim"), F.col(f"__c{d}").alias("cell"))
+        for d in range(depth)])).alias("dc")) \
+        .select("dc.dim", "dc.cell")
+    heavy_cells = (stacked.groupBy("dim", "cell")
+                   .agg(F.count(F.lit(1)).alias("__n"))
+                   .where(F.col("__n") >= min_count))
+    survivors = with_cells
+    for d in range(depth):
+        hc = heavy_cells.where(F.col("dim") == d) \
+            .select(F.col("cell").alias(f"__c{d}"))
+        survivors = survivors.join(hc, f"__c{d}", "left_semi")
+    return (survivors.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count))
+
+
+def heavy_hitter_ngrams(docs: DataFrame, text_col: str = "text",
+                        n: int = 3, min_count: int = 20,
+                        width_exp: int = 16, depth: int = 2) -> DataFrame:
+    """Corpus-level boilerplate mining: the exact word n-grams occurring
+    >= *min_count* times (lowercased), via :func:`heavy_hitters` — the
+    pass that finds repeated headers/footers/licence blurbs before a
+    span-level dedup decides what to cut."""
+    from ..functions import text as TX
+    grams = docs.select(F.explode(
+        TX.word_ngrams(F.lower(F.col(text_col)), n)).alias("g"))
+    hh = heavy_hitters(grams, "g", min_count, width_exp, depth)
+    return hh.select(F.col("item").alias("ngram"), "n_occurrences") \
+        .orderBy(F.desc("n_occurrences"), "ngram")

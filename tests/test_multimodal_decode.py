@@ -2341,3 +2341,296 @@ def test_vp8l_backward_ref_pixels_enter_cache_hand_fixture():
                           [0x0A, 0x0B, 0x0C], [0x0A, 0x0B, 0x0C]]],
                         np.uint8)
     assert np.array_equal(got, expected)
+
+
+# --- round-9: MP4 / ISO-BMFF container (hand-built muxer + goldens) -------
+#
+# The muxer below writes real ISO/IEC 14496-12 boxes from first
+# principles (struct.pack only), so the parser goldens are independent
+# of the code under test; the pure-hand fixtures additionally pin
+# absolute byte offsets computed on paper.
+
+_MP4_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                          0, 0, 0x40000000)
+
+
+def _mbox(typ: bytes, *payload: bytes) -> bytes:
+    body = b"".join(payload)
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mfull(typ: bytes, version: int, flags: int, *payload: bytes) -> bytes:
+    return _mbox(typ, bytes([version]) + struct.pack(">I", flags)[1:],
+                 *payload)
+
+
+def _visual_entry(codec: bytes, w: int, h: int) -> bytes:
+    e = bytearray()
+    e += b"\x00" * 6 + struct.pack(">H", 1)          # dref index
+    e += struct.pack(">HH", 0, 0) + b"\x00" * 12     # pre_defined/reserved
+    e += struct.pack(">HH", w, h)
+    e += struct.pack(">II", 0x480000, 0x480000)      # 72 dpi
+    e += struct.pack(">I", 0)                        # reserved
+    e += struct.pack(">H", 1)                        # frame_count
+    e += b"\x05mjpeg" + b"\x00" * 26                 # compressorname[32]
+    e += struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+    return struct.pack(">I", 8 + len(e)) + codec + bytes(e)
+
+
+def _audio_entry(codec: bytes = b"mp4a", ch: int = 2,
+                 rate: int = 44100) -> bytes:
+    e = bytearray()
+    e += b"\x00" * 6 + struct.pack(">H", 1)
+    e += b"\x00" * 8
+    e += struct.pack(">HH", ch, 16)                  # channels, samplesize
+    e += struct.pack(">HH", 0, 0)
+    e += struct.pack(">I", rate << 16)               # 16.16 fixed
+    return struct.pack(">I", 8 + len(e)) + codec + bytes(e)
+
+
+def _minf(media_header: bytes, stbl: bytes) -> bytes:
+    url = _mfull(b"url ", 0, 1)
+    dref = _mfull(b"dref", 0, 0, struct.pack(">I", 1), url)
+    return _mbox(b"minf", media_header, _mbox(b"dinf", dref), stbl)
+
+
+def make_mjpeg_mp4(samples: list[bytes], fps: int, w: int, h: int,
+                   codec: bytes = b"jpeg", with_audio: bool = False,
+                   brand: bytes = b"isom") -> bytes:
+    """Progressive MP4: ftyp + mdat(samples) + moov, chunks of 2 with a
+    trailing 1-sample stsc run when the count is odd."""
+    ftyp = _mbox(b"ftyp", brand, struct.pack(">I", 0x200), b"isomiso2mp41")
+    mdat = _mbox(b"mdat", *samples)
+    n, sizes = len(samples), [len(s) for s in samples]
+    base = len(ftyp) + 8
+    chunk_offs, si, off = [], 0, base
+    while si < n:
+        take = min(2, n - si)
+        chunk_offs.append(off)
+        off += sum(sizes[si:si + take])
+        si += take
+    if n > 1 and n % 2 == 1:
+        runs = [(1, 2, 1), (len(chunk_offs), 1, 1)]
+    else:
+        runs = [(1, max(1, min(2, n)), 1)]
+    stbl = _mbox(
+        b"stbl",
+        _mfull(b"stsd", 0, 0, struct.pack(">I", 1),
+               _visual_entry(codec, w, h)),
+        _mfull(b"stts", 0, 0, struct.pack(">I", 1),
+               struct.pack(">II", n, 1)),
+        _mfull(b"stsc", 0, 0, struct.pack(">I", len(runs)),
+               b"".join(struct.pack(">III", *r) for r in runs)),
+        _mfull(b"stsz", 0, 0, struct.pack(">II", 0, n),
+               b"".join(struct.pack(">I", s) for s in sizes)),
+        _mfull(b"stco", 0, 0, struct.pack(">I", len(chunk_offs)),
+               b"".join(struct.pack(">I", o) for o in chunk_offs)))
+    mdhd = _mfull(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, fps, n),
+                  struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mfull(b"hdlr", 0, 0, struct.pack(">I", 0), b"vide",
+                  b"\x00" * 12, b"VideoHandler\x00")
+    vmhd = _mfull(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    mdia = _mbox(b"mdia", mdhd, hdlr, _minf(vmhd, stbl))
+    tkhd = _mfull(b"tkhd", 0, 3, struct.pack(">IIII", 0, 0, 1, 0),
+                  struct.pack(">I", n * 1000 // fps), b"\x00" * 8,
+                  struct.pack(">HHHH", 0, 0, 0, 0), _MP4_MATRIX,
+                  struct.pack(">II", w << 16, h << 16))
+    traks = [_mbox(b"trak", tkhd, mdia)]
+    if with_audio:
+        astbl = _mbox(
+            b"stbl",
+            _mfull(b"stsd", 0, 0, struct.pack(">I", 1), _audio_entry()),
+            _mfull(b"stts", 0, 0, struct.pack(">I", 0)),
+            _mfull(b"stsc", 0, 0, struct.pack(">I", 0)),
+            _mfull(b"stsz", 0, 0, struct.pack(">II", 0, 0)),
+            _mfull(b"stco", 0, 0, struct.pack(">I", 0)))
+        amdhd = _mfull(b"mdhd", 0, 0,
+                       struct.pack(">IIII", 0, 0, 44100, 0),
+                       struct.pack(">HH", 0x55C4, 0))
+        ahdlr = _mfull(b"hdlr", 0, 0, struct.pack(">I", 0), b"soun",
+                       b"\x00" * 12, b"SoundHandler\x00")
+        smhd = _mfull(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        amdia = _mbox(b"mdia", amdhd, ahdlr, _minf(smhd, astbl))
+        atkhd = _mfull(b"tkhd", 0, 3, struct.pack(">IIII", 0, 0, 2, 0),
+                       struct.pack(">I", 0), b"\x00" * 8,
+                       struct.pack(">HHHH", 0, 0, 0x0100, 0), _MP4_MATRIX,
+                       struct.pack(">II", 0, 0))
+        traks.append(_mbox(b"trak", atkhd, amdia))
+    mvhd = _mfull(b"mvhd", 0, 0,
+                  struct.pack(">IIII", 0, 0, 1000, n * 1000 // fps),
+                  struct.pack(">I", 0x10000), struct.pack(">H", 0x100),
+                  b"\x00" * 10, _MP4_MATRIX, b"\x00" * 24,
+                  struct.pack(">I", len(traks) + 1))
+    return ftyp + mdat + _mbox(b"moov", mvhd, *traks)
+
+
+def _grad_frame(a: int, b: int, h: int = 24, w: int = 24) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(40 + a * yy + b * xx, 0, 255).astype(np.uint8)
+
+
+def test_mp4_hand_assembled_offsets_golden():
+    """Absolute offsets computed on paper: ftyp [0,16) -> mdat header
+    [16,24) -> payload 'ABC' @24 (size 3), 'DEFGH' @27 (size 5); one
+    chunk @24, two samples; mdhd timescale 10, stts (2,5) -> start
+    times 0 and 5 units."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mdat = struct.pack(">I", 16) + b"mdat" + b"ABCDEFGH"
+    stbl = _mbox(
+        b"stbl",
+        _mfull(b"stsd", 0, 0, struct.pack(">I", 1),
+               _visual_entry(b"avc1", 64, 48)),
+        _mfull(b"stts", 0, 0, struct.pack(">I", 1),
+               struct.pack(">II", 2, 5)),
+        _mfull(b"stsc", 0, 0, struct.pack(">I", 1),
+               struct.pack(">III", 1, 2, 1)),
+        _mfull(b"stsz", 0, 0, struct.pack(">II", 0, 2),
+               struct.pack(">II", 3, 5)),
+        _mfull(b"stco", 0, 0, struct.pack(">I", 1),
+               struct.pack(">I", 24)))
+    mdhd = _mfull(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 10, 10),
+                  struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mfull(b"hdlr", 0, 0, struct.pack(">I", 0), b"vide",
+                  b"\x00" * 12, b"V\x00")
+    vmhd = _mfull(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    trak = _mbox(b"trak", _mbox(b"mdia", mdhd, hdlr, _minf(vmhd, stbl)))
+    mvhd = _mfull(b"mvhd", 0, 0,
+                  struct.pack(">IIII", 0, 0, 1000, 1000),
+                  struct.pack(">I", 0x10000), struct.pack(">H", 0x100),
+                  b"\x00" * 10, _MP4_MATRIX, b"\x00" * 24,
+                  struct.pack(">I", 2))
+    blob = ftyp + mdat + _mbox(b"moov", mvhd, trak)
+
+    m = MM._parse_mp4(blob)
+    assert m["brand"] == "isom"
+    assert m["duration_ms"] == 1000.0
+    (trk,) = m["tracks"]
+    assert trk["kind"] == "video" and trk["codec"] == "avc1"
+    assert (trk["width"], trk["height"]) == (64, 48)
+    assert trk["timescale"] == 10 and trk["duration_ms"] == 1000.0
+    assert trk["samples"] == [(24, 3, 0), (27, 5, 5)]
+    assert blob[24:27] == b"ABC" and blob[27:32] == b"DEFGH"
+    # avc1 is an inter-frame codec: frame decode must refuse pointedly
+    with pytest.raises(ValueError, match="libavcodec"):
+        list(MM._mp4_luma_frames(blob, 1000))
+
+
+def test_mp4_largesize_and_co64():
+    """64-bit box size on mdat + co64 chunk offsets: mdat box at 16
+    with 16-byte largesize header -> payload 'WXYZ' @32."""
+    ftyp = struct.pack(">I", 16) + b"ftypmp42" + struct.pack(">I", 0)
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 20) + b"WXYZ"
+    stbl = _mbox(
+        b"stbl",
+        _mfull(b"stsd", 0, 0, struct.pack(">I", 1),
+               _visual_entry(b"jpeg", 8, 8)),
+        _mfull(b"stts", 0, 0, struct.pack(">I", 1),
+               struct.pack(">II", 1, 1)),
+        _mfull(b"stsc", 0, 0, struct.pack(">I", 1),
+               struct.pack(">III", 1, 1, 1)),
+        _mfull(b"stsz", 0, 0, struct.pack(">II", 0, 1),
+               struct.pack(">I", 4)),
+        _mfull(b"co64", 0, 0, struct.pack(">I", 1),
+               struct.pack(">Q", 32)))
+    mdhd = _mfull(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1, 1),
+                  struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mfull(b"hdlr", 0, 0, struct.pack(">I", 0), b"vide",
+                  b"\x00" * 12, b"V\x00")
+    vmhd = _mfull(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    trak = _mbox(b"trak", _mbox(b"mdia", mdhd, hdlr, _minf(vmhd, stbl)))
+    mvhd = _mfull(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 1000),
+                  struct.pack(">I", 0x10000), struct.pack(">H", 0x100),
+                  b"\x00" * 10, _MP4_MATRIX, b"\x00" * 24,
+                  struct.pack(">I", 2))
+    blob = ftyp + mdat + _mbox(b"moov", mvhd, trak)
+    m = MM._parse_mp4(blob)
+    assert m["brand"] == "mp42"
+    (trk,) = m["tracks"]
+    assert trk["samples"] == [(32, 4, 0)]
+    assert blob[32:36] == b"WXYZ"
+
+
+def test_mp4_error_paths():
+    with pytest.raises(ValueError, match="ftyp"):
+        MM._parse_mp4(b"\x00\x00\x00\x08free" * 4)
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="fragmented"):
+        MM._parse_mp4(ftyp + _mbox(b"moof") + _mbox(b"moov"))
+    with pytest.raises(ValueError, match="moov"):
+        MM._parse_mp4(ftyp + _mbox(b"mdat", b"xx"))
+    # box that claims to extend past EOF
+    bad = ftyp + struct.pack(">I", 4096) + b"moov"
+    with pytest.raises(ValueError, match="overruns"):
+        MM._parse_mp4(bad)
+
+
+def test_mp4_mjpeg_frame_sampling_roundtrip(spark):
+    """MJPEG MP4 -> sample_video_frames: sampled PGM luma must match the
+    source frames within JPEG tolerance, at the right timestamps."""
+    frames = [_grad_frame(*ab) for ab in
+              [(6, 1), (1, 6), (-5, 3), (3, -5), (8, 0)]]   # 5 -> odd stsc
+    jpegs = [make_jpeg(f[..., None], quality_scale=10) for f in frames]
+    blob = make_mjpeg_mp4(jpegs, fps=2, w=24, h=24)
+    df = spark.createDataFrame([(7, bytearray(blob))],
+                               "media_id long, payload binary")
+    rows = {r["frame_idx"]: r for r in
+            sample_video_frames(df, every_ms=1000).collect()}
+    # fps=2, every 1000 ms -> frames 0, 2, 4
+    assert set(rows) == {0, 2, 4}
+    for fi in rows:
+        assert rows[fi]["decode_error"] is None
+        assert rows[fi]["ts_ms"] == fi * 500.0
+        luma = decode_image_bytes(bytes(rows[fi]["frame_payload"]))
+        assert luma.shape == (24, 24, 1)
+        diff = np.abs(luma[..., 0].astype(int) - frames[fi].astype(int))
+        assert diff.mean() < 6
+
+
+def test_mp4_metadata_pipeline(spark):
+    frames = [_grad_frame(2, 2)] * 4
+    jpegs = [make_jpeg(f[..., None]) for f in frames]
+    blob = make_mjpeg_mp4(jpegs, fps=4, w=24, h=24, with_audio=True)
+    avc = make_mjpeg_mp4([b"\x00" * 9], fps=1, w=16, h=16, codec=b"avc1")
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(avc)),
+         (3, bytearray(b"not an mp4 at all"))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in MM.mp4_metadata(df).collect()}
+    ok = got[1]
+    assert ok["decode_error"] is None
+    assert ok["brand"] == "isom" and ok["duration_ms"] == 1000.0
+    assert ok["n_tracks"] == 2
+    assert ok["video_codec"] == "jpeg"
+    assert (ok["width"], ok["height"]) == (24, 24)
+    assert ok["n_frames"] == 4 and ok["fps"] == 4.0
+    assert ok["audio_codec"] == "mp4a"
+    assert ok["audio_channels"] == 2 and ok["audio_rate"] == 44100
+    # metadata probe works for avc1 (no decode attempted) ...
+    assert got[2]["video_codec"] == "avc1" and got[2]["decode_error"] is None
+    # ... while frame DECODE surfaces the pointed per-row error
+    frames_rows = sample_video_frames(df, every_ms=1000).collect()
+    errs = {r["media_id"]: r["decode_error"] for r in frames_rows
+            if r["decode_error"] is not None}
+    assert "libavcodec" in errs[2]
+    assert errs[3] is not None          # junk bytes -> error row, no crash
+
+
+def test_mp4_video_near_dup_across_containers(spark):
+    """The same clip as y4m and as MJPEG-MP4 must be caught as a video
+    near-dup — container- and re-encode-robust identity (ahash; phash
+    jitters on smooth gradients where DCT coefficients tie the median)."""
+    frames = [_grad_frame(*ab) for ab in
+              [(6, 1), (1, 6), (-5, 3), (3, -5)]]
+    other = [_grad_frame(*ab) for ab in [(0, -7), (-7, 0), (2, 9), (9, 2)]]
+    jpegs = [make_jpeg(f[..., None], quality_scale=10) for f in frames]
+    rows = [
+        (1, bytearray(make_y4m(frames, fps=1))),
+        (2, bytearray(make_mjpeg_mp4(jpegs, fps=1, w=24, h=24))),
+        (3, bytearray(make_y4m(other, fps=1))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           MM.video_near_dup_pairs(df, every_ms=1000, min_shared=0.9,
+                                   method="ahash").collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["shared_frac"] == 1.0

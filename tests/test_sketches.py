@@ -213,3 +213,65 @@ def test_agg_store_rejects_non_algebraic(spark, tmp_path):
     with _pytest.raises(ValueError, match="not mergeable"):
         write_agg_store(df, str(tmp_path / "x"), ["g"],
                         {"p50": ("median", "v")})
+
+
+# --- exact heavy hitters (CMS cell filter) ---------------------------------
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """The cell filter NEVER drops a true heavy hitter (cell total >=
+    item count — pigeonhole, not sampling), and the recount pass makes
+    the final counts exact; result must equal the naive groupBy."""
+    from legend_community_delta_spark.operators.sketches import heavy_hitters
+    rows = ([("alpha",)] * 40 + [("beta",)] * 25 + [("gamma",)] * 20
+            + [(f"rare{i}",) for i in range(300)] * 3)
+    df = spark.createDataFrame(rows, "item string")
+    for width_exp in (2, 6, 14):      # width 4 forces brutal collisions
+        got = {(r["item"], r["n_occurrences"]) for r in
+               heavy_hitters(df, "item", min_count=20,
+                             width_exp=width_exp).collect()}
+        assert got == {("alpha", 40), ("beta", 25), ("gamma", 20)}, width_exp
+
+
+def test_heavy_hitters_depth_invariance_and_validation(spark):
+    from legend_community_delta_spark.operators.sketches import heavy_hitters
+    rows = [("x",)] * 10 + [("y",)] * 9 + [(f"z{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "item string")
+    for depth in (1, 2, 3):
+        got = {(r["item"], r["n_occurrences"]) for r in
+               heavy_hitters(df, "item", 10, width_exp=4,
+                             depth=depth).collect()}
+        assert got == {("x", 10)}
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters(df, "item", 0)
+    with pytest.raises(ValueError, match="depth"):
+        heavy_hitters(df, "item", 5, depth=9)
+
+
+def test_heavy_hitter_ngrams_matches_python(spark):
+    from legend_community_delta_spark.operators.sketches import (
+        heavy_hitter_ngrams)
+    texts = ["the quick brown fox JUMPS over the lazy dog",
+             "The quick brown cow jumps over the idle dog",
+             "the quick brown fox naps", "THE QUICK BROWN fox naps"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # python brute force, same tokenization (lowercased \S+ 3-grams)
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        ts = t.lower().split()
+        for i in range(len(ts) - 2):
+            c[" ".join(ts[i:i + 3])] += 1
+    want = {(g, n) for g, n in c.items() if n >= 3}
+    got = {(r["ngram"], r["n_occurrences"]) for r in
+           heavy_hitter_ngrams(df, n=3, min_count=3, width_exp=3).collect()}
+    assert got == want and got       # nonempty by construction
+
+
+def test_heavy_hitters_plan_is_jvm_only(spark):
+    from legend_community_delta_spark.operators.sketches import (
+        heavy_hitter_ngrams)
+    df = spark.createDataFrame([("a b c a b c",)], "text string")
+    plan = heavy_hitter_ngrams(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
