@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "max_dup_spans_char",
     "exact_contamination_spans",
     "exact_contamination_docs",
+    # round-9 addition: exact heavy hitters (CMS cell filter)
+    "heavy_hitter_ngrams",
 ]
 
 

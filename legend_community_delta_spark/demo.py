@@ -6064,6 +6064,36 @@ FROM banded GROUP BY 1, 2
 """
 
 
+def _q_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate mining: the EXACT lowercased word 3-grams
+    occurring >= 5 times, via the count-min cell-filter heavy-hitter
+    pass (``operators/sketches.heavy_hitters``) — two bounded-state
+    aggregations instead of a naive ``groupBy(ngram)`` whose partial
+    state is the full distinct-n-gram space.  The cell filter is a
+    pigeonhole superset (never probabilistic), so the result is exact
+    at every width; width only tunes how much the recount state
+    shrinks."""
+    ensure_views(spark, sf_dir)
+    from .operators.sketches import heavy_hitter_ngrams
+    return heavy_hitter_ngrams(spark.table("documents"), n=3,
+                               min_count=5, width_exp=16)
+
+
+_ORACLE_HEAVY_NGRAMS = r"""
+WITH toks AS (
+  SELECT list_transform(regexp_extract_all(text, '\S+'),
+                        t -> lower(t)) AS ts
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+  FROM toks)
+SELECT g AS ngram, COUNT(*) AS n_occurrences
+FROM g GROUP BY g HAVING COUNT(*) >= 5
+ORDER BY n_occurrences DESC, ngram
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -6186,6 +6216,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_contamination_spans": _q_exact_contamination_spans,
     "exact_contamination_docs": _q_exact_contamination_docs,
     "exact_decontaminated_docs": _q_exact_decontaminated_docs,
+    # -- round-9 addition: exact heavy hitters (CMS cell filter) ----------
+    "heavy_hitter_ngrams": _q_heavy_hitter_ngrams,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6445,6 +6477,7 @@ ORACLES: dict[str, str] = {
     "exact_contamination_spans": _ORACLE_EXACT_CONTAM_SPANS,
     "exact_contamination_docs": _ORACLE_EXACT_CONTAM_DOCS,
     "exact_decontaminated_docs": _ORACLE_EXACT_DECONTAM_DOCS,
+    "heavy_hitter_ngrams": _ORACLE_HEAVY_NGRAMS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),
