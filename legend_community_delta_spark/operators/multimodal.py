@@ -13,7 +13,9 @@ formats the Python standard library can parse without external codecs:
   markers, pure numpy) and **GIF** (stdlib LZW, global/local
   palettes, interlacing, transparency — first frame) — the formats
   real image corpora are overwhelmingly made of;
-* **audio**: WAV/PCM via :mod:`wave` (8/16/32-bit);
+* **audio**: WAV/PCM via :mod:`wave` (8/16/32-bit) and raw-PCM MP4
+  tracks (sowt/twos/'raw ' sample entries — chunk-level extraction,
+  so million-frame PCM tables never materialize per-frame);
 * **video**: YUV4MPEG2 (``.y4m`` — uncompressed frames behind a text
   header; the interchange format ffmpeg/mjpegtools emit) and **MP4 /
   ISO-BMFF** containers: full box + sample-table parsing
@@ -1466,6 +1468,7 @@ def _mp4_sample_table(b: bytes, stbl_pos: int, stbl_end: int,
     """stbl children -> codec fields + per-sample (offset, size, t_units)."""
     info: dict = {}
     sizes: list[int] = []
+    fixed = 0
     stsc: list[tuple[int, int]] = []
     chunk_offsets: list[int] = []
     stts: list[tuple[int, int]] = []
@@ -1506,6 +1509,21 @@ def _mp4_sample_table(b: bytes, stbl_pos: int, stbl_end: int,
         last = (stsc[i + 1][0] - 1) if i + 1 < len(stsc) \
             else len(chunk_offsets)
         spc.extend([per] * (last - fc + 1))
+    if kind == "audio":
+        # chunk-level layout only: a PCM "sample" is ONE audio frame and
+        # numbers in the millions — per-frame python lists don't scale,
+        # and PCM frames are fixed-size so (chunk offset, frame count)
+        # is the whole story
+        chunks, si = [], 0
+        for ci, coff in enumerate(chunk_offsets):
+            k = min(spc[ci] if ci < len(spc) else 0, n_samples - si)
+            chunks.append((coff, k))
+            si += k
+        info["chunks"] = chunks
+        info["samples"] = []
+        info["n_samples"] = n_samples
+        info["fixed_size"] = fixed or None
+        return info
     offsets: list[int] = []
     si = 0
     for ci, coff in enumerate(chunk_offsets):
@@ -1645,6 +1663,51 @@ def _mp4_luma_frames(b: bytes, every_ms: int):
         yield idx, ts_ms, encode_pnm(luma.reshape(*luma.shape[:2], 1))
 
 
+# raw-PCM sample-entry fourccs (ISO/QuickTime): little/big-endian 16-bit
+# and 8-bit unsigned — the uncompressed audio MP4/MOV files actually carry
+_MP4_PCM = {"sowt": ("<i2", 2), "twos": (">i2", 2), "raw ": ("u1", 1)}
+
+
+def _mp4_pcm_samples(b: bytes) -> tuple[int, int, np.ndarray]:
+    """First audio track of an MP4 -> (n_channels, sample_rate,
+    interleaved float64 samples) for raw-PCM codecs, on the same scale
+    as :func:`_wav_samples` (16-bit kept at integer scale, 8-bit
+    centered at 0).  Compressed codecs (mp4a/AAC) raise pointedly."""
+    parsed = _parse_mp4(b)
+    aud = next((t for t in parsed["tracks"] if t["kind"] == "audio"),
+               None)
+    if aud is None:
+        raise ValueError("MP4 has no audio track")
+    codec = aud.get("codec", "?")
+    if codec not in _MP4_PCM:
+        raise ValueError(
+            f"MP4 audio codec {codec!r} needs libavcodec; only raw PCM "
+            f"({'/'.join(sorted(_MP4_PCM))}) decodes natively")
+    dtype, bps = _MP4_PCM[codec]
+    nch = aud.get("channels") or 1
+    fsz = aud.get("fixed_size") or nch * bps
+    parts = []
+    for off, k in aud["chunks"]:
+        seg = b[off:off + k * fsz]
+        if len(seg) < k * fsz:
+            raise ValueError("MP4 PCM chunk overruns file")
+        parts.append(seg)
+    raw = b"".join(parts)
+    x = np.frombuffer(raw, dtype).astype(np.float64)
+    if codec == "raw ":
+        x = x - 128.0
+    return nch, aud.get("sample_rate") or 0, x
+
+
+def _audio_samples(payload: bytes) -> np.ndarray:
+    """WAV or PCM-MP4 bytes -> interleaved float64 samples (the shared
+    input of the gain-invariant energy fingerprint, so the same audio
+    hashes identically across both containers)."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _mp4_pcm_samples(payload)[2]
+    return _wav_samples(payload)
+
+
 MP4_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("brand", T.StringType(), True),
@@ -1747,16 +1810,28 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def _audio_features_bytes(b: bytes) -> tuple[int, int, int, float]:
+    """WAV or PCM-MP4 bytes -> (n_channels, sample_rate, n_frames, rms)."""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        nch, rate, x = _mp4_pcm_samples(b)
+        nf = x.size // max(nch, 1)
+        rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+        return nch, rate, nf, rms
+    return decode_wav_bytes(b)
+
+
 def audio_features(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "media_id") -> DataFrame:
-    """WAV/PCM decode + features over Arrow batches (stdlib ``wave``)."""
+    """WAV (stdlib ``wave``) and PCM-MP4 decode + features over Arrow
+    batches; compressed MP4 audio (mp4a/AAC) surfaces a pointed
+    ``decode_error`` row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    nch, rate, nf, rms = decode_wav_bytes(bytes(p))
+                    nch, rate, nf, rms = _audio_features_bytes(bytes(p))
                     rows.append((mid, nch, rate, nf, 1000.0 * nf / rate, rms,
                                  None))
                 except Exception as e:  # noqa: BLE001
@@ -2047,8 +2122,10 @@ def audio_energy_hash_bytes(payload: bytes, windows: int = 64) -> int:
     windows, bit i = window energy above the median window energy —
     amplitude-scaling invariant (gain changes multiply every window
     equally) and robust to re-encoding; the audio counterpart of
-    :func:`image_ahash_bytes`."""
-    arr = _wav_samples(payload)
+    :func:`image_ahash_bytes`.  Accepts WAV and raw-PCM MP4 payloads
+    (via :func:`_audio_samples`), so the same audio fingerprints
+    identically across both containers."""
+    arr = _audio_samples(payload)
     if arr.size == 0:
         return 0
     n = (arr.size // windows) * windows

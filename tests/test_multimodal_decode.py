@@ -2634,3 +2634,124 @@ def test_mp4_video_near_dup_across_containers(spark):
                                    method="ahash").collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)]["shared_frac"] == 1.0
+
+
+# --- round-9: raw-PCM audio in MP4 -----------------------------------------
+
+def make_pcm_mp4(samples: np.ndarray, rate: int = 8000, nch: int = 1,
+                 codec: bytes = b"sowt", frames_per_chunk: int = 1000
+                 ) -> bytes:
+    """MP4 with one raw-PCM audio track.  *samples* is int16 interleaved
+    (or uint8 for codec 'raw '); stsz carries the fixed per-frame size,
+    chunks of *frames_per_chunk* frames."""
+    if codec == b"sowt":
+        data = samples.astype("<i2").tobytes()
+        bps = 2
+    elif codec == b"twos":
+        data = samples.astype(">i2").tobytes()
+        bps = 2
+    elif codec == b"raw ":
+        data = samples.astype(np.uint8).tobytes()
+        bps = 1
+    else:                                   # e.g. mp4a: opaque payload
+        data = bytes(samples)
+        bps = 2
+    nf = (len(data) // (nch * bps)) if codec in (b"sowt", b"twos",
+                                                 b"raw ") else 16
+    fsz = nch * bps
+    ftyp = _mbox(b"ftyp", b"isom", struct.pack(">I", 0x200), b"isomiso2mp41")
+    mdat = _mbox(b"mdat", data)
+    base = len(ftyp) + 8
+    chunk_offs, runs = [], []
+    fi = 0
+    while fi < nf:
+        chunk_offs.append(base + fi * fsz)
+        fi += min(frames_per_chunk, nf - fi)
+    if nf > frames_per_chunk and nf % frames_per_chunk:
+        runs = [(1, frames_per_chunk, 1), (len(chunk_offs), nf % frames_per_chunk, 1)]
+    else:
+        runs = [(1, min(frames_per_chunk, max(nf, 1)), 1)]
+    stbl = _mbox(
+        b"stbl",
+        _mfull(b"stsd", 0, 0, struct.pack(">I", 1),
+               _audio_entry(codec, nch, rate)),
+        _mfull(b"stts", 0, 0, struct.pack(">I", 1),
+               struct.pack(">II", nf, 1)),
+        _mfull(b"stsc", 0, 0, struct.pack(">I", len(runs)),
+               b"".join(struct.pack(">III", *r) for r in runs)),
+        _mfull(b"stsz", 0, 0, struct.pack(">II", fsz, nf)),
+        _mfull(b"stco", 0, 0, struct.pack(">I", len(chunk_offs)),
+               b"".join(struct.pack(">I", o) for o in chunk_offs)))
+    mdhd = _mfull(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, rate, nf),
+                  struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mfull(b"hdlr", 0, 0, struct.pack(">I", 0), b"soun",
+                  b"\x00" * 12, b"SoundHandler\x00")
+    smhd = _mfull(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    mdia = _mbox(b"mdia", mdhd, hdlr, _minf(smhd, stbl))
+    tkhd = _mfull(b"tkhd", 0, 3, struct.pack(">IIII", 0, 0, 1, 0),
+                  struct.pack(">I", nf * 1000 // rate), b"\x00" * 8,
+                  struct.pack(">HHHH", 0, 0, 0x0100, 0), _MP4_MATRIX,
+                  struct.pack(">II", 0, 0))
+    mvhd = _mfull(b"mvhd", 0, 0,
+                  struct.pack(">IIII", 0, 0, 1000, nf * 1000 // rate),
+                  struct.pack(">I", 0x10000), struct.pack(">H", 0x100),
+                  b"\x00" * 10, _MP4_MATRIX, b"\x00" * 24,
+                  struct.pack(">I", 2))
+    return ftyp + mdat + _mbox(b"moov", mvhd, _mbox(b"trak", tkhd, mdia))
+
+
+def test_mp4_pcm_audio_features_match_wav(spark):
+    """The same PCM signal in WAV and in MP4 (sowt AND twos byte order)
+    must produce IDENTICAL features — rms is exact integer math on the
+    same sample values."""
+    t = np.arange(4096)
+    sig = (np.sin(t / 11.0) * 9000).astype(np.int16)
+    wav = make_wav(sig, rate=8000, nch=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)),
+         (2, bytearray(make_pcm_mp4(sig, rate=8000, codec=b"sowt"))),
+         (3, bytearray(make_pcm_mp4(sig, rate=8000, codec=b"twos"))),
+         (4, bytearray(make_pcm_mp4(sig, rate=8000, codec=b"mp4a")))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           __import__("legend_community_delta_spark.operators.multimodal",
+                      fromlist=["audio_features"])
+           .audio_features(df).collect()}
+    ref = got[1]
+    assert ref["decode_error"] is None and ref["n_frames"] == 4096
+    for mid in (2, 3):
+        r = got[mid]
+        assert r["decode_error"] is None, r
+        assert (r["n_channels"], r["sample_rate"], r["n_frames"]) == \
+            (ref["n_channels"], ref["sample_rate"], ref["n_frames"])
+        assert r["rms"] == ref["rms"]           # exact, not approximate
+    assert "libavcodec" in got[4]["decode_error"]
+
+
+def test_mp4_pcm_8bit_rms_hand_computed():
+    """'raw ' (8-bit unsigned) centers at 128 like WAV 8-bit: four
+    hand-picked samples -> rms = sqrt((0 + 64 + 16 + 4)/4) vs 0-center."""
+    sig = np.array([128, 136, 132, 126], np.uint8)   # offsets 0,8,4,-2
+    blob = make_pcm_mp4(sig, rate=100, codec=b"raw ")
+    nch, rate, nf, rms = MM._audio_features_bytes(blob)
+    assert (nch, rate, nf) == (1, 100, 4)
+    assert rms == pytest.approx(np.sqrt((0 + 64 + 16 + 4) / 4.0))
+
+
+def test_audio_near_dup_across_containers(spark):
+    """Identical audio as WAV vs PCM-MP4 must fingerprint identically
+    (hamming distance 0) and surface as a near-dup pair."""
+    from legend_community_delta_spark.operators.multimodal import (
+        audio_energy_hash_bytes, audio_near_dup_pairs)
+    t = np.arange(8192)
+    sig = (np.sin(t / 7.0) * (1 + (t // 1024) % 3) * 4000).astype(np.int16)
+    other = (np.sin(t / 3.0) * ((t // 512) % 5) * 3000).astype(np.int16)
+    wav, mp4 = make_wav(sig), make_pcm_mp4(sig, codec=b"twos")
+    assert audio_energy_hash_bytes(wav) == audio_energy_hash_bytes(mp4)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mp4)),
+         (3, bytearray(make_wav(other)))],
+        "media_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             audio_near_dup_pairs(df).collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
