@@ -1457,9 +1457,21 @@ def _mp4_stsd_entry(b: bytes, pos: int, end: int, kind: str) -> dict:
         w, h = struct.unpack_from(">HH", b, pos + 32)
         out["width"], out["height"] = w, h
     elif kind == "audio" and pos + 36 <= end:
-        ch, _bits = struct.unpack_from(">HH", b, pos + 24)
-        rate_fixed, = struct.unpack_from(">I", b, pos + 32)
-        out["channels"], out["sample_rate"] = ch, rate_fixed >> 16
+        version, = struct.unpack_from(">H", b, pos + 16)
+        if version == 2 and pos + 52 <= end:
+            # QuickTime SoundDescriptionV2 moves the fields: sample
+            # rate becomes a float64 and channel count a 32-bit int
+            # (the v0 slots hold constants there, so reading them as
+            # v0 would report channels=3, rate=0 silently)
+            rate = struct.unpack_from(">d", b, pos + 40)[0]
+            ch, = struct.unpack_from(">I", b, pos + 48)
+            out["channels"], out["sample_rate"] = ch, int(round(rate))
+        else:
+            # v0 and v1 share the layout through samplerate (v1 only
+            # APPENDS four compression fields)
+            ch, _bits = struct.unpack_from(">HH", b, pos + 24)
+            rate_fixed, = struct.unpack_from(">I", b, pos + 32)
+            out["channels"], out["sample_rate"] = ch, rate_fixed >> 16
     return out
 
 
@@ -1558,7 +1570,11 @@ def _parse_mp4(b: bytes) -> dict:
 
     Progressive (non-fragmented) files only: fragmented MP4 (``moof``)
     keeps its sample tables in per-fragment ``trun`` boxes and raises
-    pointedly.
+    pointedly.  Known simplifications (fine for the MJPEG/PCM decode
+    paths, stated for honesty): edit lists (``elst``) are ignored, so
+    timestamps are media-relative, and composition offsets (``ctts``)
+    are ignored — both only matter for B-frame codecs that need
+    libavcodec anyway.
     """
     if len(b) < 12 or b[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF/MP4 file (missing ftyp)")

@@ -414,22 +414,44 @@ def heavy_hitters(items: DataFrame, item_col: str, min_count: int,
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1 [{min_count}]")
+    heavy_cells = (hh_cell_counts(items, item_col, width_exp, depth, seed)
+                   .where(F.col("n") >= min_count))
+    return _hh_survivor_recount(items, item_col, heavy_cells,
+                                width_exp, depth, seed, min_count)
+
+
+def hh_cell_counts(items: DataFrame, item_col: str, width_exp: int = 16,
+                   depth: int = 2, seed: int = 0x9E3779B9) -> DataFrame:
+    """The bounded-state cell pass of :func:`heavy_hitters` on its own:
+    ``(dim, cell, n)`` partials — one scan, aggregation state exactly
+    ``depth * 2**width_exp``.  Cell counts are plain sums, so partials
+    from different shards MERGE losslessly (the heavy-hitter analogue
+    of the HLL/CMS stores)."""
     if not 1 <= depth <= 8:
         raise ValueError(f"depth must be in [1, 8] [{depth}]")
     width = 1 << width_exp
     src = items.select(F.col(item_col).alias("item"))
-    cells = [F.pmod(F.xxhash64(F.col("item"), F.lit(seed + d)),
-                    F.lit(width)).alias(f"__c{d}") for d in range(depth)]
-    with_cells = src.select("item", *cells)
-    # one scan, one shuffle of (dim, cell) partials: state = depth*width
-    stacked = with_cells.select(F.explode(F.array(*[
-        F.struct(F.lit(d).alias("dim"), F.col(f"__c{d}").alias("cell"))
+    stacked = src.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("dim"),
+                 F.pmod(F.xxhash64(F.col("item"), F.lit(seed + d)),
+                        F.lit(width)).alias("cell"))
         for d in range(depth)])).alias("dc")) \
         .select("dc.dim", "dc.cell")
-    heavy_cells = (stacked.groupBy("dim", "cell")
-                   .agg(F.count(F.lit(1)).alias("__n"))
-                   .where(F.col("__n") >= min_count))
-    survivors = with_cells
+    return stacked.groupBy("dim", "cell").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def _hh_survivor_recount(items: DataFrame, item_col: str,
+                         heavy_cells: DataFrame, width_exp: int,
+                         depth: int, seed: int,
+                         min_count: int) -> DataFrame:
+    """Second pass of :func:`heavy_hitters`: keep items whose EVERY
+    cell is heavy (deterministic superset), then recount exactly."""
+    width = 1 << width_exp
+    cells = [F.pmod(F.xxhash64(F.col("item"), F.lit(seed + d)),
+                    F.lit(width)).alias(f"__c{d}") for d in range(depth)]
+    survivors = items.select(F.col(item_col).alias("item")) \
+        .select("item", *cells)
     for d in range(depth):
         hc = heavy_cells.where(F.col("dim") == d) \
             .select(F.col("cell").alias(f"__c{d}"))
@@ -437,6 +459,46 @@ def heavy_hitters(items: DataFrame, item_col: str, min_count: int,
     return (survivors.groupBy("item")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .where(F.col("n_occurrences") >= min_count))
+
+
+def write_hh_cell_store(items: DataFrame, path: str, item_col: str,
+                        width_exp: int = 16, depth: int = 2,
+                        seed: int = 0x9E3779B9,
+                        mode: str = "append") -> None:
+    """Persist a batch's heavy-hitter cell partials (``mode='append'``
+    = incremental: each ingest batch appends its own depth x width
+    counters; the reader's cell-wise sum is THE cell pass of everything
+    ever written — new shards never force a rescan of old ones)."""
+    (hh_cell_counts(items, item_col, width_exp, depth, seed)
+     .withColumn("__we", F.lit(int(width_exp)))
+     .withColumn("__d", F.lit(int(depth)))
+     .withColumn("__seed", F.lit(int(seed)))
+     .write.mode(mode).parquet(path))
+
+
+def heavy_hitters_from_store(spark, path: str, items: DataFrame,
+                             item_col: str, min_count: int) -> DataFrame:
+    """Exact heavy hitters of everything ever written to the cell
+    store.  The merged cell partials provide the candidate filter
+    without re-running the cell pass; *items* must be the union of the
+    corpora the store was built from (the recount scans it once, with
+    survivor-bounded state).  Mixed (width, depth, seed) shards raise —
+    cells from differently-shaped passes must never be summed."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1 [{min_count}]")
+    store = spark.read.parquet(path)
+    shapes = [tuple(r) for r in
+              store.select("__we", "__d", "__seed").distinct().collect()]
+    if len(shapes) > 1:
+        raise ValueError(
+            f"heavy-hitter cell store at [{path}] mixes shapes "
+            f"{sorted(shapes)}; rebuild with one (width_exp, depth, seed)")
+    width_exp, depth, seed = (int(v) for v in shapes[0])
+    heavy_cells = (store.groupBy("dim", "cell")
+                   .agg(F.sum("n").alias("n"))
+                   .where(F.col("n") >= min_count))
+    return _hh_survivor_recount(items, item_col, heavy_cells,
+                                width_exp, depth, seed, min_count)
 
 
 def heavy_hitter_ngrams(docs: DataFrame, text_col: str = "text",

@@ -2755,3 +2755,28 @@ def test_audio_near_dup_across_containers(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              audio_near_dup_pairs(df).collect()}
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_mp4_sound_description_v2_fields():
+    """SoundDescriptionV2 (QuickTime) moves sample rate to a float64
+    and channels to a 32-bit int; reading it as v0 would silently
+    report channels=3, rate=0.  Hand-built entry: 96 kHz, 6 channels."""
+    e = bytearray()
+    e += b"\x00" * 6 + struct.pack(">H", 1)          # dref index
+    e += struct.pack(">H", 2)                        # version = 2
+    e += struct.pack(">H", 0) + b"\x00" * 4          # revision, vendor
+    e += struct.pack(">HHHH", 3, 16, 0xFFFE, 0)      # always3/16/-2/0
+    e += struct.pack(">I", 65536)                    # always65536
+    e += struct.pack(">I", 72)                       # sizeOfStructOnly
+    e += struct.pack(">d", 96000.0)                  # audioSampleRate
+    e += struct.pack(">I", 6)                        # numAudioChannels
+    e += b"\x00" * 20                                # rest of v2 struct
+    entry = struct.pack(">I", 8 + len(e)) + b"lpcm" + bytes(e)
+    got = MM._mp4_stsd_entry(entry, 0, len(entry), "audio")
+    assert got["codec"] == "lpcm"
+    assert got["channels"] == 6
+    assert got["sample_rate"] == 96000
+    # and a v0 entry still parses the classic slots
+    v0 = _audio_entry(b"sowt", ch=2, rate=44100)
+    got0 = MM._mp4_stsd_entry(v0, 0, len(v0), "audio")
+    assert (got0["channels"], got0["sample_rate"]) == (2, 44100)

@@ -275,3 +275,40 @@ def test_heavy_hitters_plan_is_jvm_only(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_hh_cell_store_incremental_equals_oneshot(spark, tmp_path):
+    """Appending per-shard cell partials and summing at read == the
+    cell pass of the union (plain sums merge losslessly), so the
+    store-fed heavy hitters equal the one-shot result exactly."""
+    from legend_community_delta_spark.operators.sketches import (
+        heavy_hitters, heavy_hitters_from_store, write_hh_cell_store)
+    a = spark.createDataFrame(
+        [("x",)] * 12 + [("y",)] * 4 + [(f"r{i}",) for i in range(40)],
+        "item string")
+    b = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 16 + [(f"s{i}",) for i in range(40)],
+        "item string")
+    path = str(tmp_path / "hh_cells")
+    write_hh_cell_store(a, path, "item", width_exp=5)
+    write_hh_cell_store(b, path, "item", width_exp=5)   # append
+    union = a.unionByName(b)
+    got = {(r["item"], r["n_occurrences"]) for r in
+           heavy_hitters_from_store(spark, path, union, "item",
+                                    min_count=15).collect()}
+    want = {(r["item"], r["n_occurrences"]) for r in
+            heavy_hitters(union, "item", 15, width_exp=5).collect()}
+    assert got == want == {("x", 15), ("y", 20)}
+    # store stays metadata-sized: bounded by shards * depth * width
+    assert spark.read.parquet(path).count() <= 2 * 2 * 32
+
+
+def test_hh_cell_store_rejects_mixed_shapes(spark, tmp_path):
+    from legend_community_delta_spark.operators.sketches import (
+        heavy_hitters_from_store, write_hh_cell_store)
+    df = spark.createDataFrame([("x",)] * 3, "item string")
+    path = str(tmp_path / "hh_mixed")
+    write_hh_cell_store(df, path, "item", width_exp=5)
+    write_hh_cell_store(df, path, "item", width_exp=6)
+    with pytest.raises(ValueError, match="mixes shapes"):
+        heavy_hitters_from_store(spark, path, df, "item", 2)
