@@ -120,21 +120,31 @@ def _await_idle(getloadavg=os.getloadavg, sleep=time.sleep,
                 max_wait: float | None = None) -> tuple[float, bool]:
     """Idle-gate for comparable timings (BENCH_HISTORY showed 2.4x
     run-to-run drift from ambient load on the shared machine): wait in
-    5 s steps until the 1-minute load average drops below *gate* or
-    *max_wait* elapses, then return ``(load_1m, contended)``.
-    ``contended=True`` means the run proceeded anyway and its numbers
-    should not be used as a round-over-round reference."""
+    5 s steps until the 1-minute load average drops below *gate* AND
+    the 5-minute average below ``BENCH_LOAD_GATE_5M`` (a heavy job
+    that JUST finished passes the 1 m gate while its cache/cgroup
+    effects linger — the PERF.md round-9 lesson), or *max_wait*
+    elapses; returns ``(load_1m, contended)``.  ``contended=True``
+    means the run proceeded anyway and its numbers should not be used
+    as a round-over-round reference."""
     if gate is None:
         gate = float(os.environ.get("BENCH_LOAD_GATE", "1.0"))
+    gate5 = float(os.environ.get("BENCH_LOAD_GATE_5M", "2.5"))
     if max_wait is None:
         max_wait = float(os.environ.get("BENCH_LOAD_MAX_WAIT", "90"))
-    load = round(getloadavg()[0], 2)
+
+    def _read() -> tuple[float, float]:
+        la = getloadavg()
+        return (round(la[0], 2),
+                round(la[1], 2) if len(la) > 1 else 0.0)
+
+    load, load5 = _read()
     waited = 0.0
-    while load > gate and waited < max_wait:
+    while (load > gate or load5 > gate5) and waited < max_wait:
         sleep(5.0)
         waited += 5.0
-        load = round(getloadavg()[0], 2)
-    return load, load > gate
+        load, load5 = _read()
+    return load, load > gate or load5 > gate5
 
 
 def main() -> None:

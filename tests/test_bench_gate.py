@@ -58,3 +58,26 @@ def test_env_overrides_respected(monkeypatch):
     load, contended = bench._await_idle(
         getloadavg=lambda: (4.9,), sleep=lambda _s: None)
     assert (load, contended) == (4.9, False)
+
+
+def test_elevated_5m_load_blocks_even_when_1m_idle():
+    """A heavy job that JUST finished shows load_1m near 0 but load_5m
+    still high — the round-9 PERF.md incident (gate passed at
+    load_1m 0.97, run came out 1.29x).  The 5-minute gate must hold
+    the run back / flag it."""
+    bench = _load_bench()
+    sleeps = []
+    load, contended = bench._await_idle(
+        getloadavg=lambda: (0.1, 6.0, 5.0),
+        sleep=sleeps.append, gate=1.0, max_wait=20)
+    assert contended is True
+    assert sleeps == [5.0] * 4
+
+
+def test_5m_decay_clears_flag():
+    bench = _load_bench()
+    readings = iter([(0.2, 4.0, 3.0), (0.2, 2.6, 3.0), (0.1, 2.2, 2.5)])
+    load, contended = bench._await_idle(
+        getloadavg=lambda: next(readings),
+        sleep=lambda s: None, gate=1.0, max_wait=90)
+    assert (load, contended) == (0.1, False)
