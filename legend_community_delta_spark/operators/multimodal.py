@@ -244,10 +244,16 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
     return out
 
 
+# Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def _decode_png(b: bytes) -> np.ndarray:
     """PNG -> (h, w, c) uint8 array.  Supports 8-bit depth, color types
     0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced — the overwhelming majority of real-world PNGs.
+    non-interlaced AND Adam7-interlaced (each pass is an independently
+    filtered sub-image scattered back on the pass grid).
     Pure stdlib: chunk walk + zlib inflate + numpy unfiltering."""
     import zlib
 
@@ -272,17 +278,36 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if depth != 8:
         raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    stride = w * channels
-    if raw.size != h * (1 + stride):
-        raise ValueError("PNG pixel data size mismatch")
-    px = _png_unfilter(raw, h, stride, channels).astype(np.uint8)
-    px = px.reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * channels
+        if raw.size != h * (1 + stride):
+            raise ValueError("PNG pixel data size mismatch")
+        px = _png_unfilter(raw, h, stride, channels).astype(np.uint8)
+        px = px.reshape(h, w, channels)
+    elif interlace == 1:
+        px = np.zeros((h, w, channels), np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:      # empty pass: no bytes at all
+                continue
+            pstride = pw * channels
+            need = ph * (1 + pstride)
+            if at + need > raw.size:
+                raise ValueError("PNG Adam7 pass truncated")
+            sub = _png_unfilter(raw[at:at + need], ph, pstride,
+                                channels).astype(np.uint8)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            at += need
+        if at != raw.size:
+            raise ValueError("PNG Adam7 trailing pixel data")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

@@ -2780,3 +2780,101 @@ def test_mp4_sound_description_v2_fields():
     v0 = _audio_entry(b"sowt", ch=2, rate=44100)
     got0 = MM._mp4_stsd_entry(v0, 0, len(v0), "audio")
     assert (got0["channels"], got0["sample_rate"]) == (2, 44100)
+
+
+# --- round-9: Adam7-interlaced PNG ------------------------------------------
+
+_ADAM7_SPEC = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_filtered_stream(px: np.ndarray, filters=None,
+                         palette=None) -> bytes:
+    """Filtered (pre-deflate) scanline stream of make_png's output —
+    lets the Adam7 muxer reuse the proven per-row filter encoder."""
+    import zlib
+    blob = make_png(px, filters=filters, palette=palette)
+    pos, idat = 8, b""
+    while pos + 8 <= len(blob):
+        ln, typ = struct.unpack_from(">I4s", blob, pos)
+        if typ == b"IDAT":
+            idat += blob[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    return zlib.decompress(idat)
+
+
+def make_png_adam7(px: np.ndarray, filters=None, palette=None) -> bytes:
+    """Adam7 PNG from the spec's pass grid: each non-empty pass is the
+    sub-image px[y0::dy, x0::dx], independently filtered."""
+    import zlib
+    h, w = px.shape[:2]
+    if palette is not None:
+        ctype = 3
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[px.shape[2]]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_SPEC:
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filtered_stream(np.ascontiguousarray(sub),
+                                    filters=filters, palette=palette)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_adam7_hand_fixture():
+    """3x3 gray [[1..9]]: pass geometry worked out on paper —
+    pass1 holds pixel (0,0); pass4 (0,2); pass5 row y=2 cols 0,2;
+    pass6 col x=1 rows 0,2; pass7 row y=1; passes 2,3 are EMPTY and
+    must contribute zero bytes (not even filter tags)."""
+    import zlib
+    stream = bytes([0, 1,            # pass 1: [[1]]
+                    0, 3,            # pass 4: [[3]]
+                    0, 7, 9,         # pass 5: [[7, 9]]
+                    0, 2, 0, 8,      # pass 6: [[2], [8]] (two rows)
+                    0, 4, 5, 6])     # pass 7: [[4, 5, 6]]
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 1)
+    blob = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(stream))
+            + _png_chunk(b"IEND", b""))
+    got = decode_image_bytes(blob)
+    want = np.arange(1, 10, dtype=np.uint8).reshape(3, 3, 1)
+    assert np.array_equal(got, want)
+
+
+def test_decode_png_adam7_matches_noninterlaced():
+    rng = np.random.RandomState(77)
+    for (hh, ww, cc) in [(1, 1, 1), (2, 2, 3), (3, 3, 1), (5, 9, 4),
+                         (8, 8, 3), (9, 7, 2), (16, 13, 3)]:
+        px = rng.randint(0, 256, (hh, ww, cc), dtype=np.uint8)
+        for filters in (None, [1, 2, 3, 4, 0]):
+            got = decode_image_bytes(make_png_adam7(px, filters=filters))
+            assert np.array_equal(got, px), (hh, ww, cc, filters)
+            flat = decode_image_bytes(make_png(px, filters=filters))
+            assert np.array_equal(got, flat)
+
+
+def test_decode_png_adam7_palette():
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (11, 6), dtype=np.uint8)
+    got = decode_image_bytes(make_png_adam7(idx, palette=pal))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_decode_png_adam7_truncated_pass_raises():
+    blob = bytearray(make_png_adam7(
+        np.arange(64, dtype=np.uint8).reshape(8, 8, 1)))
+    # corrupt: rebuild with a short stream
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7|truncated"):
+        MM._decode_png(bad)
