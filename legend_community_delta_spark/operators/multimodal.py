@@ -182,14 +182,21 @@ def _decode_pnm(b: bytes) -> np.ndarray:
         vals.append(int(b[pos:end]))
         pos = end
     w, h, maxval = vals
-    if maxval > 255:
-        raise ValueError("16-bit PNM not supported")
+    if maxval > 65535:
+        raise ValueError(f"PNM maxval {maxval} out of spec range")
     channels = 3 if magic in (b"P3", b"P6") else 1
     n = w * h * channels
     if magic in (b"P5", b"P6"):
-        px = np.frombuffer(b, np.uint8, n, pos + 1)  # one ws after maxval
+        if maxval > 255:                # 16-bit: big-endian, scale to 8
+            wide = np.frombuffer(b, ">u2", n, pos + 1).astype(np.float64)
+            px = np.round(wide * (255.0 / maxval)).astype(np.uint8)
+        else:
+            px = np.frombuffer(b, np.uint8, n, pos + 1)  # ws after maxval
     else:
-        px = np.array(b[pos:].split()[:n], dtype=np.uint8)
+        wide = np.array(b[pos:].split()[:n], dtype=np.int64)
+        if maxval > 255:
+            wide = np.round(wide * (255.0 / maxval)).astype(np.int64)
+        px = wide.astype(np.uint8)
     return px.reshape(h, w, channels)
 
 
@@ -276,18 +283,28 @@ def _decode_png(b: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16):
+        raise ValueError(
+            f"PNG bit depth {depth} not supported (8/16 only)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
+    sampw = depth // 8                  # bytes per sample
+    bpp = channels * sampw              # filter distance is in BYTES
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+
+    def _to8(rows: np.ndarray, rh: int, rw: int) -> np.ndarray:
+        """Unfiltered byte rows -> (rh, rw, channels) uint8; 16-bit
+        samples are big-endian, so byte 0 IS the standard v >> 8
+        down-conversion."""
+        a = rows.astype(np.uint8).reshape(rh, rw, channels, sampw)
+        return np.ascontiguousarray(a[..., 0])
+
     if interlace == 0:
-        stride = w * channels
+        stride = w * bpp
         if raw.size != h * (1 + stride):
             raise ValueError("PNG pixel data size mismatch")
-        px = _png_unfilter(raw, h, stride, channels).astype(np.uint8)
-        px = px.reshape(h, w, channels)
+        px = _to8(_png_unfilter(raw, h, stride, bpp), h, w)
     elif interlace == 1:
         px = np.zeros((h, w, channels), np.uint8)
         at = 0
@@ -296,13 +313,12 @@ def _decode_png(b: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:      # empty pass: no bytes at all
                 continue
-            pstride = pw * channels
+            pstride = pw * bpp
             need = ph * (1 + pstride)
             if at + need > raw.size:
                 raise ValueError("PNG Adam7 pass truncated")
-            sub = _png_unfilter(raw[at:at + need], ph, pstride,
-                                channels).astype(np.uint8)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            sub = _png_unfilter(raw[at:at + need], ph, pstride, bpp)
+            px[y0::dy, x0::dx] = _to8(sub, ph, pw)
             at += need
         if at != raw.size:
             raise ValueError("PNG Adam7 trailing pixel data")

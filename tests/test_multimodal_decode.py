@@ -2878,3 +2878,66 @@ def test_decode_png_adam7_truncated_pass_raises():
            + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="Adam7|truncated"):
         MM._decode_png(bad)
+
+
+# --- round-9: 16-bit PNG + 16-bit PNM ---------------------------------------
+
+def make_png16(px16: np.ndarray, filters=None) -> bytes:
+    """Independent 16-bit PNG encoder (gray or RGB, big-endian
+    samples); filters applied at BYTE level with byte-distance bpp,
+    exactly as the spec prescribes for depth 16."""
+    import zlib
+    h, w, c = px16.shape
+    ctype = {1: 0, 3: 2}[c]
+    bpp = c * 2
+    flat = px16.astype(">u2").reshape(h, w * c).view(np.uint8) \
+        .reshape(h, w * c * 2).astype(np.int32)
+    stride = w * c * 2
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        ft = 0 if filters is None else filters[y % len(filters)]
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            enc = (row - left) & 0xFF
+        elif ft == 2:
+            enc = (row - prev) & 0xFF
+        else:
+            raise AssertionError("fixture uses filters 0-2")
+        raw.append(ft)
+        raw += bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_decode_png_16bit_high_byte():
+    rng = np.random.RandomState(21)
+    px16 = rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16)
+    for filters in (None, [1, 2, 0]):
+        got = decode_image_bytes(make_png16(px16, filters=filters))
+        assert np.array_equal(got, (px16 >> 8).astype(np.uint8)), filters
+    # hand pin: big-endian byte 0 is the v >> 8 down-conversion
+    one = np.array([[[0xAB, 0x00CD, 0xFFFF]]], np.uint16)
+    assert decode_image_bytes(make_png16(one)).tolist() == [[[0, 0, 255]]]
+
+
+def test_decode_pnm_16bit_scales_to_8():
+    # P5 binary, maxval 65535: value v -> round(v * 255 / 65535)
+    vals = np.array([[0, 257, 65535, 32768]], np.uint16)
+    body = vals.astype(">u2").tobytes()
+    blob = b"P5 4 1 65535\n" + body
+    got = decode_image_bytes(blob)
+    assert got.shape == (1, 4, 1)
+    assert got[..., 0].tolist() == [[0, 1, 255, 128]]
+    # P3 ASCII with a non-power maxval scales too
+    blob3 = b"P3 2 1 1000\n1000 0 500   250 750 1000\n"
+    got3 = decode_image_bytes(blob3)
+    assert got3[0].tolist() == [[255, 0, 128], [64, 191, 255]]
+    with pytest.raises(ValueError, match="out of spec"):
+        decode_image_bytes(b"P5 1 1 70000\n\x00\x00")
