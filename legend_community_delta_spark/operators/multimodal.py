@@ -257,16 +257,19 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _decode_png(b: bytes) -> np.ndarray:
-    """PNG -> (h, w, c) uint8 array.  Supports 8-bit depth, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced AND Adam7-interlaced (each pass is an independently
-    filtered sub-image scattered back on the pass grid).
+    """PNG -> (h, w, c) uint8 array.  Full depth coverage: 8-bit, 16-bit
+    (big-endian high byte = the standard v >> 8 down-conversion) and
+    sub-byte 1/2/4-bit (gray expanded to 0..255, palette indices
+    direct); color types 0 (gray), 2 (RGB), 3 (palette, incl. tRNS
+    transparency -> RGBA), 4 (gray+alpha), 6 (RGBA); non-interlaced
+    AND Adam7-interlaced (each pass is an independently filtered
+    sub-image scattered back on the pass grid).
     Pure stdlib: chunk walk + zlib inflate + numpy unfiltering."""
     import zlib
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
-    pos, idat, plte = 8, [], None
+    pos, idat, plte, trns = 8, [], None, None
     w = h = depth = ctype = interlace = None
     while pos + 8 <= len(b):
         ln, typ = struct.unpack_from(">I4s", b, pos)
@@ -277,34 +280,55 @@ def _decode_png(b: bytes) -> np.ndarray:
                 struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16):
-        raise ValueError(
-            f"PNG bit depth {depth} not supported (8/16 only)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
-    sampw = depth // 8                  # bytes per sample
-    bpp = channels * sampw              # filter distance is in BYTES
+    if depth in (8, 16):
+        sampw = depth // 8              # bytes per sample
+        bpp = channels * sampw          # filter distance is in BYTES
+
+        def row_bytes(rw: int) -> int:
+            return rw * bpp
+
+        def to_px(rows: np.ndarray, rh: int, rw: int) -> np.ndarray:
+            # 16-bit samples are big-endian, so byte 0 IS the
+            # standard v >> 8 down-conversion
+            a = rows.astype(np.uint8).reshape(rh, rw, channels, sampw)
+            return np.ascontiguousarray(a[..., 0])
+    elif depth in (1, 2, 4) and ctype in (0, 3):
+        bpp = 1                         # sub-byte: filter distance 1 byte
+
+        def row_bytes(rw: int) -> int:
+            return (rw * depth + 7) // 8
+
+        def to_px(rows: np.ndarray, rh: int, rw: int) -> np.ndarray:
+            bits = np.unpackbits(rows.astype(np.uint8), axis=1)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = bits[:, :(bits.shape[1] // depth) * depth] \
+                .reshape(rh, -1, depth) @ weights
+            vals = vals[:, :rw]
+            if ctype == 0:              # gray: expand to full 0..255
+                vals = vals * (255 // ((1 << depth) - 1))
+            return vals.astype(np.uint8).reshape(rh, rw, 1)
+    else:
+        raise ValueError(
+            f"PNG bit depth {depth} with color type {ctype} not "
+            "supported (sub-byte depths are gray/palette only)")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
 
-    def _to8(rows: np.ndarray, rh: int, rw: int) -> np.ndarray:
-        """Unfiltered byte rows -> (rh, rw, channels) uint8; 16-bit
-        samples are big-endian, so byte 0 IS the standard v >> 8
-        down-conversion."""
-        a = rows.astype(np.uint8).reshape(rh, rw, channels, sampw)
-        return np.ascontiguousarray(a[..., 0])
-
     if interlace == 0:
-        stride = w * bpp
+        stride = row_bytes(w)
         if raw.size != h * (1 + stride):
             raise ValueError("PNG pixel data size mismatch")
-        px = _to8(_png_unfilter(raw, h, stride, bpp), h, w)
+        px = to_px(_png_unfilter(raw, h, stride, bpp), h, w)
     elif interlace == 1:
         px = np.zeros((h, w, channels), np.uint8)
         at = 0
@@ -313,12 +337,12 @@ def _decode_png(b: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:      # empty pass: no bytes at all
                 continue
-            pstride = pw * bpp
+            pstride = row_bytes(pw)
             need = ph * (1 + pstride)
             if at + need > raw.size:
                 raise ValueError("PNG Adam7 pass truncated")
             sub = _png_unfilter(raw[at:at + need], ph, pstride, bpp)
-            px[y0::dy, x0::dx] = _to8(sub, ph, pw)
+            px[y0::dy, x0::dx] = to_px(sub, ph, pw)
             at += need
         if at != raw.size:
             raise ValueError("PNG Adam7 trailing pixel data")
@@ -327,7 +351,14 @@ def _decode_png(b: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        px = plte[px[..., 0]]
+        idx = px[..., 0]
+        if trns is not None:            # palette transparency -> RGBA
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[:len(trns)] = trns[:len(plte)]
+            px = np.concatenate([plte[idx], alpha[idx][..., None]],
+                                axis=2)
+        else:
+            px = plte[idx]
     return np.ascontiguousarray(px)
 
 

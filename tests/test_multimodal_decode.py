@@ -2941,3 +2941,68 @@ def test_decode_pnm_16bit_scales_to_8():
     assert got3[0].tolist() == [[255, 0, 128], [64, 191, 255]]
     with pytest.raises(ValueError, match="out of spec"):
         decode_image_bytes(b"P5 1 1 70000\n\x00\x00")
+
+
+# --- round-9: sub-byte PNG depths + palette transparency --------------------
+
+def _png_blob(ihdr_fields, stream, plte=None, trns=None):
+    import zlib
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    return (out + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_decode_png_1bit_gray_hand_packed():
+    """w=10 bits [1,0,1,1,0,0,1,0,1,1] pack MSB-first to 0xB2 0xC0
+    (pad bits ignored); gray 1-bit expands 1 -> 255."""
+    blob = _png_blob((10, 1, 1, 0, 0, 0, 0), bytes([0, 0xB2, 0xC0]))
+    got = decode_image_bytes(blob)
+    want = (np.array([1, 0, 1, 1, 0, 0, 1, 0, 1, 1], np.uint8)
+            * 255).reshape(1, 10, 1)
+    assert np.array_equal(got, want)
+
+
+def test_decode_png_2bit_and_4bit_gray_scale_factors():
+    # depth 2: values 3,2,1,0 pack to 0b11100100 = 0xE4; scale x85
+    blob2 = _png_blob((4, 1, 2, 0, 0, 0, 0), bytes([0, 0xE4]))
+    assert decode_image_bytes(blob2)[0, :, 0].tolist() == [255, 170, 85, 0]
+    # depth 4: values 15,1 | 8,pad ; scale x17
+    blob4 = _png_blob((3, 1, 4, 0, 0, 0, 0), bytes([0, 0xF1, 0x80]))
+    assert decode_image_bytes(blob4)[0, :, 0].tolist() == [255, 17, 136]
+
+
+def test_decode_png_4bit_palette_with_trns_alpha():
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250]], np.uint8)
+    # indices 0,1,2,1 -> two bytes 0x01 0x21; tRNS only covers idx 0,1
+    blob = _png_blob((4, 1, 4, 3, 0, 0, 0), bytes([0, 0x01, 0x21]),
+                     plte=pal.tobytes(), trns=bytes([10, 200]))
+    got = decode_image_bytes(blob)
+    assert got.shape == (1, 4, 4)
+    assert got[0].tolist() == [[250, 0, 0, 10], [0, 250, 0, 200],
+                               [0, 0, 250, 255], [0, 250, 0, 200]]
+
+
+def test_decode_png_1bit_interlaced():
+    """3x3 1-bit gray, Adam7: passes pack bits per PASS row.  Image
+    [[1,0,1],[0,1,0],[1,1,0]] -> p1 [1], p4 [1], p5 [1,0], p6 [0],[1],
+    p7 [0,1,0]; each pass row is one padded byte here."""
+    stream = bytes([0, 0x80,          # p1: bit 1
+                    0, 0x80,          # p4: (0,2) = 1
+                    0, 0x80,          # p5: (2,0),(2,2) = 1,0
+                    0, 0x00, 0, 0x80,  # p6: (0,1)=0, (2,1)=1
+                    0, 0x40])         # p7: (1,0..2) = 0,1,0
+    blob = _png_blob((3, 3, 1, 0, 0, 0, 1), stream)
+    got = decode_image_bytes(blob)
+    want = (np.array([[1, 0, 1], [0, 1, 0], [1, 1, 0]], np.uint8)
+            * 255)[..., None]
+    assert np.array_equal(got, want)
+
+
+def test_decode_png_subbyte_rgb_rejected():
+    with pytest.raises(ValueError, match="sub-byte"):
+        MM._decode_png(_png_blob((2, 1, 2, 2, 0, 0, 0), bytes([0, 0x00])))
