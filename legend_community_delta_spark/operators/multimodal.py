@@ -145,22 +145,33 @@ def normalize_embeddings_per_group(df: DataFrame, vec_col: str = "embedding",
 
 
 def _decode_bmp(b: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB array."""
+    """Uncompressed BMP -> (h, w, 3) uint8 RGB array.  24-bit (BGR),
+    32-bit (BGRX — the padding byte is NOT alpha in BI_RGB files, so
+    it is dropped) and 8-bit palettized (BGRX color table after the
+    header)."""
     off, = struct.unpack_from("<I", b, 10)
+    hdr_size, = struct.unpack_from("<I", b, 14)
     w, h = struct.unpack_from("<ii", b, 18)
     bpp, = struct.unpack_from("<H", b, 28)
     comp, = struct.unpack_from("<I", b, 30)
-    if comp != 0 or bpp != 24:
+    if comp != 0 or bpp not in (8, 24, 32):
         raise ValueError(
-            f"BMP decode supports 24-bit uncompressed only (bpp={bpp}, "
-            f"compression={comp})")
+            f"BMP decode supports 8/24/32-bit uncompressed only "
+            f"(bpp={bpp}, compression={comp})")
     bottom_up, h = h > 0, abs(h)
-    stride = (w * 3 + 3) & ~3          # rows padded to 4 bytes
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3     # rows padded to 4 bytes
     px = (np.frombuffer(b, np.uint8, stride * h, off)
-          .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+          .reshape(h, stride)[:, :w * nbytes].reshape(h, w, nbytes))
     if bottom_up:
         px = px[::-1]
-    return px[..., ::-1].copy()        # BGR -> RGB
+    if bpp == 8:
+        n_colors, = struct.unpack_from("<I", b, 46)
+        n_colors = n_colors or 256
+        table = np.frombuffer(b, np.uint8, n_colors * 4,
+                              14 + hdr_size).reshape(-1, 4)
+        return np.ascontiguousarray(table[px[..., 0]][..., 2::-1])
+    return np.ascontiguousarray(px[..., 2::-1])    # BGR(X) -> RGB
 
 
 def _decode_pnm(b: bytes) -> np.ndarray:
@@ -1427,20 +1438,30 @@ def encode_pnm(px: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + px.astype(np.uint8).tobytes()
 
 
+def _pcm_to_float(raw: bytes, sw: int) -> np.ndarray:
+    """Little-endian PCM bytes -> float64 samples (8-bit centered at 0,
+    24-bit sign-extended from packed triples)."""
+    if sw == 1:
+        return np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+    if sw == 2:
+        return np.frombuffer(raw, "<i2").astype(np.float64)
+    if sw == 3:
+        u = np.frombuffer(raw, np.uint8)
+        u = u[:(u.size // 3) * 3].reshape(-1, 3).astype(np.int32)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        return np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
+    if sw == 4:
+        return np.frombuffer(raw, "<i4").astype(np.float64)
+    raise ValueError(f"unsupported WAV sample width {sw}")
+
+
 def decode_wav_bytes(payload: bytes) -> tuple[int, int, int, float]:
     """WAV/PCM bytes -> (n_channels, sample_rate, n_frames, rms)."""
     with wave.open(io.BytesIO(payload)) as wv:
         nch, sw = wv.getnchannels(), wv.getsampwidth()
         rate, nf = wv.getframerate(), wv.getnframes()
         raw = wv.readframes(nf)
-    if sw == 1:
-        arr = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
-    elif sw == 2:
-        arr = np.frombuffer(raw, "<i2").astype(np.float64)
-    elif sw == 4:
-        arr = np.frombuffer(raw, "<i4").astype(np.float64)
-    else:
-        raise ValueError(f"unsupported WAV sample width {sw}")
+    arr = _pcm_to_float(raw, sw)
     rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0
     return nch, rate, nf, rms
 
@@ -2196,13 +2217,7 @@ def _wav_samples(payload: bytes) -> np.ndarray:
     with wave.open(io.BytesIO(payload)) as wv:
         sw, nf = wv.getsampwidth(), wv.getnframes()
         raw = wv.readframes(nf)
-    if sw == 1:
-        return np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
-    if sw == 2:
-        return np.frombuffer(raw, "<i2").astype(np.float64)
-    if sw == 4:
-        return np.frombuffer(raw, "<i4").astype(np.float64)
-    raise ValueError(f"unsupported WAV sample width {sw}")
+    return _pcm_to_float(raw, sw)
 
 
 def audio_energy_hash_bytes(payload: bytes, windows: int = 64) -> int:

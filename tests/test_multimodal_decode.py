@@ -3006,3 +3006,52 @@ def test_decode_png_1bit_interlaced():
 def test_decode_png_subbyte_rgb_rejected():
     with pytest.raises(ValueError, match="sub-byte"):
         MM._decode_png(_png_blob((2, 1, 2, 2, 0, 0, 0), bytes([0, 0x00])))
+
+
+# --- round-9: BMP 8/32-bit + 24-bit WAV -------------------------------------
+
+def test_decode_bmp_32bit_and_8bit_palette():
+    px = np.array([[[10, 20, 30], [40, 50, 60]],
+                   [[70, 80, 90], [100, 110, 120]]], np.uint8)
+    # 32-bit BGRX, top-down (negative height), no row padding needed
+    rows = b""
+    for r in px:
+        for (R, G, B) in r:
+            rows += bytes([B, G, R, 0])
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0,
+                         len(rows), 0, 0, 0, 0))
+    assert np.array_equal(decode_image_bytes(hdr + rows), px)
+    # 8-bit palette, bottom-up, stride padded 2 -> 4 bytes
+    table = b""
+    pal = np.zeros((4, 3), np.uint8)
+    for i, (R, G, B) in enumerate([(9, 8, 7), (1, 2, 3),
+                                   (200, 100, 50), (5, 5, 5)]):
+        pal[i] = (R, G, B)
+        table += bytes([B, G, R, 0])
+    idx = np.array([[0, 2], [3, 1]], np.uint8)
+    body = bytes([3, 1, 0, 0]) + bytes([0, 2, 0, 0])  # bottom row first
+    hdr8 = (b"BM" + struct.pack("<IHHI", 54 + 16 + 8, 0, 0, 54 + 16)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0,
+                          8, 0, 0, 4, 0))
+    got = decode_image_bytes(hdr8 + table + body)
+    assert np.array_equal(got, pal[idx])
+
+
+def test_decode_wav_24bit_exact():
+    """24-bit PCM: hand-picked samples incl. a negative one; rms is
+    exact integer math after sign extension."""
+    frames = b""
+    vals = [0, 1, -1, 8388607, -8388608]
+    for v in vals:
+        frames += int(v & 0xFFFFFF).to_bytes(3, "little")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(3)
+        wv.setframerate(1000)
+        wv.writeframes(frames)
+    nch, rate, nf, rms = decode_wav_bytes(buf.getvalue())
+    assert (nch, rate, nf) == (1, 1000, 5)
+    want = float(np.sqrt(np.mean(np.array(vals, np.float64) ** 2)))
+    assert rms == pytest.approx(want, rel=1e-12)
