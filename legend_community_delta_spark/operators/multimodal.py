@@ -842,7 +842,8 @@ def _decode_gif(b: bytes) -> np.ndarray:
         raise ValueError(f"corrupt GIF: {e}") from None
 
 
-def _decode_gif_body(b: bytes) -> np.ndarray:
+def _gif_screen(b: bytes) -> tuple[int, int, np.ndarray | None, int]:
+    """Logical-screen header -> (w, h, global color table, pos)."""
     w, h = struct.unpack_from("<HH", b, 6)
     packed = b[10]
     pos = 13
@@ -851,15 +852,27 @@ def _decode_gif_body(b: bytes) -> np.ndarray:
         n = 2 << (packed & 7)
         gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
         pos += n * 3
-    transparent = None
+    return w, h, gct, pos
+
+
+def _gif_blocks(b: bytes):
+    """Walk GIF rendering blocks: yields one dict per image descriptor
+    (de-interlaced index grid + its color table + the preceding
+    graphic-control fields); the low-level half shared by the
+    first-frame decoder and the animation frame generator."""
+    _w, _h, gct, pos = _gif_screen(b)
+    gce: dict = {}
     while pos < len(b):
         blk = b[pos]
         if blk == 0x21:                          # extension
             label = b[pos + 1]
             pos += 2
             if label == 0xF9 and b[pos] >= 4:    # graphic control
-                if b[pos + 1] & 1:
-                    transparent = b[pos + 4]
+                flags = b[pos + 1]
+                gce = {"transparent": b[pos + 4] if flags & 1 else None,
+                       "disposal": (flags >> 2) & 7,
+                       "delay_cs": struct.unpack_from("<H", b,
+                                                      pos + 2)[0]}
             while b[pos] != 0:
                 pos += b[pos] + 1
             pos += 1
@@ -893,20 +906,68 @@ def _decode_gif_body(b: bytes) -> np.ndarray:
                         src_r += 1
                 # rows[r] = stream row that belongs at display row r
                 idx = idx[rows]
-            px = ct[idx]                         # (ih, iw, 3)
-            if transparent is not None:
-                alpha = np.where(idx == transparent, 0, 255) \
-                    .astype(np.uint8)[..., None]
-                px = np.concatenate([px, alpha], axis=-1)
-            c = px.shape[-1]
-            canvas = np.zeros((h, w, c), np.uint8)
-            canvas[y0:y0 + ih, x0:x0 + iw] = px[:h - y0, :w - x0]
-            return canvas
+            yield {"x0": x0, "y0": y0, "iw": iw, "ih": ih,
+                   "idx": idx, "ct": ct, "gce": gce}
+            gce = {}                             # GCE covers ONE image
         elif blk == 0x3B:                        # trailer
-            break
+            return
         else:
             raise ValueError(f"GIF: unexpected block 0x{blk:02X}")
+
+
+def _decode_gif_body(b: bytes) -> np.ndarray:
+    w, h, _gct, _pos = _gif_screen(b)
+    for img in _gif_blocks(b):
+        idx, ct = img["idx"], img["ct"]
+        transparent = img["gce"].get("transparent")
+        px = ct[idx]                             # (ih, iw, 3)
+        if transparent is not None:
+            alpha = np.where(idx == transparent, 0, 255) \
+                .astype(np.uint8)[..., None]
+            px = np.concatenate([px, alpha], axis=-1)
+        c = px.shape[-1]
+        canvas = np.zeros((h, w, c), np.uint8)
+        x0, y0 = img["x0"], img["y0"]
+        canvas[y0:y0 + img["ih"], x0:x0 + img["iw"]] = \
+            px[:h - y0, :w - x0]
+        return canvas
     raise ValueError("GIF missing image data")
+
+
+def _gif_frames(b: bytes):
+    """Animated GIF -> (rgb canvas copy, delay_ms) per frame, with
+    disposal semantics: 0/1 leave in place, 2 restore-to-background
+    (clear the frame's rect), 3 restore-to-previous; transparent
+    pixels composite over the existing canvas.  A zero delay renders
+    as 100 ms (the de-facto browser convention — GIF has no fps)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: {b[:6]!r}")
+    w, h, _gct, _pos = _gif_screen(b)
+    canvas = np.zeros((h, w, 3), np.uint8)
+    for img in _gif_blocks(b):
+        gce = img["gce"]
+        disp = gce.get("disposal", 0)
+        tr = gce.get("transparent")
+        delay_cs = gce.get("delay_cs", 0)
+        x0, y0 = img["x0"], img["y0"]
+        ih = min(img["ih"], h - y0)
+        iw = min(img["iw"], w - x0)
+        if ih <= 0 or iw <= 0:
+            continue
+        prev = canvas.copy() if disp == 3 else None
+        idx = img["idx"][:ih, :iw]
+        region = img["ct"][idx]
+        view = canvas[y0:y0 + ih, x0:x0 + iw]
+        if tr is not None:
+            m = idx != tr
+            view[m] = region[m]
+        else:
+            view[:] = region
+        yield canvas.copy(), (delay_cs * 10 if delay_cs > 0 else 100)
+        if disp == 2:
+            canvas[y0:y0 + ih, x0:x0 + iw] = 0
+        elif disp == 3:
+            canvas = prev
 
 
 # ---------------------------------------------------------------------------
@@ -1761,15 +1822,21 @@ def _mp4_luma_frames(b: bytes, every_ms: int):
         if len(sample) < size:
             raise ValueError(f"MP4 sample {idx} overruns file "
                              f"(offset {off}, size {size})")
-        px = decode_image_bytes(sample)
-        if px.shape[2] == 1:
-            luma = px[:, :, 0]
-        else:
-            rgb = px[:, :, :3].astype(np.float64)
-            luma = np.clip(np.round(
-                0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
-                + 0.114 * rgb[:, :, 2]), 0, 255).astype(np.uint8)
-        yield idx, ts_ms, encode_pnm(luma.reshape(*luma.shape[:2], 1))
+        yield idx, ts_ms, _luma_pgm(decode_image_bytes(sample))
+
+
+def _luma_pgm(px: np.ndarray) -> bytes:
+    """(h, w, c) pixels -> binary PGM of the BT.601 luma plane — the
+    shared frame currency of the video pipelines (y4m Y plane, MJPEG
+    Y recovered from RGB, GIF canvases)."""
+    if px.shape[2] == 1:
+        luma = px[:, :, 0]
+    else:
+        rgb = px[:, :, :3].astype(np.float64)
+        luma = np.clip(np.round(
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]), 0, 255).astype(np.uint8)
+    return encode_pnm(luma.reshape(*luma.shape[:2], 1))
 
 
 # raw-PCM sample-entry fourccs (ISO/QuickTime): little/big-endian 16-bit
@@ -2002,8 +2069,10 @@ FRAME_SCHEMA = T.StructType([
 def sample_video_frames(df: DataFrame, every_ms: int,
                         payload_col: str = "payload",
                         id_col: str = "media_id") -> DataFrame:
-    """Sample one frame per *every_ms* from YUV4MPEG2 (.y4m) payloads
-    and MP4 (ISO-BMFF) containers carrying MJPEG video tracks.
+    """Sample one frame per *every_ms* from YUV4MPEG2 (.y4m) payloads,
+    MP4 (ISO-BMFF) containers carrying MJPEG video tracks, and
+    animated GIFs (composited canvases on the GCE delay timeline,
+    disposal methods 1/2/3 honored).
 
     Emits one row per sampled frame; ``frame_payload`` is the luma plane
     re-encoded as binary PGM, so the sampled frames feed directly into
@@ -2025,6 +2094,16 @@ def sample_video_frames(df: DataFrame, every_ms: int,
                     if len(b) >= 12 and b[4:8] == b"ftyp":
                         for fi, ts, pgm in _mp4_luma_frames(b, every_ms):
                             rows.append((mid, fi, ts, pgm, None))
+                        continue
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        ts = next_ms = 0.0
+                        for fi, (canvas, delay) in \
+                                enumerate(_gif_frames(b)):
+                            if ts + 1e-9 >= next_ms:
+                                rows.append((mid, fi, ts,
+                                             _luma_pgm(canvas), None))
+                                next_ms = ts + every_ms
+                            ts += delay
                         continue
                     w, h, fps, fbytes, pos = _parse_y4m(b)
                     step = max(1, round(every_ms * fps / 1000.0))

@@ -3055,3 +3055,156 @@ def test_decode_wav_24bit_exact():
     assert (nch, rate, nf) == (1, 1000, 5)
     want = float(np.sqrt(np.mean(np.array(vals, np.float64) ** 2)))
     assert rms == pytest.approx(want, rel=1e-12)
+
+
+# --- round-9: animated GIF as a video source --------------------------------
+
+def _gif_lzw_fixed(values, mcs):
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    K = (1 << (mcs + 1)) - (clear + 2)
+    wtr = _LSBWriter()
+    wtr.write(clear, mcs + 1)
+    since = 0
+    for v in values:
+        if since == K:
+            wtr.write(clear, mcs + 1)
+            since = 0
+        wtr.write(int(v), mcs + 1)
+        since += 1
+    wtr.write(eoi, mcs + 1)
+    wtr.flush()
+    return wtr.out
+
+
+def make_animated_gif(frames, delays_cs, disposals=None,
+                      transparents=None, offsets=None,
+                      screen=None) -> bytes:
+    """Multi-frame GIF89a: one global palette over all frames; each
+    frame gets a GCE carrying delay (centiseconds), disposal method
+    and optional transparent index."""
+    n_f = len(frames)
+    disposals = disposals or [1] * n_f
+    transparents = transparents or [None] * n_f
+    offsets = offsets or [(0, 0)] * n_f
+    all_px = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors = np.unique(all_px, axis=0)
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    bits = max(2, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[:len(colors)] = colors
+    if screen is None:
+        sw = max(f.shape[1] + o[1] for f, o in zip(frames, offsets))
+        sh = max(f.shape[0] + o[0] for f, o in zip(frames, offsets))
+    else:
+        sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes()
+    for f, dly, disp, tr, (y0, x0) in zip(frames, delays_cs, disposals,
+                                          transparents, offsets):
+        fh, fw = f.shape[:2]
+        flags = (disp << 2) | (1 if tr is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, dly & 0xFF, dly >> 8,
+                      tr or 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", x0, y0, fw, fh)
+        out += bytes([0])                        # no local table
+        idx = np.array([lut[tuple(p)] for p in f.reshape(-1, 3)],
+                       np.uint8)
+        out += bytes([bits])
+        data = _gif_lzw_fixed(idx, bits)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def _flat(v, h=2, w=2):
+    return np.full((h, w, 3), v, np.uint8)
+
+
+def test_gif_frames_disposal_and_transparency():
+    R, B, K = (200, 0, 0), (0, 0, 200), (0, 0, 0)
+    patch = np.full((1, 1, 3), B, np.uint8)
+    # disposal 1 (leave): patch composites onto the red canvas
+    g1 = make_animated_gif([_flat(R), patch], [10, 10],
+                           disposals=[1, 1], offsets=[(0, 0), (1, 1)])
+    fr = [c for c, _d in MM._gif_frames(g1)]
+    assert fr[0].tolist() == _flat(R).tolist()
+    want = _flat(R)
+    want[1, 1] = B
+    assert fr[1].tolist() == want.tolist()
+    # disposal 2 (restore background): red frame's rect clears first
+    g2 = make_animated_gif([_flat(R), patch], [10, 10],
+                           disposals=[2, 1], offsets=[(0, 0), (1, 1)])
+    fr2 = [c for c, _d in MM._gif_frames(g2)]
+    want2 = _flat(K)
+    want2[1, 1] = B
+    assert fr2[1].tolist() == want2.tolist()
+    # disposal 3 (restore previous) + transparency: frame 2 paints a
+    # 2x2 block whose transparent pixels let the red show through,
+    # then frame 3 sees the canvas restored to all-red
+    over = np.array([[B, K], [K, B]], np.uint8)
+    g3 = make_animated_gif([_flat(R), over, patch], [10, 10, 10],
+                           disposals=[1, 3, 1],
+                           transparents=[None,
+                                         0,     # palette idx of K=black
+                                         None],
+                           offsets=[(0, 0), (0, 0), (1, 1)])
+    # index 0 is black in the global palette (np.unique row-sorts:
+    # (0,0,0) < (0,0,200) < (200,0,0))
+    fr3 = [c for c, _d in MM._gif_frames(g3)]
+    m = fr3[1]
+    assert m[0, 0].tolist() == list(B) and m[1, 1].tolist() == list(B)
+    assert m[0, 1].tolist() == list(R) and m[1, 0].tolist() == list(R)
+    want3 = _flat(R)
+    want3[1, 1] = B
+    assert fr3[2].tolist() == want3.tolist()
+
+
+def test_gif_frames_delay_default_and_first_frame_consistency():
+    frames = [_flat((i * 40, i * 40, i * 40), 4, 4) for i in range(3)]
+    g = make_animated_gif(frames, [0, 25, 50])
+    got = list(MM._gif_frames(g))
+    assert [d for _c, d in got] == [100, 250, 500]
+    # frame 1 of the animation == the single-frame decoder's output
+    assert np.array_equal(got[0][0], decode_image_bytes(g))
+
+
+def test_sample_video_frames_animated_gif(spark):
+    """4 gray frames at 500 ms -> sampling at 1000 ms picks frames
+    0 and 2, timestamps 0/1000; gray GIF luma is exact."""
+    levels = [30, 90, 150, 210]
+    frames = [_flat((v, v, v), 6, 6) for v in levels]
+    g = make_animated_gif(frames, [50, 50, 50, 50])
+    df = spark.createDataFrame([(5, bytearray(g))],
+                               "media_id long, payload binary")
+    rows = {r["frame_idx"]: r for r in
+            sample_video_frames(df, every_ms=1000).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["ts_ms"] == 0.0 and rows[2]["ts_ms"] == 1000.0
+    for fi, v in ((0, 30), (2, 150)):
+        luma = decode_image_bytes(bytes(rows[fi]["frame_payload"]))
+        assert luma.shape == (6, 6, 1)
+        assert int(luma.mean()) == v
+
+
+def test_video_near_dup_y4m_vs_gif(spark):
+    """The same gray clip as y4m and as an animated GIF is a video
+    near-dup: GIF (v,v,v) canvases have luma exactly v."""
+    rng = np.random.RandomState(4)
+    lumas = [rng.randint(0, 256, (8, 8), dtype=np.uint8)
+             for _ in range(3)]
+    gif_frames = [np.repeat(f[..., None], 3, axis=2) for f in lumas]
+    other = [rng.randint(0, 256, (8, 8), dtype=np.uint8)
+             for _ in range(3)]
+    rows = [(1, bytearray(make_y4m(lumas, fps=1))),
+            (2, bytearray(make_animated_gif(gif_frames,
+                                            [100, 100, 100]))),
+            (3, bytearray(make_y4m(other, fps=1)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["id_a"], r["id_b"]) for r in
+           MM.video_near_dup_pairs(df, every_ms=1000,
+                                   min_shared=0.9).collect()}
+    assert got == {(1, 2)}
