@@ -670,3 +670,39 @@ def test_exact_contamination_fuzz_vs_python(spark, corpus):
     got = sorted((r["doc_id"], r["s"], r["n_train_occ"]) for r in
                  exact_contamination_spans(train, ev, n=n).collect())
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: CMS cell filter + exact recount == naive groupBy
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _hh_corpora(draw):
+    # tiny alphabet + heavy duplication + brutal widths so cells
+    # collide constantly — the exactness claim must survive ALL of it
+    items = draw(st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=1, max_size=80))
+    min_count = draw(st.integers(min_value=1, max_value=8))
+    width_exp = draw(st.sampled_from([1, 2, 4, 8]))
+    depth = draw(st.integers(min_value=1, max_value=3))
+    return items, min_count, width_exp, depth
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus=_hh_corpora())
+def test_heavy_hitters_fuzz_equals_bruteforce(spark, corpus):
+    """Differential fuzz: at ANY width/depth (including width 2, where
+    nearly every cell saturates) the cell-filtered result equals the
+    naive groupBy-count threshold exactly — the filter is a pigeonhole
+    superset, never a sampler."""
+    from collections import Counter
+    from legend_community_delta_spark.operators.sketches import (
+        heavy_hitters)
+    items, min_count, width_exp, depth = corpus
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    got = {(r["item"], r["n_occurrences"]) for r in
+           heavy_hitters(df, "item", min_count, width_exp=width_exp,
+                         depth=depth).collect()}
+    want = {(w, n) for w, n in Counter(items).items() if n >= min_count}
+    assert got == want
