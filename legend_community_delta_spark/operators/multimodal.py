@@ -1938,6 +1938,215 @@ def mp4_metadata(df: DataFrame, payload_col: str = "payload",
         batches, schema=MP4_META_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Unified header-only media probe: the pruning pass that runs BEFORE any
+# decode at 100 TB.  Reads only headers (plus, for GIF/Y4M, a block/
+# frame-marker walk that skips pixel data), so it is cheap for every
+# format — including ones whose pixel decode needs a codec library
+# (lossy VP8 reports its dimensions here even though decode raises).
+# ---------------------------------------------------------------------------
+
+def _probe_jpeg(b: bytes) -> dict:
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        m = b[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln, = struct.unpack_from(">H", b, pos + 2)
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            h, w = struct.unpack_from(">HH", b, pos + 5)
+            return {"format": "jpeg", "width": w, "height": h}
+        pos += 2 + ln
+    raise ValueError("JPEG without a SOF header")
+
+
+def _probe_gif(b: bytes) -> dict:
+    w, h, _gct, pos = _gif_screen(b)
+    frames, total_cs = 0, 0
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:
+            if b[pos + 1] == 0xF9 and b[pos + 2] >= 4:
+                total_cs += struct.unpack_from("<H", b, pos + 4)[0] or 10
+            pos += 2
+            while b[pos] != 0:
+                pos += b[pos] + 1
+            pos += 1
+        elif blk == 0x2C:
+            p2 = b[pos + 9]
+            pos += 10
+            if p2 >> 7:
+                pos += (2 << (p2 & 7)) * 3
+            pos += 1                    # min code size
+            while b[pos] != 0:          # skip LZW sub-blocks unread
+                pos += b[pos] + 1
+            pos += 1
+            frames += 1
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{blk:02X}")
+    out = {"format": "gif", "width": w, "height": h, "n_frames": frames}
+    if frames > 1:
+        out["kind"] = "video"
+        out["duration_ms"] = total_cs * 10.0
+    return out
+
+
+def _probe_webp(b: bytes) -> dict:
+    out = {"format": "webp"}
+    pos = 12
+    while pos + 8 <= len(b):
+        fourcc = b[pos:pos + 4]
+        size, = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if fourcc == b"VP8X" and size >= 10:
+            out["width"] = 1 + int.from_bytes(b[body + 4:body + 7],
+                                              "little")
+            out["height"] = 1 + int.from_bytes(b[body + 7:body + 10],
+                                               "little")
+        elif fourcc == b"VP8L" and b[body] == 0x2F:
+            v, = struct.unpack_from("<I", b, body + 1)
+            out.setdefault("width", (v & 0x3FFF) + 1)
+            out.setdefault("height", ((v >> 14) & 0x3FFF) + 1)
+            out["codec"] = "vp8l"
+        elif fourcc == b"VP8 " and size >= 10 \
+                and b[body + 3:body + 6] == b"\x9d\x01\x2a":
+            w, h = struct.unpack_from("<HH", b, body + 6)
+            out.setdefault("width", w & 0x3FFF)
+            out.setdefault("height", h & 0x3FFF)
+            out["codec"] = "vp8"        # dims probe fine; DECODE raises
+        pos = body + size + (size & 1)
+    if "width" not in out:
+        raise ValueError("WEBP container without VP8/VP8L/VP8X dims")
+    return out
+
+
+def _probe_pnm(b: bytes) -> dict:
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(b):
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            pos = b.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(b) and not b[end:end + 1].isspace():
+            end += 1
+        vals.append(int(b[pos:end]))
+        pos = end
+    return {"format": "pnm", "width": vals[0], "height": vals[1]}
+
+
+def probe_media_bytes(b: bytes) -> dict:
+    """Payload bytes -> typed metadata dict (kind/format/dims/frames/
+    duration/codec/audio fields) WITHOUT decoding pixel or sample data."""
+    out: dict = {"kind": "image", "n_frames": 1}
+    if b[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", b, 18)
+        out.update({"format": "bmp", "width": w, "height": abs(h)})
+    elif b[:8] == _PNG_SIG:
+        w, h = struct.unpack_from(">II", b, 16)
+        out.update({"format": "png", "width": w, "height": h})
+    elif b[:2] == b"\xff\xd8":
+        out.update(_probe_jpeg(b))
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        out.update(_probe_gif(b))
+    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        out.update(_probe_webp(b))
+    elif b[:1] == b"P" and b[1:2] in b"23456":
+        out.update(_probe_pnm(b))
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(b)) as wv:
+            out.update({
+                "kind": "audio", "format": "wav",
+                "n_channels": wv.getnchannels(),
+                "sample_rate": wv.getframerate(),
+                "n_frames": wv.getnframes(),
+                "duration_ms": 1000.0 * wv.getnframes()
+                / wv.getframerate()})
+    elif b[:9] == b"YUV4MPEG2":
+        w, h, fps, fbytes, pos = _parse_y4m(b)
+        frames = 0
+        while pos < len(b):
+            nl = b.index(b"\n", pos)
+            if not b[pos:nl].startswith(b"FRAME"):
+                raise ValueError("malformed y4m FRAME marker")
+            frames += 1
+            pos = nl + 1 + fbytes
+        out.update({"kind": "video", "format": "y4m", "width": w,
+                    "height": h, "n_frames": frames,
+                    "duration_ms": 1000.0 * frames / fps})
+    elif len(b) >= 12 and b[4:8] == b"ftyp":
+        m = _parse_mp4(b)
+        vid = next((t for t in m["tracks"] if t["kind"] == "video"),
+                   None)
+        aud = next((t for t in m["tracks"] if t["kind"] == "audio"),
+                   None)
+        out.update({"kind": "video" if vid else "audio",
+                    "format": "mp4", "duration_ms": m["duration_ms"]})
+        if vid:
+            out.update({"width": vid.get("width"),
+                        "height": vid.get("height"),
+                        "n_frames": len(vid.get("samples", ())),
+                        "codec": vid.get("codec")})
+        if aud:
+            out.setdefault("codec", aud.get("codec"))
+            out.update({"n_channels": aud.get("channels"),
+                        "sample_rate": aud.get("sample_rate")})
+    else:
+        raise ValueError(f"unrecognized media magic {b[:8]!r}")
+    return out
+
+
+MEDIA_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_ms", T.DoubleType(), True),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def probe_media(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """Header-only probe across EVERY supported payload format in one
+    pass — kind/format/dims/frames/duration/codec without touching
+    pixel or sample data.  This is the partition-prunable metadata a
+    100 TB multimodal pipeline filters on before paying for decode
+    (e.g. keep only videos longer than 2 s, or images >= 256 px)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_PROBE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = probe_media_bytes(bytes(p))
+                    rows.append((mid, m.get("kind"), m.get("format"),
+                                 m.get("width"), m.get("height"),
+                                 m.get("n_frames"), m.get("duration_ms"),
+                                 m.get("codec"), m.get("n_channels"),
+                                 m.get("sample_rate"), None))
+                except Exception as e:  # noqa: BLE001 — error column
+                    rows.append((mid,) + (None,) * 9 + (str(e),))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=MEDIA_PROBE_SCHEMA)
+
+
 IMAGE_DECODE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),

@@ -3208,3 +3208,79 @@ def test_video_near_dup_y4m_vs_gif(spark):
            MM.video_near_dup_pairs(df, every_ms=1000,
                                    min_shared=0.9).collect()}
     assert got == {(1, 2)}
+
+
+# --- round-9: unified header-only media probe -------------------------------
+
+def test_probe_media_bytes_all_formats():
+    px = _rng_px(12, 17, 3, seed=2)
+    gray = _rng_px(8, 5, 1, seed=3)
+    cases = {
+        "bmp": (make_bmp(px), dict(kind="image", width=17, height=12)),
+        "png": (make_png(px), dict(kind="image", width=17, height=12)),
+        "jpeg": (make_jpeg(gray), dict(kind="image", width=5, height=8)),
+        "pnm": (make_ppm_ascii(px), dict(width=17, height=12)),
+    }
+    for fmt, (blob, want) in cases.items():
+        got = MM.probe_media_bytes(blob)
+        assert got["format"] == fmt, fmt
+        for k, v in want.items():
+            assert got[k] == v, (fmt, k, got)
+    # progressive jpeg probes through SOF2
+    got = MM.probe_media_bytes(make_progressive_jpeg(gray))
+    assert (got["width"], got["height"]) == (5, 8)
+    # wav: audio kind with exact frame count
+    sig = (np.sin(np.arange(500) / 5.0) * 1000).astype(np.int16)
+    got = MM.probe_media_bytes(make_wav(sig, rate=8000))
+    assert got["kind"] == "audio" and got["n_frames"] == 500
+    assert got["sample_rate"] == 8000 and got["duration_ms"] == 62.5
+    # y4m: video kind, frame count and duration from the header walk
+    frames = [np.full((4, 6), i * 30, np.uint8) for i in range(5)]
+    got = MM.probe_media_bytes(make_y4m(frames, fps=10))
+    assert got == {"kind": "video", "format": "y4m", "width": 6,
+                   "height": 4, "n_frames": 5, "duration_ms": 500.0}
+    # animated gif: video kind, per-frame delays summed
+    g = make_animated_gif([_flat((9, 9, 9), 3, 3)] * 4,
+                          [50, 50, 0, 25])       # 0 -> 10 cs default
+    got = MM.probe_media_bytes(g)
+    assert got["kind"] == "video" and got["n_frames"] == 4
+    assert got["duration_ms"] == (50 + 50 + 10 + 25) * 10.0
+    # single-frame gif stays an image
+    assert MM.probe_media_bytes(make_gif(px[:4, :4]))["kind"] == "image"
+
+
+def test_probe_media_mp4_and_lossy_vp8_dims():
+    jpegs = [make_jpeg(_grad_frame(2, 3)[..., None])] * 3
+    got = MM.probe_media_bytes(make_mjpeg_mp4(jpegs, fps=3, w=24, h=24,
+                                              with_audio=True))
+    assert got["kind"] == "video" and got["format"] == "mp4"
+    assert (got["width"], got["height"]) == (24, 24)
+    assert got["n_frames"] == 3 and got["codec"] == "jpeg"
+    assert got["n_channels"] == 2 and got["sample_rate"] == 44100
+    # lossy VP8: the probe reports dims even though decode raises —
+    # hand-built keyframe header: tag + start code + 14-bit dims
+    tag = bytes([0x00, 0x00, 0x00])              # keyframe, part1 size 0
+    dims = struct.pack("<HH", 320, 240)
+    vp8 = tag + b"\x9d\x01\x2a" + dims
+    blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(vp8)) + vp8)
+    got = MM.probe_media_bytes(blob)
+    assert got["codec"] == "vp8"
+    assert (got["width"], got["height"]) == (320, 240)
+    with pytest.raises(ValueError, match="video-intra codec"):
+        decode_image_bytes(blob)
+
+
+def test_probe_media_pipeline(spark):
+    px = _rng_px(6, 6, 3, seed=11)
+    sig = (np.sin(np.arange(100)) * 99).astype(np.int16)
+    rows = [(1, bytearray(make_png(px))),
+            (2, bytearray(make_wav(sig))),
+            (3, bytearray(b"\x00garbage payload")),
+            (4, bytearray(make_y4m([np.zeros((2, 2), np.uint8)])))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in MM.probe_media(df).collect()}
+    assert got[1]["format"] == "png" and got[1]["kind"] == "image"
+    assert got[2]["kind"] == "audio"
+    assert got[3]["decode_error"] is not None
+    assert got[4]["kind"] == "video" and got[4]["n_frames"] == 1
