@@ -373,6 +373,117 @@ def _decode_png(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+def _apng_frames(b: bytes):
+    """APNG -> yields ``(rgb canvas copy, delay_ms)`` per frame.
+
+    The canvas is RGB (video-pipeline currency): alpha regions either
+    blend over the existing canvas (blend op 1) or, for blend op 0
+    ("source" — alpha REPLACES the region per spec), flatten over
+    black since an RGB canvas carries no alpha plane.  Frame
+    regions decode through the same zlib+unfilter pipeline as still
+    PNGs (8-bit, non-interlaced frames — the practical APNG universe),
+    then composite with the spec's blend ops (0 = source replace,
+    1 = alpha over) and dispose ops (0 none, 1 clear region,
+    2 restore previous).  A zero delay numerator renders as 100 ms
+    (same de-facto convention as the GIF path); denominator 0 means
+    1/100 s units per the spec."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    plte = trns = None
+    actl = None
+    entries: list = []          # [(fctl dict | None, [data bytes])]
+    cur_data: list | None = None
+    idat_fctl_seen = False
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _c, _f, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif typ == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif typ == b"fcTL":
+            f = dict(zip(("seq", "w", "h", "x", "y", "dnum", "dden",
+                          "dispose", "blend"),
+                         struct.unpack(">IIIIIHHBB", data)))
+            cur_data = []
+            entries.append((f, cur_data))
+        elif typ == b"IDAT":
+            if entries and not entries[-1][1] and not idat_fctl_seen:
+                idat_fctl_seen = True       # IDAT belongs to fcTL #0
+            if entries and idat_fctl_seen:
+                entries[-1][1].append(data)
+            # IDAT before any fcTL = default image, not an anim frame
+        elif typ == b"fdAT":
+            if cur_data is None:
+                raise ValueError("APNG fdAT without a preceding fcTL")
+            cur_data.append(data[4:])       # strip sequence number
+        elif typ == b"IEND":
+            break
+    if actl is None:
+        raise ValueError("PNG without an acTL chunk is not animated")
+    if depth != 8 or interlace != 0:
+        raise ValueError("APNG frames supported at 8-bit "
+                         "non-interlaced only")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    canvas = np.zeros((h, w, 3), np.uint8)
+    for f, datas in entries:
+        fw, fh, x0, y0 = f["w"], f["h"], f["x"], f["y"]
+        raw = np.frombuffer(zlib.decompress(b"".join(datas)), np.uint8)
+        stride = fw * channels
+        if raw.size != fh * (1 + stride):
+            raise ValueError("APNG frame pixel data size mismatch")
+        px = _png_unfilter(raw, fh, stride, channels).astype(np.uint8) \
+            .reshape(fh, fw, channels)
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette APNG missing PLTE chunk")
+            idx = px[..., 0]
+            if trns is not None:
+                alpha = np.full(len(plte), 255, np.uint8)
+                alpha[:len(trns)] = trns[:len(plte)]
+                rgb, a = plte[idx], alpha[idx]
+            else:
+                rgb, a = plte[idx], None
+        elif ctype == 0:
+            rgb, a = np.repeat(px, 3, axis=2), None
+        elif ctype == 2:
+            rgb, a = px, None
+        elif ctype == 4:
+            rgb, a = np.repeat(px[..., :1], 3, axis=2), px[..., 1]
+        else:                                   # 6: RGBA
+            rgb, a = px[..., :3], px[..., 3]
+        prev = canvas.copy() if f["dispose"] == 2 else None
+        view = canvas[y0:y0 + fh, x0:x0 + fw]
+        if f["blend"] == 1 and a is not None:   # over
+            af = a.astype(np.float64)[..., None] / 255.0
+            view[:] = np.round(af * rgb + (1 - af) * view) \
+                .astype(np.uint8)
+        elif a is not None:                     # source, with alpha:
+            view[:] = np.round(rgb * (a.astype(np.float64)[..., None]
+                                      / 255.0)).astype(np.uint8)
+        else:
+            view[:] = rgb
+        dden = f["dden"] or 100
+        delay = 1000.0 * f["dnum"] / dden if f["dnum"] else 100.0
+        yield canvas.copy(), delay
+        if f["dispose"] == 1:
+            canvas[y0:y0 + fh, x0:x0 + fw] = 0
+        elif f["dispose"] == 2:
+            canvas = prev
+
+
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -2053,6 +2164,19 @@ def probe_media_bytes(b: bytes) -> dict:
     elif b[:8] == _PNG_SIG:
         w, h = struct.unpack_from(">II", b, 16)
         out.update({"format": "png", "width": w, "height": h})
+        pos, frames, total = 8, 0, 0.0
+        while pos + 8 <= len(b):        # chunk-header walk, data skipped
+            ln, typ = struct.unpack_from(">I4s", b, pos)
+            if typ == b"fcTL":
+                dnum, dden = struct.unpack_from(">HH", b, pos + 8 + 20)
+                total += 1000.0 * dnum / (dden or 100) if dnum else 100.0
+                frames += 1
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if frames > 1:
+            out.update({"kind": "video", "format": "apng",
+                        "n_frames": frames, "duration_ms": total})
     elif b[:2] == b"\xff\xd8":
         out.update(_probe_jpeg(b))
     elif b[:6] in (b"GIF87a", b"GIF89a"):
@@ -2304,10 +2428,14 @@ def sample_video_frames(df: DataFrame, every_ms: int,
                         for fi, ts, pgm in _mp4_luma_frames(b, every_ms):
                             rows.append((mid, fi, ts, pgm, None))
                         continue
+                    anim = None
                     if b[:6] in (b"GIF87a", b"GIF89a"):
+                        anim = _gif_frames(b)
+                    elif b[:8] == _PNG_SIG and b.find(b"acTL", 8) != -1:
+                        anim = _apng_frames(b)
+                    if anim is not None:
                         ts = next_ms = 0.0
-                        for fi, (canvas, delay) in \
-                                enumerate(_gif_frames(b)):
+                        for fi, (canvas, delay) in enumerate(anim):
                             if ts + 1e-9 >= next_ms:
                                 rows.append((mid, fi, ts,
                                              _luma_pgm(canvas), None))

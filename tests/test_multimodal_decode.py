@@ -3284,3 +3284,97 @@ def test_probe_media_pipeline(spark):
     assert got[2]["kind"] == "audio"
     assert got[3]["decode_error"] is not None
     assert got[4]["kind"] == "video" and got[4]["n_frames"] == 1
+
+
+# --- round-9: APNG (animated PNG) as a video source -------------------------
+
+def _fctl(seq, w, h, x=0, y=0, dnum=50, dden=100, dispose=0, blend=0):
+    return _png_chunk(b"fcTL", struct.pack(">IIIIIHHBB", seq, w, h,
+                                           x, y, dnum, dden, dispose,
+                                           blend))
+
+
+def make_apng(frames, delays=None, offsets=None, disposes=None,
+              blends=None, screen=None) -> bytes:
+    """APNG from (h, w, c) uint8 frames: frame 0 rides in IDAT (with a
+    preceding fcTL so it IS part of the animation), the rest in fdAT."""
+    import zlib
+    n = len(frames)
+    delays = delays or [(50, 100)] * n
+    offsets = offsets or [(0, 0)] * n
+    disposes = disposes or [0] * n
+    blends = blends or [0] * n
+    c = frames[0].shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if screen is None:
+        sh = max(f.shape[0] + o[0] for f, o in zip(frames, offsets))
+        sw = max(f.shape[1] + o[1] for f, o in zip(frames, offsets))
+    else:
+        sw, sh = screen
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", sw, sh, 8, ctype, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", n, 0))
+    seq = 0
+    for i, (f, (dn, dd), (y0, x0)) in enumerate(
+            zip(frames, delays, offsets)):
+        out += _fctl(seq, f.shape[1], f.shape[0], x0, y0, dn, dd,
+                     disposes[i], blends[i])
+        seq += 1
+        stream = zlib.compress(_png_filtered_stream(f))
+        if i == 0:
+            out += _png_chunk(b"IDAT", stream)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + stream)
+            seq += 1
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_apng_frames_replace_and_delays():
+    frames = [np.full((4, 4, 3), v, np.uint8) for v in (20, 120, 220)]
+    blob = make_apng(frames, delays=[(1, 2), (0, 100), (3, 0)])
+    got = list(MM._apng_frames(blob))
+    assert [d for _c, d in got] == [500.0, 100.0, 30.0]  # den 0 -> 1/100s
+    for (c, _d), f in zip(got, frames):
+        assert np.array_equal(c, f)
+    # still decoders see the default image (frame 0 IDAT)
+    assert np.array_equal(decode_image_bytes(blob), frames[0])
+    # a still PNG refuses the animation path pointedly
+    with pytest.raises(ValueError, match="acTL"):
+        list(MM._apng_frames(make_png(frames[0])))
+
+
+def test_apng_subregion_dispose_and_alpha_blend():
+    base = np.full((4, 4, 3), 100, np.uint8)
+    patch = np.zeros((2, 2, 4), np.uint8)
+    patch[..., :3] = 200
+    patch[..., 3] = 128                       # half-transparent overlay
+    # RGBA animation: frame 0 full opaque, frame 1 blends over (1,1)
+    f0 = np.concatenate([base, np.full((4, 4, 1), 255, np.uint8)], 2)
+    blob = make_apng([f0, patch], offsets=[(0, 0), (1, 1)],
+                     blends=[0, 1], disposes=[0, 2])
+    fr = list(MM._apng_frames(blob))
+    assert np.array_equal(fr[0][0], base)
+    want = base.copy()
+    # over: round(128/255*200 + 127/255*100) = 150
+    want[1:3, 1:3] = 150
+    assert np.array_equal(fr[1][0], want)
+
+
+def test_sample_video_frames_apng_and_probe(spark):
+    frames = [np.full((5, 5, 3), v, np.uint8)
+              for v in (10, 60, 110, 160)]
+    blob = make_apng(frames, delays=[(500, 1000)] * 4)  # 500 ms each
+    df = spark.createDataFrame([(9, bytearray(blob))],
+                               "media_id long, payload binary")
+    rows = {r["frame_idx"]: r for r in
+            sample_video_frames(df, every_ms=1000).collect()}
+    assert set(rows) == {0, 2}
+    luma2 = decode_image_bytes(bytes(rows[2]["frame_payload"]))
+    assert int(luma2.mean()) == 110
+    # header-only probe classifies it as video with summed duration
+    got = MM.probe_media_bytes(blob)
+    assert got["kind"] == "video" and got["format"] == "apng"
+    assert got["n_frames"] == 4 and got["duration_ms"] == 2000.0
+    # still PNG stays an image in the probe
+    still = MM.probe_media_bytes(make_png(frames[0]))
+    assert still["kind"] == "image" and still["format"] == "png"
