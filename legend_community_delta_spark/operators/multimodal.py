@@ -2112,11 +2112,15 @@ def _probe_gif(b: bytes) -> dict:
 def _probe_webp(b: bytes) -> dict:
     out = {"format": "webp"}
     pos = 12
+    frames, total_ms = 0, 0
     while pos + 8 <= len(b):
         fourcc = b[pos:pos + 4]
         size, = struct.unpack_from("<I", b, pos + 4)
         body = pos + 8
-        if fourcc == b"VP8X" and size >= 10:
+        if fourcc == b"ANMF" and size >= 16:
+            frames += 1
+            total_ms += int.from_bytes(b[body + 12:body + 15], "little")
+        elif fourcc == b"VP8X" and size >= 10:
             out["width"] = 1 + int.from_bytes(b[body + 4:body + 7],
                                               "little")
             out["height"] = 1 + int.from_bytes(b[body + 7:body + 10],
@@ -2135,6 +2139,9 @@ def _probe_webp(b: bytes) -> dict:
         pos = body + size + (size & 1)
     if "width" not in out:
         raise ValueError("WEBP container without VP8/VP8L/VP8X dims")
+    if frames > 1:                      # animated WebP (ANMF chunks)
+        out.update({"kind": "video", "n_frames": frames,
+                    "duration_ms": float(total_ms)})
     return out
 
 

@@ -3378,3 +3378,25 @@ def test_sample_video_frames_apng_and_probe(spark):
     # still PNG stays an image in the probe
     still = MM.probe_media_bytes(make_png(frames[0]))
     assert still["kind"] == "image" and still["format"] == "png"
+
+
+def test_probe_media_animated_webp():
+    """Animated WebP: VP8X canvas dims + ANMF frame count and summed
+    durations, all from the chunk walk — no frame decode."""
+    def chunk(cc, body):
+        return cc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+    vp8x = bytes([0x02]) + b"\x00" * 3 \
+        + (63).to_bytes(3, "little") + (47).to_bytes(3, "little")
+    def anmf(dur_ms):
+        return (b"\x00" * 12 + dur_ms.to_bytes(3, "little")
+                + b"\x00" + b"")                  # header only
+    payload = (chunk(b"VP8X", vp8x)
+               + chunk(b"ANIM", b"\x00" * 6)
+               + chunk(b"ANMF", anmf(80)) + chunk(b"ANMF", anmf(120)))
+    blob = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" \
+        + payload
+    got = MM.probe_media_bytes(blob)
+    assert got["format"] == "webp" and got["kind"] == "video"
+    assert (got["width"], got["height"]) == (64, 48)
+    assert got["n_frames"] == 2 and got["duration_ms"] == 200.0
