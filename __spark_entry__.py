@@ -122,4 +122,14 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "bpe_token_stats": "Same fold: per-word segmentations come from the "
                        "iterative merge rounds; end-to-end goldens in "
                        "tests/test_tokenize.py.",
+    # round 9: Z-order layout metrics describe the PHYSICAL file layout
+    # (per-file parquet footer min/max), which no SQL over the logical
+    # table can express; pruning completeness + stats==recomputed-truth
+    # pinned in tests/test_layout.py.  The companion entry
+    # zorder_roundtrip_lineitem IS fully value-oracled (row-multiset
+    # preservation through the rewrite).
+    "zorder_skipping_stats": "File-layout metric from parquet footers; "
+                             "not expressible as SQL over the logical "
+                             "table.  Invariants pinned in "
+                             "tests/test_layout.py.",
 }

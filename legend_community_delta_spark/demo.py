@@ -6094,6 +6094,183 @@ ORDER BY n_occurrences DESC, ngram
 """
 
 
+def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/cleaning.py, round 9; Raffel
+    et al. 2020 §2.2).  The fixture's documents are single-line and
+    punctuation-free, so the entry exercises the rules that corpus can
+    express: the >= N-words line rule (min 50 — the fixture spans
+    10..99 words) and a line blocklist ('merge' stands in for
+    'javascript'); terminal-punctuation and min-sentence rules are
+    relaxed and pinned instead on constructed text in
+    tests/test_cleaning.py.  Full value oracle: every rule is exact
+    SQL."""
+    ensure_views(spark, sf_dir)
+    from .operators.cleaning import c4_clean
+    docs = spark.table("documents")
+    return c4_clean(docs, min_words_per_line=50, min_sentences=0,
+                    require_terminal_punct=False,
+                    line_blocklist=("merge",))
+
+
+_ORACLE_C4_CLEAN = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+           len(list_filter(string_split_regex(l, '\s+'), w -> w <> ''))
+             >= 50
+           AND NOT contains(lower(l), 'merge')) AS kept
+  FROM t
+), c AS (
+  SELECT doc_id, text, lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM k
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept_lines,
+       CAST(length(clean_text)
+            - length(regexp_replace(clean_text, '[.!?]', '', 'g'))
+            AS INT) AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_blocklist,
+       contains(text, '{') AS has_brace,
+       (len(kept) > 0
+        AND length(clean_text)
+            - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 0
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS keep_doc,
+       clean_text
+FROM c
+"""
+
+
+def _q_gopher_gates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-quality gates (operators/cleaning.py,
+    round 9; Rae et al. 2021 table A1): named per-rule booleans + the
+    gated metrics.  min_stopword_hits=1 because the fixture vocabulary
+    contains exactly one Gopher stop word ('the'); everything else runs
+    the published thresholds.  Full value oracle: each gate is exact
+    SQL arithmetic."""
+    ensure_views(spark, sf_dir)
+    from .operators.cleaning import gopher_gates
+    docs = spark.table("documents")
+    return gopher_gates(docs, min_stopword_hits=1)
+
+
+_ORACLE_GOPHER_GATES = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, ws, lines,
+         len(ws) AS n_words,
+         round(list_sum(list_transform(ws, x -> length(x))) * 1.0
+               / greatest(len(ws), 1), 4) AS mean_word_len,
+         round((length(text) - length(replace(text, '#', ''))
+                + floor((length(text)
+                         - length(replace(text, '...', ''))) / 3)) * 1.0
+               / greatest(len(ws), 1), 4) AS symbol_word_ratio,
+         round(len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*([-*•]|[0-9]+[.)])\s')))
+               * 1.0 / greatest(len(lines), 1), 4) AS bullet_frac,
+         round(len(list_filter(lines,
+                 l -> regexp_matches(l, '\.\.\.\s*$')))
+               * 1.0 / greatest(len(lines), 1), 4) AS ellipsis_frac,
+         round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / greatest(len(ws), 1), 4) AS alpha_word_frac,
+         len(list_intersect(
+             list_distinct(list_transform(ws, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with']))
+           AS stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_frac,
+       ellipsis_frac, alpha_word_frac, stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         AS ok_mean_word_len,
+       symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
+       bullet_frac <= 0.9 AS ok_bullets,
+       ellipsis_frac <= 0.3 AS ok_ellipsis,
+       alpha_word_frac >= 0.8 AS ok_alpha_words,
+       stopword_hits >= 1 AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_word_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 1) AS keep_doc
+FROM m
+"""
+
+
+def _q_zorder_roundtrip_lineitem(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Z-order layout rewrite round-trip (operators/layout.py, round 9):
+    cluster lineitem on (l_partkey, l_suppkey) — the Delta ``OPTIMIZE
+    ZORDER BY`` analog (the reference hands tables to Delta,
+    `Legend.scala:163-186`; this is the layout half standalone) — write
+    the clustered copy, read it back, and aggregate integer checksums
+    per returnflag/linestatus group.  The oracle aggregates the ORIGINAL
+    table: hash-match proves the one-shuffle rewrite preserved the row
+    multiset exactly.  Scale: one repartitionByRange on the interleaved
+    key + footer-only stats; no UDF, no driver data."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    from .operators.layout import cluster_by_zorder
+    li = spark.table("lineitem")
+    tmp = tempfile.mkdtemp(prefix="legend_zorder_") + "/z"
+    cluster_by_zorder(li, ["l_partkey", "l_suppkey"], target_files=8,
+                      bits=6).write.parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return (back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_orderkey").alias("sum_orderkey"),
+                 F.sum("l_partkey").alias("sum_partkey"),
+                 F.sum("l_suppkey").alias("sum_suppkey")))
+
+
+_ORACLE_ZORDER_ROUNDTRIP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       SUM(l_orderkey) AS sum_orderkey,
+       SUM(l_partkey) AS sum_partkey,
+       SUM(l_suppkey) AS sum_suppkey
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_zorder_skipping_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """File-level skipping effectiveness of the Z-ordered layout
+    (operators/layout.py, round 9): cluster lineitem on two columns,
+    gather per-file min/max from parquet FOOTERS (distributed pyarrow
+    footer reads — no data pages), and report, for a narrow range
+    predicate on EACH clustered column, how many of the 8 files a
+    reader can prove it never needs to open.  Rows-only by nature: the
+    metric describes the physical file layout, which no SQL over the
+    logical table can express; the pruning-completeness and
+    stats-equal-recomputed-truth invariants are pinned in
+    tests/test_layout.py."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    from .operators.layout import (cluster_by_zorder, file_skipping_stats,
+                                   skipping_effectiveness)
+    li = spark.table("lineitem")
+    tmp = tempfile.mkdtemp(prefix="legend_zskip_") + "/z"
+    cluster_by_zorder(li, ["l_partkey", "l_suppkey"], target_files=8,
+                      bits=6).write.parquet(tmp)
+    stats = file_skipping_stats(
+        spark, tmp, ["l_partkey", "l_suppkey"]).cache()
+    eff_p = skipping_effectiveness(stats, "l_partkey", 10, 30)
+    eff_s = skipping_effectiveness(stats, "l_suppkey", 2, 3)
+    return eff_p.unionByName(eff_s)
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -6218,6 +6395,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_decontaminated_docs": _q_exact_decontaminated_docs,
     # -- round-9 addition: exact heavy hitters (CMS cell filter) ----------
     "heavy_hitter_ngrams": _q_heavy_hitter_ngrams,
+    # -- round-9 additions: Z-order layout + file skipping ----------------
+    "zorder_roundtrip_lineitem": _q_zorder_roundtrip_lineitem,
+    "zorder_skipping_stats": _q_zorder_skipping_stats,
+    # -- round-9 additions: published cleaning-rule families --------------
+    "c4_clean_docs": _q_c4_clean_docs,
+    "gopher_gates_docs": _q_gopher_gates_docs,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6478,6 +6661,9 @@ ORACLES: dict[str, str] = {
     "exact_contamination_docs": _ORACLE_EXACT_CONTAM_DOCS,
     "exact_decontaminated_docs": _ORACLE_EXACT_DECONTAM_DOCS,
     "heavy_hitter_ngrams": _ORACLE_HEAVY_NGRAMS,
+    "zorder_roundtrip_lineitem": _ORACLE_ZORDER_ROUNDTRIP,
+    "c4_clean_docs": _ORACLE_C4_CLEAN,
+    "gopher_gates_docs": _ORACLE_GOPHER_GATES,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

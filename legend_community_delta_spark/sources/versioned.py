@@ -166,6 +166,35 @@ class VersionedTable:
                           meta={"compacted_from": latest,
                                 "target_files": int(target_files)})
 
+    def optimize_zorder(self, cols: list[str], target_files: int = 8,
+                        bits: int = 8) -> int:
+        """Delta ``OPTIMIZE ... ZORDER BY`` analog: rewrite the latest
+        snapshot clustered on *cols* (Morton-interleaved bucket codes,
+        see :mod:`..operators.layout`) into *target_files* files as a
+        NEW version (operation ``ZORDER``).  The row set is identical by
+        construction (repartition + sort only); afterwards
+        :func:`..operators.layout.file_skipping_stats` over the new
+        snapshot gives tight per-file min/max on EVERY clustered column.
+        """
+        from ..operators.layout import cluster_by_zorder
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"no versions at [{self.path}] to optimize")
+        df = cluster_by_zorder(self.read(latest), cols,
+                               target_files=target_files, bits=bits)
+        return self.write(df, operation="ZORDER",
+                          meta={"zorder_by": list(cols),
+                                "optimized_from": latest,
+                                "target_files": int(target_files)})
+
+    def snapshot_dir(self, version: int | None = None) -> str:
+        """Filesystem directory of a snapshot (for footer-stats tooling)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"versioned table at [{self.path}] is empty")
+        v = latest if version is None else version
+        return f"{self.path}/v={v}"
+
     def restore(self, version: int) -> int:
         """Delta RESTORE analog: commit a NEW version whose content is
         the snapshot at *version* — rollback that never rewrites

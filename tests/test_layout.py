@@ -1,0 +1,243 @@
+"""Z-order clustering + file-level skipping stats (operators/layout.py).
+
+The Delta `OPTIMIZE ZORDER BY` analog: the reference hands tables to
+Delta (`Legend.scala:163-186`), whose engine does file skipping from
+per-file min/max; this suite pins the standalone re-expression —
+Morton-key math, equi-depth bucket codes, row-set preservation through
+the rewrite, footer-stat correctness against recomputed truth, and the
+actual pruning win of a clustered layout over an unclustered one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legend_community_delta_spark.operators.layout import (
+    bucket_code,
+    cluster_by_zorder,
+    file_skipping_stats,
+    prunable_files,
+    read_with_file_skipping,
+    sample_cut_points,
+    skipping_effectiveness,
+    zorder_key,
+)
+from legend_community_delta_spark.sources.versioned import VersionedTable
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# key math
+# ---------------------------------------------------------------------------
+
+def test_zorder_key_hand_interleave(spark):
+    # codes (3, 5) at 3 bits: 3 = 011b, 5 = 101b.
+    # out bit i*2+j = bit i of code j:
+    #   i=0: j=0 ->1 (bit0), j=1 ->1 (bit1)
+    #   i=1: j=0 ->1 (bit2), j=1 ->0 (bit3)
+    #   i=2: j=0 ->0 (bit4), j=1 ->1 (bit5)
+    # = 0b100111 = 39
+    df = spark.createDataFrame([(3, 5)], "a long, b long")
+    z = df.select(zorder_key([F.col("a"), F.col("b")], 3).alias("z"))
+    assert z.collect()[0]["z"] == 39
+
+
+def test_zorder_key_single_column_is_identity(spark):
+    df = spark.createDataFrame([(13,)], "a long")
+    z = df.select(zorder_key([F.col("a")], 8).alias("z"))
+    assert z.collect()[0]["z"] == 13
+
+
+def test_zorder_key_rejects_overflow():
+    with pytest.raises(ValueError, match="> 63"):
+        zorder_key([F.lit(0), F.lit(0)], 32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key([], 8)
+
+
+def test_bucket_code_counts_cuts(spark):
+    df = spark.createDataFrame(
+        [(5,), (10,), (25,), (35,), (None,)], "v int")
+    out = df.select("v", bucket_code("v", [10, 20, 30]).alias("c")) \
+            .collect()
+    got = {r["v"]: r["c"] for r in out}
+    assert got == {5: 0, 10: 1, 25: 2, 35: 3, None: 0}
+
+
+def test_bucket_code_no_cuts_is_zero(spark):
+    df = spark.createDataFrame([(7,)], "v int")
+    assert df.select(bucket_code("v", []).alias("c")).collect()[0]["c"] == 0
+
+
+def test_sample_cut_points_ordered_and_typed(spark, lineitem):
+    cuts = sample_cut_points(lineitem, "l_partkey", 16)
+    assert cuts == sorted(cuts) and len(cuts) <= 15
+    assert all(isinstance(c, int) for c in cuts)
+    # strings work too (approxQuantile could not do this)
+    scuts = sample_cut_points(lineitem, "l_returnflag", 4)
+    assert scuts == sorted(scuts)
+    assert all(isinstance(c, str) for c in scuts)
+
+
+def test_sample_cut_points_deterministic(spark, lineitem):
+    a = sample_cut_points(lineitem, "l_orderkey", 8)
+    b = sample_cut_points(lineitem, "l_orderkey", 8)
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# clustering rewrite
+# ---------------------------------------------------------------------------
+
+def test_cluster_preserves_row_multiset(spark, lineitem):
+    out = cluster_by_zorder(lineitem, ["l_partkey", "l_suppkey"],
+                            target_files=4, bits=4)
+    assert out.columns == lineitem.columns
+    key = [c for c in lineitem.columns]
+    assert (sorted(map(tuple, lineitem.select(*key).collect()))
+            == sorted(map(tuple, out.select(*key).collect())))
+
+
+def test_cluster_plan_is_udf_free(spark, lineitem):
+    out = cluster_by_zorder(lineitem, ["l_partkey", "l_suppkey"],
+                            target_files=4, bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_rejects_empty_cols(spark, lineitem):
+    with pytest.raises(ValueError, match="at least one column"):
+        cluster_by_zorder(lineitem, [], target_files=4)
+
+
+# ---------------------------------------------------------------------------
+# footer stats
+# ---------------------------------------------------------------------------
+
+def test_file_stats_match_recomputed_truth(spark, lineitem, tmp_path):
+    path = str(tmp_path / "z")
+    cluster_by_zorder(lineitem, ["l_partkey"], target_files=4,
+                      bits=4).write.parquet(path)
+    stats = file_skipping_stats(spark, path, ["l_partkey"])
+    truth = (spark.read.parquet(path)
+             .groupBy(F.input_file_name().alias("file"))
+             .agg(F.min("l_partkey").alias("mn"),
+                  F.max("l_partkey").alias("mx"),
+                  F.count(F.lit(1)).alias("rows")))
+    got = {r["file"].split("/")[-1]:
+           (int(r["min_value"]), int(r["max_value"]), r["rows"])
+           for r in stats.collect()}
+    want = {r["file"].split("/")[-1]: (r["mn"], r["mx"], r["rows"])
+            for r in truth.collect()}
+    assert got == want and len(got) == 4
+
+
+def test_file_stats_missing_column_yields_no_rows(spark, lineitem,
+                                                  tmp_path):
+    path = str(tmp_path / "p")
+    lineitem.limit(10).write.parquet(path)
+    stats = file_skipping_stats(spark, path, ["no_such_col"])
+    assert stats.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pruning wins
+# ---------------------------------------------------------------------------
+
+def test_zorder_beats_unclustered_on_both_columns(spark, lineitem,
+                                                  tmp_path):
+    zpath, ppath = str(tmp_path / "z"), str(tmp_path / "plain")
+    cluster_by_zorder(lineitem, ["l_partkey", "l_suppkey"],
+                      target_files=8, bits=6).write.parquet(zpath)
+    # unclustered control: random order, same file count
+    lineitem.orderBy(F.rand(7)).repartition(8).write.parquet(ppath)
+    cols = ["l_partkey", "l_suppkey"]
+    # narrow in-range predicates (sf0.001: partkey 0..199, suppkey 0..9)
+    preds = {"l_partkey": (10, 30), "l_suppkey": (2, 3)}
+    st_z = file_skipping_stats(spark, zpath, cols).cache()
+    st_p = file_skipping_stats(spark, ppath, cols).cache()
+    for col in cols:
+        lo, hi = preds[col]
+        ez = skipping_effectiveness(st_z, col, lo, hi).collect()[0]
+        ep = skipping_effectiveness(st_p, col, lo, hi).collect()[0]
+        assert ez["files_total"] == ep["files_total"] == 8
+        # random layout: every file spans ~the full key range -> 0 skips
+        assert ep["files_skipped"] == 0
+        # z-order: a narrow predicate must skip files on BOTH clustered
+        # columns simultaneously (>= 2 of 8 is conservative)
+        assert ez["files_skipped"] >= 2, (col, ez)
+    # single-column sort would win on col 1 and lose on col 2; z-order's
+    # point is simultaneous (coarser) locality — already asserted above.
+
+
+def test_skipping_read_is_complete_and_prunes(spark, lineitem, tmp_path):
+    path = str(tmp_path / "z")
+    cluster_by_zorder(lineitem, ["l_partkey", "l_suppkey"],
+                      target_files=8, bits=6).write.parquet(path)
+    stats = file_skipping_stats(spark, path,
+                                ["l_partkey", "l_suppkey"]).cache()
+    pruned = read_with_file_skipping(spark, path, stats,
+                                     "l_partkey", 10, 30)
+    got = (pruned.where(F.col("l_partkey").between(10, 30))
+           .agg(F.count(F.lit(1)), F.sum("l_quantity")).collect())
+    want = (lineitem.where(F.col("l_partkey").between(10, 30))
+            .agg(F.count(F.lit(1)), F.sum("l_quantity")).collect())
+    assert got == want
+    skipped = prunable_files(stats, "l_partkey", 10, 30)
+    # string-rendered compare is only safe same-width here; effectiveness
+    # (numeric cast) is authoritative — just pin both agree on count
+    eff = skipping_effectiveness(stats, "l_partkey", 10, 30).collect()[0]
+    assert eff["files_skipped"] >= 1
+    assert eff["rows_skipped"] > 0
+
+
+def test_empty_prune_returns_empty_schema_stable(spark, lineitem,
+                                                 tmp_path):
+    path = str(tmp_path / "z2")
+    cluster_by_zorder(lineitem, ["l_partkey"], target_files=2,
+                      bits=4).write.parquet(path)
+    stats = file_skipping_stats(spark, path, ["l_partkey"])
+    out = read_with_file_skipping(spark, path, stats, "l_partkey",
+                                  10**9, 2 * 10**9)
+    assert out.count() == 0
+    assert out.columns == lineitem.columns
+
+
+# ---------------------------------------------------------------------------
+# VersionedTable integration
+# ---------------------------------------------------------------------------
+
+def test_versioned_optimize_zorder(spark, lineitem, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    vt.write(lineitem.orderBy(F.rand(3)))
+    v = vt.optimize_zorder(["l_partkey", "l_suppkey"], target_files=4,
+                           bits=5)
+    assert v == 1
+    ops = [r["operation"] for r in vt.history().collect()]
+    assert ops[0] == "ZORDER"
+    # identical row multiset across the rewrite (integer checksums:
+    # double sums are summation-order-sensitive across layouts)
+    a = (vt.read(0).groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("l_orderkey").alias("s")).collect())
+    b = (vt.read(1).groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("l_orderkey").alias("s")).collect())
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the optimized snapshot's files cover tighter partkey spans than
+    # the random layout's (span tightness is layout-robust; exact skip
+    # counts at 4 files are not)
+    def mean_span(version):
+        st = file_skipping_stats(spark, vt.snapshot_dir(version),
+                                 ["l_partkey"])
+        r = st.agg(F.avg(F.col("max_value").cast("double")
+                         - F.col("min_value").cast("double"))).collect()
+        return r[0][0]
+    assert mean_span(1) < 0.75 * mean_span(0)
