@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "exact_contamination_docs",
     # round-9 addition: exact heavy hitters (CMS cell filter)
     "heavy_hitter_ngrams",
+    # round-9 additions: layout optimization + published cleaning rules
+    "zorder_roundtrip_lineitem",
+    "zorder_skipping_stats",
+    "c4_clean_docs",
+    "gopher_gates_docs",
 ]
 
 

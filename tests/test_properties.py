@@ -706,3 +706,57 @@ def test_heavy_hitters_fuzz_equals_bruteforce(spark, corpus):
                          depth=depth).collect()}
     want = {(w, n) for w, n in Counter(items).items() if n >= min_count}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property 16: Z-order key math vs pure-python reference (round 9)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _zorder_cases(draw):
+    k = draw(st.integers(min_value=1, max_value=4))
+    bits = draw(st.integers(min_value=1, max_value=63 // k))
+    rows = draw(st.lists(
+        st.tuples(*[st.integers(min_value=0, max_value=(1 << bits) - 1)
+                    for _ in range(k)]),
+        min_size=1, max_size=25))
+    cuts = sorted(set(draw(st.lists(
+        st.integers(min_value=-50, max_value=50), max_size=10))))
+    vals = draw(st.lists(
+        st.one_of(st.none(), st.integers(min_value=-60, max_value=60)),
+        min_size=1, max_size=25))
+    return k, bits, rows, cuts, vals
+
+
+@settings(max_examples=25, deadline=None)
+@given(case=_zorder_cases())
+def test_zorder_key_fuzz_vs_python(spark, case):
+    """Differential fuzz: the Column-algebra Morton interleave and the
+    equi-depth bucket code equal a pure-python bit/bisect reference for
+    arbitrary widths, dimension counts, cut lists, and null values."""
+    import bisect
+    from pyspark.sql import functions as F
+    from legend_community_delta_spark.operators.layout import (
+        bucket_code, zorder_key)
+    k, bits, rows, cuts, vals = case
+
+    df = spark.createDataFrame(
+        rows, ", ".join(f"c{j} long" for j in range(k)))
+    got = [r["z"] for r in df.select(zorder_key(
+        [F.col(f"c{j}") for j in range(k)], bits).alias("z")).collect()]
+
+    def py_morton(codes):
+        z = 0
+        for i in range(bits):
+            for j, c in enumerate(codes):
+                z |= ((c >> i) & 1) << (i * k + j)
+        return z
+
+    assert got == [py_morton(r) for r in rows]
+
+    vdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    got_codes = [r["c"] for r in
+                 vdf.select(bucket_code("v", cuts).alias("c")).collect()]
+    want_codes = [0 if v is None else bisect.bisect_right(cuts, v)
+                  for v in vals]
+    assert got_codes == want_codes
