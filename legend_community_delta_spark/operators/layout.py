@@ -47,6 +47,7 @@ __all__ = [
     "cluster_by_zorder",
     "file_skipping_stats",
     "prunable_files",
+    "prunable_files_multi",
     "skipping_effectiveness",
     "read_with_file_skipping",
 ]
@@ -275,6 +276,34 @@ def skipping_effectiveness(stats: DataFrame, col: str, lo, hi,
         F.sum(F.when(skip, F.col("rows")).otherwise(F.lit(0)))
         .alias("rows_skipped"),
     )
+
+
+def prunable_files_multi(stats: DataFrame,
+                         predicates: dict[str, tuple],
+                         numeric: bool = True) -> DataFrame:
+    """Files skippable under the CONJUNCTION of several range
+    predicates ``{col: (lo, hi), ...}`` — a file is prunable if ANY
+    predicate's [lo, hi] misses that file's [min, max] for its column
+    (this is where Z-ordering pays: each clustered column prunes
+    independently, and the union of per-column prunes compounds).
+    Returns ``(file, rows)`` of skippable files.
+    """
+    if not predicates:
+        raise ValueError("prunable_files_multi needs >= 1 predicate")
+    out = None
+    for col, (lo, hi) in predicates.items():
+        s = stats.where(F.col("col") == col)
+        if numeric:
+            mn = F.col("min_value").cast("double")
+            mx = F.col("max_value").cast("double")
+            lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
+        else:
+            mn, mx = F.col("min_value"), F.col("max_value")
+            lo_l, hi_l = F.lit(str(lo)), F.lit(str(hi))
+        miss = s.where(mn.isNotNull() & ((mx < lo_l) | (mn > hi_l))) \
+                .select("file", "rows")
+        out = miss if out is None else out.unionByName(miss)
+    return out.dropDuplicates(["file"])
 
 
 def read_with_file_skipping(spark: SparkSession, path: str,

@@ -82,12 +82,24 @@ class VersionedTable:
     # -- writes -----------------------------------------------------------
 
     def write(self, df: DataFrame, operation: str = "WRITE",
-              meta: dict | None = None) -> int:
-        """Write *df* as the next immutable snapshot; returns its version."""
+              meta: dict | None = None,
+              partition_by: list[str] | None = None) -> int:
+        """Write *df* as the next immutable snapshot; returns its version.
+
+        *partition_by* hive-partitions the snapshot directory
+        (``col=value/`` subdirs) so Spark prunes whole directories on
+        equality predicates natively — the coarse layer above
+        :mod:`..operators.layout`'s file-level min/max skipping."""
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
-        df.write.mode("errorifexists").parquet(f"{self.path}/v={version}")
-        self._commit(version, operation, meta or {})
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{self.path}/v={version}")
+        m = dict(meta or {})
+        if partition_by:
+            m["partition_by"] = list(partition_by)
+        self._commit(version, operation, m)
         return version
 
     def append(self, df: DataFrame) -> int:

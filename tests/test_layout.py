@@ -18,6 +18,7 @@ from legend_community_delta_spark.operators.layout import (
     cluster_by_zorder,
     file_skipping_stats,
     prunable_files,
+    prunable_files_multi,
     read_with_file_skipping,
     sample_cut_points,
     skipping_effectiveness,
@@ -210,9 +211,45 @@ def test_empty_prune_returns_empty_schema_stable(spark, lineitem,
     assert out.columns == lineitem.columns
 
 
+def test_multi_predicate_pruning_compounds(spark, lineitem, tmp_path):
+    path = str(tmp_path / "z")
+    cluster_by_zorder(lineitem, ["l_partkey", "l_suppkey"],
+                      target_files=8, bits=6).write.parquet(path)
+    stats = file_skipping_stats(spark, path,
+                                ["l_partkey", "l_suppkey"]).cache()
+    both = prunable_files_multi(
+        stats, {"l_partkey": (10, 30), "l_suppkey": (2, 3)})
+    one = prunable_files_multi(stats, {"l_partkey": (10, 30)})
+    n_both, n_one = both.count(), one.count()
+    # conjunction prunes at least as much as either predicate alone,
+    # with no duplicate files in the union
+    assert n_both >= n_one >= 1
+    assert both.select("file").distinct().count() == n_both
+    with pytest.raises(ValueError, match=">= 1 predicate"):
+        prunable_files_multi(stats, {})
+
+
 # ---------------------------------------------------------------------------
 # VersionedTable integration
 # ---------------------------------------------------------------------------
+
+
+def test_versioned_partitioned_write_prunes_directories(spark, lineitem,
+                                                        tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "vtp"))
+    v = vt.write(lineitem, partition_by=["l_returnflag"])
+    # hive layout on disk + commit metadata records the partitioning
+    assert (tmp_path / "vtp" / f"v={v}" / "l_returnflag=A").is_dir()
+    back = vt.read(v)
+    got = back.where(F.col("l_returnflag") == "A").count()
+    want = lineitem.where(F.col("l_returnflag") == "A").count()
+    assert got == want
+    # Spark prunes the partition directories natively: the scan's
+    # partition filters must mention the predicate column
+    plan = (back.where(F.col("l_returnflag") == "A")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan and "l_returnflag" in \
+        plan.split("PartitionFilters")[1][:200]
 
 def test_versioned_optimize_zorder(spark, lineitem, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "vt"))
