@@ -6168,7 +6168,7 @@ WITH w AS (
 ), m AS (
   SELECT doc_id, text, ws, lines,
          len(ws) AS n_words,
-         round(list_sum(list_transform(ws, x -> length(x))) * 1.0
+         round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) * 1.0
                / greatest(len(ws), 1), 4) AS mean_word_len,
          round((length(text) - length(replace(text, '#', ''))
                 + floor((length(text)
