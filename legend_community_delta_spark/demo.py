@@ -6207,6 +6207,69 @@ FROM m
 """
 
 
+def _q_table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed analog over VersionedTable (sources/versioned
+    .py:table_changes, round 9): two deterministic snapshots derived
+    from orders (v0 = keys not divisible by 5; v1 = keys not divisible
+    by 7, with status rewritten to 'X' on keys divisible by 3), then
+    the full CDF between them — every row carries ``_change_type`` in
+    insert/delete/update_preimage/update_postimage plus
+    ``_commit_version``, exactly Delta CDF's contract
+    (the reference's tables are Delta, `Legend.scala:163-186`; this is
+    the incremental-consumer surface standalone).  Full value oracle:
+    the same set algebra in DuckDB."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    from .sources.versioned import VersionedTable, table_changes
+    o = spark.table("orders")
+    v0 = (o.where(F.col("o_orderkey") % 5 != 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    v1 = (o.where(F.col("o_orderkey") % 7 != 0)
+          .select("o_orderkey",
+                  F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+                  .otherwise(F.col("o_orderstatus"))
+                  .alias("o_orderstatus"),
+                  "o_totalprice"))
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="legend_cdf_")
+                       + "/orders")
+    t.write(v0)
+    t.write(v1)
+    return table_changes(t, 0, 1, keys=["o_orderkey"])
+
+
+_ORACLE_TABLE_CHANGES = """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 5 <> 0
+), v1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+), chg AS (
+  SELECT v0.o_orderkey FROM v0 JOIN v1 USING (o_orderkey)
+  WHERE v0.o_orderstatus <> v1.o_orderstatus
+     OR v0.o_totalprice <> v1.o_totalprice
+)
+SELECT v1.o_orderkey, v1.o_orderstatus, v1.o_totalprice,
+       'insert' AS _change_type, 1 AS _commit_version
+FROM v1 ANTI JOIN v0 USING (o_orderkey)
+UNION ALL
+SELECT v0.o_orderkey, v0.o_orderstatus, v0.o_totalprice,
+       'delete', 1
+FROM v0 ANTI JOIN v1 USING (o_orderkey)
+UNION ALL
+SELECT v0.o_orderkey, v0.o_orderstatus, v0.o_totalprice,
+       'update_preimage', 1
+FROM v0 JOIN chg USING (o_orderkey)
+UNION ALL
+SELECT v1.o_orderkey, v1.o_orderstatus, v1.o_totalprice,
+       'update_postimage', 1
+FROM v1 JOIN chg USING (o_orderkey)
+"""
+
+
 def _q_zorder_roundtrip_lineitem(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Z-order layout rewrite round-trip (operators/layout.py, round 9):
@@ -6401,6 +6464,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-9 additions: published cleaning-rule families --------------
     "c4_clean_docs": _q_c4_clean_docs,
     "gopher_gates_docs": _q_gopher_gates_docs,
+    # -- round-9 addition: CDF over the versioned table --------------------
+    "table_changes_orders": _q_table_changes_orders,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6664,6 +6729,7 @@ ORACLES: dict[str, str] = {
     "zorder_roundtrip_lineitem": _ORACLE_ZORDER_ROUNDTRIP,
     "c4_clean_docs": _ORACLE_C4_CLEAN,
     "gopher_gates_docs": _ORACLE_GOPHER_GATES,
+    "table_changes_orders": _ORACLE_TABLE_CHANGES,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),

@@ -134,3 +134,28 @@ def test_compact_empty_table_raises(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "etbl"))
     with pytest.raises(ValueError, match="no versions"):
         t.compact()
+
+
+def test_table_changes_cdf_shape(spark, tmp_path):
+    from legend_community_delta_spark.sources.versioned import (
+        table_changes)
+    t = VersionedTable(spark, str(tmp_path / "cdf"))
+    t.write(spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]))
+    # v1: delete id=3, change id=2, insert id=4
+    t.write(spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="B"), Row(id=4, v="d")]))
+
+    ch = table_changes(t, 0, 1, keys=["id"])
+    assert ch.columns == ["id", "v", "_change_type", "_commit_version"]
+    got = sorted((r["id"], r["v"], r["_change_type"]) for r in ch.collect())
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+    assert {r["_commit_version"] for r in ch.collect()} == {1}
+    # unchanged rows never appear (id=1 absent) — checked by the exact
+    # list above; CDF between identical versions is empty
+    assert table_changes(t, 1, 1, keys=["id"]).count() == 0
