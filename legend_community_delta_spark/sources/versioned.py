@@ -110,6 +110,41 @@ class VersionedTable:
         merged = self.read(latest).unionByName(df, allowMissingColumns=True)
         return self.write(merged, "APPEND")
 
+    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Idempotent micro-batch append for Structured Streaming sinks
+        (the ``writeStream.format("delta")`` analog):
+
+        ::
+
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: vt.append_batch(bdf, bid)).start()
+
+        Every commit records its ``batch_id``; a REPLAYED batch (same
+        id as any earlier ``STREAM_APPEND`` commit) is a no-op
+        returning ``None``, so the at-least-once delivery
+        ``foreachBatch`` gives after a restart becomes exactly-once
+        table content — the same transactional-sink idea Delta's
+        ``txnVersion``/``txnAppId`` options implement.
+
+        Scale: the batch writes ONLY ITS OWN rows as a SEGMENT version
+        (``segment: true`` in the commit); :meth:`read` assembles the
+        latest full snapshot plus every later segment — Delta's
+        add-file log in miniature.  A per-batch full-table rewrite
+        (what :meth:`append` does) would be O(table) every trigger;
+        this is O(batch).  Run :meth:`compact` periodically to fold
+        segments back into one snapshot.
+        """
+        seen = {c.get("batch_id") for c in self._commits()
+                if c.get("operation") == "STREAM_APPEND"}
+        if batch_id in seen:
+            return None
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        df.write.mode("errorifexists").parquet(f"{self.path}/v={version}")
+        self._commit(version, "STREAM_APPEND",
+                     {"batch_id": int(batch_id), "segment": True})
+        return version
+
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """Row-level upsert: matched keys replaced, new keys inserted —
         as a NEW version (the old snapshot stays queryable)."""
@@ -125,7 +160,13 @@ class VersionedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read a snapshot (``VERSION AS OF``); latest when *version* is
-        omitted."""
+        omitted.
+
+        A full-snapshot version reads one directory.  When streaming
+        segments (:meth:`append_batch`) sit on top of the last full
+        snapshot, the view at *version* is the union of that snapshot
+        (if any) and every segment up to *version* — resolved from the
+        commit LOG (metadata), never by listing data files."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError(f"versioned table at [{self.path}] is empty")
@@ -133,7 +174,15 @@ class VersionedTable:
         if not 0 <= v <= latest:
             raise ValueError(
                 f"version {v} out of range [0, {latest}] at [{self.path}]")
-        return self.spark.read.parquet(f"{self.path}/v={v}")
+        commits = {c["version"]: c for c in self._commits()}
+        if not commits.get(v, {}).get("segment"):
+            return self.spark.read.parquet(f"{self.path}/v={v}")
+        parts = []
+        for i in range(v, -1, -1):
+            parts.append(f"{self.path}/v={i}")
+            if not commits.get(i, {}).get("segment"):
+                break
+        return self.spark.read.parquet(*parts)
 
     def history(self) -> DataFrame:
         """``DESCRIBE HISTORY`` analogue: one row per version, newest
@@ -155,6 +204,14 @@ class VersionedTable:
         if latest is None:
             return []
         cutoff = latest - max(keep_last, 1) + 1
+        # a kept version that is a streaming SEGMENT still needs every
+        # older version down to (and including) its full-snapshot base —
+        # lower the cutoff so the chain stays readable
+        commits = {c["version"]: c for c in self._commits()}
+        base = cutoff
+        while base > 0 and commits.get(base, {}).get("segment"):
+            base -= 1
+        cutoff = min(cutoff, base)
         dropped = []
         for c in self._commits():
             v = c["version"]

@@ -159,3 +159,39 @@ def test_table_changes_cdf_shape(spark, tmp_path):
     # unchanged rows never appear (id=1 absent) — checked by the exact
     # list above; CDF between identical versions is empty
     assert table_changes(t, 1, 1, keys=["id"]).count() == 0
+
+
+def test_stream_append_batches_are_segments_and_idempotent(spark,
+                                                           tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "seg"))
+    assert t.append_batch(spark.createDataFrame([Row(id=1)]), 0) == 0
+    assert t.append_batch(spark.createDataFrame([Row(id=2)]), 1) == 1
+    # replay of batch 1 (at-least-once delivery) is a committed no-op
+    assert t.append_batch(spark.createDataFrame([Row(id=2)]), 1) is None
+    assert t.append_batch(spark.createDataFrame([Row(id=3)]), 2) == 2
+    assert _rows(t.read()) == [(1,), (2,), (3,)]
+    # every segment version is itself a consistent prefix view
+    assert _rows(t.read(1)) == [(1,), (2,)]
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops == ["STREAM_APPEND"] * 3
+    # segments write O(batch): version dirs hold only their own rows
+    seg = spark.read.parquet(str(tmp_path / "seg" / "v=1"))
+    assert _rows(seg) == [(2,)]
+
+
+def test_stream_segments_fold_and_vacuum_safely(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "segv"))
+    t.write(spark.createDataFrame([Row(id=1)]))           # v0 full
+    t.append_batch(spark.createDataFrame([Row(id=2)]), 0)  # v1 segment
+    t.append_batch(spark.createDataFrame([Row(id=3)]), 1)  # v2 segment
+    assert _rows(t.read()) == [(1,), (2,), (3,)]
+    # vacuum keeping only the tip must keep the whole segment chain
+    assert t.vacuum(keep_last=1) == []
+    assert _rows(t.read()) == [(1,), (2,), (3,)]
+    # compact folds the chain into one full snapshot; vacuum can then
+    # really drop the old chain
+    v = t.compact(target_files=1)
+    assert _rows(t.read(v)) == [(1,), (2,), (3,)]
+    dropped = t.vacuum(keep_last=1)
+    assert dropped == [0, 1, 2]
+    assert _rows(t.read()) == [(1,), (2,), (3,)]
