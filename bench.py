@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "zorder_skipping_stats",
     "c4_clean_docs",
     "gopher_gates_docs",
+    "table_changes_orders",
 ]
 
 
