@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "c4_clean_docs",
     "gopher_gates_docs",
     "table_changes_orders",
+    "stream_table_appends",
 ]
 
 

@@ -6270,6 +6270,48 @@ FROM v1 JOIN chg USING (o_orderkey)
 """
 
 
+def _q_stream_table_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming table sink (sources/versioned.py
+    :meth:`append_batch`, round 9 — the ``writeStream.format("delta")``
+    analog): documents split into 4 source files, streamed one file
+    per trigger through ``foreachBatch`` into a VersionedTable (each
+    micro-batch lands as an O(batch) SEGMENT version), then batch 0 is
+    maliciously re-delivered after the query finishes — the replay is
+    a committed no-op, so the final table equals the corpus exactly.
+    Full value oracle: per-source counts/chars over documents; the
+    segment/vacuum/compact mechanics are pinned in
+    tests/test_versioned.py."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    from .sources.versioned import VersionedTable
+    tmp = tempfile.mkdtemp(prefix="legend_vt_stream_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    docs = spark.table("documents").select("doc_id", "source", "text")
+    docs.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
+    vt = VersionedTable(spark, f"{tmp}/tbl")
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(lambda bdf, bid: vt.append_batch(bdf, bid))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    # at-least-once redelivery: replaying an already-committed batch id
+    # must change nothing
+    assert vt.append_batch(docs.limit(5), 0) is None
+    return (vt.read().groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("sum_chars")))
+
+
+_ORACLE_STREAM_TABLE_APPENDS = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(length(text)) AS sum_chars
+FROM documents GROUP BY source
+"""
+
+
 def _q_zorder_roundtrip_lineitem(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Z-order layout rewrite round-trip (operators/layout.py, round 9):
@@ -6466,6 +6508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_gates_docs": _q_gopher_gates_docs,
     # -- round-9 addition: CDF over the versioned table --------------------
     "table_changes_orders": _q_table_changes_orders,
+    # -- round-9 addition: exactly-once streaming table sink ---------------
+    "stream_table_appends": _q_stream_table_appends,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -6730,6 +6774,7 @@ ORACLES: dict[str, str] = {
     "c4_clean_docs": _ORACLE_C4_CLEAN,
     "gopher_gates_docs": _ORACLE_GOPHER_GATES,
     "table_changes_orders": _ORACLE_TABLE_CHANGES,
+    "stream_table_appends": _ORACLE_STREAM_TABLE_APPENDS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
     "embedding_dedup_pairs": _embedding_dedup_oracle(),
