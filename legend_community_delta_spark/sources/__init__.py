@@ -46,5 +46,10 @@ def write_table(df: DataFrame, table: str, mode: str = "append",
     writer.saveAsTable(table)
 
 
-from .versioned import VersionedTable  # noqa: E402,F401 — re-export: the
-# no-Delta time-travel/history/merge surface (see sources/versioned.py)
+from .versioned import (  # noqa: E402,F401 — re-export: the no-Delta
+    # time-travel/history/merge/CDF surface (see sources/versioned.py)
+    VersionedTable,
+    diff_versions,
+    snapshot_diff,
+    table_changes,
+)
