@@ -6307,7 +6307,7 @@ def _q_stream_table_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_STREAM_TABLE_APPENDS = """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(length(text)) AS sum_chars
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source
 """
 
@@ -6341,9 +6341,9 @@ def _q_zorder_roundtrip_lineitem(spark: SparkSession,
 _ORACLE_ZORDER_ROUNDTRIP = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
-       SUM(l_orderkey) AS sum_orderkey,
-       SUM(l_partkey) AS sum_partkey,
-       SUM(l_suppkey) AS sum_suppkey
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(SUM(l_partkey) AS BIGINT) AS sum_partkey,
+       CAST(SUM(l_suppkey) AS BIGINT) AS sum_suppkey
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """

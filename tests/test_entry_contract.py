@@ -32,11 +32,14 @@ def test_entry_contract(spark):
     # round 7: minhash/simhash/embedding_dedup pairs moved to full
     # oracles via the md5-portable signature mode; round 8:
     # wordpiece_token_stats moved to a full oracle (recursive-CTE
-    # greedy walk), leaving only the genuinely iterative/approximate
+    # greedy walk); round 9 adds zorder_skipping_stats (a physical
+    # file-layout metric no SQL over the logical table can express),
+    # leaving only the genuinely iterative/approximate/physical
     assert rows_only == {"lsh_ann_topk",
                          "lsh_index_topk", "ivf_index_topk",
                          "pq_ann_topk", "semdedup_pairs",
                          "semantic_contamination_pairs",
                          "events_sketch_stats",
                          "bpe_merge_table", "bpe_token_stats",
-                         "unigram_vocab", "unigram_token_stats"}
+                         "unigram_vocab", "unigram_token_stats",
+                         "zorder_skipping_stats"}
