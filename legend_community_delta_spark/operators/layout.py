@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "sample_cut_points",
+    "sample_cut_points_multi",
     "bucket_code",
     "zorder_key",
     "cluster_by_zorder",
@@ -65,25 +66,37 @@ def sample_cut_points(df: DataFrame, col: str, buckets: int,
     collect stays metadata-sized (~``sample_rows`` values) no matter
     how large the table is; nulls are excluded (they map to bucket 0).
     """
+    return sample_cut_points_multi(df, [col], buckets, sample_rows,
+                                   seed)[col]
+
+
+def sample_cut_points_multi(df: DataFrame, cols: list[str], buckets: int,
+                            sample_rows: int = 20_000,
+                            seed: int = 42) -> dict[str, list]:
+    """Cut points for SEVERAL columns from ONE sampling pass — the
+    clustering rewrite calls this so cut-point discovery costs one
+    count + one sample job total, not one of each per column.
+    Returns ``{col: cuts}``; see :func:`sample_cut_points`."""
     if buckets < 2:
-        return []
+        return {c: [] for c in cols}
     # count(*) over a parquet scan is footer-driven (Spark's
     # LocalLimit/aggregate pushdown), so this is metadata-cost even on
     # a 100 TB table; the sample itself is one distributed pass.
     n = df.count()
     frac = min(1.0, sample_rows / max(n, 1))
-    vals = [r[0] for r in
-            df.select(col).where(F.col(col).isNotNull())
-              .sample(fraction=frac, seed=seed).collect()]
-    if not vals:
-        return []
-    vals.sort()
-    cuts = []
-    for i in range(1, buckets):
-        c = vals[min(len(vals) - 1, (i * len(vals)) // buckets)]
-        if not cuts or c > cuts[-1]:
-            cuts.append(c)
-    return cuts
+    sampled = df.select(*cols).sample(fraction=frac, seed=seed).collect()
+    out: dict[str, list] = {}
+    for c in cols:
+        vals = sorted(r[c] for r in sampled if r[c] is not None)
+        cuts: list = []
+        for i in range(1, buckets):
+            if not vals:
+                break
+            v = vals[min(len(vals) - 1, (i * len(vals)) // buckets)]
+            if not cuts or v > cuts[-1]:
+                cuts.append(v)
+        out[c] = cuts
+    return out
 
 
 def bucket_code(col: Column | str, cuts: list) -> Column:
@@ -149,9 +162,11 @@ def cluster_by_zorder(df: DataFrame, cols: list[str],
     if not cols:
         raise ValueError("cluster_by_zorder needs at least one column")
     buckets = 1 << bits
+    all_cuts = sample_cut_points_multi(df, cols, buckets, sample_rows,
+                                       seed)
     codes = []
     for c in cols:
-        cuts = sample_cut_points(df, c, buckets, sample_rows, seed)
+        cuts = all_cuts[c]
         code = bucket_code(c, cuts)
         # Scale every column's code to the SAME bit width: a column with
         # few distinct values (say 10) otherwise only populates its low
