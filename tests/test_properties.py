@@ -901,3 +901,62 @@ def test_cleaning_fuzz_spark_equals_duckdb(spark, docs):
         tuple(r[c] for c in gcols) for r in gopher_gates(sdf).collect())
     want_g = _clean_canon(con.execute(_GOPHER_FUZZ_SQL).fetchall())
     assert got_g == want_g
+
+
+# ---------------------------------------------------------------------------
+# property 18: cluster_by_zorder end-to-end on arbitrary frames (round 9)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _zcluster_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = [(draw(st.one_of(st.none(),
+                            st.integers(min_value=-100, max_value=100))),
+             draw(st.sampled_from(["aa", "bb", "cc", "zz"])),
+             i)
+            for i in range(n)]
+    bits = draw(st.sampled_from([1, 3, 6]))
+    files = draw(st.integers(min_value=1, max_value=3))
+    return rows, bits, files
+
+
+@settings(max_examples=10, deadline=None)
+@given(case=_zcluster_frames())
+def test_zorder_cluster_fuzz_end_to_end(spark, case, tmp_path_factory):
+    """End-to-end fuzz of the layout rewrite: for arbitrary frames
+    (nulls, negatives, strings, single-row, constant columns) the
+    clustered output preserves the row multiset exactly, and the
+    parquet footers' per-file [min, max] really bound every row in
+    that file (the invariant all pruning soundness rests on)."""
+    from legend_community_delta_spark.operators.layout import (
+        cluster_by_zorder, file_skipping_stats)
+    rows, bits, files = case
+    df = spark.createDataFrame(rows, "a long, s string, id long")
+    out = cluster_by_zorder(df, ["a", "s"], target_files=files,
+                            bits=bits, sample_rows=50)
+    none_safe = lambda r: ((r[0] is None, r[0]), r[1], r[2])  # noqa: E731
+    assert (sorted(map(tuple, out.collect()), key=none_safe)
+            == sorted(map(tuple, rows), key=none_safe))
+    path = str(tmp_path_factory.mktemp("zfuzz"))
+    out.write.mode("overwrite").parquet(path)
+    stats = {(r["file"], r["col"]): r for r in
+             file_skipping_stats(spark, path, ["a", "s"]).collect()}
+    from pyspark.sql import functions as F
+    truth = (spark.read.parquet(path)
+             .groupBy(F.input_file_name().alias("f"))
+             .agg(F.min("a").alias("amn"), F.max("a").alias("amx"),
+                  F.min("s").alias("smn"), F.max("s").alias("smx"))
+             .collect())
+    for t in truth:
+        fa = [v for (f, c), v in stats.items()
+              if f == t["f"].replace("file://", "").replace("file:", "")
+              and c == "a"]
+        fs = [v for (f, c), v in stats.items()
+              if f == t["f"].replace("file://", "").replace("file:", "")
+              and c == "s"]
+        assert fa and fs
+        if t["amn"] is not None:           # all-null files carry no bound
+            assert int(fa[0]["min_value"]) <= t["amn"]
+            assert int(fa[0]["max_value"]) >= t["amx"]
+        assert fs[0]["min_value"] <= t["smn"]
+        assert fs[0]["max_value"] >= t["smx"]
