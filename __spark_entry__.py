@@ -132,4 +132,12 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
                              "not expressible as SQL over the logical "
                              "table.  Invariants pinned in "
                              "tests/test_layout.py.",
+    # round 10: first contract surface for the multimodal subsystem
+    "media_decode_stats": "Synthetic-media decode round-trip: payload "
+                          "bytes and pixel math are not expressible as "
+                          "DuckDB SQL over the contract's parquet "
+                          "tables; exact pixel/sample round-trips and "
+                          "the aggregates' expected values pinned vs "
+                          "an independent numpy recompute in "
+                          "tests/test_mediagen.py.",
 }

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "gopher_gates_docs",
     "table_changes_orders",
     "stream_table_appends",
+    # round-10 addition: multimodal decode contract surface
+    "media_decode_stats",
 ]
 
 
@@ -188,19 +190,38 @@ def main() -> None:
 
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+
+    def run_pass(timings: dict[str, float]) -> None:
+        """One full sweep; merges per-query min into *timings*."""
+        for name in BENCH_QUERIES:
+            fn = demo.QUERIES[name]
+            best = timings.get(name)
+            for _ in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
+            if verbose:
+                print(f"  {name}: {timings[name]}s", file=sys.stderr,
+                      flush=True)
+
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = demo.QUERIES[name]
-        best = None
-        for _ in range(max(repeats, 1)):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        if verbose:
-            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    run_pass(timings)
+    retry_load: float | None = None
+    if contended:
+        # the round-9 lesson: a run that started contended is a noisy
+        # upper bound (BENCH_HISTORY shows 111.8 s vs 336.6 s on
+        # adjacent runs of the same code).  Wait for idle once more
+        # (longer budget — the first gate already burned its 90 s) and
+        # sweep again, folding per-query MINs; the run only stays
+        # marked contended if the retry ALSO started contended.
+        retry_load, still = _await_idle(
+            max_wait=float(os.environ.get("BENCH_LOAD_RETRY_WAIT",
+                                          "300")))
+        run_pass(timings)
+        contended = contended and still
 
     total = round(sum(timings.values()), 3)
     # Full per-query detail always lands in BENCH_DETAIL.json next to
@@ -229,6 +250,11 @@ def main() -> None:
         "cpus": CPUS,
         "contended": contended,
     }
+    if retry_load is not None:
+        # the first pass started contended and a second full pass ran
+        # after re-awaiting idle; per-query numbers are min across both
+        stamp["retry_pass"] = True
+        stamp["load_1m_retry_start"] = retry_load
     payload_full = {"metric": "bench_total_sec", "value": total,
                     "unit": "sec", "queries": timings, "sf": SF_DIR,
                     "run": stamp}

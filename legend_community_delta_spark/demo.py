@@ -6134,12 +6134,22 @@ SELECT doc_id,
        CAST(length(clean_text)
             - length(regexp_replace(clean_text, '[.!?]', '', 'g'))
             AS INT) AS n_sentences,
-       contains(lower(text), 'lorem ipsum') AS has_blocklist,
+       (contains(lower(text), 'lorem ipsum')
+        OR contains(lower(text), 'terms of use')
+        OR contains(lower(text), 'privacy policy')
+        OR contains(lower(text), 'cookie policy')
+        OR contains(lower(text), 'uses cookies')
+        OR contains(lower(text), 'use of cookies')) AS has_blocklist,
        contains(text, '{') AS has_brace,
        (len(kept) > 0
         AND length(clean_text)
             - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 0
-        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT (contains(lower(text), 'lorem ipsum')
+                 OR contains(lower(text), 'terms of use')
+                 OR contains(lower(text), 'privacy policy')
+                 OR contains(lower(text), 'cookie policy')
+                 OR contains(lower(text), 'uses cookies')
+                 OR contains(lower(text), 'use of cookies'))
         AND NOT contains(text, '{')) AS keep_doc,
        clean_text
 FROM c
@@ -6376,6 +6386,55 @@ def _q_zorder_skipping_stats(spark: SparkSession,
     return eff_p.unionByName(eff_s)
 
 
+def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract surface for the multimodal decode subsystem
+    (operators/multimodal.py + operators/mediagen.py, round 10): a
+    deterministic seed -> pixels/samples -> encode -> DISTRIBUTED
+    decode round-trip, aggregated per format.  40 synthetic payloads
+    (8 each of bmp/png/ppm/gif/wav, every byte a pure integer formula
+    of the media_id) flow through probe_media + decode_images +
+    audio_features over real multi-partition Arrow batches.  Rows-only
+    by nature: payload bytes and pixel math are not expressible as
+    DuckDB SQL over the contract's parquet tables; exact pixel/sample
+    round-trips and these aggregates' expected values are pinned
+    against an independent numpy recompute in tests/test_mediagen.py.
+    *sf_dir* is unused — the media table is synthesized in-query
+    (metadata-sized)."""
+    from .operators.mediagen import synth_media_table
+    from .operators.multimodal import (audio_features, decode_images,
+                                       probe_media)
+    media = synth_media_table(spark, per_format=8)
+    probe = (probe_media(media)
+             .select("media_id", F.col("kind").alias("probe_kind"),
+                     F.col("format").alias("probe_format"),
+                     F.col("decode_error").alias("probe_error")))
+    img_level = decode_images(media.where(F.col("fmt") != "wav")).select(
+        "media_id", "width", "height",
+        F.round(F.aggregate("channel_means", F.lit(0.0),
+                            lambda acc, x: acc + x)
+                / F.col("channels"), 3).alias("level"),
+        "decode_error")
+    aud_level = audio_features(media.where(F.col("fmt") == "wav")).select(
+        "media_id", F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.round("rms", 3).alias("level"), "decode_error")
+    decoded = img_level.unionByName(aud_level)
+    joined = (media.select("media_id", "fmt")
+              .join(probe, "media_id").join(decoded, "media_id"))
+    return (joined.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("probe_error").isNotNull().cast("long"))
+        .alias("n_probe_err"),
+        F.sum(F.col("decode_error").isNotNull().cast("long"))
+        .alias("n_decode_err"),
+        F.max("probe_kind").alias("probe_kind"),
+        F.countDistinct("probe_format").alias("n_probe_formats"),
+        F.max("width").alias("width"),
+        F.max("height").alias("height"),
+        F.round(F.avg("level"), 3).alias("avg_level"))
+        .orderBy("fmt"))
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -6510,6 +6569,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_changes_orders": _q_table_changes_orders,
     # -- round-9 addition: exactly-once streaming table sink ---------------
     "stream_table_appends": _q_stream_table_appends,
+    # -- round-10 addition: multimodal decode contract surface -------------
+    "media_decode_stats": _q_media_decode_stats,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,

@@ -227,6 +227,14 @@ def file_skipping_stats(spark: SparkSession, path: str,
                        for i in range(meta.num_columns)}
                 for c in want:
                     if c not in idx:
+                        # a file written before the column existed
+                        # (schema evolution / allowMissingColumns
+                        # appends): emit a NULL-stats row so pruning
+                        # keeps it CONSERVATIVELY — dropping the row
+                        # would silently exclude the file from
+                        # read_with_file_skipping's kept list
+                        rows.append((fname, meta.num_rows, c, None,
+                                     None))
                         continue
                     lo = hi = None
                     for rg in range(meta.num_row_groups):
@@ -249,20 +257,35 @@ def file_skipping_stats(spark: SparkSession, path: str,
         _footers, schema=schema)
 
 
-def prunable_files(stats: DataFrame, col: str, lo, hi) -> DataFrame:
+def _skip_expr(lo, hi, numeric: bool) -> Column:
+    """The one shared footer-skip predicate: TRUE iff a file's
+    [min_value, max_value] provably misses [lo, hi].  NULL stats (no
+    footer min/max, or the column absent from that file) are never
+    skippable — pruning stays a superset guarantee.  With
+    ``numeric=True`` (the default everywhere) the footer's string
+    rendering is cast to double first, because string order disagrees
+    with numeric order ("100" < "20")."""
+    if numeric:
+        mn = F.col("min_value").cast("double")
+        mx = F.col("max_value").cast("double")
+        lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
+    else:
+        mn, mx = F.col("min_value"), F.col("max_value")
+        lo_l, hi_l = F.lit(str(lo)), F.lit(str(hi))
+    return mn.isNotNull() & ((mx < lo_l) | (mn > hi_l))
+
+
+def prunable_files(stats: DataFrame, col: str, lo, hi,
+                   numeric: bool = True) -> DataFrame:
     """Files a range predicate ``col BETWEEN lo AND hi`` can SKIP:
     every file whose footer [min, max] does not intersect [lo, hi].
-    Comparison is on the footer's string rendering, so pass *lo* / *hi*
-    already rendered the same way (str(value)); numeric callers should
-    prefer fixed-width values or use :func:`skipping_effectiveness`
-    which handles the casting.
+    ``numeric=True`` (default, like every sibling) casts the footer's
+    string rendering to double before comparing; pass ``numeric=False``
+    only for genuinely string-ordered columns.
     """
     s = stats.where(F.col("col") == col)
-    return s.where(
-        F.col("min_value").isNotNull()
-        & ((F.col("max_value") < F.lit(str(lo)))
-           | (F.col("min_value") > F.lit(str(hi))))
-    ).select("file", "rows", "min_value", "max_value")
+    return s.where(_skip_expr(lo, hi, numeric)) \
+            .select("file", "rows", "min_value", "max_value")
 
 
 def skipping_effectiveness(stats: DataFrame, col: str, lo, hi,
@@ -273,14 +296,7 @@ def skipping_effectiveness(stats: DataFrame, col: str, lo, hi,
     to double before comparing (string order != numeric order).
     """
     s = stats.where(F.col("col") == col)
-    if numeric:
-        mn = F.col("min_value").cast("double")
-        mx = F.col("max_value").cast("double")
-        lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
-    else:
-        mn, mx = F.col("min_value"), F.col("max_value")
-        lo_l, hi_l = F.lit(str(lo)), F.lit(str(hi))
-    skip = mn.isNotNull() & ((mx < lo_l) | (mn > hi_l))
+    skip = _skip_expr(lo, hi, numeric)
     return s.agg(
         F.first(F.lit(col)).alias("col"),
         F.count(F.lit(1)).alias("files_total"),
@@ -308,14 +324,7 @@ def prunable_files_multi(stats: DataFrame,
     out = None
     for col, (lo, hi) in predicates.items():
         s = stats.where(F.col("col") == col)
-        if numeric:
-            mn = F.col("min_value").cast("double")
-            mx = F.col("max_value").cast("double")
-            lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
-        else:
-            mn, mx = F.col("min_value"), F.col("max_value")
-            lo_l, hi_l = F.lit(str(lo)), F.lit(str(hi))
-        miss = s.where(mn.isNotNull() & ((mx < lo_l) | (mn > hi_l))) \
+        miss = s.where(_skip_expr(lo, hi, numeric)) \
                 .select("file", "rows")
         out = miss if out is None else out.unionByName(miss)
     return out.dropDuplicates(["file"])
@@ -333,15 +342,11 @@ def read_with_file_skipping(spark: SparkSession, path: str,
     the collect here is the same class as Delta's own file pruning.
     """
     s = stats.where(F.col("col") == col)
-    if numeric:
-        mn = F.col("min_value").cast("double")
-        mx = F.col("max_value").cast("double")
-        lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
-    else:
-        mn, mx = F.col("min_value"), F.col("max_value")
-        lo_l, hi_l = F.lit(str(lo)), F.lit(str(hi))
-    keep = mn.isNull() | ~((mx < lo_l) | (mn > hi_l))
-    kept = [r["file"] for r in s.where(keep).select("file").collect()]
+    kept = [r["file"] for r in s.where(~_skip_expr(lo, hi, numeric))
+            .select("file").collect()]
     if not kept:
         return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(*kept)
+    # mergeSchema: kept files may straddle a schema evolution (older
+    # segments without the predicate column are kept conservatively);
+    # merging is one footer pass over the kept files only
+    return spark.read.option("mergeSchema", "true").parquet(*kept)

@@ -1,0 +1,206 @@
+"""Deterministic synthetic media generation: seed -> pixels/samples ->
+encoded BMP / PNG / PPM / GIF / WAV payloads, entirely stdlib + numpy.
+
+Why this exists: the engine's multimodal decode path
+(:mod:`.multimodal` — BMP/PNM/PNG/JPEG/GIF/WebP/WAV/Y4M/MP4) is pinned
+by a large unit suite, but the driver's contract tables carry no media
+column, so without a generator the decode subsystem would have no
+contract surface at all.  These encoders produce SMALL, fully
+deterministic payloads from an integer seed — the round-trip
+(synth pixels -> encode -> distributed decode -> aggregate) then
+becomes a contract query whose expected values an independent test can
+recompute from the pixel formula alone.
+
+The generators are also the honest stand-in the multimodal docs promise
+for environments without image/audio libraries: a "deterministic fake"
+payload factory with real Spark-side plumbing (schema, partitioning,
+Arrow batch shape).
+
+Reference parity: the reference repo has no media path at all
+(finos/legend-community-delta is a metadata compiler); this module is
+part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "synth_pixels",
+    "synth_samples",
+    "encode_bmp",
+    "encode_png",
+    "encode_ppm",
+    "encode_gif",
+    "encode_wav",
+    "synth_media_rows",
+    "synth_media_table",
+]
+
+
+def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pixels (h, w, 3) uint8: a pure integer formula
+    over (seed, y, x, channel) — no RNG state, so ANY independent
+    implementation (tests, oracles) reproduces it exactly."""
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((seed * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+
+def synth_samples(seed: int, n: int) -> np.ndarray:
+    """Deterministic int16 PCM samples: same integer-formula idea
+    (values in [-2048, 2047] so 16-bit round-trips are exact)."""
+    i = np.arange(n, dtype=np.int64)
+    return (((seed * 131 + i * 17) % 4096) - 2048).astype(np.int16)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """24-bit uncompressed BI_RGB (bottom-up, BGR, 4-byte row pad)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in px[::-1]:
+        line = row[:, ::-1].tobytes()            # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """8-bit RGB PNG, filter 0 on every scanline."""
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Binary P6 PPM."""
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+class _LSBWriter:
+    """LSB-first bit packer for GIF's LZW sub-block stream."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, code: int, width: int) -> None:
+        for i in range(width):
+            self.bits.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """Single-frame GIF89a with a global palette built from the image's
+    distinct colors (so inputs must stay <= 256 colors — the synthetic
+    generator quantizes first).  LZW stream is the always-valid minimal
+    form: a CLEAR code before the decoder's table would grow past the
+    initial width, literals otherwise."""
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(colors)}")
+    bits = max(2, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[:len(colors)] = colors
+    mcs = bits
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    room = (1 << (mcs + 1)) - (clear + 2)   # codes before width would bump
+    wtr = _LSBWriter()
+    wtr.write(clear, mcs + 1)
+    since = 0
+    for v in inverse:
+        if since == room:
+            wtr.write(clear, mcs + 1)
+            since = 0
+        wtr.write(int(v), mcs + 1)
+        since += 1
+    wtr.write(eoi, mcs + 1)
+    data = wtr.tobytes()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes()
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+    out += bytes([mcs])                          # LZW minimum code size
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + 255]
+        out += bytes([len(chunk)]) + chunk
+        pos += 255
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000,
+               nch: int = 1) -> bytes:
+    """16-bit PCM RIFF/WAVE (interleaved when *nch* > 1; *samples* is
+    already interleaved frame-major)."""
+    raw = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+
+
+def synth_media_rows(per_format: int = 8, width: int = 16,
+                     height: int = 12,
+                     wav_frames: int = 4000) -> list[tuple]:
+    """Deterministic (media_id, fmt, payload) tuples: *per_format*
+    payloads each of bmp/png/ppm/gif/wav.  media_id doubles as the
+    pixel/sample seed; GIF pixels are quantized to 3 bits/channel so
+    the palette stays within 256 colors.  Metadata-sized by design —
+    the contract entry builds ~40 payloads of a few hundred bytes."""
+    rows: list[tuple] = []
+    mid = 0
+    for fmt in ("bmp", "png", "ppm", "gif", "wav"):
+        for _ in range(per_format):
+            if fmt == "wav":
+                payload = encode_wav(synth_samples(mid, wav_frames))
+            else:
+                px = synth_pixels(mid, width, height)
+                if fmt == "gif":
+                    px = (px & 0xE0) | 0x10      # 3 bits/chan, mid-bias
+                payload = {"bmp": encode_bmp, "png": encode_png,
+                           "ppm": encode_ppm, "gif": encode_gif}[fmt](px)
+            rows.append((mid, fmt, bytearray(payload)))
+            mid += 1
+    return rows
+
+
+def synth_media_table(spark: SparkSession, per_format: int = 8,
+                      width: int = 16, height: int = 12,
+                      wav_frames: int = 4000) -> DataFrame:
+    """The synthetic media table as a DataFrame
+    ``(media_id long, fmt string, payload binary)``, repartitioned so
+    the decode UDFs exercise real multi-partition Arrow batching."""
+    rows = synth_media_rows(per_format, width, height, wav_frames)
+    df = spark.createDataFrame(
+        rows, "media_id long, fmt string, payload binary")
+    return df.repartition(4, "media_id")

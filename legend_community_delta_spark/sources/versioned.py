@@ -23,10 +23,13 @@ a JSON commit log, Delta-style in miniature:
 * ``merge`` reads the latest snapshot, anti-joins, and writes the next
   snapshot — row-level upsert semantics with full lineage retained.
 
-This is NOT Delta (no concurrent-writer protocol, no file-level data
-skipping); it is the honest standalone re-expression of the reference's
-time-travel surface for environments without the Delta runtime.  When
-delta-spark IS importable, prefer :mod:`sources.tables`' Delta paths.
+This is NOT Delta (single-writer by design — a commit RACE now fails
+loudly with :class:`ConcurrentWriteError` rather than losing a version,
+but there is no retry/reconcile protocol; file-level data skipping
+lives in :mod:`..operators.layout`); it is the honest standalone
+re-expression of the reference's time-travel surface for environments
+without the Delta runtime.  When delta-spark IS importable, prefer
+:mod:`sources.tables`' Delta paths.
 """
 
 from __future__ import annotations
@@ -36,6 +39,12 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced to commit the same version; the loser raises
+    this instead of silently replacing the winner's commit (the log
+    stays linear — Delta's ConcurrentAppendException analog)."""
 
 
 class VersionedTable:
@@ -75,9 +84,36 @@ class VersionedTable:
         tmp = f"{self._log_dir}/.{version:06d}.json.tmp"
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
-        # atomic rename = the commit point (single-writer assumption,
-        # like tables.merge_upsert's parquet fallback)
-        os.replace(tmp, f"{self._log_dir}/{version:06d}.json")
+        # hard-link into place: O_EXCL-style commit point, so TWO
+        # writers racing to the same version make the LOSER raise
+        # (FileExistsError) instead of silently replacing version N —
+        # the log stays linear (Delta's optimistic-concurrency commit
+        # in miniature; os.replace would paper over the race)
+        final = f"{self._log_dir}/{version:06d}.json"
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"version {version} at [{self.path}] was committed by "
+                "a concurrent writer; re-read latest_version() and "
+                "retry") from None
+        os.unlink(tmp)
+
+    def _clear_orphan(self, version: int) -> None:
+        """Crash recovery: a ``v=N`` data directory WITHOUT a matching
+        commit entry is an orphan from a write that died between the
+        parquet write and the commit point.  Deleting it before
+        re-writing version N makes retried writes (e.g. a replayed
+        ``foreachBatch`` after a restart) succeed instead of wedging
+        forever on ``errorifexists`` — data dirs are only visible to
+        readers through the commit log, so removing an uncommitted one
+        is safe."""
+        import shutil
+        snap = f"{self.path}/v={version}"
+        if os.path.isdir(snap) and not os.path.isfile(
+                f"{self._log_dir}/{version:06d}.json"):
+            shutil.rmtree(snap)
 
     # -- writes -----------------------------------------------------------
 
@@ -92,6 +128,7 @@ class VersionedTable:
         :mod:`..operators.layout`'s file-level min/max skipping."""
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
+        self._clear_orphan(version)
         w = df.write.mode("errorifexists")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -102,13 +139,32 @@ class VersionedTable:
         self._commit(version, operation, m)
         return version
 
-    def append(self, df: DataFrame) -> int:
-        """Append rows: next snapshot = previous snapshot ∪ *df*."""
+    def _write_segment(self, df: DataFrame, operation: str,
+                       meta: dict) -> int:
+        """Commit *df* as a SEGMENT version: only the NEW rows hit disk
+        (O(batch)); :meth:`read` assembles base snapshot + segments
+        from the commit log.  Crash-safe against the
+        write-then-commit gap: an orphan ``v=N`` directory left by a
+        writer that died before its commit point is cleared before the
+        retry, so redelivered batches succeed instead of wedging
+        forever on ``errorifexists``."""
         latest = self.latest_version()
-        if latest is None:
+        version = 0 if latest is None else latest + 1
+        self._clear_orphan(version)
+        df.write.mode("errorifexists").parquet(f"{self.path}/v={version}")
+        self._commit(version, operation, {**meta, "segment": True})
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        """Append rows as a segment version — O(batch), not O(table):
+        the appended version's directory contains ONLY the new rows;
+        the logical snapshot at that version is previous ∪ *df*,
+        assembled by :meth:`read` from the commit log.  Run
+        :meth:`compact` periodically to fold segments back into one
+        full snapshot."""
+        if self.latest_version() is None:
             return self.write(df, "APPEND")
-        merged = self.read(latest).unionByName(df, allowMissingColumns=True)
-        return self.write(merged, "APPEND")
+        return self._write_segment(df, "APPEND", {})
 
     def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
         """Idempotent micro-batch append for Structured Streaming sinks
@@ -138,12 +194,8 @@ class VersionedTable:
                 if c.get("operation") == "STREAM_APPEND"}
         if batch_id in seen:
             return None
-        latest = self.latest_version()
-        version = 0 if latest is None else latest + 1
-        df.write.mode("errorifexists").parquet(f"{self.path}/v={version}")
-        self._commit(version, "STREAM_APPEND",
-                     {"batch_id": int(batch_id), "segment": True})
-        return version
+        return self._write_segment(df, "STREAM_APPEND",
+                                   {"batch_id": int(batch_id)})
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """Row-level upsert: matched keys replaced, new keys inserted —
@@ -182,7 +234,18 @@ class VersionedTable:
             parts.append(f"{self.path}/v={i}")
             if not commits.get(i, {}).get("segment"):
                 break
-        return self.spark.read.parquet(*parts)
+        # read each part SEPARATELY and align by name: a multi-root
+        # spark.read.parquet(*parts) breaks when the base snapshot is
+        # hive-partitioned (its partition column lives in directory
+        # names, the plain segment dirs carry it as a data column) or
+        # when segments evolved the schema — per-part reads let Spark
+        # recover each layout natively, then unionByName reconciles
+        parts.reverse()  # base snapshot first: its schema leads
+        out = self.spark.read.parquet(parts[0])
+        for p in parts[1:]:
+            out = out.unionByName(self.spark.read.parquet(p),
+                                  allowMissingColumns=True)
+        return out
 
     def history(self) -> DataFrame:
         """``DESCRIBE HISTORY`` analogue: one row per version, newest

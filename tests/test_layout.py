@@ -140,12 +140,58 @@ def test_file_stats_match_recomputed_truth(spark, lineitem, tmp_path):
     assert got == want and len(got) == 4
 
 
-def test_file_stats_missing_column_yields_no_rows(spark, lineitem,
-                                                  tmp_path):
+def test_file_stats_missing_column_yields_null_stats_row(spark, lineitem,
+                                                         tmp_path):
+    # a file that predates the column (schema evolution) must surface a
+    # NULL-stats row, so every pruning consumer KEEPS it conservatively
+    # instead of silently dropping it from the kept-file list
     path = str(tmp_path / "p")
     lineitem.limit(10).write.parquet(path)
     stats = file_skipping_stats(spark, path, ["no_such_col"])
-    assert stats.count() == 0
+    rows = stats.collect()
+    assert len(rows) >= 1
+    assert all(r["min_value"] is None and r["max_value"] is None
+               for r in rows)
+
+
+def test_skipping_read_keeps_files_missing_the_column(spark, tmp_path):
+    # two segments: old one written BEFORE the predicate column existed
+    import pandas as pd
+    path = str(tmp_path / "evo")
+    spark.createDataFrame(pd.DataFrame({"id": [1, 2]})) \
+        .write.parquet(path + "/old")
+    spark.createDataFrame(pd.DataFrame({"id": [3, 4], "q": [5, 50]})) \
+        .write.parquet(path + "/new")
+    stats = file_skipping_stats(spark, path, ["q"])
+    got = read_with_file_skipping(spark, path, stats, "q", 0, 10)
+    ids = sorted(r["id"] for r in got.collect())
+    # the old files lack q entirely -> kept conservatively (ids 1, 2
+    # present); every row actually matching the predicate survives
+    assert {1, 2, 3} <= set(ids)
+    matching = got.where(F.col("q").between(0, 10))
+    assert sorted(r["id"] for r in matching.collect()) == [3]
+
+
+def test_prunable_files_numeric_order_not_string_order(spark, tmp_path):
+    # values where lexicographic and numeric order disagree:
+    # file A holds q in [9, 15], file B in [100, 200].  String compare
+    # would call file B prunable for BETWEEN 90 AND 150 ("100" < "90")
+    # — numeric compare (the default) must keep it and prune only on
+    # true numeric misses.
+    import pandas as pd
+    path = str(tmp_path / "num")
+    spark.createDataFrame(pd.DataFrame({"q": [9, 15]})) \
+        .coalesce(1).write.parquet(path + "/a")
+    spark.createDataFrame(pd.DataFrame({"q": [100, 200]})) \
+        .coalesce(1).write.parquet(path + "/b")
+    stats = file_skipping_stats(spark, path, ["q"]).cache()
+    pruned = prunable_files(stats, "q", 90, 150).collect()
+    # only file A ([9,15]) misses [90,150]; file B intersects
+    assert len(pruned) == 1 and "/a/" in pruned[0]["file"]
+    # and the full read agrees with ground truth
+    got = read_with_file_skipping(spark, path, stats, "q", 90, 150)
+    assert sorted(r["q"] for r in got.where(F.col("q").between(90, 150))
+                  .collect()) == [100]
 
 
 # ---------------------------------------------------------------------------

@@ -54,13 +54,26 @@ def test_merge_is_row_level_and_versioned(spark, tmp_path):
 def test_vacuum_keeps_history_drops_old_snapshots(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "tbl"))
     for i in range(4):
-        t.append(spark.createDataFrame([Row(id=i)]))
+        t.write(spark.createDataFrame([Row(id=j) for j in range(i + 1)]))
     dropped = t.vacuum(keep_last=2)
     assert dropped == [0, 1]
     # history still lists everything; recent versions still readable
     assert [r["version"] for r in t.history().collect()] == [3, 2, 1, 0]
     assert len(t.read(2).collect()) == 3
     assert len(t.read(3).collect()) == 4
+
+
+def test_vacuum_protects_append_segment_chain(spark, tmp_path):
+    # appends are segments now: vacuum must keep the whole chain down
+    # to the full base snapshot until compact() folds it
+    t = VersionedTable(spark, str(tmp_path / "segchain"))
+    for i in range(4):
+        t.append(spark.createDataFrame([Row(id=i)]))
+    assert t.vacuum(keep_last=2) == []          # chain needs v0
+    assert _rows(t.read()) == [(0,), (1,), (2,), (3,)]
+    t.compact(target_files=1)                   # v4 full snapshot
+    assert t.vacuum(keep_last=1) == [0, 1, 2, 3]
+    assert _rows(t.read()) == [(0,), (1,), (2,), (3,)]
 
 
 def test_snapshot_diff_classifies_rows(spark):
@@ -195,3 +208,85 @@ def test_stream_segments_fold_and_vacuum_safely(spark, tmp_path):
     dropped = t.vacuum(keep_last=1)
     assert dropped == [0, 1, 2]
     assert _rows(t.read()) == [(1,), (2,), (3,)]
+
+
+def test_append_is_o_batch_segment(spark, tmp_path):
+    # round-10: append commits ONLY the new rows (a segment version),
+    # not a rewritten union snapshot — O(batch) like append_batch
+    t = VersionedTable(spark, str(tmp_path / "oba"))
+    t.write(spark.createDataFrame([Row(id=1), Row(id=2)]))
+    v = t.append(spark.createDataFrame([Row(id=3)]))
+    assert v == 1
+    seg = spark.read.parquet(str(tmp_path / "oba" / "v=1"))
+    assert _rows(seg) == [(3,)]                     # only the new rows
+    assert _rows(t.read()) == [(1,), (2,), (3,)]    # logical view whole
+    assert _rows(t.read(0)) == [(1,), (2,)]
+    hist = t.history().collect()
+    assert [r["operation"] for r in hist] == ["APPEND", "WRITE"]
+
+
+def test_commit_race_loser_raises_and_log_stays_linear(spark, tmp_path):
+    import json as _json
+    from legend_community_delta_spark.sources.versioned import (
+        ConcurrentWriteError)
+    t1 = VersionedTable(spark, str(tmp_path / "race"))
+    t2 = VersionedTable(spark, str(tmp_path / "race"))
+    t1.write(spark.createDataFrame([Row(id=1)]))
+    # both writers picked version 1; t1 reaches the commit point first
+    t1._commit(1, "APPEND", {"winner": True})
+    with pytest.raises(ConcurrentWriteError, match="version 1"):
+        t2._commit(1, "APPEND", {"winner": False})
+    # the winner's entry is untouched and the log is linear
+    commits = t1._commits()
+    assert [c["version"] for c in commits] == [0, 1]
+    with open(f"{t1._log_dir}/000001.json") as fh:
+        assert _json.load(fh)["winner"] is True
+    # no stray tmp file left behind by the loser
+    import os as _os
+    assert not [f for f in _os.listdir(t1._log_dir) if "tmp" in f]
+
+
+def test_orphan_version_dir_recovered_on_replay(spark, tmp_path):
+    # crash between the parquet write and the commit point leaves an
+    # orphan v=N dir; the retried batch must clear it and succeed
+    # instead of wedging forever on errorifexists
+    t = VersionedTable(spark, str(tmp_path / "orph"))
+    t.write(spark.createDataFrame([Row(id=1)]))
+    # simulate the dead writer: data landed, no commit entry
+    spark.createDataFrame([Row(id=98), Row(id=99)]) \
+        .write.parquet(str(tmp_path / "orph" / "v=1"))
+    assert t.latest_version() == 0          # orphan invisible to readers
+    v = t.append_batch(spark.createDataFrame([Row(id=2)]), batch_id=7)
+    assert v == 1
+    assert _rows(t.read()) == [(1,), (2,)]  # orphan rows are GONE
+    # same recovery on the plain-append and full-write paths
+    spark.createDataFrame([Row(id=77)]) \
+        .write.parquet(str(tmp_path / "orph" / "v=2"))
+    assert t.append(spark.createDataFrame([Row(id=3)])) == 2
+    assert _rows(t.read()) == [(1,), (2,), (3,)]
+
+
+def test_append_batch_composes_with_partitioned_base(spark, tmp_path):
+    # hive-partitioned full snapshot + plain segment dirs: read() must
+    # reconcile the partition-column-in-dirnames layout with the
+    # column-in-data layout (per-part reads + unionByName)
+    t = VersionedTable(spark, str(tmp_path / "hivseg"))
+    t.write(spark.createDataFrame(
+        [Row(id=1, k="a"), Row(id=2, k="b")]), partition_by=["k"])
+    v = t.append_batch(spark.createDataFrame([Row(id=3, k="a")]), 0)
+    assert v == 1
+    got = sorted((r["id"], r["k"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "a")]
+    # partition filtering still answers correctly on the merged view
+    assert sorted(r["id"] for r in t.read()
+                  .where("k = 'a'").collect()) == [1, 3]
+
+
+def test_segment_schema_evolution_union_by_name(spark, tmp_path):
+    # a later segment adds a column; read() aligns by name and
+    # null-fills the old snapshot instead of failing on position
+    t = VersionedTable(spark, str(tmp_path / "sevo"))
+    t.write(spark.createDataFrame([Row(id=1)]))
+    t.append(spark.createDataFrame([Row(id=2, extra="x")]))
+    got = sorted((r["id"], r["extra"]) for r in t.read().collect())
+    assert got == [(1, None), (2, "x")]
