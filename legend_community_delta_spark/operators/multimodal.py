@@ -22,8 +22,8 @@ formats the Python standard library can parse without external codecs:
   (stts/stsz/stsc/stco/co64), metadata probe for every codec, and
   frame DECODE for MJPEG tracks (samples are plain JPEG).
 
-Payloads still needing a codec library (lossy WebP/AVIF; avc1/av01
-video samples) raise ``ValueError`` with a pointed message — swap the
+Payloads still needing a codec library (AVIF; VP8 inter frames;
+avc1/av01 video samples) raise ``ValueError`` with a pointed message — swap the
 per-payload decoder for PIL/pyav in production and the Spark plumbing
 holds unchanged at scale.
 
@@ -1089,8 +1089,8 @@ def _gif_frames(b: bytes):
 # VP8L code-length-code encoding, color cache, LZ77 backward references
 # (direct and 2D plane distance codes), meta-Huffman entropy images, and
 # all four transforms (predictor, cross-color, subtract-green, color
-# indexing incl. sub-byte pixel bundling).  Lossy VP8 still raises
-# pointedly — it needs a full video-intra codec.
+# indexing incl. sub-byte pixel bundling).  Lossy VP8 KEYFRAMES
+# decode via operators/vp8.py (round 10); inter frames still raise.
 #
 # Verification note (same class as the progressive-JPEG caveat from the
 # round-7 review): no independent WebP codec exists in this environment,
@@ -1555,8 +1555,10 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
 
 
 def _decode_webp(payload: bytes) -> np.ndarray:
-    """RIFF/WEBP container -> pixels.  VP8L (lossless) decodes natively;
-    lossy VP8 raises pointedly (needs a video-intra codec)."""
+    """RIFF/WEBP container -> pixels.  VP8L (lossless) and lossy VP8
+    KEYFRAMES (every still WebP) decode natively — see
+    :mod:`.vp8` for the keyframe decoder and its verification caveats;
+    VP8 inter frames raise pointedly there."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WEBP RIFF container")
     pos = 12
@@ -1567,21 +1569,21 @@ def _decode_webp(payload: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return _decode_vp8l(body)
         if fourcc == b"VP8 ":
-            raise ValueError(
-                "WebP lossy (VP8) needs a video-intra codec; only "
-                "lossless (VP8L) decodes natively")
+            from .vp8 import decode_vp8_keyframe
+            return decode_vp8_keyframe(body)
         pos += 8 + size + (size & 1)            # chunks are 2-aligned
     raise ValueError("WEBP container without a VP8L/VP8 chunk")
 
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Decode BMP/PNM/PNG/GIF/JPEG (baseline, extended-sequential and
-    progressive) and WebP-lossless (VP8L) payload bytes to an (h, w, c)
-    uint8 pixel array — pure stdlib + numpy, no codec libraries.
+    progressive), WebP-lossless (VP8L) and WebP-lossy (VP8 keyframe,
+    :mod:`.vp8`) payload bytes to an (h, w, c) uint8 pixel array —
+    pure stdlib + numpy, no codec libraries.
 
     Raises ``ValueError`` for formats still needing a codec library
-    (lossy WebP/AVIF/...) — at that point swap in PIL; every caller's
-    Spark plumbing is format-agnostic.
+    (AVIF, VP8 inter frames) — at that point swap in PIL; every
+    caller's Spark plumbing is format-agnostic.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -1597,8 +1599,9 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return _decode_gif(payload)
     raise ValueError(
         f"unsupported image magic {payload[:4]!r}: stdlib decode covers "
-        "BMP/PGM/PPM/PNG/GIF/JPEG (incl. progressive)/WebP-lossless; "
-        "lossy WebP and AVIF need PIL/libvips in the runtime image")
+        "BMP/PGM/PPM/PNG/GIF/JPEG (incl. progressive)/WebP "
+        "(VP8L + VP8 keyframes); AVIF needs PIL/libvips in the "
+        "runtime image")
 
 
 def encode_pnm(px: np.ndarray) -> bytes:
@@ -2054,7 +2057,7 @@ def mp4_metadata(df: DataFrame, payload_col: str = "payload",
 # decode at 100 TB.  Reads only headers (plus, for GIF/Y4M, a block/
 # frame-marker walk that skips pixel data), so it is cheap for every
 # format — including ones whose pixel decode needs a codec library
-# (lossy VP8 reports its dimensions here even though decode raises).
+# (avc1/av01 report their dimensions here even though decode raises).
 # ---------------------------------------------------------------------------
 
 def _probe_jpeg(b: bytes) -> dict:
@@ -2135,7 +2138,7 @@ def _probe_webp(b: bytes) -> dict:
             w, h = struct.unpack_from("<HH", b, body + 6)
             out.setdefault("width", w & 0x3FFF)
             out.setdefault("height", h & 0x3FFF)
-            out["codec"] = "vp8"        # dims probe fine; DECODE raises
+            out["codec"] = "vp8"        # keyframes decode (vp8.py)
         pos = body + size + (size & 1)
     if "width" not in out:
         raise ValueError("WEBP container without VP8/VP8L/VP8X dims")
