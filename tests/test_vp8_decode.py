@@ -414,3 +414,105 @@ def test_odd_dimensions_crop():
                          [[V.DC_PRED, V.DC_PRED]])
     rgb = V.decode_vp8_keyframe(data)
     assert rgb.shape == (13, 17, 3)
+
+
+def test_quantizer_index_scales_residuals():
+    # qi=60: y2dc = DC_QLOOKUP[60]*2 = 118, vs qi=0 -> 8; the same
+    # level decodes to proportionally larger pixels
+    def levels(my, mx):
+        y2 = [0] * 16
+        y2[0] = 2
+        return (y2, [[0] * 16] * 16, [[0] * 16] * 8)
+
+    lo = make_keyframe(16, 16, [[V.DC_PRED]], [[V.DC_PRED]],
+                       levels_fn=levels, y_ac_qi=0)
+    hi = make_keyframe(16, 16, [[V.DC_PRED]], [[V.DC_PRED]],
+                       levels_fn=levels, y_ac_qi=60)
+    ylo, _, _ = V.decode_vp8_keyframe(lo, yuv=True)
+    yhi, _, _ = V.decode_vp8_keyframe(hi, yuv=True)
+    # independent recompute: coeff = level * y2dc; DC-only WHT spreads
+    # (coeff+3)>>3 to every subblock DC; DC-only iDCT adds (v+4)>>3
+    assert np.all(ylo == 128)       # qi=0: rounds away to zero
+    y2dc = V.DC_QLOOKUP[60] * 2
+    v = (2 * y2dc + 3) >> 3
+    assert np.all(yhi == 128 + ((v + 4) >> 3))
+
+
+def test_multiple_token_partitions_round_robin():
+    def levels(my, mx):
+        y2 = [0] * 16
+        y2[0] = 8 * (my + 1)      # row-dependent residual
+        return (y2, [[0] * 16] * 16, [[0] * 16] * 8)
+
+    one = make_keyframe(16, 64, [[V.DC_PRED]] * 4, [[V.DC_PRED]] * 4,
+                        levels_fn=levels, n_partitions=1)
+    four = make_keyframe(16, 64, [[V.DC_PRED]] * 4, [[V.DC_PRED]] * 4,
+                         levels_fn=levels, n_partitions=4)
+    y1, _, _ = V.decode_vp8_keyframe(one, yuv=True)
+    y4, _, _ = V.decode_vp8_keyframe(four, yuv=True)
+    assert np.array_equal(y1, y4)      # partitioning never changes pixels
+    assert len(np.unique(y1)) > 1      # rows actually differ
+
+
+def test_segmentation_per_segment_quantizers():
+    # two MBs, segment 0 (qi=0) vs segment 1 (qi=100): same level,
+    # different dequant -> visibly different DC offsets
+    def levels(my, mx):
+        y2 = [0] * 16
+        y2[0] = 2
+        return (y2, [[0] * 16] * 16, [[0] * 16] * 8)
+
+    data = make_keyframe(32, 16, [[V.DC_PRED, V.DC_PRED]],
+                         [[V.DC_PRED, V.DC_PRED]], levels_fn=levels,
+                         segments=[[0, 1]],
+                         segment_quant=[0, 100, 0, 0])
+    y, _, _ = V.decode_vp8_keyframe(data, yuv=True)
+    # seg0: iwht(2*8)=2 -> (2+4)>>3 = 0; seg1: y2dc=DC_QLOOKUP[100]*2
+    assert np.all(y[:, :16] == 128)
+    want = 128 + ((((2 * V.DC_QLOOKUP[100] * 2 + 3) >> 3) + 4) >> 3)
+    assert np.all(y[:, 16:] == want)
+
+
+def test_coef_prob_updates_apply():
+    # override a handful of token probabilities; encoder and decoder
+    # must agree (the header-update path actually replaces them)
+    updates = {(1, 0, 0, 0): 7, (0, 1, 1, 2): 200, (2, 0, 2, 1): 1}
+
+    def levels(my, mx):
+        y2 = [0] * 16
+        y2[0] = 3
+        y = [[0] * 16 for _ in range(16)]
+        y[5][2] = 1
+        uv = [[0] * 16 for _ in range(8)]
+        uv[1][0] = -4
+        return (y2, y, uv)
+
+    plain = make_keyframe(16, 16, [[V.DC_PRED]], [[V.DC_PRED]],
+                          levels_fn=levels)
+    upd = make_keyframe(16, 16, [[V.DC_PRED]], [[V.DC_PRED]],
+                        levels_fn=levels, coef_updates=updates)
+    ya, ua, va = V.decode_vp8_keyframe(plain, yuv=True)
+    yb, ub, vb = V.decode_vp8_keyframe(upd, yuv=True)
+    # identical pixels through different probability tables
+    assert np.array_equal(ya, yb)
+    assert np.array_equal(ua, ub) and np.array_equal(va, vb)
+    assert upd != plain                # bitstreams genuinely differ
+
+
+def test_fuzz_garbage_never_hangs(subtests=None):
+    # valid 10-byte header + arbitrary bytes: decode must terminate
+    # with either ValueError or a well-formed frame — never hang
+    rng = random.Random(99)
+    header = bytes([(40 << 5) & 0xFF, (40 << 5) >> 8, (40 >> 3) & 0xFF])
+    for trial in range(30):
+        fps = rng.randrange(1, 60)
+        tag = (0 << 0) | (1 << 4) | (fps << 5)
+        hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        hdr += b"\x9d\x01\x2a" + struct.pack("<HH", 32, 32)
+        body = bytes(rng.randrange(256)
+                     for _ in range(fps + rng.randrange(0, 40)))
+        try:
+            out = V.decode_vp8_keyframe(hdr + body)
+            assert out.shape == (32, 32, 3)
+        except ValueError:
+            pass

@@ -130,23 +130,46 @@ def encode_block(t, probs_block, first, ctx, levels):
 def make_keyframe(width, height, ymodes, uvmodes, bmodes=None,
                   y_ac_qi=0, filter_level=0, sharpness=0,
                   levels_fn=None, skips=None, prob_skip=200,
-                  filter_type=0):
+                  filter_type=0, n_partitions=1, segments=None,
+                  segment_quant=None, coef_updates=None):
     """Assemble a complete VP8 keyframe bitstream (see the decoder's
-    `_parse_header` for the field order this mirrors)."""
+    `_parse_header` for the field order this mirrors).
+
+    Optional coverage knobs: *n_partitions* token partitions (row %
+    n); *segments* = per-MB segment-id grid with *segment_quant* = 4
+    ABSOLUTE per-segment quantizer indices; *coef_updates* =
+    {(i,j,k,m): prob} token-probability overrides, signalled in the
+    header and used for token encoding."""
     mb_rows = (height + 15) // 16
     mb_cols = (width + 15) // 16
     bmodes = bmodes or {}
     skips = skips if skips is not None else \
         [[0] * mb_cols for _ in range(mb_rows)]
+    coef_updates = coef_updates or {}
     e = BoolEncoder()
     e.bit(0, 128)                        # color_space
     e.bit(0, 128)                        # clamping
-    e.bit(0, 128)                        # segmentation off
+    if segments is None:
+        e.bit(0, 128)                    # segmentation off
+    else:
+        e.bit(1, 128)                    # segmentation on
+        e.bit(1, 128)                    # update mb segmentation map
+        e.bit(1, 128)                    # update segment feature data
+        e.bit(1, 128)                    # ABSOLUTE deltas
+        for q in segment_quant:          # 4 quantizer values
+            e.bit(1, 128)
+            e.literal(abs(q), 7)
+            e.bit(1 if q < 0 else 0, 128)
+        for _ in range(4):               # no per-segment lf values
+            e.bit(0, 128)
+        for _ in range(3):               # tree probs stay 255
+            e.bit(0, 128)
     e.bit(filter_type, 128)
     e.literal(filter_level, 6)
     e.literal(sharpness, 3)
     e.bit(0, 128)                        # lf deltas off
-    e.literal(0, 2)                      # one token partition
+    import math
+    e.literal(int(math.log2(n_partitions)), 2)
     e.literal(y_ac_qi, 7)
     for _ in range(5):
         e.bit(0, 128)                    # no quant deltas
@@ -155,7 +178,11 @@ def make_keyframe(width, height, ymodes, uvmodes, bmodes=None,
         for j in range(8):
             for k in range(3):
                 for m in range(11):
-                    e.bit(0, V.COEF_UPDATE_PROBS[i][j][k][m])
+                    if (i, j, k, m) in coef_updates:
+                        e.bit(1, V.COEF_UPDATE_PROBS[i][j][k][m])
+                        e.literal(coef_updates[(i, j, k, m)], 8)
+                    else:
+                        e.bit(0, V.COEF_UPDATE_PROBS[i][j][k][m])
     any_skip = any(any(row) for row in skips)
     e.bit(1 if any_skip else 0, 128)
     if any_skip:
@@ -163,6 +190,9 @@ def make_keyframe(width, height, ymodes, uvmodes, bmodes=None,
     bctx = np.full((4 * mb_rows, 4 * mb_cols), V.B_DC_PRED, np.int32)
     for my in range(mb_rows):
         for mx in range(mb_cols):
+            if segments is not None:
+                e.tree(V.MB_SEGMENT_TREE, (255, 255, 255),
+                       segments[my][mx])
             if any_skip:
                 e.bit(skips[my][mx], prob_skip)
             ym = ymodes[my][mx]
@@ -182,13 +212,17 @@ def make_keyframe(width, height, ymodes, uvmodes, bmodes=None,
                     V.MODE_TO_BMODE[ym]
             e.tree(V.UV_MODE_TREE, V.KF_UV_MODE_PROB, uvmodes[my][mx])
     part1 = e.stop()
-    t = BoolEncoder()
+    encoders = [BoolEncoder() for _ in range(n_partitions)]
     ay = [[0] * 4 for _ in range(mb_cols)]
     au = [[0] * 2 for _ in range(mb_cols)]
     av_ = [[0] * 2 for _ in range(mb_cols)]
     ay2 = [0] * mb_cols
-    probs = V.DEFAULT_COEF_PROBS
+    probs = [[[list(c) for c in b] for b in blk]
+             for blk in V.DEFAULT_COEF_PROBS]
+    for (i, j, k, m), pv in coef_updates.items():
+        probs[i][j][k][m] = pv
     for my in range(mb_rows):
+        t = encoders[my % n_partitions]
         ly, lu, lv, ly2 = [0] * 4, [0] * 2, [0] * 2, [0]
         for mx in range(mb_cols):
             ym = ymodes[my][mx]
@@ -223,11 +257,13 @@ def make_keyframe(width, height, ymodes, uvmodes, bmodes=None,
                     z = encode_block(t, probs[2], 0, ctx,
                                      uv_l[4 * pi + sb])
                     ab[mx][c] = le[r] = z
-    part2 = t.stop()
+    parts = [t.stop() for t in encoders]
     tag = (0 << 0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     hdr += b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
-    return hdr + part1 + part2
+    size_table = b"".join(
+        len(p_).to_bytes(3, "little") for p_ in parts[:-1])
+    return hdr + part1 + size_table + b"".join(parts)
 
 
 def wrap_webp(vp8_payload: bytes) -> bytes:
