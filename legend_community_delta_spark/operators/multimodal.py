@@ -1081,6 +1081,83 @@ def _gif_frames(b: bytes):
             canvas = prev
 
 
+def _webp_frames(b: bytes):
+    """Animated WebP (VP8X + ANIM + ANMF) -> (rgb canvas copy,
+    delay_ms) per frame, mirroring :func:`_gif_frames`'s contract:
+    frames composite onto the canvas honoring each ANMF's blend flag
+    (bit 1: 1 = overwrite) and dispose flag (bit 0: 1 = restore the
+    frame rect to the ANIM background color).  Frame payloads decode
+    through the in-repo VP8L and VP8-keyframe decoders; a separate
+    ALPH plane (lossy-with-alpha) raises pointedly.  A zero duration
+    renders as 100 ms (the browser convention, like GIF)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WEBP RIFF container")
+    pos, cw, ch, bg = 12, None, None, np.array([255, 255, 255],
+                                               np.uint8)
+    frames = []
+    while pos + 8 <= len(b):
+        fourcc = b[pos:pos + 4]
+        size, = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if fourcc == b"VP8X" and size >= 10:
+            cw = 1 + int.from_bytes(b[body + 4:body + 7], "little")
+            ch = 1 + int.from_bytes(b[body + 7:body + 10], "little")
+        elif fourcc == b"ANIM" and size >= 6:
+            bgra = b[body:body + 4]
+            bg = np.array([bgra[2], bgra[1], bgra[0]], np.uint8)
+        elif fourcc == b"ANMF" and size >= 16:
+            fx = int.from_bytes(b[body:body + 3], "little") * 2
+            fy = int.from_bytes(b[body + 3:body + 6], "little") * 2
+            dur = int.from_bytes(b[body + 12:body + 15], "little")
+            flags = b[body + 15]
+            frames.append((fx, fy, dur, flags, body + 16, body + size))
+        pos = body + size + (size & 1)
+    if not frames:
+        raise ValueError("WEBP without ANMF frames (not animated)")
+    if cw is None:
+        raise ValueError("animated WEBP without VP8X canvas dims")
+    canvas = np.empty((ch, cw, 3), np.uint8)
+    canvas[:] = bg
+    for fx, fy, dur, flags, p0, p1 in frames:
+        px = None
+        q = p0
+        while q + 8 <= p1:
+            fcc = b[q:q + 4]
+            sz, = struct.unpack_from("<I", b, q + 4)
+            payload = b[q + 8:q + 8 + sz]
+            if fcc == b"VP8L":
+                px = _decode_vp8l(payload)
+            elif fcc == b"VP8 ":
+                from .vp8 import decode_vp8_keyframe
+                px = decode_vp8_keyframe(payload)
+            elif fcc == b"ALPH":
+                raise ValueError(
+                    "animated WebP with a separate ALPH plane is not "
+                    "supported (lossy-with-alpha needs the alpha "
+                    "filter/compression pipeline)")
+            q += 8 + sz + (sz & 1)
+        if px is None:
+            raise ValueError("ANMF frame without a VP8/VP8L payload")
+        ih = min(px.shape[0], ch - fy)
+        iw = min(px.shape[1], cw - fx)
+        if ih <= 0 or iw <= 0:
+            continue
+        view = canvas[fy:fy + ih, fx:fx + iw]
+        sub = px[:ih, :iw]
+        if sub.shape[-1] == 4:
+            a = sub[..., 3:4].astype(np.int32)
+            rgb = sub[..., :3].astype(np.int32)
+            under = (view.astype(np.int32) if not (flags & 2)
+                     else bg.astype(np.int32)[None, None, :])
+            view[:] = ((rgb * a + under * (255 - a) + 127)
+                       // 255).astype(np.uint8)
+        else:
+            view[:] = sub[..., :3]
+        yield canvas.copy(), float(dur if dur > 0 else 100)
+        if flags & 1:                    # dispose to background
+            canvas[fy:fy + ih, fx:fx + iw] = bg
+
+
 # ---------------------------------------------------------------------------
 # WebP — VP8L (lossless) bitstream, pure stdlib + numpy.
 #
@@ -1572,6 +1649,12 @@ def _decode_webp(payload: bytes) -> np.ndarray:
             from .vp8 import decode_vp8_keyframe
             return decode_vp8_keyframe(body)
         pos += 8 + size + (size & 1)            # chunks are 2-aligned
+    if payload.find(b"ANMF", 12) != -1:
+        # animated WebP: still-image decode = FIRST frame (the GIF
+        # convention _decode_gif follows); full timeline via
+        # sample_video_frames -> _webp_frames
+        canvas, _delay = next(_webp_frames(payload))
+        return canvas
     raise ValueError("WEBP container without a VP8L/VP8 chunk")
 
 
@@ -2413,9 +2496,11 @@ def sample_video_frames(df: DataFrame, every_ms: int,
                         payload_col: str = "payload",
                         id_col: str = "media_id") -> DataFrame:
     """Sample one frame per *every_ms* from YUV4MPEG2 (.y4m) payloads,
-    MP4 (ISO-BMFF) containers carrying MJPEG video tracks, and
-    animated GIFs (composited canvases on the GCE delay timeline,
-    disposal methods 1/2/3 honored).
+    MP4 (ISO-BMFF) containers carrying MJPEG video tracks, animated
+    GIFs (composited canvases on the GCE delay timeline, disposal
+    methods 1/2/3 honored), APNG, and animated WebP (ANMF blend +
+    dispose-to-background semantics; VP8L and VP8-keyframe frame
+    payloads).
 
     Emits one row per sampled frame; ``frame_payload`` is the luma plane
     re-encoded as binary PGM, so the sampled frames feed directly into
@@ -2443,6 +2528,9 @@ def sample_video_frames(df: DataFrame, every_ms: int,
                         anim = _gif_frames(b)
                     elif b[:8] == _PNG_SIG and b.find(b"acTL", 8) != -1:
                         anim = _apng_frames(b)
+                    elif (b[:4] == b"RIFF" and b[8:12] == b"WEBP"
+                          and b.find(b"ANMF", 12) != -1):
+                        anim = _webp_frames(b)
                     if anim is not None:
                         ts = next_ms = 0.0
                         for fi, (canvas, delay) in enumerate(anim):

@@ -516,3 +516,85 @@ def test_fuzz_garbage_never_hangs(subtests=None):
             assert out.shape == (32, 32, 3)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (ANMF) integration
+# ---------------------------------------------------------------------------
+
+def _uniform_rgb(y2_level):
+    # Y = 128 + ((((level*8)+3)>>3 + 4) >> 3), U = V = 128
+    y = 128 + ((((y2_level * 8 + 3) >> 3) + 4) >> 3)
+    c = 298 * (y - 16)
+    return np.clip((c + 128) >> 8, 0, 255)
+
+
+def test_animated_webp_frames_composite_and_time():
+    from legend_community_delta_spark.operators.multimodal import (
+        _webp_frames)
+    from vp8_fixture import make_animated_webp, uniform_vp8
+    f1 = uniform_vp8(16, 16, 0)        # Y=128
+    f2 = uniform_vp8(16, 16, 40)       # Y=133
+    blob = make_animated_webp(
+        [(b"VP8 ", f1, (16, 16)), (b"VP8 ", f2, (16, 16))],
+        durations_ms=[120, 80])
+    got = list(_webp_frames(blob))
+    assert len(got) == 2
+    (c1, d1), (c2, d2) = got
+    assert (d1, d2) == (120.0, 80.0)
+    assert np.all(c1 == _uniform_rgb(0))
+    assert np.all(c2 == _uniform_rgb(40))
+
+
+def test_animated_webp_offset_and_dispose_to_background():
+    from legend_community_delta_spark.operators.multimodal import (
+        _webp_frames)
+    from vp8_fixture import make_animated_webp, uniform_vp8
+    patch = uniform_vp8(16, 16, 40)
+    blob = make_animated_webp(
+        [(b"VP8 ", patch, (16, 16)), (b"VP8 ", patch, (16, 16))],
+        durations_ms=[50, 50],
+        offsets=[(16, 0), (0, 16)],
+        flags=[1, 0],                   # frame 1 disposes to background
+        canvas_wh=(32, 32),
+        bg_bgra=bytes([0, 0, 0, 255]))  # black background
+    frames = list(_webp_frames(blob))
+    (c1, _), (c2, _) = frames
+    v = _uniform_rgb(40)
+    assert np.all(c1[0:16, 16:32] == v)     # patch at (x=16, y=0)
+    assert np.all(c1[0:16, 0:16] == 0)      # background elsewhere
+    # after dispose, frame 1's rect returns to background; frame 2's
+    # patch sits at (x=0, y=16)
+    assert np.all(c2[0:16, 16:32] == 0)
+    assert np.all(c2[16:32, 0:16] == v)
+
+
+def test_animated_webp_first_frame_still_decode_and_probe():
+    from vp8_fixture import make_animated_webp, uniform_vp8
+    blob = make_animated_webp(
+        [(b"VP8 ", uniform_vp8(16, 16, 0), (16, 16)),
+         (b"VP8 ", uniform_vp8(16, 16, 40), (16, 16))],
+        durations_ms=[100, 100])
+    px = decode_image_bytes(blob)       # GIF convention: first frame
+    assert px.shape == (16, 16, 3)
+    assert np.all(px == _uniform_rgb(0))
+    meta = probe_media_bytes(blob)
+    assert meta["kind"] == "video" and meta["n_frames"] == 2
+    assert meta["duration_ms"] == 200.0
+
+
+def test_animated_webp_sample_video_frames_pipeline(spark):
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.multimodal import (
+        sample_video_frames)
+    from vp8_fixture import make_animated_webp, uniform_vp8
+    blob = make_animated_webp(
+        [(b"VP8 ", uniform_vp8(16, 16, 0), (16, 16)),
+         (b"VP8 ", uniform_vp8(16, 16, 40), (16, 16)),
+         (b"VP8 ", uniform_vp8(16, 16, 80), (16, 16))],
+        durations_ms=[100, 100, 100])
+    df = spark.createDataFrame([Row(media_id=1, payload=bytes(blob))])
+    rows = sample_video_frames(df, every_ms=200).collect()
+    assert all(r["decode_error"] is None for r in rows)
+    idx = sorted(r["frame_idx"] for r in rows)
+    assert idx == [0, 2]                # 0 ms and 200 ms sampled

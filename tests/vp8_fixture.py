@@ -272,3 +272,59 @@ def wrap_webp(vp8_payload: bytes) -> bytes:
     if len(vp8_payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _riff_chunk(fcc: bytes, data: bytes) -> bytes:
+    out = fcc + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"
+    return out
+
+
+def make_animated_webp(frames, durations_ms, offsets=None, flags=None,
+                       canvas_wh=None,
+                       bg_bgra=bytes([255, 255, 255, 255])) -> bytes:
+    """Animated WebP container: VP8X + ANIM + one ANMF per frame.
+
+    *frames*: list of (fourcc, payload, (w, h)) — fourcc b"VP8 " or
+    b"VP8L".  *flags* per frame: bit 0 = dispose-to-background,
+    bit 1 = no-blend (overwrite).  *bg_bgra* is the ANIM background.
+    """
+    n = len(frames)
+    offsets = offsets or [(0, 0)] * n
+    flags = flags or [0] * n
+    if canvas_wh is None:
+        cw = max(o[0] + wh[0] for (_, _, wh), o in zip(frames, offsets))
+        ch = max(o[1] + wh[1] for (_, _, wh), o in zip(frames, offsets))
+    else:
+        cw, ch = canvas_wh
+    body = _riff_chunk(
+        b"VP8X", bytes([0x02, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little"))
+    body += _riff_chunk(b"ANIM", bg_bgra + (0).to_bytes(2, "little"))
+    for (fcc, payload, (w, h)), (x, y), dur, fl in zip(
+            frames, offsets, durations_ms, flags):
+        anmf = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little") + bytes([fl])
+                + _riff_chunk(fcc, payload))
+        body += _riff_chunk(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def uniform_vp8(width, height, y2_level) -> bytes:
+    """A keyframe whose Y plane is uniformly 128 + f(y2_level)."""
+    mb_rows = (height + 15) // 16
+    mb_cols = (width + 15) // 16
+
+    def levels(my, mx):
+        y2 = [0] * 16
+        y2[0] = y2_level
+        return (y2, [[0] * 16] * 16, [[0] * 16] * 8)
+
+    return make_keyframe(width, height,
+                         [[V.DC_PRED] * mb_cols] * mb_rows,
+                         [[V.DC_PRED] * mb_cols] * mb_rows,
+                         levels_fn=levels)
