@@ -140,4 +140,9 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
                           "the aggregates' expected values pinned vs "
                           "an independent numpy recompute in "
                           "tests/test_mediagen.py.",
+    "media_frames_stats": "Synthetic animated-GIF/Y4M frame-sampling "
+                          "round-trip: frame compositing and payload "
+                          "bytes are not DuckDB-expressible; "
+                          "frame-exact round-trips pinned in "
+                          "tests/test_mediagen.py.",
 }

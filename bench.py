@@ -119,8 +119,9 @@ BENCH_QUERIES = [
     "gopher_gates_docs",
     "table_changes_orders",
     "stream_table_appends",
-    # round-10 addition: multimodal decode contract surface
+    # round-10 additions: multimodal decode contract surfaces
     "media_decode_stats",
+    "media_frames_stats",
 ]
 
 

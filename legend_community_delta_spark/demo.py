@@ -6435,6 +6435,37 @@ def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fmt"))
 
 
+def _q_media_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract surface for the VIDEO decode path (round 10):
+    deterministic animated-GIF and Y4M payloads
+    (operators/mediagen.py) flow through sample_video_frames
+    (composited GIF timeline / y4m frame walk) and probe_media,
+    aggregated per format.  Rows-only by nature (payload bytes /
+    frame compositing aren't DuckDB SQL); frame-exact round-trips
+    pinned in tests/test_mediagen.py.  *sf_dir* unused — the table is
+    synthesized in-query (8 payloads, metadata-sized)."""
+    from .operators.mediagen import synth_video_table
+    from .operators.multimodal import probe_media, sample_video_frames
+    media = synth_video_table(spark, per_format=4)
+    frames = sample_video_frames(media, every_ms=100)
+    probe = probe_media(media).select(
+        "media_id", F.col("n_frames").alias("probe_frames"),
+        F.col("duration_ms").alias("probe_ms"))
+    j = (media.select("media_id", "fmt")
+         .join(frames, "media_id").join(probe, "media_id"))
+    return (j.groupBy("fmt").agg(
+        F.countDistinct("media_id").alias("n_media"),
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.sum(F.col("decode_error").isNotNull().cast("long"))
+        .alias("n_err"),
+        F.round(F.max("ts_ms"), 1).alias("max_ts_ms"),
+        F.countDistinct(F.md5(F.col("frame_payload")))
+        .alias("n_distinct_frames"),
+        F.max("probe_frames").alias("probe_frames"),
+        F.round(F.max("probe_ms"), 1).alias("probe_ms"))
+        .orderBy("fmt"))
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -6569,8 +6600,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_changes_orders": _q_table_changes_orders,
     # -- round-9 addition: exactly-once streaming table sink ---------------
     "stream_table_appends": _q_stream_table_appends,
-    # -- round-10 addition: multimodal decode contract surface -------------
+    # -- round-10 additions: multimodal decode contract surfaces -----------
     "media_decode_stats": _q_media_decode_stats,
+    "media_frames_stats": _q_media_frames_stats,
     # -- never driver-sampled before round 5 (6 rows-only by nature) -----
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,

@@ -1,5 +1,6 @@
 """Deterministic synthetic media generation: seed -> pixels/samples ->
-encoded BMP / PNG / PPM / GIF / WAV payloads, entirely stdlib + numpy.
+encoded BMP / PNG / PPM / GIF (still + animated) / WAV / Y4M payloads,
+entirely stdlib + numpy.
 
 Why this exists: the engine's multimodal decode path
 (:mod:`.multimodal` — BMP/PNM/PNG/JPEG/GIF/WebP/WAV/Y4M/MP4) is pinned
@@ -39,6 +40,10 @@ __all__ = [
     "encode_wav",
     "synth_media_rows",
     "synth_media_table",
+    "encode_gif_animation",
+    "encode_y4m",
+    "synth_video_rows",
+    "synth_video_table",
 ]
 
 
@@ -201,6 +206,101 @@ def synth_media_table(spark: SparkSession, per_format: int = 8,
     ``(media_id long, fmt string, payload binary)``, repartitioned so
     the decode UDFs exercise real multi-partition Arrow batching."""
     rows = synth_media_rows(per_format, width, height, wav_frames)
+    df = spark.createDataFrame(
+        rows, "media_id long, fmt string, payload binary")
+    return df.repartition(4, "media_id")
+
+
+def encode_gif_animation(frames: list[np.ndarray],
+                         delays_cs: list[int]) -> bytes:
+    """Multi-frame GIF89a: one global palette over all frames, a GCE
+    (delay, disposal=1) per frame, full-canvas rects.  Same minimal
+    always-valid LZW stream as :func:`encode_gif`."""
+    h, w, _ = frames[0].shape
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(colors)}")
+    bits = max(2, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[:len(colors)] = colors
+    mcs = bits
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    room = (1 << (mcs + 1)) - (clear + 2)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes()
+    n_px = h * w
+    for fi, (frame, delay) in enumerate(zip(frames, delays_cs)):
+        out += bytes([0x21, 0xF9, 4, 1 << 2, delay & 0xFF,
+                      (delay >> 8) & 0xFF, 0, 0])       # GCE, disposal 1
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0, mcs])
+        wtr = _LSBWriter()
+        wtr.write(clear, mcs + 1)
+        since = 0
+        for v in inverse[fi * n_px:(fi + 1) * n_px]:
+            if since == room:
+                wtr.write(clear, mcs + 1)
+                since = 0
+            wtr.write(int(v), mcs + 1)
+            since += 1
+        wtr.write(eoi, mcs + 1)
+        data = wtr.tobytes()
+        pos = 0
+        while pos < len(data):
+            chunk = data[pos:pos + 255]
+            out += bytes([len(chunk)]) + chunk
+            pos += 255
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def encode_y4m(frames_luma: list[np.ndarray], fps: int = 25) -> bytes:
+    """YUV4MPEG2 (C420) from luma-plane frames: chroma planes are a
+    flat 128 (gray), which keeps the payload deterministic and the
+    sampled luma frames equal to the inputs."""
+    h, w = frames_luma[0].shape
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A0:0 C420\n".encode())
+    uv = np.full(((h // 2) * (w // 2)), 128, np.uint8).tobytes()
+    for f in frames_luma:
+        out += b"FRAME\n" + f.tobytes() + uv + uv
+    return bytes(out)
+
+
+def synth_video_rows(per_format: int = 4, width: int = 16,
+                     height: int = 12, n_frames: int = 3) -> list[tuple]:
+    """Deterministic (media_id, fmt, payload) animated payloads:
+    *per_format* each of animated GIF (10 cs/frame) and Y4M (25 fps).
+    Frame f of media_id m uses :func:`synth_pixels`' formula with seed
+    ``m * 101 + f`` (GIF frames quantized to 3 bits/channel)."""
+    rows: list[tuple] = []
+    mid = 1000                       # offset: distinct from image ids
+    for fmt in ("gif_anim", "y4m"):
+        for _ in range(per_format):
+            seeds = [mid * 101 + f for f in range(n_frames)]
+            if fmt == "gif_anim":
+                frames = [(synth_pixels(s, width, height) & 0xE0) | 0x10
+                          for s in seeds]
+                payload = encode_gif_animation(frames,
+                                               [10] * n_frames)
+            else:
+                lumas = [synth_pixels(s, width, height)[:, :, 0]
+                         for s in seeds]
+                payload = encode_y4m(lumas, fps=25)
+            rows.append((mid, fmt, bytearray(payload)))
+            mid += 1
+    return rows
+
+
+def synth_video_table(spark: SparkSession, per_format: int = 4,
+                      width: int = 16, height: int = 12,
+                      n_frames: int = 3) -> DataFrame:
+    """The synthetic animated-media table
+    ``(media_id long, fmt string, payload binary)``."""
+    rows = synth_video_rows(per_format, width, height, n_frames)
     df = spark.createDataFrame(
         rows, "media_id long, fmt string, payload binary")
     return df.repartition(4, "media_id")

@@ -45,4 +45,4 @@ def test_entry_contract(spark):
                          "bpe_merge_table", "bpe_token_stats",
                          "unigram_vocab", "unigram_token_stats",
                          "zorder_skipping_stats",
-                         "media_decode_stats"}
+                         "media_decode_stats", "media_frames_stats"}

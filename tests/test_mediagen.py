@@ -106,3 +106,66 @@ def test_media_decode_stats_is_deterministic_across_runs(spark):
     a = demo.QUERIES["media_decode_stats"](spark, "x").collect()
     b = demo.QUERIES["media_decode_stats"](spark, "y").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# animated payloads + the media_frames_stats contract entry
+# ---------------------------------------------------------------------------
+
+def test_gif_animation_round_trips_every_frame():
+    from legend_community_delta_spark.operators.multimodal import (
+        _gif_frames)
+    seeds = [7, 300, 9001]
+    frames = [(mg.synth_pixels(s, 16, 12) & 0xE0) | 0x10 for s in seeds]
+    blob = mg.encode_gif_animation(frames, [10, 20, 30])
+    got = list(_gif_frames(blob))
+    assert [d for _, d in got] == [100, 200, 300]
+    for (canvas, _), want in zip(got, frames):
+        assert np.array_equal(canvas, want)
+
+
+def test_y4m_lumas_round_trip_exactly():
+    from legend_community_delta_spark.operators.multimodal import (
+        _parse_y4m)
+    lumas = [mg.synth_pixels(s, 16, 12)[:, :, 0] for s in (1, 2)]
+    blob = mg.encode_y4m(lumas, fps=25)
+    w, h, fps, fbytes, pos = _parse_y4m(blob)
+    assert (w, h, fps) == (16, 12, 25.0)
+    got = np.frombuffer(blob[pos + 6:pos + 6 + 16 * 12], np.uint8
+                        ).reshape(12, 16)
+    assert np.array_equal(got, lumas[0])
+
+
+def test_media_frames_stats_matches_independent_expectations(spark):
+    from legend_community_delta_spark import demo
+    got = {r["fmt"]: r for r in
+           demo.QUERIES["media_frames_stats"](spark, "unused").collect()}
+    assert sorted(got) == ["gif_anim", "y4m"]
+    g = got["gif_anim"]
+    # 4 media x 3 frames at 0/100/200 ms, every_ms=100 samples all 3
+    assert (g["n_media"], g["n_sampled_frames"], g["n_err"]) == (4, 12, 0)
+    assert g["max_ts_ms"] == 200.0
+    assert (g["probe_frames"], g["probe_ms"]) == (3, 300.0)
+    assert g["n_distinct_frames"] == 12     # all seeds distinct mod 256
+    y = got["y4m"]
+    # 25 fps, every_ms=100 -> step 2: frames 0 and 2 per media
+    assert (y["n_media"], y["n_sampled_frames"], y["n_err"]) == (4, 8, 0)
+    assert y["max_ts_ms"] == 80.0
+    assert (y["probe_frames"], y["probe_ms"]) == (3, 120.0)
+    assert y["n_distinct_frames"] == 8
+
+
+def test_sampled_y4m_frame_payload_is_exact_luma(spark):
+    from pyspark.sql import Row
+    from legend_community_delta_spark.operators.mediagen import (
+        encode_y4m, synth_pixels)
+    from legend_community_delta_spark.operators.multimodal import (
+        decode_image_bytes, sample_video_frames)
+    lumas = [synth_pixels(s, 16, 12)[:, :, 0] for s in (5, 6, 7)]
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytes(encode_y4m(lumas, fps=10)))])
+    rows = {r["frame_idx"]: r
+            for r in sample_video_frames(df, every_ms=100).collect()}
+    for idx, r in rows.items():
+        got = decode_image_bytes(bytes(r["frame_payload"]))
+        assert np.array_equal(got[:, :, 0], lumas[idx])
