@@ -230,17 +230,25 @@ class VersionedTable:
         if not commits.get(v, {}).get("segment"):
             return self.spark.read.parquet(f"{self.path}/v={v}")
         parts = []
+        base = v
         for i in range(v, -1, -1):
             parts.append(f"{self.path}/v={i}")
+            base = i
             if not commits.get(i, {}).get("segment"):
                 break
-        # read each part SEPARATELY and align by name: a multi-root
-        # spark.read.parquet(*parts) breaks when the base snapshot is
-        # hive-partitioned (its partition column lives in directory
-        # names, the plain segment dirs carry it as a data column) or
-        # when segments evolved the schema — per-part reads let Spark
-        # recover each layout natively, then unionByName reconciles
         parts.reverse()  # base snapshot first: its schema leads
+        if not commits.get(base, {}).get("partition_by"):
+            # fast path: ONE multi-root scan (a per-part union costs a
+            # separate file listing + scan per segment — 6x slower on a
+            # 10-segment chain in BENCH_HISTORY); mergeSchema keeps
+            # schema evolution across segments correct (files missing
+            # a later column yield nulls, like unionByName)
+            return self.spark.read.option("mergeSchema", "true") \
+                .parquet(*parts)
+        # hive-partitioned base: its partition column lives in
+        # directory names while plain segment dirs carry it as a data
+        # column — a multi-root read cannot reconcile that, so read
+        # each part natively and align by name
         out = self.spark.read.parquet(parts[0])
         for p in parts[1:]:
             out = out.unionByName(self.spark.read.parquet(p),
