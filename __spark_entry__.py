@@ -132,17 +132,9 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
                              "not expressible as SQL over the logical "
                              "table.  Invariants pinned in "
                              "tests/test_layout.py.",
-    # round 10: first contract surface for the multimodal subsystem
-    "media_decode_stats": "Synthetic-media decode round-trip: payload "
-                          "bytes and pixel math are not expressible as "
-                          "DuckDB SQL over the contract's parquet "
-                          "tables; exact pixel/sample round-trips and "
-                          "the aggregates' expected values pinned vs "
-                          "an independent numpy recompute in "
-                          "tests/test_mediagen.py.",
-    "media_frames_stats": "Synthetic animated-GIF/Y4M frame-sampling "
-                          "round-trip: frame compositing and payload "
-                          "bytes are not DuckDB-expressible; "
-                          "frame-exact round-trips pinned in "
-                          "tests/test_mediagen.py.",
+    # round 11: media_decode_stats / media_frames_stats moved OFF this
+    # list — the synthetic pixels/samples are pure integer formulas, so
+    # DuckDB re-derives every aggregate from generate_series over
+    # (seed, y, x, c) without touching payload bytes (full value
+    # oracles in demo.ORACLES).
 }

@@ -6393,11 +6393,11 @@ def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode round-trip, aggregated per format.  40 synthetic payloads
     (8 each of bmp/png/ppm/gif/wav, every byte a pure integer formula
     of the media_id) flow through probe_media + decode_images +
-    audio_features over real multi-partition Arrow batches.  Rows-only
-    by nature: payload bytes and pixel math are not expressible as
-    DuckDB SQL over the contract's parquet tables; exact pixel/sample
-    round-trips and these aggregates' expected values are pinned
-    against an independent numpy recompute in tests/test_mediagen.py.
+    audio_features over real multi-partition Arrow batches.  FULLY
+    value-oracled since round 11: the pixel/sample formulas are pure
+    integer arithmetic, so ``_ORACLE_MEDIA_DECODE`` re-derives every
+    aggregate in DuckDB from generate_series — a hash match proves the
+    encode->decode round-trip reproduced the formula exactly.
     *sf_dir* is unused — the media table is synthesized in-query
     (metadata-sized)."""
     from .operators.mediagen import synth_media_table
@@ -6440,9 +6440,11 @@ def _q_media_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic animated-GIF and Y4M payloads
     (operators/mediagen.py) flow through sample_video_frames
     (composited GIF timeline / y4m frame walk) and probe_media,
-    aggregated per format.  Rows-only by nature (payload bytes /
-    frame compositing aren't DuckDB SQL); frame-exact round-trips
-    pinned in tests/test_mediagen.py.  *sf_dir* unused — the table is
+    aggregated per format.  FULLY value-oracled since round 11:
+    ``_ORACLE_MEDIA_FRAMES`` re-derives frame counts, sampled
+    timestamps and distinct-frame counts from the generator's
+    documented timing constants (frame-exact pixel round-trips stay
+    pinned in tests/test_mediagen.py).  *sf_dir* unused — the table is
     synthesized in-query (8 payloads, metadata-sized)."""
     from .operators.mediagen import synth_video_table
     from .operators.multimodal import probe_media, sample_video_frames
@@ -6849,7 +6851,90 @@ assert set(_ROUND8_ORDER) <= set(QUERIES), (
 # listed here (round-9+) keep their registration order at the tail.
 QUERIES = {**{k: QUERIES[k] for k in _ROUND8_ORDER}, **QUERIES}
 
+# Media oracles (round 11): synth_pixels/synth_samples are pure integer
+# formulas (operators/mediagen.py), so DuckDB re-derives the decode
+# aggregates from generate_series over (seed, y, x, channel) — the
+# payload bytes never enter the comparison; the SPARK side must decode
+# them back to exactly these values for the hash to match.  Constants
+# mirror synth_media_table's defaults: per_format=8, 16x12 RGB,
+# media_ids 0-39 in (bmp, png, ppm, gif, wav) blocks, GIF quantized to
+# (px & 0xE0) | 0x10, WAV = 4000 frames of
+# ((seed*131 + i*17) % 4096) - 2048.
+_ORACLE_MEDIA_DECODE = """
+WITH media AS (
+  SELECT t.mid AS mid,
+         CASE WHEN t.mid < 8 THEN 'bmp' WHEN t.mid < 16 THEN 'png'
+              WHEN t.mid < 24 THEN 'ppm' WHEN t.mid < 32 THEN 'gif'
+              ELSE 'wav' END AS fmt
+  FROM generate_series(0, 39) t(mid)
+),
+img AS (
+  SELECT m.mid AS mid, m.fmt AS fmt,
+         ROUND(AVG(CASE WHEN m.fmt = 'gif'
+             THEN CAST((((m.mid*31 + y.y*7 + x.x*3 + c.c*11) % 256)
+                        & 224) | 16 AS DOUBLE)
+             ELSE CAST((m.mid*31 + y.y*7 + x.x*3 + c.c*11) % 256
+                       AS DOUBLE) END), 3) AS level
+  FROM media m, generate_series(0, 11) y(y), generate_series(0, 15) x(x),
+       generate_series(0, 2) c(c)
+  WHERE m.fmt <> 'wav'
+  GROUP BY m.mid, m.fmt
+),
+aud AS (
+  SELECT m.mid AS mid, m.fmt AS fmt,
+         ROUND(SQRT(AVG(POW(CAST(((m.mid*131 + i.i*17) % 4096) - 2048
+                                 AS DOUBLE), 2))), 3) AS level
+  FROM media m, generate_series(0, 3999) i(i)
+  WHERE m.fmt = 'wav'
+  GROUP BY m.mid, m.fmt
+),
+lvl AS (SELECT * FROM img UNION ALL SELECT * FROM aud)
+SELECT fmt,
+       COUNT(*) AS n,
+       CAST(0 AS BIGINT) AS n_probe_err,
+       CAST(0 AS BIGINT) AS n_decode_err,
+       CASE WHEN fmt = 'wav' THEN 'audio' ELSE 'image' END AS probe_kind,
+       CAST(1 AS BIGINT) AS n_probe_formats,
+       CASE WHEN fmt = 'wav' THEN NULL ELSE 16 END AS width,
+       CASE WHEN fmt = 'wav' THEN NULL ELSE 12 END AS height,
+       CAST(ROUND(AVG(level), 3) AS DOUBLE) AS avg_level
+FROM lvl GROUP BY fmt ORDER BY fmt
+"""
+
+# media_frames_stats re-derived from the generator's documented timing
+# (synth_video_rows: 4 media each of animated GIF at 10 cs/frame and
+# Y4M at 25 fps, 3 frames each; sample_video_frames at every_ms=100
+# emits the containing frame's start timestamp).  Every (media, frame)
+# pair uses a distinct pixel seed (mid*101 + f), so sampled frames are
+# all distinct.
+_ORACLE_MEDIA_FRAMES = """
+WITH params AS (
+  SELECT 'gif_anim' AS fmt, 4 AS n_media, 3 AS n_frames,
+         100.0 AS frame_ms
+  UNION ALL SELECT 'y4m', 4, 3, 40.0
+),
+samples AS (
+  SELECT p.fmt AS fmt, p.n_media AS n_media, p.n_frames AS n_frames,
+         p.frame_ms AS frame_ms,
+         FLOOR(t.t * 100.0 / p.frame_ms) * p.frame_ms AS ts_ms
+  FROM params p, generate_series(0, 99) t(t)
+  WHERE t.t * 100.0 < p.n_frames * p.frame_ms
+)
+SELECT fmt,
+       CAST(MAX(n_media) AS BIGINT) AS n_media,
+       CAST(MAX(n_media) * COUNT(*) AS BIGINT) AS n_sampled_frames,
+       CAST(0 AS BIGINT) AS n_err,
+       CAST(ROUND(MAX(ts_ms), 1) AS DOUBLE) AS max_ts_ms,
+       CAST(MAX(n_media) * COUNT(*) AS BIGINT) AS n_distinct_frames,
+       CAST(MAX(n_frames) AS INTEGER) AS probe_frames,
+       CAST(ROUND(MAX(n_frames) * MAX(frame_ms), 1) AS DOUBLE)
+           AS probe_ms
+FROM samples GROUP BY fmt ORDER BY fmt
+"""
+
 ORACLES: dict[str, str] = {
+    "media_decode_stats": _ORACLE_MEDIA_DECODE,
+    "media_frames_stats": _ORACLE_MEDIA_FRAMES,
     "eval_ngram_docs": _ORACLE_EVAL_NGRAM,
     "wordpiece_token_stats": _ORACLE_WORDPIECE,
     "exact_span_docs": _ORACLE_DUP_SPANS,

@@ -1084,12 +1084,16 @@ def _gif_frames(b: bytes):
 def _webp_frames(b: bytes):
     """Animated WebP (VP8X + ANIM + ANMF) -> (rgb canvas copy,
     delay_ms) per frame, mirroring :func:`_gif_frames`'s contract:
-    frames composite onto the canvas honoring each ANMF's blend flag
-    (bit 1: 1 = overwrite) and dispose flag (bit 0: 1 = restore the
-    frame rect to the ANIM background color).  Frame payloads decode
-    through the in-repo VP8L and VP8-keyframe decoders; a separate
-    ALPH plane (lossy-with-alpha) raises pointedly.  A zero duration
-    renders as 100 ms (the browser convention, like GIF)."""
+    frames composite onto an internal RGBA canvas honoring each ANMF's
+    blend flag (bit 1: 1 = overwrite the rect, alpha included) and
+    dispose flag (bit 0: 1 = restore the frame rect to the ANIM
+    background color).  Frame payloads decode through the in-repo VP8L
+    and VP8-keyframe decoders; a separate ALPH plane (lossy-with-alpha)
+    decodes into the frame's alpha channel.  Each yielded frame is the
+    RGBA canvas PROJECTED to RGB by compositing over the opaque ANIM
+    background color (the GIF-canvas convention this generator's
+    contract promises downstream).  A zero duration renders as 100 ms
+    (the browser convention, like GIF)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WEBP RIFF container")
     pos, cw, ch, bg = 12, None, None, np.array([255, 255, 255],
@@ -1116,10 +1120,12 @@ def _webp_frames(b: bytes):
         raise ValueError("WEBP without ANMF frames (not animated)")
     if cw is None:
         raise ValueError("animated WEBP without VP8X canvas dims")
-    canvas = np.empty((ch, cw, 3), np.uint8)
-    canvas[:] = bg
+    bg4 = np.array([bg[0], bg[1], bg[2], 255], np.uint8)
+    canvas = np.empty((ch, cw, 4), np.uint8)
+    canvas[:] = bg4
     for fx, fy, dur, flags, p0, p1 in frames:
         px = None
+        alph = None
         q = p0
         while q + 8 <= p1:
             fcc = b[q:q + 4]
@@ -1129,12 +1135,9 @@ def _webp_frames(b: bytes):
                 px = _decode_vp8l(payload)
             elif fcc == b"VP8 ":
                 from .vp8 import decode_vp8_keyframe
-                px = decode_vp8_keyframe(payload)
+                px = _with_alpha(decode_vp8_keyframe(payload), alph)
             elif fcc == b"ALPH":
-                raise ValueError(
-                    "animated WebP with a separate ALPH plane is not "
-                    "supported (lossy-with-alpha needs the alpha "
-                    "filter/compression pipeline)")
+                alph = payload
             q += 8 + sz + (sz & 1)
         if px is None:
             raise ValueError("ANMF frame without a VP8/VP8L payload")
@@ -1144,18 +1147,37 @@ def _webp_frames(b: bytes):
             continue
         view = canvas[fy:fy + ih, fx:fx + iw]
         sub = px[:ih, :iw]
-        if sub.shape[-1] == 4:
+        if sub.shape[-1] != 4:
+            sub = np.dstack([sub, np.full(sub.shape[:2], 255, np.uint8)])
+        if flags & 2:                    # do not blend: replace the
+            view[:] = sub                # rect, alpha included
+        elif bool((view[..., 3] == 255).all()):
+            # opaque underlay: plain source-over (the historical path,
+            # same rounding as before the RGBA canvas)
             a = sub[..., 3:4].astype(np.int32)
             rgb = sub[..., :3].astype(np.int32)
-            under = (view.astype(np.int32) if not (flags & 2)
-                     else bg.astype(np.int32)[None, None, :])
-            view[:] = ((rgb * a + under * (255 - a) + 127)
-                       // 255).astype(np.uint8)
-        else:
-            view[:] = sub[..., :3]
-        yield canvas.copy(), float(dur if dur > 0 else 100)
+            under = view[..., :3].astype(np.int32)
+            view[..., :3] = ((rgb * a + under * (255 - a) + 127)
+                             // 255).astype(np.uint8)
+        else:                            # source-over in straight alpha
+            a = sub[..., 3:4].astype(np.int32)
+            ua = view[..., 3:4].astype(np.int32)
+            out_a = a * 255 + ua * (255 - a)            # x255 scale
+            rgb = (sub[..., :3].astype(np.int32) * a * 255
+                   + view[..., :3].astype(np.int32) * ua * (255 - a))
+            safe = np.maximum(out_a, 1)
+            view[..., :3] = ((rgb + safe // 2) // safe).astype(np.uint8)
+            view[..., 3:4] = ((out_a + 127) // 255).astype(np.uint8)
+        # yielded contract stays RGB: project over the opaque ANIM
+        # background color (documented projection; translucent canvas
+        # regions keep their alpha internally for later blends)
+        ca = canvas[..., 3:4].astype(np.int32)
+        rgb_out = ((canvas[..., :3].astype(np.int32) * ca
+                    + bg.astype(np.int32)[None, None, :] * (255 - ca)
+                    + 127) // 255).astype(np.uint8)
+        yield rgb_out, float(dur if dur > 0 else 100)
         if flags & 1:                    # dispose to background
-            canvas[fy:fy + ih, fx:fx + iw] = bg
+            canvas[fy:fy + ih, fx:fx + iw] = bg4
 
 
 # ---------------------------------------------------------------------------
@@ -1209,21 +1231,26 @@ _VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
 # 2D offsets for distance codes 1..120 (spec "plane codes"): (dx, dy),
 # distance = dy * xsize + dx (minimum 1).
 _VP8L_DIST_MAP = (
-    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
-    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
-    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
-    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
-    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
-    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
-    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
-    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
-    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
-    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
-    (-6, 6), (2, 8), (-2, 8), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
-    (8, 4), (3, 8), (-3, 8), (8, 5), (4, 8), (-4, 8), (6, 7), (-6, 7),
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+    (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+    (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+    (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+    (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+    (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3),
+    (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5),
+    (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+    (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+    (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+    (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
 )
 
 
@@ -1316,7 +1343,15 @@ def _vp8l_read_tree(br, alphabet_size) -> _VP8LTree:
     cl_lengths = [0] * 19
     for i in range(num_cl):
         cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
-    cl_tree = _VP8LTree(lengths=cl_lengths)
+    cl_used = [i for i, x in enumerate(cl_lengths) if x]
+    if len(cl_used) == 1:
+        # single-symbol code-length code: a 0-BIT code (libwebp's
+        # BuildHuffmanTable special case) — e.g. "repeat-prev only",
+        # which expands to an all-8-bit alphabet without consuming
+        # any code-length bits
+        cl_tree = _VP8LTree(simple_syms=[cl_used[0]])
+    else:
+        cl_tree = _VP8LTree(lengths=cl_lengths)
     lengths = _vp8l_read_code_lengths(br, cl_tree, alphabet_size)
     used = sum(1 for x in lengths if x)
     if used == 0:
@@ -1517,9 +1552,13 @@ def _vp8l_inverse_color_transform(px, w, h, bs, elems, mw):
     for y in range(h):
         for x in range(w):
             e = int(elems[(y >> bs) * mw + (x >> bs)])
-            g2r = (e >> 16) & 0xFF      # red channel of the element
-            g2b = (e >> 8) & 0xFF       # green channel
-            r2b = e & 0xFF              # blue channel
+            # ColorTransformElement packing (spec 4.2.2 / libwebp
+            # ColorCodeToMultipliers): green_to_red in bits 0-7 (the
+            # BLUE channel), green_to_blue in bits 8-15, red_to_blue
+            # in bits 16-23
+            g2r = e & 0xFF
+            g2b = (e >> 8) & 0xFF
+            r2b = (e >> 16) & 0xFF
             v = int(out[y * w + x])
             a = (v >> 24) & 0xFF
             r = (v >> 16) & 0xFF
@@ -1541,6 +1580,26 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
     br.read(1)                                  # alpha hint
     if br.read(3) != 0:
         raise ValueError("VP8L: unsupported version")
+    px = _vp8l_image_stream(br, w, h)
+    a = ((px >> np.uint32(24)) & np.uint32(0xFF)).astype(np.uint8)
+    r = ((px >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
+    g = ((px >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+    b = (px & np.uint32(0xFF)).astype(np.uint8)
+    if bool((a != 255).any()):
+        out = np.stack([r, g, b, a], -1)
+    else:
+        out = np.stack([r, g, b], -1)
+    return out.reshape(h, w, -1)
+
+
+def _vp8l_image_stream(br: "_VP8LBitReader", w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image stream (optional transforms + entropy-coded
+    image) of EXTERNALLY known dimensions -> flat uint32 ARGB array.
+
+    Shared by the VP8L chunk decoder (dimensions from the VP8L header)
+    and the ALPH plane decoder (dimensions from the lossy VP8 frame),
+    which the WebP spec defines as exactly this signature-less stream.
+    """
     transforms = []
     cur_w = w
     while br.read(1):
@@ -1620,34 +1679,105 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
             _typ, sb, elems, mw, cw = t
             px = _vp8l_inverse_color_transform(px, cw, h, sb, elems, mw)
             cur_w = cw
-    a = ((px >> np.uint32(24)) & np.uint32(0xFF)).astype(np.uint8)
-    r = ((px >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
-    g = ((px >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
-    b = (px & np.uint32(0xFF)).astype(np.uint8)
-    if bool((a != 255).any()):
-        out = np.stack([r, g, b, a], -1)
+    return px
+
+
+def _alpha_unfilter(a: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH plane's row filter IN PLACE (WebP container spec
+    / libwebp filters: 1 = horizontal, 2 = vertical, 3 = gradient).
+    Row 0 always unfilters horizontally with a zero seed; column 0 of
+    later rows predicts from the pixel ABOVE."""
+    h, w = a.shape
+    if method == 1:                              # horizontal
+        seed = 0                                 # row 0 predicts from 0
+        for y in range(h):
+            a[y] = ((np.cumsum(a[y].astype(np.int64)) + seed)
+                    & 0xFF).astype(np.uint8)
+            seed = int(a[y, 0])                  # next row col 0: above
+        return a
+    if method == 2:                              # vertical
+        a[0] = np.cumsum(a[0].astype(np.int64)) & 0xFF
+        for y in range(1, h):
+            a[y] = (a[y].astype(np.int64) + a[y - 1]) & 0xFF
+        return a
+    if method == 3:                              # gradient
+        a[0] = np.cumsum(a[0].astype(np.int64)) & 0xFF
+        for y in range(1, h):
+            prev = a[y - 1].astype(np.int64)
+            left = int(prev[0])
+            tl = left
+            row = a[y].astype(np.int64)
+            out = np.empty(w, np.int64)
+            for x in range(w):
+                top = int(prev[x])
+                g = left + top - tl
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+                left = (row[x] + pred) & 0xFF
+                out[x] = left
+                tl = top
+            a[y] = out.astype(np.uint8)
+        return a
+    raise ValueError(f"ALPH: invalid filtering method {method}")
+
+
+def _decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """WebP ``ALPH`` chunk -> (h, w) uint8 alpha plane.
+
+    Header byte: compression (bits 0-1: 0 = raw, 1 = signature-less
+    VP8L stream carrying alpha in the GREEN channel), filtering method
+    (bits 2-3, inverted by :func:`_alpha_unfilter`), pre-processing
+    (bits 4-5 — informative per the spec; a level-quantized plane is
+    returned as coded, without libwebp's optional smoothing pass).
+    """
+    if not body:
+        raise ValueError("ALPH: empty chunk")
+    method = body[0] & 3
+    filt = (body[0] >> 2) & 3
+    if method == 0:
+        if len(body) < 1 + w * h:
+            raise ValueError("ALPH: raw plane shorter than width*height")
+        a = np.frombuffer(body, np.uint8, w * h, 1).reshape(h, w).copy()
+    elif method == 1:
+        br = _VP8LBitReader(body, 1)
+        px = _vp8l_image_stream(br, w, h)
+        a = ((px >> np.uint32(8)) & np.uint32(0xFF)).astype(
+            np.uint8).reshape(h, w)
     else:
-        out = np.stack([r, g, b], -1)
-    return out.reshape(h, w, -1)
+        raise ValueError(f"ALPH: invalid compression method {method}")
+    if filt:
+        _alpha_unfilter(a, filt)
+    return a
+
+
+def _with_alpha(rgb: np.ndarray, alph_body: bytes | None) -> np.ndarray:
+    """Attach a decoded ALPH plane to lossy RGB pixels (h, w, 4)."""
+    if alph_body is None:
+        return rgb
+    h, w = rgb.shape[:2]
+    a = _decode_alph(alph_body, w, h)
+    return np.dstack([rgb[..., :3], a])
 
 
 def _decode_webp(payload: bytes) -> np.ndarray:
     """RIFF/WEBP container -> pixels.  VP8L (lossless) and lossy VP8
     KEYFRAMES (every still WebP) decode natively — see
-    :mod:`.vp8` for the keyframe decoder and its verification caveats;
-    VP8 inter frames raise pointedly there."""
+    :mod:`.vp8` for the keyframe decoder; an ``ALPH`` chunk ahead of
+    the VP8 frame decodes into a fourth channel (lossy-with-alpha)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WEBP RIFF container")
     pos = 12
+    alph = None
     while pos + 8 <= len(payload):
         fourcc = payload[pos:pos + 4]
         size, = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + size]
         if fourcc == b"VP8L":
             return _decode_vp8l(body)
+        if fourcc == b"ALPH":
+            alph = body
         if fourcc == b"VP8 ":
             from .vp8 import decode_vp8_keyframe
-            return decode_vp8_keyframe(body)
+            return _with_alpha(decode_vp8_keyframe(body), alph)
         pos += 8 + size + (size & 1)            # chunks are 2-aligned
     if payload.find(b"ANMF", 12) != -1:
         # animated WebP: still-image decode = FIRST frame (the GIF

@@ -15,13 +15,18 @@ Scope and verification honesty:
   RFC 6386 (sections 7-15) and is pinned by round-trip fixtures: the
   test suite assembles real bitstreams with its own boolean ENCODER
   and checks reconstruction against independently-computed pixels.
-* The large probability CONSTANT tables (default token probabilities,
-  token-probability update probabilities, keyframe B-mode
-  probabilities) are transcribed from RFC 6386 §13.5/§13.4/§11.4.
-  This container has no libvpx/PIL/ffmpeg and no real VP8 payloads,
-  so cross-encoder bit-exactness of those constants CANNOT be
-  verified here; any transcription slip affects only interop with
-  external encoders, not the machinery (fixtures share the tables).
+* The large probability CONSTANT tables (default token probabilities
+  §13.5, token-probability update probabilities §13.4, keyframe
+  B-mode probabilities §11.4) are the complete spec constants,
+  EXTRACTED from the system reference codec's read-only data
+  (``libwebp.so.7``'s ``CoeffsProba0`` / ``CoeffsUpdateProba`` /
+  ``kBModesProba``, which compile the RFC tables verbatim) and
+  re-verified against that binary by ``tests/test_vp8_interop.py``
+  whenever the library is present.  The same test suite also checks
+  END-TO-END interop: real lossy WebP bitstreams produced by
+  ``WebPEncodeRGB`` are decoded by THIS decoder and compared
+  bit-exactly against ``WebPDecodeYUV``.  The smaller mode/tree/
+  dequant tables are pinned by the same interop pass.
 
 Reference parity note: finos/legend-community-delta has no media path
 at all; this belongs to the training-data-pipeline extension surface
@@ -128,16 +133,21 @@ MODE_TO_BMODE = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED,
 
 
 # Keyframe subblock-mode probabilities kf_bmode_prob[above][left][9]
-# (RFC 6386 §11.4 / libvpx entropymode).  Transcribed; see module
-# docstring for the in-container verification caveat.
+# (RFC 6386 §11.4 / libvpx entropymode).  Extracted from libwebp's
+# kBModesProba and re-indexed into RFC mode numbering: libwebp's
+# internal B-mode enum orders the diagonal modes (RD, VR, LD) and this
+# module follows the RFC/libvpx order (LD, RD, VR), so rows/columns
+# are permuted by rfc->libwebp index map (0,1,2,3,6,4,5,7,8,9).
+# Verified end-to-end against real libwebp-encoded bitstreams
+# (tests/test_vp8_interop.py).
 KF_BMODE_PROB = (
     ((231, 120, 48, 89, 115, 113, 120, 152, 112),
      (152, 179, 64, 126, 170, 118, 46, 70, 95),
      (175, 69, 143, 80, 85, 82, 72, 155, 103),
      (56, 58, 10, 171, 218, 189, 17, 13, 152),
+     (144, 71, 10, 38, 171, 213, 144, 34, 26),
      (114, 26, 17, 163, 44, 195, 21, 10, 173),
      (121, 24, 80, 195, 26, 62, 44, 64, 85),
-     (144, 71, 10, 38, 171, 213, 144, 34, 26),
      (170, 46, 55, 19, 136, 160, 33, 206, 71),
      (63, 20, 8, 114, 114, 208, 12, 9, 226),
      (81, 40, 11, 96, 182, 84, 29, 16, 36)),
@@ -145,9 +155,9 @@ KF_BMODE_PROB = (
      (72, 187, 100, 130, 157, 111, 32, 75, 80),
      (66, 102, 167, 99, 74, 62, 40, 234, 128),
      (41, 53, 9, 178, 241, 141, 26, 8, 107),
+     (104, 79, 12, 27, 217, 255, 87, 17, 7),
      (74, 43, 26, 146, 73, 166, 49, 23, 157),
      (65, 38, 105, 160, 51, 52, 31, 115, 128),
-     (104, 79, 12, 27, 217, 255, 87, 17, 7),
      (87, 68, 71, 44, 114, 51, 15, 186, 23),
      (47, 41, 14, 110, 182, 183, 21, 17, 194),
      (66, 45, 25, 102, 197, 189, 23, 18, 22)),
@@ -155,29 +165,39 @@ KF_BMODE_PROB = (
      (43, 97, 183, 117, 85, 38, 35, 179, 61),
      (39, 53, 200, 87, 26, 21, 43, 232, 171),
      (56, 34, 51, 104, 114, 102, 29, 93, 77),
+     (107, 54, 32, 26, 51, 1, 81, 43, 31),
      (39, 28, 85, 171, 58, 165, 90, 98, 64),
      (34, 22, 116, 206, 23, 34, 43, 166, 73),
-     (107, 54, 32, 26, 51, 1, 81, 43, 31),
      (68, 25, 106, 22, 64, 171, 36, 225, 114),
-     (34, 16, 112, 21, 31, 231, 86, 6, 213),
+     (34, 19, 21, 102, 132, 188, 16, 76, 124),
      (62, 18, 78, 95, 85, 57, 50, 48, 51)),
     ((193, 101, 35, 159, 215, 111, 89, 46, 111),
      (60, 148, 31, 172, 219, 228, 21, 18, 111),
      (112, 113, 77, 85, 179, 255, 38, 120, 114),
      (40, 42, 1, 196, 245, 209, 10, 25, 109),
+     (100, 80, 8, 43, 154, 1, 51, 26, 71),
      (88, 43, 29, 140, 166, 213, 37, 43, 154),
      (61, 63, 30, 155, 67, 45, 68, 1, 209),
-     (100, 80, 8, 43, 154, 1, 51, 26, 71),
      (142, 78, 78, 16, 255, 128, 34, 197, 171),
      (41, 40, 5, 102, 211, 183, 4, 1, 221),
      (51, 50, 17, 168, 209, 192, 23, 25, 82)),
+    ((125, 98, 42, 88, 104, 85, 117, 175, 82),
+     (95, 84, 53, 89, 128, 100, 113, 101, 45),
+     (75, 79, 123, 47, 51, 128, 81, 171, 1),
+     (57, 17, 5, 71, 102, 57, 53, 41, 49),
+     (115, 21, 2, 10, 102, 255, 166, 23, 6),
+     (38, 33, 13, 121, 57, 73, 26, 1, 85),
+     (41, 10, 67, 138, 77, 110, 90, 47, 114),
+     (101, 29, 16, 10, 85, 128, 101, 196, 26),
+     (57, 18, 10, 102, 102, 213, 34, 20, 43),
+     (117, 20, 15, 36, 163, 128, 68, 1, 26)),
     ((138, 31, 36, 171, 27, 166, 38, 44, 229),
      (67, 87, 58, 169, 82, 115, 26, 59, 179),
      (63, 59, 90, 180, 59, 166, 93, 73, 154),
      (40, 40, 21, 116, 143, 209, 34, 39, 175),
+     (57, 46, 22, 24, 128, 1, 54, 17, 37),
      (47, 15, 16, 183, 34, 223, 49, 45, 183),
      (46, 17, 33, 183, 6, 98, 15, 32, 183),
-     (57, 46, 22, 24, 128, 1, 54, 17, 37),
      (65, 32, 73, 115, 28, 128, 23, 128, 205),
      (40, 3, 9, 115, 51, 192, 18, 6, 223),
      (87, 37, 9, 115, 59, 77, 64, 21, 47)),
@@ -185,58 +205,49 @@ KF_BMODE_PROB = (
      (64, 90, 70, 205, 40, 41, 23, 26, 57),
      (54, 57, 112, 184, 5, 41, 38, 166, 213),
      (30, 34, 26, 133, 152, 116, 10, 32, 134),
+     (75, 32, 12, 51, 192, 255, 160, 43, 51),
      (39, 19, 53, 221, 26, 114, 32, 73, 255),
      (31, 9, 65, 234, 2, 15, 1, 118, 73),
-     (75, 32, 12, 51, 192, 255, 160, 43, 51),
      (88, 31, 35, 67, 102, 85, 55, 186, 85),
      (56, 21, 23, 111, 59, 205, 45, 37, 192),
      (55, 38, 70, 124, 73, 102, 1, 34, 98)),
-    ((125, 98, 42, 88, 104, 85, 117, 175, 82),
-     (95, 84, 53, 89, 128, 100, 113, 101, 45),
-     (75, 79, 123, 47, 51, 128, 81, 171, 1),
-     (57, 17, 5, 71, 102, 57, 53, 41, 49),
-     (38, 33, 13, 121, 57, 73, 26, 1, 85),
-     (41, 10, 67, 138, 77, 110, 90, 47, 114),
-     (115, 21, 2, 10, 102, 255, 166, 23, 6),
-     (101, 29, 16, 10, 85, 128, 101, 196, 26),
-     (57, 18, 10, 102, 102, 213, 34, 20, 43),
-     (117, 20, 15, 36, 163, 128, 68, 1, 26)),
     ((102, 61, 71, 37, 34, 53, 31, 243, 192),
      (69, 60, 71, 38, 73, 119, 28, 222, 37),
-     (68, 45, 128, 34, 1, 47, 11, 245, 147),
+     (68, 45, 128, 34, 1, 47, 11, 245, 171),
      (62, 17, 19, 70, 146, 85, 55, 62, 70),
+     (75, 15, 9, 9, 64, 255, 184, 119, 16),
      (37, 43, 37, 154, 100, 163, 85, 160, 1),
      (63, 9, 92, 136, 28, 64, 32, 201, 85),
-     (75, 15, 9, 9, 64, 255, 184, 119, 16),
      (86, 6, 28, 5, 64, 255, 25, 248, 1),
      (56, 8, 17, 132, 137, 255, 55, 116, 128),
-     (86, 27, 28, 13, 57, 255, 7, 68, 26)),
-    ((99, 101, 53, 60, 249, 255, 9, 81, 10),
-     (27, 117, 25, 68, 102, 128, 3, 255, 81),
-     (36, 45, 103, 96, 128, 128, 9, 255, 59),
-     (46, 39, 28, 156, 211, 128, 1, 255, 26),
-     (37, 20, 32, 233, 16, 128, 1, 89, 64),
-     (26, 16, 38, 201, 22, 128, 1, 255, 85),
-     (61, 19, 30, 48, 110, 128, 209, 128, 64),
-     (54, 37, 62, 71, 12, 128, 10, 255, 128),
-     (43, 23, 13, 101, 196, 128, 1, 85, 128),
-     (34, 21, 11, 97, 194, 128, 3, 255, 42)),
-    ((77, 27, 99, 87, 77, 64, 30, 255, 255),
-     (37, 32, 152, 62, 107, 64, 46, 255, 235),
-     (26, 11, 219, 56, 52, 128, 45, 255, 255),
-     (41, 27, 29, 70, 144, 185, 44, 94, 255),
-     (25, 17, 47, 159, 63, 128, 31, 79, 255),
-     (17, 10, 53, 158, 40, 128, 25, 255, 255),
-     (57, 19, 19, 23, 219, 255, 120, 90, 255),
-     (45, 18, 32, 45, 36, 128, 20, 255, 255),
-     (33, 12, 15, 99, 145, 255, 12, 35, 255),
-     (28, 12, 12, 92, 139, 255, 16, 96, 255)),
+     (58, 15, 20, 82, 135, 57, 26, 121, 40)),
+    ((164, 50, 31, 137, 154, 133, 25, 35, 218),
+     (51, 103, 44, 131, 131, 123, 31, 6, 158),
+     (86, 40, 64, 135, 148, 224, 45, 183, 128),
+     (22, 26, 17, 131, 240, 154, 14, 1, 209),
+     (83, 12, 13, 54, 192, 255, 68, 47, 28),
+     (45, 16, 21, 91, 64, 222, 7, 1, 197),
+     (56, 21, 39, 155, 60, 138, 23, 102, 213),
+     (85, 26, 85, 85, 128, 128, 32, 146, 171),
+     (18, 11, 7, 63, 144, 171, 4, 4, 246),
+     (35, 27, 10, 146, 174, 171, 12, 26, 128)),
+    ((190, 80, 35, 99, 180, 80, 126, 54, 45),
+     (85, 126, 47, 87, 176, 51, 41, 20, 32),
+     (101, 75, 128, 139, 118, 146, 116, 128, 85),
+     (56, 41, 15, 176, 236, 85, 37, 9, 62),
+     (146, 36, 19, 30, 171, 255, 97, 27, 20),
+     (71, 30, 17, 119, 118, 255, 17, 18, 138),
+     (101, 38, 60, 138, 55, 70, 43, 26, 142),
+     (138, 45, 61, 62, 219, 1, 81, 188, 64),
+     (32, 41, 20, 117, 151, 142, 20, 21, 163),
+     (112, 19, 12, 61, 195, 128, 48, 4, 24)),
 )
 
 
 # Default token probabilities default_coef_probs[block_type][band][ctx][11]
-# (RFC 6386 §13.5).  Block types: 0 = Y after Y2, 1 = Y2, 2 = chroma,
-# 3 = Y without Y2.  Transcribed; see module docstring caveat.
+# (RFC 6386 §13.5 / libwebp CoeffsProba0).  Block types: 0 = Y after
+# Y2, 1 = Y2, 2 = chroma, 3 = Y without Y2.  Complete table; see
+# module docstring for provenance.
 DEFAULT_COEF_PROBS = (
     (  # block type 0
         ((128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
@@ -256,15 +267,15 @@ DEFAULT_COEF_PROBS = (
          (37, 116, 196, 243, 228, 255, 255, 255, 128, 128, 128)),
         ((1, 204, 254, 255, 245, 255, 128, 128, 128, 128, 128),
          (207, 160, 250, 255, 238, 128, 128, 128, 128, 128, 128),
-         (102, 103, 225, 255, 210, 240, 128, 128, 128, 128, 128)),
+         (102, 103, 231, 255, 211, 171, 128, 128, 128, 128, 128)),
         ((1, 152, 252, 255, 240, 255, 128, 128, 128, 128, 128),
          (177, 135, 243, 255, 234, 225, 128, 128, 128, 128, 128),
          (80, 129, 211, 255, 194, 224, 128, 128, 128, 128, 128)),
-        ((1, 1, 243, 255, 254, 255, 128, 128, 128, 128, 128),
-         (238, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
-         (75, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128)),
+        ((1, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+         (246, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+         (255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128)),
     ),
-    (  # block type 1 (Y2)
+    (  # block type 1
         ((198, 35, 237, 223, 193, 187, 162, 160, 145, 155, 62),
          (131, 45, 198, 221, 172, 176, 220, 157, 252, 221, 1),
          (68, 47, 146, 208, 149, 167, 221, 162, 255, 223, 128)),
@@ -290,7 +301,7 @@ DEFAULT_COEF_PROBS = (
          (203, 1, 248, 255, 255, 128, 128, 128, 128, 128, 128),
          (137, 1, 177, 255, 224, 255, 128, 128, 128, 128, 128)),
     ),
-    (  # block type 2 (chroma)
+    (  # block type 2
         ((253, 9, 248, 251, 207, 208, 255, 192, 128, 128, 128),
          (175, 13, 224, 243, 193, 185, 249, 198, 255, 255, 128),
          (73, 17, 171, 221, 161, 179, 236, 167, 255, 234, 128)),
@@ -316,12 +327,12 @@ DEFAULT_COEF_PROBS = (
          (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
          (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128)),
     ),
-    (  # block type 3 (Y without Y2)
+    (  # block type 3
         ((202, 24, 213, 235, 186, 191, 220, 160, 240, 175, 255),
-         (126, 38, 166, 203, 165, 180, 214, 131, 226, 197, 162),
-         (61, 46, 138, 188, 134, 174, 204, 100, 234, 196, 128)),
+         (126, 38, 182, 232, 169, 184, 228, 174, 255, 187, 128),
+         (61, 46, 138, 219, 151, 178, 240, 170, 255, 216, 128)),
         ((1, 112, 230, 250, 199, 191, 247, 159, 255, 255, 128),
-         (166, 109, 228, 252, 211, 215, 255, 223, 128, 128, 128),
+         (166, 109, 228, 252, 211, 215, 255, 174, 128, 128, 128),
          (39, 77, 162, 232, 172, 180, 245, 178, 255, 255, 128)),
         ((1, 52, 220, 246, 198, 199, 249, 220, 255, 255, 128),
          (124, 74, 191, 243, 183, 193, 250, 221, 255, 255, 128),
@@ -345,47 +356,118 @@ DEFAULT_COEF_PROBS = (
 )
 
 
-def _build_update_probs() -> tuple:
-    """Token-probability-update probabilities (RFC 6386 §13.4).
-
-    The true table is mostly 255 ("update almost never signalled") with
-    sub-255 values concentrated in the first couple of positions of the
-    early bands.  The confidently-transcribed entries are set below;
-    everything else stays 255.  A 255 that should be lower only affects
-    streams whose ENCODER chose to update that specific probability —
-    rare for keyframes (encoders overwhelmingly ship spec defaults) and
-    self-consistent for the in-repo fixtures, which share this table.
-    """
-    t = [[[[255] * 11 for _ in range(3)] for _ in range(8)]
-         for _ in range(4)]
-    first = {
-        # (block, band): ((ctx0 c0, c1), (ctx1 c0, c1), (ctx2 c0, c1))
-        (0, 1): ((176, 246), (223, 241), (249, 253)),
-        (0, 2): ((255, 244), (234, 254), (253, 255)),
-        (0, 3): ((255, 246), (239, 253), (254, 255)),
-        (0, 4): ((255, 248), (251, 255), (255, 255)),
-        (0, 5): ((255, 253), (251, 254), (254, 255)),
-        (0, 6): ((255, 254), (254, 254), (254, 255)),
-        (1, 0): ((217, 255), (225, 252), (234, 250)),
-        (1, 1): ((255, 254), (223, 254), (238, 254)),
-        (1, 2): ((255, 248), (249, 254), (255, 255)),
-        (1, 3): ((255, 253), (247, 254), (255, 255)),
-        (2, 0): ((186, 255), (234, 255), (251, 255)),
-        (2, 1): ((255, 255), (236, 255), (251, 255)),
-        (3, 0): ((248, 255), (250, 254), (252, 255)),
-        (3, 1): ((255, 254), (248, 254), (253, 255)),
-        (3, 2): ((255, 254), (246, 253), (255, 254)),
-        (3, 3): ((255, 254), (252, 254), (255, 254)),
-    }
-    for (blk, band), rows in first.items():
-        for ctx, (c0, c1) in enumerate(rows):
-            t[blk][band][ctx][0] = c0
-            t[blk][band][ctx][1] = c1
-    return tuple(tuple(tuple(tuple(c) for c in b) for b in blk)
-                 for blk in t)
-
-
-COEF_UPDATE_PROBS = _build_update_probs()
+# Token-probability-update probabilities coef_update_probs[block][band]
+# [ctx][11] (RFC 6386 §13.4).  Every entry is read as the Bool-decoder
+# probability of the per-position "update" flag, so in arithmetic coding
+# EVERY value shifts the range split on EVERY frame-header read — the
+# table must match the spec constant bit-for-bit even when no update is
+# signalled.  Complete table; see module docstring for provenance.
+COEF_UPDATE_PROBS = (
+    (  # block type 0
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((176, 246, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (223, 241, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+         (249, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 244, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+         (234, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (253, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 246, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (239, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (251, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (251, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 254, 253, 255, 254, 255, 255, 255, 255, 255, 255),
+         (250, 255, 254, 255, 254, 255, 255, 255, 255, 255, 255),
+         (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+    ),
+    (  # block type 1
+        ((217, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (225, 252, 241, 253, 255, 255, 254, 255, 255, 255, 255),
+         (234, 250, 241, 250, 253, 255, 253, 254, 255, 255, 255)),
+        ((255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (223, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (238, 253, 254, 254, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (249, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 253, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (247, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (252, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (253, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 254, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+         (250, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+    ),
+    (  # block type 2
+        ((186, 251, 250, 255, 255, 255, 255, 255, 255, 255, 255),
+         (234, 251, 244, 254, 255, 255, 255, 255, 255, 255, 255),
+         (251, 251, 243, 253, 254, 255, 254, 255, 255, 255, 255)),
+        ((255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (236, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (251, 253, 253, 254, 254, 255, 255, 255, 255, 255, 255)),
+        ((255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+    ),
+    (  # block type 3
+        ((248, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (250, 254, 252, 254, 255, 255, 255, 255, 255, 255, 255),
+         (248, 254, 249, 253, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+         (246, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+         (252, 254, 251, 254, 254, 255, 255, 255, 255, 255, 255)),
+        ((255, 254, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+         (248, 254, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+         (253, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 251, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (245, 251, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (253, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 251, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+         (252, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 252, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (249, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+         (250, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+        ((255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+         (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255)),
+    ),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1758,8 +1758,10 @@ def make_vp8l(px, subtract_green=False, predictor=None, palette=False,
         bw.write(sb - 2, 3)
         mw = (cur_w + (1 << sb) - 1) >> sb
         mh = (h + (1 << sb) - 1) >> sb
+        # ColorTransformElement packing (spec 4.2.2): green_to_red in
+        # bits 0-7, green_to_blue in bits 8-15, red_to_blue in 16-23
         elem = np.full(mw * mh,
-                       0xFF000000 | (g2r << 16) | (g2b << 8) | r2b,
+                       0xFF000000 | (r2b << 16) | (g2b << 8) | g2r,
                        np.uint32)
         _write_image_stream(bw, elem, mw, mh)
     if predictor is not None:

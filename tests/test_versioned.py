@@ -247,23 +247,109 @@ def test_commit_race_loser_raises_and_log_stays_linear(spark, tmp_path):
 
 
 def test_orphan_version_dir_recovered_on_replay(spark, tmp_path):
-    # crash between the parquet write and the commit point leaves an
-    # orphan v=N dir; the retried batch must clear it and succeed
-    # instead of wedging forever on errorifexists
+    # crash between the data rename and the commit point leaves a
+    # token-stamped orphan v=N dir; ONLY the same stream batch's
+    # replay may clear it implicitly (same logical write)
+    from legend_community_delta_spark.sources.versioned import (
+        ConcurrentWriteError)
     t = VersionedTable(spark, str(tmp_path / "orph"))
     t.write(spark.createDataFrame([Row(id=1)]))
-    # simulate the dead writer: data landed, no commit entry
-    spark.createDataFrame([Row(id=98), Row(id=99)]) \
-        .write.parquet(str(tmp_path / "orph" / "v=1"))
+    # simulate the dead stream writer: stage + promote batch 7's data
+    # to v=1, then die before the commit-log link
+    staging, _tok = t._stage(
+        spark.createDataFrame([Row(id=98), Row(id=99)]),
+        {"operation": "STREAM_APPEND", "batch_id": 7})
+    t._promote(staging, 1, batch_id=7)
     assert t.latest_version() == 0          # orphan invisible to readers
+    # a DIFFERENT batch id must NOT clear it (could be a live writer)
+    with pytest.raises(ConcurrentWriteError, match="not committed"):
+        t.append_batch(spark.createDataFrame([Row(id=5)]), batch_id=8)
+    # the SAME batch id is a replay of the same logical write: recovers
     v = t.append_batch(spark.createDataFrame([Row(id=2)]), batch_id=7)
     assert v == 1
     assert _rows(t.read()) == [(1,), (2,)]  # orphan rows are GONE
-    # same recovery on the plain-append and full-write paths
+
+
+def test_untracked_orphan_raises_and_recover_orphans_clears(
+        spark, tmp_path):
+    # an out-of-protocol v=N dir (no token) is never deleted silently:
+    # the writer raises; recover_orphans() is the explicit remedy
+    from legend_community_delta_spark.sources.versioned import (
+        ConcurrentWriteError)
+    t = VersionedTable(spark, str(tmp_path / "uorph"))
+    t.write(spark.createDataFrame([Row(id=1)]))
     spark.createDataFrame([Row(id=77)]) \
-        .write.parquet(str(tmp_path / "orph" / "v=2"))
-    assert t.append(spark.createDataFrame([Row(id=3)])) == 2
-    assert _rows(t.read()) == [(1,), (2,), (3,)]
+        .write.parquet(str(tmp_path / "uorph" / "v=1"))
+    with pytest.raises(ConcurrentWriteError, match="recover_orphans"):
+        t.append(spark.createDataFrame([Row(id=3)]))
+    removed = t.recover_orphans()
+    assert any(p.endswith("v=1") for p in removed)
+    assert t.append(spark.createDataFrame([Row(id=3)])) == 1
+    assert _rows(t.read()) == [(1,), (3,)]
+
+
+def test_interleaved_writers_winner_data_survives(spark, tmp_path):
+    # round-10 verdict finding: under _clear_orphan, writer B could
+    # silently replace in-flight data that writer A then committed.
+    # Staged writes make that impossible: interleave A (staged, about
+    # to promote) with B (full write of the same version) and prove
+    # the COMMITTED version's rows are exactly its own writer's.
+    from legend_community_delta_spark.sources.versioned import (
+        ConcurrentWriteError)
+    t_a = VersionedTable(spark, str(tmp_path / "ilv"))
+    t_b = VersionedTable(spark, str(tmp_path / "ilv"))
+    t_a.write(spark.createDataFrame([Row(id=0)]))
+    # A stages its v=1 data but has not promoted yet
+    staging_a, tok_a = t_a._stage(
+        spark.createDataFrame([Row(id=101)]), {"operation": "WRITE"})
+    # B races through a complete write of version 1
+    assert t_b.write(spark.createDataFrame([Row(id=202)])) == 1
+    # A promotes into v=1 -> loses LOUDLY (data dir already committed)
+    with pytest.raises(ConcurrentWriteError, match="committed"):
+        t_a._promote(staging_a, 1)
+    # B's committed version is intact: its own rows, token verified
+    assert _rows(t_a.read(1)) == [(202,)]
+    commits = {c["version"]: c for c in t_a._commits()}
+    assert t_a._dir_token(1)["token"] == commits[1]["write_token"]
+    # A's staging dir was cleaned up on failure
+    import os as _os
+    assert not [d for d in _os.listdir(str(tmp_path / "ilv"))
+                if d.startswith(".stage-")]
+
+
+def test_read_detects_token_mismatch(spark, tmp_path):
+    # a committed version whose data dir was replaced out-of-protocol
+    # fails loudly at read time instead of serving foreign rows
+    import json as _json
+    import shutil as _shutil
+    t = VersionedTable(spark, str(tmp_path / "tok"))
+    t.write(spark.createDataFrame([Row(id=1)]))
+    t.write(spark.createDataFrame([Row(id=2)]))
+    # corrupt: swap v=1's data dir for one with a different token
+    _shutil.rmtree(str(tmp_path / "tok" / "v=1"))
+    spark.createDataFrame([Row(id=666)]) \
+        .write.parquet(str(tmp_path / "tok" / "v=1"))
+    with open(str(tmp_path / "tok" / "v=1" / "_write_token.json"),
+              "w") as fh:
+        _json.dump({"token": "impostor"}, fh)
+    with pytest.raises(ValueError, match="token does not match"):
+        t.read(1)
+
+
+def test_table_changes_does_not_pin_cache_entries(spark, tmp_path):
+    # round-10 verdict finding: diff.cache() pinned one CacheManager
+    # entry per CDF call for the session lifetime.  localCheckpoint
+    # keeps the cache manager empty; checkpointed blocks are released
+    # by the ContextCleaner once the DataFrame is collected.
+    from legend_community_delta_spark.sources.versioned import (
+        table_changes)
+    t = VersionedTable(spark, str(tmp_path / "cdfleak"))
+    t.write(spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]))
+    for i in range(3):
+        t.merge(spark.createDataFrame([Row(id=2, v=f"c{i}")]), ["id"])
+        table_changes(t, i, i + 1, ["id"]).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "table_changes must not leave cached plans"
 
 
 def test_append_batch_composes_with_partitioned_base(spark, tmp_path):
