@@ -6865,8 +6865,8 @@ WITH media AS (
   SELECT t.mid AS mid,
          CASE WHEN t.mid < 8 THEN 'bmp' WHEN t.mid < 16 THEN 'png'
               WHEN t.mid < 24 THEN 'ppm' WHEN t.mid < 32 THEN 'gif'
-              ELSE 'wav' END AS fmt
-  FROM generate_series(0, 39) t(mid)
+              WHEN t.mid < 40 THEN 'wav' ELSE 'webp' END AS fmt
+  FROM generate_series(0, 47) t(mid)
 ),
 img AS (
   SELECT m.mid AS mid, m.fmt AS fmt,
@@ -6902,8 +6902,8 @@ FROM lvl GROUP BY fmt ORDER BY fmt
 """
 
 # media_frames_stats re-derived from the generator's documented timing
-# (synth_video_rows: 4 media each of animated GIF at 10 cs/frame and
-# Y4M at 25 fps, 3 frames each; sample_video_frames at every_ms=100
+# (synth_video_rows: 4 media each of animated GIF at 10 cs/frame,
+# Y4M at 25 fps and animated WebP at 100 ms/frame, 3 frames each; sample_video_frames at every_ms=100
 # emits the containing frame's start timestamp).  Every (media, frame)
 # pair uses a distinct pixel seed (mid*101 + f), so sampled frames are
 # all distinct.
@@ -6912,6 +6912,7 @@ WITH params AS (
   SELECT 'gif_anim' AS fmt, 4 AS n_media, 3 AS n_frames,
          100.0 AS frame_ms
   UNION ALL SELECT 'y4m', 4, 3, 40.0
+  UNION ALL SELECT 'webp_anim', 4, 3, 100.0
 ),
 samples AS (
   SELECT p.fmt AS fmt, p.n_media AS n_media, p.n_frames AS n_frames,

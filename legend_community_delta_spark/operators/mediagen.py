@@ -38,6 +38,8 @@ __all__ = [
     "encode_ppm",
     "encode_gif",
     "encode_wav",
+    "encode_webp_lossless",
+    "encode_webp_animation",
     "synth_media_rows",
     "synth_media_table",
     "encode_gif_animation",
@@ -163,6 +165,106 @@ def encode_gif(px: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_webp_lossless(px: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 -> RIFF/WEBP with a literal-only VP8L stream.
+
+    Deliberately the simplest spec-valid lossless encoding: no
+    transforms, no LZ77, no color cache, and FIXED 8-bit prefix codes
+    for all four channels.  A complete 256-symbol 8-bit code is
+    serialized with two spec features working together: a
+    single-symbol code-length code (a 0-bit code per the spec's
+    BuildHuffmanTable special case) that repeats "length 8", bounded
+    by the max_symbol field at exactly 256 — 12 header bits per tree,
+    then every literal is its own byte value written MSB-first.
+    ~4 bytes/pixel; the synthetic contract payloads are 16x12, so
+    compactness is irrelevant and decode equivalence is everything
+    (cross-checked against the system libwebp in tests).
+    """
+    body = _vp8l_body(px)
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _vp8l_body(px: np.ndarray) -> bytes:
+    """The raw VP8L chunk payload for :func:`encode_webp_lossless`
+    (also embedded inside ANMF frames by :func:`encode_webp_animation`).
+    """
+    h, w, c = px.shape
+    if c not in (3, 4):
+        raise ValueError(f"WebP-lossless encode needs 3/4 channels, got {c}")
+    wtr = _LSBWriter()
+    wtr.write(0x2F, 8)                           # VP8L signature
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(1 if c == 4 else 0, 1)             # alpha hint
+    wtr.write(0, 3)                              # version
+    wtr.write(0, 1)                              # no transforms
+    wtr.write(0, 1)                              # no color cache
+    wtr.write(0, 1)                              # no meta huffman
+
+    def fixed_8bit_tree() -> None:
+        wtr.write(0, 1)                          # normal (not simple)
+        wtr.write(12 - 4, 4)                     # 12 code-length lengths
+        for i in range(12):                      # CL order: symbol 8 is
+            wtr.write(1 if i == 11 else 0, 3)    # at order index 11
+        wtr.write(1, 1)                          # bounded symbol count
+        wtr.write(3, 3)                          # length_nbits = 8
+        wtr.write(254, 8)                        # max_symbol = 256
+
+    def simple_zero_tree() -> None:
+        wtr.write(1, 1)                          # simple code
+        wtr.write(0, 1)                          # one symbol
+        wtr.write(0, 1)                          # 1-bit symbol
+        wtr.write(0, 1)                          # symbol 0
+
+    fixed_8bit_tree()                            # green (+len codes unused)
+    fixed_8bit_tree()                            # red
+    fixed_8bit_tree()                            # blue
+    fixed_8bit_tree()                            # alpha
+    simple_zero_tree()                           # distances (unused)
+
+    alpha = px[..., 3] if c == 4 else None
+    for y in range(h):
+        for x in range(w):
+            r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+            av = int(alpha[y, x]) if alpha is not None else 255
+            for v in (g, r, b, av):              # stream order g,r,b,a
+                for k in range(7, -1, -1):       # prefix codes: MSB first
+                    wtr.write((v >> k) & 1, 1)
+    return wtr.tobytes()
+
+
+def encode_webp_animation(frames: list[np.ndarray],
+                          durations_ms: list[int]) -> bytes:
+    """Animated WebP (VP8X + ANIM + ANMF) from full-canvas lossless
+    frames: every ANMF wraps one :func:`_vp8l_body` stream at offset
+    (0, 0) with blend OFF (bit 1: overwrite the rect) so each sampled
+    frame equals its input exactly."""
+    h, w = frames[0].shape[:2]
+
+    def chunk(cc: bytes, payload: bytes) -> bytes:
+        return cc + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    vp8x = bytes([0x02]) + b"\x00" * 3 \
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    out = chunk(b"VP8X", vp8x)
+    out += chunk(b"ANIM", b"\xff\xff\xff\xff" + b"\x00\x00")
+    for px, dur in zip(frames, durations_ms):
+        body = _vp8l_body(px)
+        sub = chunk(b"VP8L", body)
+        anmf = (b"\x00" * 6                      # frame x, y (/2)
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little")
+                + bytes([0x02])                  # do not blend
+                + sub)
+        out += chunk(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000,
                nch: int = 1) -> bytes:
     """16-bit PCM RIFF/WAVE (interleaved when *nch* > 1; *samples* is
@@ -178,13 +280,16 @@ def synth_media_rows(per_format: int = 8, width: int = 16,
                      height: int = 12,
                      wav_frames: int = 4000) -> list[tuple]:
     """Deterministic (media_id, fmt, payload) tuples: *per_format*
-    payloads each of bmp/png/ppm/gif/wav.  media_id doubles as the
-    pixel/sample seed; GIF pixels are quantized to 3 bits/channel so
-    the palette stays within 256 colors.  Metadata-sized by design —
-    the contract entry builds ~40 payloads of a few hundred bytes."""
+    payloads each of bmp/png/ppm/gif/wav/webp (webp appended LAST so
+    earlier formats keep their historical media_id = seed blocks).
+    media_id doubles as the pixel/sample seed; GIF pixels are
+    quantized to 3 bits/channel so the palette stays within 256
+    colors; webp is the lossless VP8L path (exact pixels).
+    Metadata-sized by design — the contract entry builds ~48 payloads
+    of a few hundred bytes."""
     rows: list[tuple] = []
     mid = 0
-    for fmt in ("bmp", "png", "ppm", "gif", "wav"):
+    for fmt in ("bmp", "png", "ppm", "gif", "wav", "webp"):
         for _ in range(per_format):
             if fmt == "wav":
                 payload = encode_wav(synth_samples(mid, wav_frames))
@@ -193,7 +298,8 @@ def synth_media_rows(per_format: int = 8, width: int = 16,
                 if fmt == "gif":
                     px = (px & 0xE0) | 0x10      # 3 bits/chan, mid-bias
                 payload = {"bmp": encode_bmp, "png": encode_png,
-                           "ppm": encode_ppm, "gif": encode_gif}[fmt](px)
+                           "ppm": encode_ppm, "gif": encode_gif,
+                           "webp": encode_webp_lossless}[fmt](px)
             rows.append((mid, fmt, bytearray(payload)))
             mid += 1
     return rows
@@ -273,12 +379,13 @@ def encode_y4m(frames_luma: list[np.ndarray], fps: int = 25) -> bytes:
 def synth_video_rows(per_format: int = 4, width: int = 16,
                      height: int = 12, n_frames: int = 3) -> list[tuple]:
     """Deterministic (media_id, fmt, payload) animated payloads:
-    *per_format* each of animated GIF (10 cs/frame) and Y4M (25 fps).
-    Frame f of media_id m uses :func:`synth_pixels`' formula with seed
+    *per_format* each of animated GIF (10 cs/frame), Y4M (25 fps) and
+    animated WebP (lossless VP8L frames, 100 ms each).  Frame f of
+    media_id m uses :func:`synth_pixels`' formula with seed
     ``m * 101 + f`` (GIF frames quantized to 3 bits/channel)."""
     rows: list[tuple] = []
     mid = 1000                       # offset: distinct from image ids
-    for fmt in ("gif_anim", "y4m"):
+    for fmt in ("gif_anim", "y4m", "webp_anim"):
         for _ in range(per_format):
             seeds = [mid * 101 + f for f in range(n_frames)]
             if fmt == "gif_anim":
@@ -286,6 +393,10 @@ def synth_video_rows(per_format: int = 4, width: int = 16,
                           for s in seeds]
                 payload = encode_gif_animation(frames,
                                                [10] * n_frames)
+            elif fmt == "webp_anim":
+                frames = [synth_pixels(s, width, height) for s in seeds]
+                payload = encode_webp_animation(frames,
+                                                [100] * n_frames)
             else:
                 lumas = [synth_pixels(s, width, height)[:, :, 0]
                          for s in seeds]

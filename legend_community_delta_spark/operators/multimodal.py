@@ -22,8 +22,12 @@ formats the Python standard library can parse without external codecs:
   (stts/stsz/stsc/stco/co64), metadata probe for every codec, and
   frame DECODE for MJPEG tracks (samples are plain JPEG).
 
-Payloads still needing a codec library (AVIF; VP8 inter frames;
-avc1/av01 video samples) raise ``ValueError`` with a pointed message — swap the
+AVIF decodes by DELEGATING to the system libavif when the shared
+library is loadable (:mod:`.avifcodec` — AV1 is codec-sized, binding
+the reference decoder is the production answer, and the executors
+resolve the ``.so`` locally).  Payloads still needing a codec library
+that is absent (AVIF without libavif; VP8 inter frames; avc1/av01
+video samples) raise ``ValueError`` with a pointed message — swap the
 per-payload decoder for PIL/pyav in production and the Spark plumbing
 holds unchanged at scale.
 
@@ -759,6 +763,34 @@ def _apply_scan(coefs: dict, comps: list, huff: dict, scan_comps: list,
                                     eobrun)
 
 
+def _jpeg_upsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Chroma upsampling.  Factor-2 axes use the TRIANGLE filter
+    (3*nearer + further) / 4 with edge replication — libjpeg's "fancy"
+    h2v1/h2v2 upsampling, which JFIF's half-sample-offset chroma
+    positioning makes the faithful reconstruction (and what
+    libjpeg-derived decoders like the JVM's emit, pinned within +-2 by
+    tests/test_imageio_interop.py).  Other factors replicate."""
+    if fy == 2:
+        up = np.empty((p.shape[0] * 2, p.shape[1]))
+        above = np.vstack([p[:1], p[:-1]])
+        below = np.vstack([p[1:], p[-1:]])
+        up[0::2] = (3.0 * p + above) / 4.0
+        up[1::2] = (3.0 * p + below) / 4.0
+        p = up
+    elif fy != 1:
+        p = np.repeat(p, fy, 0)
+    if fx == 2:
+        up = np.empty((p.shape[0], p.shape[1] * 2))
+        left = np.hstack([p[:, :1], p[:, :-1]])
+        right = np.hstack([p[:, 1:], p[:, -1:]])
+        up[:, 0::2] = (3.0 * p + left) / 4.0
+        up[:, 1::2] = (3.0 * p + right) / 4.0
+        p = up
+    elif fx != 1:
+        p = np.repeat(p, fx, 1)
+    return p
+
+
 def _decode_jpeg(b: bytes) -> np.ndarray:
     """Huffman JPEG -> (h, w, c) uint8 array, c = 1 (grayscale) or 3
     (RGB).  Baseline, extended-sequential (SOF0/SOF1) AND progressive
@@ -873,7 +905,12 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         spatial = np.einsum("ij,abjk,kl->abil",
                             _DCT_A.T, blocks, _DCT_A) + 128
         p = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
+        # crop to the component's TRUE sample grid before upsampling so
+        # the triangle filter's edge replication never reads block
+        # padding
+        ch = -(-h * vs // vmax)
+        cw = -(-w * hs // hmax)
+        p = _jpeg_upsample(p[:ch, :cw], vmax // vs, hmax // hs)
         full.append(p[:h, :w])
     if len(full) == 1:
         px = full[0][..., None]
@@ -1790,13 +1827,15 @@ def _decode_webp(payload: bytes) -> np.ndarray:
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Decode BMP/PNM/PNG/GIF/JPEG (baseline, extended-sequential and
-    progressive), WebP-lossless (VP8L) and WebP-lossy (VP8 keyframe,
-    :mod:`.vp8`) payload bytes to an (h, w, c) uint8 pixel array —
-    pure stdlib + numpy, no codec libraries.
+    progressive), WebP-lossless (VP8L) and WebP-lossy (VP8 keyframe +
+    ALPH alpha, :mod:`.vp8`) payload bytes to an (h, w, c) uint8 pixel
+    array — pure stdlib + numpy, no codec libraries.
 
-    Raises ``ValueError`` for formats still needing a codec library
-    (AVIF, VP8 inter frames) — at that point swap in PIL; every
-    caller's Spark plumbing is format-agnostic.
+    AVIF delegates to the system libavif when one is loadable
+    (:mod:`.avifcodec` — AV1 is codec-sized, so binding the reference
+    decoder IS the production answer) and raises the usual pointed
+    ``ValueError`` otherwise; every caller's Spark plumbing is
+    format-agnostic either way.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -1806,6 +1845,10 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _decode_webp(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp" \
+            and payload[8:12] in (b"avif", b"avis", b"mif1"):
+        from .avifcodec import decode_avif_bytes
+        return decode_avif_bytes(payload)
     if payload[:1] == b"P":
         return _decode_pnm(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -1813,8 +1856,8 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
     raise ValueError(
         f"unsupported image magic {payload[:4]!r}: stdlib decode covers "
         "BMP/PGM/PPM/PNG/GIF/JPEG (incl. progressive)/WebP "
-        "(VP8L + VP8 keyframes); AVIF needs PIL/libvips in the "
-        "runtime image")
+        "(VP8L + VP8 keyframes + ALPH); AVIF needs the system libavif "
+        "in the runtime image")
 
 
 def encode_pnm(px: np.ndarray) -> bytes:
@@ -2429,6 +2472,18 @@ def probe_media_bytes(b: bytes) -> dict:
         out.update({"kind": "video", "format": "y4m", "width": w,
                     "height": h, "n_frames": frames,
                     "duration_ms": 1000.0 * frames / fps})
+    elif len(b) >= 12 and b[4:8] == b"ftyp" \
+            and b[8:12] in (b"avif", b"avis", b"mif1"):
+        # AVIF (ISO-BMFF meta/iloc layout, not moov tracks): dims from
+        # the ispe (image spatial extents) property box — header-only
+        idx = b.find(b"ispe")
+        if idx < 0 or idx + 16 > len(b):
+            raise ValueError("AVIF without an ispe property box")
+        w, h = struct.unpack_from(">II", b, idx + 8)
+        out.update({"format": "avif", "width": int(w), "height": int(h),
+                    "codec": "av01"})
+        if b[8:12] == b"avis":
+            out["kind"] = "video"
     elif len(b) >= 12 and b[4:8] == b"ftyp":
         m = _parse_mp4(b)
         vid = next((t for t in m["tracks"] if t["kind"] == "video"),

@@ -29,10 +29,32 @@ def _independent_pixels(seed: int, w: int, h: int) -> np.ndarray:
 def test_image_encoders_round_trip_exactly(seed):
     px = mg.synth_pixels(seed, 16, 12)
     assert np.array_equal(px, _independent_pixels(seed, 16, 12))
-    for enc in (mg.encode_bmp, mg.encode_png, mg.encode_ppm):
+    for enc in (mg.encode_bmp, mg.encode_png, mg.encode_ppm,
+                mg.encode_webp_lossless):
         assert np.array_equal(decode_image_bytes(enc(px)), px)
     q = (px & 0xE0) | 0x10
     assert np.array_equal(decode_image_bytes(mg.encode_gif(q)), q)
+
+
+def test_webp_lossless_encoder_accepted_by_libwebp():
+    """The product VP8L encoder's bitstreams must be spec-valid for an
+    INDEPENDENT decoder, not just the in-repo one."""
+    import importlib.util
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        import libwebp_ref as W
+    except OSError:
+        pytest.skip("system libwebp not available")
+    px = mg.synth_pixels(7, 16, 12)
+    ref = W.decode_rgba(mg.encode_webp_lossless(px))
+    assert np.array_equal(ref[..., :3], px)
+    assert bool((ref[..., 3] == 255).all())
+    rgba = np.dstack([px, ((np.arange(192) * 7) % 256)
+                      .reshape(12, 16).astype(np.uint8)])
+    ref4 = W.decode_rgba(mg.encode_webp_lossless(rgba))
+    assert np.array_equal(ref4, rgba)
 
 
 def test_wav_encoder_round_trips_exactly():
@@ -51,6 +73,7 @@ def test_probe_identifies_every_synthetic_format():
     assert got["ppm"]["format"] in ("pnm", "ppm")
     assert got["gif"]["format"] == "gif"
     assert got["wav"]["kind"] == "audio"
+    assert got["webp"]["format"] == "webp" and got["webp"]["codec"] == "vp8l"
     assert all(m["width"] == 16 and m["height"] == 12
                for f, m in got.items() if f != "wav")
 
@@ -67,18 +90,20 @@ def test_media_decode_stats_matches_independent_recompute(spark):
     from legend_community_delta_spark import demo
     got = {r["fmt"]: r for r in
            demo.QUERIES["media_decode_stats"](spark, "unused").collect()}
-    assert sorted(got) == ["bmp", "gif", "png", "ppm", "wav"]
+    assert sorted(got) == ["bmp", "gif", "png", "ppm", "wav", "webp"]
 
     # independent expectations straight from the integer formulas
-    for fmt in ("bmp", "png", "ppm", "gif"):
+    for fmt in ("bmp", "png", "ppm", "gif", "webp"):
         r = got[fmt]
         assert (r["n"], r["n_probe_err"], r["n_decode_err"]) == (8, 0, 0)
         assert (r["width"], r["height"]) == (16, 12)
         assert r["probe_kind"] == "image"
         assert r["n_probe_formats"] == 1
-    # media_ids per format block: bmp 0-7, png 8-15, ppm 16-23, gif 24-31
+    # media_ids per format block: bmp 0-7, png 8-15, ppm 16-23,
+    # gif 24-31 (wav 32-39), webp 40-47 — lossless, so unquantized
     blocks = {"bmp": range(0, 8), "png": range(8, 16),
-              "ppm": range(16, 24), "gif": range(24, 32)}
+              "ppm": range(16, 24), "gif": range(24, 32),
+              "webp": range(40, 48)}
     for fmt, seeds in blocks.items():
         levels = []
         for s in seeds:
@@ -140,13 +165,15 @@ def test_media_frames_stats_matches_independent_expectations(spark):
     from legend_community_delta_spark import demo
     got = {r["fmt"]: r for r in
            demo.QUERIES["media_frames_stats"](spark, "unused").collect()}
-    assert sorted(got) == ["gif_anim", "y4m"]
-    g = got["gif_anim"]
-    # 4 media x 3 frames at 0/100/200 ms, every_ms=100 samples all 3
-    assert (g["n_media"], g["n_sampled_frames"], g["n_err"]) == (4, 12, 0)
-    assert g["max_ts_ms"] == 200.0
-    assert (g["probe_frames"], g["probe_ms"]) == (3, 300.0)
-    assert g["n_distinct_frames"] == 12     # all seeds distinct mod 256
+    assert sorted(got) == ["gif_anim", "webp_anim", "y4m"]
+    for fmt in ("gif_anim", "webp_anim"):
+        g = got[fmt]
+        # 4 media x 3 frames at 0/100/200 ms, every_ms=100 samples all 3
+        assert (g["n_media"], g["n_sampled_frames"],
+                g["n_err"]) == (4, 12, 0), fmt
+        assert g["max_ts_ms"] == 200.0
+        assert (g["probe_frames"], g["probe_ms"]) == (3, 300.0)
+        assert g["n_distinct_frames"] == 12  # all seeds distinct mod 256
     y = got["y4m"]
     # 25 fps, every_ms=100 -> step 2: frames 0 and 2 per media
     assert (y["n_media"], y["n_sampled_frames"], y["n_err"]) == (4, 8, 0)

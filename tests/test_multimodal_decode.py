@@ -89,8 +89,14 @@ def test_decode_pnm_variants():
 
 
 def test_decode_unsupported_raises():
+    # AVIF now routes to the libavif delegation (operators/avifcodec):
+    # a malformed payload raises a pointed AVIF error when the library
+    # is present, and a pointed needs-libavif error when it is not
+    with pytest.raises(ValueError, match="AVIF"):
+        decode_image_bytes(b"\x00\x00\x00 ftypavif....")
+    # a genuinely unknown magic still raises the catalog message
     with pytest.raises(ValueError, match="unsupported image magic"):
-        decode_image_bytes(b"\x00\x00\x00 ftypavif....")  # AVIF: no codec
+        decode_image_bytes(b"\x89ABC\x00\x00\x00\x00")
     # WebP container without a recognizable image chunk
     with pytest.raises(ValueError, match="without a VP8L"):
         decode_image_bytes(b"RIFF\x04\x00\x00\x00WEBP")
@@ -3410,3 +3416,104 @@ def test_probe_media_animated_webp():
     assert got["format"] == "webp" and got["kind"] == "video"
     assert (got["width"], got["height"]) == (64, 48)
     assert got["n_frames"] == 2 and got["duration_ms"] == 200.0
+
+
+# ---------------------------------------------------------------------------
+# ALPH (lossy-with-alpha) fixtures: every filter x compression method,
+# independent of whatever combinations the system encoder happens to pick
+# (libwebp interop in tests/test_webp_interop.py covers ITS choices).
+# ---------------------------------------------------------------------------
+
+def _alph_forward_filter(a, method):
+    """Forward row filter (the encoder side of MM._alpha_unfilter)."""
+    a = a.astype(np.int64)
+    h, w = a.shape
+    out = a.copy()
+    if method == 0:
+        return out.astype(np.uint8)
+    if method == 1:                              # horizontal
+        for y in range(h):
+            seed = 0 if y == 0 else a[y - 1, 0]
+            out[y, 0] = a[y, 0] - seed
+            out[y, 1:] = a[y, 1:] - a[y, :-1]
+    elif method == 2:                            # vertical
+        out[0, 0] = a[0, 0]
+        out[0, 1:] = a[0, 1:] - a[0, :-1]        # row 0: horizontal
+        out[1:] = a[1:] - a[:-1]
+    else:                                        # gradient
+        out[0, 0] = a[0, 0]
+        out[0, 1:] = a[0, 1:] - a[0, :-1]
+        for y in range(1, h):
+            for x in range(w):
+                if x == 0:
+                    pred = a[y - 1, 0]
+                else:
+                    g = a[y, x - 1] + a[y - 1, x] - a[y - 1, x - 1]
+                    pred = min(255, max(0, g))
+                out[y, x] = a[y, x] - pred
+    return (out & 0xFF).astype(np.uint8)
+
+
+def _make_alpha_webp(alpha, filt, method, vp8_payload):
+    """RIFF/WEBP with VP8X + ALPH(filter, method) + VP8 chunks."""
+    h, w = alpha.shape
+    res = _alph_forward_filter(alpha, filt)
+    if method == 0:
+        body = bytes([filt << 2]) + res.tobytes()
+    else:                                        # signature-less VP8L
+        argb = (np.full(h * w, 0xFF000000, np.uint32)
+                | (res.reshape(-1).astype(np.uint32) << np.uint32(8)))
+        bw = _VP8LWriter()
+        bw.write(0, 1)                           # no transforms
+        _write_image_stream(bw, argb, w, h, top=True)
+        bw.flush()
+        body = bytes([(filt << 2) | 1]) + bytes(bw.out)
+
+    def chunk(cc, payload):
+        return cc + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+    vp8x = bytes([0x10]) + b"\x00" * 3 \
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunks = (chunk(b"VP8X", vp8x) + chunk(b"ALPH", body)
+              + chunk(b"VP8 ", vp8_payload))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def _alpha_plane(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((xx * 11 + yy * 29 + (xx * yy) % 13) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+@pytest.mark.parametrize("method", [0, 1])
+def test_alph_filters_and_methods_roundtrip(filt, method):
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    import vp8_fixture as FX
+    from legend_community_delta_spark.operators import vp8 as V
+    h, w = 12, 16
+    alpha = _alpha_plane(h, w)
+    vp8_payload = FX.make_keyframe(w, h, [[V.DC_PRED]], [[V.DC_PRED]])
+    blob = _make_alpha_webp(alpha, filt, method, vp8_payload)
+    out = MM.decode_image_bytes(blob)
+    assert out.shape == (h, w, 4)
+    assert np.array_equal(out[..., 3], alpha)
+    # color part: the DC-only keyframe is flat 127 luma -> gray RGB
+    rgb = V.decode_vp8_keyframe(vp8_payload)
+    assert np.array_equal(out[..., :3], rgb)
+
+
+def test_alph_invalid_method_raises():
+    from legend_community_delta_spark.operators.multimodal import (
+        _decode_alph)
+    with pytest.raises(ValueError, match="ALPH.*method"):
+        _decode_alph(bytes([2]) + b"\x00" * 300, 16, 12)
+
+
+def test_alph_short_raw_plane_raises():
+    body = bytes([0]) + b"\x01" * 10             # raw, far too short
+    from legend_community_delta_spark.operators.multimodal import (
+        _decode_alph)
+    with pytest.raises(ValueError, match="shorter"):
+        _decode_alph(body, 16, 12)
