@@ -6390,9 +6390,9 @@ def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract surface for the multimodal decode subsystem
     (operators/multimodal.py + operators/mediagen.py, round 10): a
     deterministic seed -> pixels/samples -> encode -> DISTRIBUTED
-    decode round-trip, aggregated per format.  40 synthetic payloads
-    (8 each of bmp/png/ppm/gif/wav, every byte a pure integer formula
-    of the media_id) flow through probe_media + decode_images +
+    decode round-trip, aggregated per format.  48 synthetic payloads
+    (8 each of bmp/png/ppm/gif/wav/webp, every byte a pure integer
+    formula of the media_id) flow through probe_media + decode_images +
     audio_features over real multi-partition Arrow batches.  FULLY
     value-oracled since round 11: the pixel/sample formulas are pure
     integer arithmetic, so ``_ORACLE_MEDIA_DECODE`` re-derives every
@@ -6445,7 +6445,7 @@ def _q_media_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps and distinct-frame counts from the generator's
     documented timing constants (frame-exact pixel round-trips stay
     pinned in tests/test_mediagen.py).  *sf_dir* unused — the table is
-    synthesized in-query (8 payloads, metadata-sized)."""
+    synthesized in-query (12 payloads, metadata-sized)."""
     from .operators.mediagen import synth_video_table
     from .operators.multimodal import probe_media, sample_video_frames
     media = synth_video_table(spark, per_format=4)

@@ -1522,11 +1522,17 @@ def _vp8l_inverse_predictor(px, w, h, bs, modes, mw):
     out = px.astype(np.int64)
 
     def predict(mode, x, y):
-        l = int(out[y * w + x - 1]) if x > 0 else 0
-        t = int(out[(y - 1) * w + x]) if y > 0 else 0
-        tl = int(out[(y - 1) * w + x - 1]) if (x > 0 and y > 0) else 0
-        tr = int(out[(y - 1) * w + x + 1]) if (y > 0 and x + 1 < w) \
-            else t
+        # only called with x >= 1, y >= 1 (edges use fixed L/T rules).
+        # TR at the right edge deliberately reads ONE PAST the top
+        # row's end — the current row's FIRST pixel in the contiguous
+        # buffer, which is already reconstructed.  This is the spec's
+        # (and libwebp's) actual behavior, not an accident; clamping
+        # TR to T here diverges from real encoder streams (caught by
+        # the libwebp interop sweep, round 11).
+        l = int(out[y * w + x - 1])
+        t = int(out[(y - 1) * w + x])
+        tl = int(out[(y - 1) * w + x - 1])
+        tr = int(out[(y - 1) * w + x + 1])
         if mode == 0:
             return 0xFF000000
         if mode == 1:

@@ -1684,8 +1684,10 @@ def make_vp8l(px, subtract_green=False, predictor=None, palette=False,
                 l = int(argb[i - 1])
                 t = int(argb[(y - 1) * cur_w + x])
                 tl = int(argb[(y - 1) * cur_w + x - 1])
-                tr = int(argb[(y - 1) * cur_w + x + 1]) \
-                    if x + 1 < cur_w else t
+                # right edge: TR wraps to the CURRENT row's first
+                # pixel (the spec's contiguous-buffer rule; matches
+                # the decoder and libwebp)
+                tr = int(argb[(y - 1) * cur_w + x + 1])
                 pred = {
                     0: 0xFF000000, 1: l, 2: t, 3: tr, 4: tl,
                     5: MM._vp8l_avg2(MM._vp8l_avg2(l, tr), t),

@@ -65,6 +65,26 @@ class TestVP8LLossless:
         assert np.array_equal(out, ref)
 
 
+class TestVP8LPredictorEdges:
+    @pytest.mark.parametrize("w,h", [(32, 32), (47, 65), (120, 8)])
+    def test_top_right_wraps_to_current_row(self, w, h):
+        """Round-11 regression: predictors using TR at the right edge
+        must read the CURRENT row's first pixel (the contiguous-buffer
+        rule), not clamp to T — this image family makes the encoder
+        pick TR-using predictors on right-edge tiles."""
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 3) % 256, (yy * 5) % 256, (xx * yy) % 256,
+                        np.where((xx + yy) % 3 == 0, 255,
+                                 (xx * 13) % 256)], -1).astype(np.uint8)
+        blob = W.encode_lossless_rgba(img)
+        ref = W.decode_rgba(blob)
+        out = MM.decode_image_bytes(blob)
+        if out.shape[-1] == 3:
+            out = np.dstack([out,
+                             np.full(out.shape[:2], 255, np.uint8)])
+        assert np.array_equal(out, ref)
+
+
 class TestALPH:
     @pytest.mark.parametrize("w,h,q", [(16, 16, 75.0), (48, 32, 50.0),
                                        (17, 23, 90.0), (96, 64, 30.0)])
