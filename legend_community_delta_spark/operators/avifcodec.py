@@ -31,7 +31,8 @@ import functools
 
 import numpy as np
 
-__all__ = ["decode_avif_bytes", "encode_avif_rgb", "libavif_available"]
+__all__ = ["decode_avif_bytes", "encode_avif_rgb", "libavif_available",
+           "decode_av1_obus"]
 
 _SONAMES = ("libavif.so.16", "libavif.so.15", "libavif.so.14",
             "libavif.so", "libavif.dylib")
@@ -155,6 +156,67 @@ def decode_avif_bytes(payload: bytes) -> np.ndarray:
     if bool((out[..., 3] == 255).all()):
         return np.ascontiguousarray(out[..., :3])
     return out
+
+
+def _box(typ: bytes, *parts: bytes) -> bytes:
+    body = b"".join(parts)
+    import struct
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _fullbox(typ: bytes, version: int, flags: int, *parts: bytes) -> bytes:
+    import struct
+    return _box(typ, struct.pack(">I", (version << 24) | flags),
+                *parts)
+
+
+def _obus_to_avif(obus: bytes, av1c: bytes, w: int, h: int) -> bytes:
+    """Wrap a raw AV1 OBU stream as a minimal single-item AVIF file.
+
+    This is how av01 SYNC samples inside MP4 tracks become decodable
+    through libavif: an AVIF color item is exactly "av1C property +
+    the sample's OBUs in mdat", so re-boxing a keyframe sample (plus
+    the track's av1C codec config, which is byte-compatible with the
+    AVIF property) turns the image decoder into a frame decoder.
+    Box layout mirrors libavif's own writer output: ftyp, meta(hdlr,
+    pitm, iloc, iinf, iprp{ipco[ispe, pixi, av1C], ipma}), mdat.
+    """
+    import struct
+    ftyp = _box(b"ftyp", b"avif", b"\x00" * 4, b"avifmif1miaf")
+    hdlr = _fullbox(b"hdlr", 0, 0, b"\x00" * 4, b"pict",
+                    b"\x00" * 12, b"\x00")
+    pitm = _fullbox(b"pitm", 0, 0, struct.pack(">H", 1))
+    iinf = _fullbox(b"iinf", 0, 0, struct.pack(">H", 1),
+                    _fullbox(b"infe", 2, 0, struct.pack(">HH", 1, 0),
+                             b"av01", b"Color\x00"))
+    ispe = _fullbox(b"ispe", 0, 0, struct.pack(">II", w, h))
+    pixi = _fullbox(b"pixi", 0, 0, bytes([3, 8, 8, 8]))
+    av1c_box = _box(b"av1C", av1c)
+    ipco = _box(b"ipco", ispe, pixi, av1c_box)
+    ipma = _fullbox(b"ipma", 0, 0, struct.pack(">I", 1),
+                    struct.pack(">H", 1), bytes([3, 0x01, 0x02, 0x83]))
+    iprp = _box(b"iprp", ipco, ipma)
+    # iloc references the mdat payload; compute its absolute offset
+    iloc_size = 8 + 4 + 2 + 2 + 2 + 2 + 2 + 4 + 4   # fixed v0 layout
+    meta_body_nosize = hdlr + pitm + iinf + iprp
+    meta_size = 12 + len(meta_body_nosize) + iloc_size
+    mdat_payload_off = len(ftyp) + meta_size + 8
+    iloc = _fullbox(b"iloc", 0, 0,
+                    bytes([0x44, 0x00]),            # offset/length size 4
+                    struct.pack(">H", 1),           # item count
+                    struct.pack(">HHH", 1, 0, 1),   # id, dref, extents
+                    struct.pack(">II", mdat_payload_off, len(obus)))
+    assert len(iloc) == iloc_size
+    meta = _fullbox(b"meta", 0, 0, hdlr, pitm, iloc, iinf, iprp)
+    assert len(meta) == meta_size
+    return ftyp + meta + _box(b"mdat", obus)
+
+
+def decode_av1_obus(obus: bytes, av1c: bytes, w: int, h: int) -> np.ndarray:
+    """Decode one AV1 keyframe OBU stream (e.g. an MP4 av01 SYNC
+    sample prefixed by the track's av1C configOBUs) via the system
+    libavif; raises the usual pointed ``ValueError`` without it."""
+    return decode_avif_bytes(_obus_to_avif(obus, av1c, w, h))
 
 
 def encode_avif_rgb(px: np.ndarray) -> bytes:

@@ -25,11 +25,14 @@ formats the Python standard library can parse without external codecs:
 AVIF decodes by DELEGATING to the system libavif when the shared
 library is loadable (:mod:`.avifcodec` — AV1 is codec-sized, binding
 the reference decoder is the production answer, and the executors
-resolve the ``.so`` locally).  Payloads still needing a codec library
-that is absent (AVIF without libavif; VP8 inter frames; avc1/av01
-video samples) raise ``ValueError`` with a pointed message — swap the
-per-payload decoder for PIL/pyav in production and the Spark plumbing
-holds unchanged at scale.
+resolve the ``.so`` locally); ``av01`` MP4 tracks frame-sample through
+the same library by re-boxing each SYNC sample (plus the track's
+``av1C`` config) as a single-item AVIF, with non-sync (inter) samples
+skipped honestly via the ``stss`` table.  Payloads still needing a
+codec library that is absent (AVIF/av01 without libavif; VP8 inter
+frames; avc1 samples) raise ``ValueError`` with a pointed message —
+swap the per-payload decoder for PIL/pyav in production and the Spark
+plumbing holds unchanged at scale.
 
 Design rules baked in:
 
@@ -1986,6 +1989,18 @@ def _mp4_stsd_entry(b: bytes, pos: int, end: int, kind: str) -> dict:
     if kind == "video" and pos + 36 <= end:
         w, h = struct.unpack_from(">HH", b, pos + 32)
         out["width"], out["height"] = w, h
+        # child boxes follow the 78-byte VisualSampleEntry fields;
+        # capture the AV1 codec config (av1C) — its payload is
+        # byte-compatible with AVIF's av1C property, which is what
+        # lets av01 sync samples re-box as AVIF items for libavif
+        child = pos + 8 + 78
+        while child + 8 <= end:
+            csz, = struct.unpack_from(">I", b, child)
+            if csz < 8:
+                break
+            if b[child + 4:child + 8] == b"av1C":
+                out["av1c"] = b[child + 8:child + csz]
+            child += csz
     elif kind == "audio" and pos + 36 <= end:
         version, = struct.unpack_from(">H", b, pos + 16)
         if version == 2 and pos + 52 <= end:
@@ -2044,6 +2059,12 @@ def _mp4_sample_table(b: bytes, stbl_pos: int, stbl_end: int,
             step = 8 if cc == b"co64" else 4
             chunk_offsets = [struct.unpack_from(fmt, b, q + 4 + step * i)[0]
                              for i in range(n)]
+        elif cc == b"stss":                      # sync (keyframe) table
+            _, q = _mp4_fullbox(b, p)
+            n, = struct.unpack_from(">I", b, q)
+            info["sync_samples"] = {
+                struct.unpack_from(">I", b, q + 4 + 4 * i)[0] - 1
+                for i in range(n)}               # spec is 1-based
     n_samples = len(sizes)
     # expand stsc runs to samples-per-chunk, then lay samples into chunks
     spc: list[int] = []
@@ -2183,22 +2204,38 @@ def _mp4_luma_frames(b: bytes, every_ms: int):
     if video is None:
         raise ValueError("MP4 has no video track")
     codec = video.get("codec", "?")
-    if codec not in _MP4_JPEG_CODECS:
+    is_av1 = codec == "av01"
+    if codec not in _MP4_JPEG_CODECS and not is_av1:
         raise ValueError(
-            f"MP4 codec {codec!r} needs libavcodec; only MJPEG "
-            f"({'/'.join(_MP4_JPEG_CODECS)}) samples decode natively")
+            f"MP4 codec {codec!r} needs libavcodec; MJPEG "
+            f"({'/'.join(_MP4_JPEG_CODECS)}) samples decode natively "
+            "and av01 SYNC samples decode via the system libavif")
+    sync = video.get("sync_samples")             # None => all sync
     ts_scale = video["timescale"] or 1
     next_ms = 0.0
     for idx, (off, size, t_units) in enumerate(video["samples"]):
         ts_ms = 1000.0 * t_units / ts_scale
         if ts_ms + 1e-9 < next_ms:
             continue
+        if is_av1 and sync is not None and idx not in sync:
+            # inter frame: needs reference-frame state no per-image
+            # decode can supply — skip to the next sync sample (the
+            # honest keyframe-sampling contract, like VP8)
+            continue
         next_ms = ts_ms + every_ms
         sample = b[off:off + size]
         if len(sample) < size:
             raise ValueError(f"MP4 sample {idx} overruns file "
                              f"(offset {off}, size {size})")
-        yield idx, ts_ms, _luma_pgm(decode_image_bytes(sample))
+        if is_av1:
+            from .avifcodec import decode_av1_obus
+            px = decode_av1_obus(sample, video.get("av1c", b"\x81\x00"
+                                                   b"\x00\x00"),
+                                 video.get("width", 0),
+                                 video.get("height", 0))
+            yield idx, ts_ms, _luma_pgm(px)
+        else:
+            yield idx, ts_ms, _luma_pgm(decode_image_bytes(sample))
 
 
 def _luma_pgm(px: np.ndarray) -> bytes:

@@ -2376,7 +2376,8 @@ def _mfull(typ: bytes, version: int, flags: int, *payload: bytes) -> bytes:
                  *payload)
 
 
-def _visual_entry(codec: bytes, w: int, h: int) -> bytes:
+def _visual_entry(codec: bytes, w: int, h: int,
+                  children: bytes = b"") -> bytes:
     e = bytearray()
     e += b"\x00" * 6 + struct.pack(">H", 1)          # dref index
     e += struct.pack(">HH", 0, 0) + b"\x00" * 12     # pre_defined/reserved
@@ -2386,6 +2387,7 @@ def _visual_entry(codec: bytes, w: int, h: int) -> bytes:
     e += struct.pack(">H", 1)                        # frame_count
     e += b"\x05mjpeg" + b"\x00" * 26                 # compressorname[32]
     e += struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+    e += children                                    # e.g. an av1C box
     return struct.pack(">I", 8 + len(e)) + codec + bytes(e)
 
 
@@ -2408,7 +2410,9 @@ def _minf(media_header: bytes, stbl: bytes) -> bytes:
 
 def make_mjpeg_mp4(samples: list[bytes], fps: int, w: int, h: int,
                    codec: bytes = b"jpeg", with_audio: bool = False,
-                   brand: bytes = b"isom") -> bytes:
+                   brand: bytes = b"isom",
+                   entry_children: bytes = b"",
+                   sync_samples: list[int] | None = None) -> bytes:
     """Progressive MP4: ftyp + mdat(samples) + moov, chunks of 2 with a
     trailing 1-sample stsc run when the count is odd."""
     ftyp = _mbox(b"ftyp", brand, struct.pack(">I", 0x200), b"isomiso2mp41")
@@ -2425,10 +2429,9 @@ def make_mjpeg_mp4(samples: list[bytes], fps: int, w: int, h: int,
         runs = [(1, 2, 1), (len(chunk_offs), 1, 1)]
     else:
         runs = [(1, max(1, min(2, n)), 1)]
-    stbl = _mbox(
-        b"stbl",
+    stbl_children = [
         _mfull(b"stsd", 0, 0, struct.pack(">I", 1),
-               _visual_entry(codec, w, h)),
+               _visual_entry(codec, w, h, entry_children)),
         _mfull(b"stts", 0, 0, struct.pack(">I", 1),
                struct.pack(">II", n, 1)),
         _mfull(b"stsc", 0, 0, struct.pack(">I", len(runs)),
@@ -2436,7 +2439,13 @@ def make_mjpeg_mp4(samples: list[bytes], fps: int, w: int, h: int,
         _mfull(b"stsz", 0, 0, struct.pack(">II", 0, n),
                b"".join(struct.pack(">I", s) for s in sizes)),
         _mfull(b"stco", 0, 0, struct.pack(">I", len(chunk_offs)),
-               b"".join(struct.pack(">I", o) for o in chunk_offs)))
+               b"".join(struct.pack(">I", o) for o in chunk_offs))]
+    if sync_samples is not None:
+        stbl_children.append(
+            _mfull(b"stss", 0, 0, struct.pack(">I", len(sync_samples)),
+                   b"".join(struct.pack(">I", s + 1)
+                            for s in sync_samples)))
+    stbl = _mbox(b"stbl", *stbl_children)
     mdhd = _mfull(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, fps, n),
                   struct.pack(">HH", 0x55C4, 0))
     hdlr = _mfull(b"hdlr", 0, 0, struct.pack(">I", 0), b"vide",
