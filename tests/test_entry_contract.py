@@ -34,9 +34,10 @@ def test_entry_contract(spark):
     # wordpiece_token_stats moved to a full oracle (recursive-CTE
     # greedy walk); round 9 adds zorder_skipping_stats (a physical
     # file-layout metric no SQL over the logical table can express);
-    # round 10 adds media_decode_stats (synthetic-media decode
-    # round-trip: payload bytes / pixel math aren't DuckDB SQL) —
-    # leaving only the genuinely iterative/approximate/physical
+    # round 11 moved media_decode_stats / media_frames_stats to FULL
+    # oracles (generate_series over the integer pixel/sample
+    # formulas) — leaving only the genuinely iterative/approximate/
+    # physical
     assert rows_only == {"lsh_ann_topk",
                          "lsh_index_topk", "ivf_index_topk",
                          "pq_ann_topk", "semdedup_pairs",
@@ -44,5 +45,4 @@ def test_entry_contract(spark):
                          "events_sketch_stats",
                          "bpe_merge_table", "bpe_token_stats",
                          "unigram_vocab", "unigram_token_stats",
-                         "zorder_skipping_stats",
-                         "media_decode_stats", "media_frames_stats"}
+                         "zorder_skipping_stats"}

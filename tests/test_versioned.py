@@ -343,6 +343,9 @@ def test_table_changes_does_not_pin_cache_entries(spark, tmp_path):
     # by the ContextCleaner once the DataFrame is collected.
     from legend_community_delta_spark.sources.versioned import (
         table_changes)
+    # the session is shared suite-wide, so assert RELATIVE emptiness:
+    # start from a clean cache and require table_changes to add nothing
+    spark.catalog.clearCache()
     t = VersionedTable(spark, str(tmp_path / "cdfleak"))
     t.write(spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]))
     for i in range(3):
