@@ -113,3 +113,32 @@ def test_color_jpeg_close_to_java(spark, jio):
     assert d.max() <= 2, (
         f"color JPEG maxdiff {d.max()} vs Java/libjpeg — beyond "
         "chroma-upsample + IDCT rounding tolerance")
+
+
+def test_progressive_jpeg_from_real_encoder(spark, jio):
+    """Java's writer in MODE_DEFAULT emits a REAL multi-scan
+    progressive stream (SOF2 + spectral selection + successive
+    approximation) — previously our progressive path was pinned by
+    in-repo fixtures only."""
+    jvm, ImageIO, BI = jio
+    img = _rgb(24, 32)
+    bi = BI(32, 24, BI.TYPE_INT_RGB)
+    for y in range(24):
+        for x in range(32):
+            bi.setRGB(x, y, (int(img[y, x, 0]) << 16)
+                      | (int(img[y, x, 1]) << 8) | int(img[y, x, 2]))
+    writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    mos = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(mos)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None),
+                 param)
+    mos.flush()
+    data = bytes(baos.toByteArray())
+    assert b"\xff\xc2" in data          # SOF2: actually progressive
+    ours = MM.decode_image_bytes(data)
+    ref = _jdecode(jio, data)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
