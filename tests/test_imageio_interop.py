@@ -142,3 +142,39 @@ def test_progressive_jpeg_from_real_encoder(spark, jio):
     ours = MM.decode_image_bytes(data)
     ref = _jdecode(jio, data)
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_16bit_gray_png_from_real_encoder(spark, jio):
+    """Java's PNG writer emits true 16-bit grayscale; our decoder
+    projects to 8-bit (documented) — the HIGH byte must be exact."""
+    jvm, ImageIO, BI = jio
+    h, w = 9, 13
+    vals = ((np.arange(h * w).reshape(h, w) * 523) % 65536) \
+        .astype(np.uint16)
+    bi = BI(w, h, BI.TYPE_USHORT_GRAY)
+    ras = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            ras.setSample(x, y, 0, int(vals[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert ImageIO.write(bi, "png", baos)
+    out = MM.decode_image_bytes(bytes(baos.toByteArray()))
+    assert out.shape == (h, w, 1)
+    assert np.array_equal(out[..., 0], (vals >> 8).astype(np.uint8))
+
+
+def test_indexed_png_from_real_encoder(spark, jio):
+    """Palette (TYPE_BYTE_INDEXED) PNG round-trips exactly."""
+    jvm, ImageIO, BI = jio
+    h, w = 9, 13
+    bi = BI(w, h, BI.TYPE_BYTE_INDEXED)
+    for y in range(h):
+        for x in range(w):
+            v = (y * 13 + x * 7) % 256
+            bi.setRGB(x, y, (v << 16) | ((255 - v) << 8) | 128)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert ImageIO.write(bi, "png", baos)
+    data = bytes(baos.toByteArray())
+    out = MM.decode_image_bytes(data)
+    ref = _jdecode(jio, data)
+    assert np.array_equal(out[..., :3], ref)
