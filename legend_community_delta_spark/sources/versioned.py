@@ -442,6 +442,83 @@ class VersionedTable:
         v = latest if version is None else version
         return f"{self.path}/v={v}"
 
+    def export_delta_log(self, version: int | None = None) -> str:
+        """Write a Delta-protocol ``_delta_log`` INSIDE a snapshot dir,
+        making that snapshot a valid single-commit Delta Lake table any
+        Delta reader can open (``spark.read.format("delta")`` where
+        delta-spark exists, delta-rs, DuckDB's delta extension, ...).
+
+        The log is the public Delta transaction-log format: one JSONL
+        commit file ``00000000000000000000.json`` holding ``protocol``
+        (reader 1 / writer 2), ``metaData`` (Spark schema JSON,
+        partition columns from the snapshot's hive layout) and one
+        ``add`` action per parquet data file.  Returns the snapshot
+        directory (= the Delta table root).
+
+        This is the BRIDGE out of the parquet twin: environments
+        without a Delta runtime keep using :meth:`read` / time travel
+        here, and hand any single version to Delta-native consumers
+        without rewriting data (the parquet files are referenced in
+        place).  Spark ignores ``_``-prefixed dirs, so the exported
+        log never disturbs :meth:`read`.
+        """
+        import uuid
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"versioned table at [{self.path}] is empty")
+        v = latest if version is None else version
+        commits = {c["version"]: c for c in self._commits()}
+        if commits.get(v, {}).get("segment"):
+            raise ValueError(
+                f"version {v} is a streaming SEGMENT; compact() first "
+                "so the exported Delta table is one self-contained "
+                "snapshot")
+        snap = self.snapshot_dir(v)
+        part_cols = commits.get(v, {}).get("partition_by") or []
+        schema_json = self.read(v).schema.json()
+        adds = []
+        for root, _dirs, files in os.walk(snap):
+            rel_root = os.path.relpath(root, snap)
+            # skip a previously exported log (compare RELATIVE to the
+            # snapshot — the absolute path may legitimately contain
+            # the substring, e.g. pytest tmp dirs named after tests)
+            if rel_root.split(os.sep)[0] == "_delta_log":
+                continue
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, snap)
+                pvals = {}
+                for piece in rel.split(os.sep)[:-1]:
+                    if "=" in piece:
+                        k, _, val = piece.partition("=")
+                        pvals[k] = None if val == "__HIVE_DEFAULT_" \
+                            "PARTITION__" else val
+                st = os.stat(full)
+                adds.append({"add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True}})
+        log_dir = f"{snap}/_delta_log"
+        os.makedirs(log_dir, exist_ok=True)
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": list(part_cols),
+                "configuration": {},
+                "createdTime": int(time.time() * 1000)}},
+        ] + adds
+        with open(f"{log_dir}/{0:020d}.json", "w") as fh:
+            for action in actions:
+                fh.write(json.dumps(action) + "\n")
+        return snap
+
     def restore(self, version: int) -> int:
         """Delta RESTORE analog: commit a NEW version whose content is
         the snapshot at *version* — rollback that never rewrites

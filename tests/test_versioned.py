@@ -379,3 +379,81 @@ def test_segment_schema_evolution_union_by_name(spark, tmp_path):
     t.append(spark.createDataFrame([Row(id=2, extra="x")]))
     got = sorted((r["id"], r["extra"]) for r in t.read().collect())
     assert got == [(1, None), (2, "x")]
+
+
+def test_export_delta_log_single_commit_table(spark, tmp_path):
+    # the exported _delta_log is the public Delta transaction-log
+    # format: protocol + metaData + one add per parquet file, JSONL
+    import json as _json
+    import os as _os
+    t = VersionedTable(spark, str(tmp_path / "dexp"))
+    t.write(spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]))
+    t.merge(spark.createDataFrame([Row(id=2, v="c")]), ["id"])
+    root = t.export_delta_log()                  # latest (v=1)
+    log = _os.path.join(root, "_delta_log", f"{0:020d}.json")
+    actions = [_json.loads(line) for line in open(log)]
+    assert actions[0]["protocol"] == {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}
+    meta = actions[1]["metaData"]
+    assert meta["format"]["provider"] == "parquet"
+    schema = _json.loads(meta["schemaString"])
+    assert {f["name"] for f in schema["fields"]} == {"id", "v"}
+    adds = [a["add"] for a in actions[2:]]
+    assert adds, "at least one data file"
+    for a in adds:
+        full = _os.path.join(root, a["path"])
+        assert _os.path.isfile(full)
+        assert a["size"] == _os.path.getsize(full)
+        assert a["dataChange"] is True
+    # every parquet file in the snapshot is referenced exactly once
+    on_disk = {n for n in _os.listdir(root) if n.endswith(".parquet")}
+    assert {a["path"] for a in adds} == on_disk
+    # the log does not disturb the parquet twin's own read path
+    assert _rows(t.read(1)) == [(1, "a"), (2, "c")]
+    # and plain spark.read.parquet on the exported root still works
+    got = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+    assert got == [(1, "a"), (2, "c")]
+
+
+def test_export_delta_log_partitioned_snapshot(spark, tmp_path):
+    import json as _json
+    import os as _os
+    t = VersionedTable(spark, str(tmp_path / "dexp2"))
+    t.write(spark.createDataFrame(
+        [Row(id=1, k="x"), Row(id=2, k="y"), Row(id=3, k="x")]),
+        partition_by=["k"])
+    root = t.export_delta_log(0)
+    actions = [_json.loads(line) for line in
+               open(_os.path.join(root, "_delta_log",
+                                  f"{0:020d}.json"))]
+    assert actions[1]["metaData"]["partitionColumns"] == ["k"]
+    adds = [a["add"] for a in actions[2:]]
+    assert {a["partitionValues"].get("k") for a in adds} == {"x", "y"}
+    for a in adds:
+        assert a["path"].startswith("k=")
+
+
+def test_export_delta_log_refuses_segments(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "dexp3"))
+    t.write(spark.createDataFrame([Row(id=1)]))
+    t.append(spark.createDataFrame([Row(id=2)]))
+    with pytest.raises(ValueError, match="compact"):
+        t.export_delta_log()                     # v=1 is a segment
+    t.compact()
+    root = t.export_delta_log()                  # compacted snapshot
+    got = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+    assert got == [(1,), (2,)]
+
+
+def test_export_delta_log_readable_by_delta_when_available(
+        spark, tmp_path):
+    # import-gated: in environments WITH delta-spark the exported
+    # snapshot must open as a real Delta table; here it documents
+    # the intended consumer (this container has no delta wheel)
+    pytest.importorskip("delta")
+    t = VersionedTable(spark, str(tmp_path / "dexp4"))
+    t.write(spark.createDataFrame([Row(id=1, v="a")]))
+    root = t.export_delta_log()
+    got = sorted(tuple(r) for r in
+                 spark.read.format("delta").load(root).collect())
+    assert got == [(1, "a")]
