@@ -6217,6 +6217,48 @@ FROM m
 """
 
 
+def _q_delta_bridge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Delta bridges end to end (round 11): a hive-partitioned
+    orders snapshot goes through ``VersionedTable.write`` ->
+    ``export_delta_log`` (the snapshot becomes a public-protocol Delta
+    table in place) -> ``sources.delta_reader.read_delta`` (log-replay
+    read with NO Delta runtime), then aggregates per status.  A hash
+    match proves the exported add actions reference exactly the right
+    files, the partition directories recover through ``basePath``, and
+    the replayed schema casts line up — the Delta interop surface the
+    reference's runtime provides natively (`Legend.scala:163-186`),
+    exercised standalone.  Full value oracle: the same aggregation
+    straight over orders in DuckDB."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    from .sources.delta_reader import read_delta
+    from .sources.versioned import VersionedTable
+    o = spark.table("orders").select("o_orderkey", "o_totalprice",
+                                     "o_orderstatus")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="legend_dlt_")
+                       + "/orders")
+    t.write(o, partition_by=["o_orderstatus"])
+    d = read_delta(spark, t.export_delta_log())
+    return (d.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"))
+            .orderBy("o_orderstatus"))
+
+
+_ORACLE_DELTA_BRIDGE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def _q_table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed analog over VersionedTable (sources/versioned
     .py:table_changes, round 9): two deterministic snapshots derived
@@ -6600,6 +6642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_gates_docs": _q_gopher_gates_docs,
     # -- round-9 addition: CDF over the versioned table --------------------
     "table_changes_orders": _q_table_changes_orders,
+    "delta_bridge_orders": _q_delta_bridge_orders,
     # -- round-9 addition: exactly-once streaming table sink ---------------
     "stream_table_appends": _q_stream_table_appends,
     # -- round-10 additions: multimodal decode contract surfaces -----------
@@ -6953,6 +6996,7 @@ ORACLES: dict[str, str] = {
     "c4_clean_docs": _ORACLE_C4_CLEAN,
     "gopher_gates_docs": _ORACLE_GOPHER_GATES,
     "table_changes_orders": _ORACLE_TABLE_CHANGES,
+    "delta_bridge_orders": _ORACLE_DELTA_BRIDGE,
     "stream_table_appends": _ORACLE_STREAM_TABLE_APPENDS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),

@@ -53,3 +53,8 @@ from .versioned import (  # noqa: E402,F401 — re-export: the no-Delta
     snapshot_diff,
     table_changes,
 )
+from .delta_reader import (  # noqa: E402,F401 — re-export: READ real
+    # Delta tables without a Delta runtime (log replay, VERSION AS OF)
+    delta_log_versions,
+    read_delta,
+)
