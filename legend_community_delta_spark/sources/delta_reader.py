@@ -35,7 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_delta", "delta_log_versions"]
+__all__ = ["read_delta", "delta_log_versions", "delta_history"]
 
 
 def _log_entries(log_dir: str) -> tuple[list[int], dict[int, str]]:
@@ -67,6 +67,39 @@ def delta_log_versions(path: str) -> list[int]:
                          "table")
     versions, _ = _log_entries(log_dir)
     return versions
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` for a Delta table without a Delta runtime:
+    one row per commit, newest first — (version, timestamp,
+    operation), from each commit's ``commitInfo`` action (logs written
+    without commitInfo — it is optional in the protocol — fall back to
+    the commit file's mtime and a null operation)."""
+    path = path.rstrip("/")
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"[{path}] has no _delta_log — not a Delta "
+                         "table")
+    versions, commit_files = _log_entries(log_dir)
+    rows = []
+    for v in versions:
+        ts, op = None, None
+        with open(commit_files[v]) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    ts = ci.get("timestamp")
+                    op = ci.get("operation")
+                    break
+        if ts is None:
+            ts = int(os.stat(commit_files[v]).st_mtime * 1000)
+        rows.append((v, float(ts) / 1000.0, op))
+    rows.reverse()
+    return spark.createDataFrame(
+        rows, "version int, timestamp double, operation string")
 
 
 def read_delta(spark: SparkSession, path: str,

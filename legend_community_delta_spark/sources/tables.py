@@ -43,16 +43,32 @@ class DeltaRequiredError(RuntimeError):
             f"recreate the table with table_format='DELTA'.")
 
 
+def _delta_dir(table: str) -> bool:
+    """*table* names a Delta table DIRECTORY (has a ``_delta_log``)."""
+    import os
+    return os.path.isdir(os.path.join(table.rstrip("/"), "_delta_log"))
+
+
 def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
-    """Time-travel read: ``SELECT * FROM t VERSION AS OF n`` (Delta only)."""
+    """Time-travel read: ``SELECT * FROM t VERSION AS OF n``.
+
+    Catalog tables need delta-spark; a Delta table PATH works without
+    any Delta runtime through :mod:`.delta_reader`'s log replay."""
     if not _delta_available():
+        if _delta_dir(table):
+            from .delta_reader import read_delta
+            return read_delta(spark, table, version=version)
         raise DeltaRequiredError("time travel (VERSION AS OF)")
     return spark.sql(f"SELECT * FROM {table} VERSION AS OF {version}")
 
 
 def table_history(spark: SparkSession, table: str) -> DataFrame:
-    """``DESCRIBE HISTORY`` (Delta only)."""
+    """``DESCRIBE HISTORY``.  Catalog tables need delta-spark; a Delta
+    table PATH answers from the transaction log directly."""
     if not _delta_available():
+        if _delta_dir(table):
+            from .delta_reader import delta_history
+            return delta_history(spark, table)
         raise DeltaRequiredError("DESCRIBE HISTORY")
     return spark.sql(f"DESCRIBE HISTORY {table}")
 
