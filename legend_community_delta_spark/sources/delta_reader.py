@@ -103,13 +103,17 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_delta(spark: SparkSession, path: str,
-               version: int | None = None) -> DataFrame:
-    """Open a Delta table (``VERSION AS OF`` *version*, latest when
-    omitted) by replaying its transaction log — no Delta runtime.
+               version: int | None = None,
+               timestamp_ms: float | None = None) -> DataFrame:
+    """Open a Delta table (``VERSION AS OF`` *version* /
+    ``TIMESTAMP AS OF`` *timestamp_ms*, latest when both omitted) by
+    replaying its transaction log — no Delta runtime.
 
     Returns one parquet scan over the live files with the log's
     schema enforced and partition directories recovered via
     ``basePath`` (Delta lays partitioned files out hive-style).
+    An empty live set (a table whose files were all removed) returns
+    an EMPTY DataFrame with the log's schema, like Delta does.
     """
     path = path.rstrip("/")
     log_dir = os.path.join(path, "_delta_log")
@@ -119,7 +123,19 @@ def read_delta(spark: SparkSession, path: str,
     versions, commit_files = _log_entries(log_dir)
     if not versions:
         raise ValueError(f"[{path}] has an empty _delta_log")
-    target = versions[-1] if version is None else int(version)
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        hist = {r["version"]: r["timestamp"] * 1000.0
+                for r in delta_history(spark, path).collect()}
+        eligible = [v for v in versions if hist[v] <= timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp_ms} at "
+                f"[{path}] (earliest is {min(hist.values())})")
+        target = max(eligible)
+    else:
+        target = versions[-1] if version is None else int(version)
     if target not in commit_files and target > versions[-1]:
         raise ValueError(
             f"version {target} out of range [0, {versions[-1]}] "
@@ -184,13 +200,12 @@ def read_delta(spark: SparkSession, path: str,
                 f"{sorted(hard)}; read it with delta-spark")
     if meta is None:
         raise ValueError(f"[{path}] log has no metaData action")
-    if not live:
-        raise ValueError(
-            f"Delta table at [{path}] has no live files at version "
-            f"{target}")
 
     from pyspark.sql.types import StructType
     full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not live:
+        # a valid state: every file removed — empty table, real schema
+        return spark.createDataFrame([], full_schema)
     part_cols = list(meta.get("partitionColumns") or [])
     data_schema = StructType(
         [f for f in full_schema.fields if f.name not in part_cols])

@@ -182,3 +182,34 @@ def test_tables_surface_falls_back_to_log_replay(spark, tmp_path):
     # a CATALOG name still raises the pointed error
     with pytest.raises(DeltaRequiredError):
         read_version(spark, "some_catalog_table", 0)
+
+
+def test_timestamp_as_of_and_empty_state(spark, tmp_path):
+    from legend_community_delta_spark.sources.delta_reader import (
+        delta_history)  # noqa: F401
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([Row(id=1, v="a")]).coalesce(1))
+    root = t.export_delta_log()
+    f0 = [n for n in os.listdir(root) if n.endswith(".parquet")][0]
+    # stamp commit 0 with a known commitInfo time, then commit 1
+    # REMOVES everything at a later time
+    c0 = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(line) for line in open(c0)]
+    with open(c0, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 1000_000, "operation": "WRITE"}}) + "\n")
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    _append_commit(root, 1, [
+        {"commitInfo": {"timestamp": 2000_000, "operation": "DELETE"}},
+        {"remove": {"path": f0, "dataChange": True}}])
+    # TIMESTAMP AS OF between the commits resolves to version 0
+    assert _rows(read_delta(spark, root, timestamp_ms=1500_000)) == \
+        [(1, "a")]
+    # latest state is EMPTY but valid: empty frame, real schema
+    got = read_delta(spark, root)
+    assert got.count() == 0 and got.columns == ["id", "v"]
+    with pytest.raises(ValueError, match="no commit at or before"):
+        read_delta(spark, root, timestamp_ms=500_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, root, version=0, timestamp_ms=1)
