@@ -15,27 +15,38 @@ Scale notes (how every Delta client works, including delta-spark):
   partition values), metadata and the schema; data files are never
   opened by the driver;
 * a checkpoint parquet (``N.checkpoint.parquet``) is read through
-  Spark and only the path/partitionValues columns are collected, so
-  even million-file tables ship a few hundred MB of strings to the
+  Spark and only the action columns are collected, so even
+  million-file tables ship a few hundred MB of strings to the
   driver, not data;
-* the assembled DataFrame is ONE ``spark.read.parquet`` over the live
-  files with ``basePath`` set, so hive-laid partition directories
-  prune natively and Catalyst sees a plain parquet relation
-  (predicate pushdown, column pruning, AQE all apply).
+* the assembled DataFrame is a plain parquet scan over the live
+  files, so Catalyst sees a parquet relation (predicate pushdown,
+  column pruning, AQE all apply).  When the files are hive-laid AND
+  the directory names agree with the log's ``partitionValues``, ONE
+  multi-file scan with ``basePath`` recovers partitions natively
+  (directory-level pruning); otherwise the log's ``partitionValues``
+  are authoritative and files are scanned per distinct partition
+  tuple with literal partition columns — same pruning, log-driven.
 
-Unsupported (raise pointedly): multi-part checkpoints, v2 checkpoints
-with sidecars, deletion vectors, and column-mapping modes other than
-none — the features gated behind higher reader versions.
+Unsupported — these RAISE pointedly, never return wrong rows:
+multi-part checkpoints, v2 checkpoints with sidecars, deletion
+vectors (``add.deletionVector`` or the reader feature), and column
+mapping (``delta.columnMapping.mode`` set, reader version 2, or the
+``columnMapping`` feature): a column-mapped table's parquet columns
+are physically UUID-named, so applying the logical schema would read
+every mapped column as NULL silently.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["read_delta", "delta_log_versions", "delta_history"]
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _log_entries(log_dir: str) -> tuple[list[int], dict[int, str]]:
@@ -48,8 +59,8 @@ def _log_entries(log_dir: str) -> tuple[list[int], dict[int, str]]:
 
 
 def _checkpoints(log_dir: str) -> dict[int, str]:
-    """{version: single-part checkpoint parquet path}; multi-part
-    checkpoint files raise pointedly when they would be needed."""
+    """{version: single-part checkpoint parquet path}; multi-part /
+    v2 checkpoint files raise pointedly when they would be needed."""
     out: dict[int, str] = {}
     for name in os.listdir(log_dir):
         if name.endswith(".checkpoint.parquet"):
@@ -102,6 +113,78 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
         rows, "version int, timestamp double, operation string")
 
 
+def _gate_protocol(path: str, protocol: dict | None) -> None:
+    """Reject reader requirements this client cannot honor — BEFORE
+    any data is returned, so unsupported tables never read silently
+    wrong.  Per the public protocol: reader version 2 exists only for
+    column mapping; version 3 introduces ``readerFeatures``; higher
+    versions are unknown to this client."""
+    if not protocol:
+        return
+    mrv = protocol.get("minReaderVersion", 1)
+    feats = set(protocol.get("readerFeatures") or [])
+    hard = {"deletionVectors", "columnMapping", "v2Checkpoint",
+            "typeWidening", "variantType-preview"} & feats
+    if hard:
+        raise ValueError(
+            f"Delta table at [{path}] requires reader features "
+            f"{sorted(hard)}; read it with delta-spark")
+    if mrv == 2:
+        raise ValueError(
+            f"Delta table at [{path}] has minReaderVersion=2 (column "
+            "mapping): its parquet columns are physically renamed, so "
+            "this log-replay reader would return NULLs — read it with "
+            "delta-spark")
+    if mrv > 3:
+        raise ValueError(
+            f"Delta table at [{path}] requires reader version {mrv}, "
+            "newer than this client understands; read it with "
+            "delta-spark")
+
+
+def _gate_column_mapping(path: str, meta: dict) -> None:
+    """Column mapping can also be detected from table configuration —
+    gate on it even when the protocol action was itself vacuumed."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if mode and mode != "none":
+        raise ValueError(
+            f"Delta table at [{path}] uses column mapping "
+            f"(delta.columnMapping.mode={mode}): its parquet columns "
+            "are physically renamed, so this log-replay reader would "
+            "return NULLs — read it with delta-spark")
+
+
+def _gate_deletion_vector(path: str, dv) -> None:
+    """Belt-and-braces: an add action carrying a deletion vector means
+    some rows in that file are logically deleted — reading the file
+    plainly would resurrect them."""
+    present = False
+    if isinstance(dv, dict):
+        present = dv.get("storageType") is not None
+    elif dv is not None:  # a pyspark Row from a checkpoint scan
+        try:
+            present = dv["storageType"] is not None
+        except (KeyError, ValueError, TypeError):
+            present = True
+    if present:
+        raise ValueError(
+            f"Delta table at [{path}] has files with deletion "
+            "vectors; reading them plainly would resurrect deleted "
+            "rows — read it with delta-spark")
+
+
+def _dir_partition_values(rel_decoded: str) -> dict[str, str | None]:
+    """Partition values encoded in a file's directory components
+    (hive layout), after URL-decoding — ``{}`` for a flat path."""
+    out: dict[str, str | None] = {}
+    for piece in rel_decoded.split("/")[:-1]:
+        if "=" in piece:
+            k, _, val = piece.partition("=")
+            out[k] = None if val == _HIVE_NULL else unquote(val)
+    return out
+
+
 def read_delta(spark: SparkSession, path: str,
                version: int | None = None,
                timestamp_ms: float | None = None) -> DataFrame:
@@ -110,10 +193,19 @@ def read_delta(spark: SparkSession, path: str,
     replaying its transaction log — no Delta runtime.
 
     Returns one parquet scan over the live files with the log's
-    schema enforced and partition directories recovered via
-    ``basePath`` (Delta lays partitioned files out hive-style).
+    schema enforced.  Partition columns come from the log's
+    ``partitionValues`` (the protocol's source of truth): when the
+    on-disk hive directories agree with the log, one ``basePath``
+    scan recovers them natively; otherwise (non-hive layout, or
+    extra ``k=v`` path components the log does not declare) files
+    are scanned per distinct partition tuple with literal columns.
     An empty live set (a table whose files were all removed) returns
     an EMPTY DataFrame with the log's schema, like Delta does.
+
+    Requesting a version below the earliest reconstructable state
+    (its commit files vacuumed and no checkpoint at/below it) raises
+    a version-out-of-range error rather than replaying an incomplete
+    file set.
     """
     path = path.rstrip("/")
     log_dir = os.path.join(path, "_delta_log")
@@ -121,11 +213,26 @@ def read_delta(spark: SparkSession, path: str,
         raise ValueError(f"[{path}] has no _delta_log — not a Delta "
                          "table")
     versions, commit_files = _log_entries(log_dir)
-    if not versions:
+    cps = _checkpoints(log_dir)
+    has_exotic_cp = any(
+        ".checkpoint." in n and not n.endswith(".checkpoint.parquet")
+        for n in os.listdir(log_dir))
+    latest = max([*versions, *cps], default=None)
+    if latest is None:
+        if has_exotic_cp:
+            raise ValueError(
+                f"[{path}] has only multi-part/v2 checkpoints; this "
+                "reader supports single-part classic checkpoints — "
+                "compact the log or read with delta-spark")
         raise ValueError(f"[{path}] has an empty _delta_log")
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
+        if not versions:
+            raise ValueError(
+                f"[{path}] has no JSON commits to resolve a "
+                "timestamp against (log vacuumed to a checkpoint); "
+                "use version= instead")
         hist = {r["version"]: r["timestamp"] * 1000.0
                 for r in delta_history(spark, path).collect()}
         eligible = [v for v in versions if hist[v] <= timestamp_ms]
@@ -135,22 +242,45 @@ def read_delta(spark: SparkSession, path: str,
                 f"[{path}] (earliest is {min(hist.values())})")
         target = max(eligible)
     else:
-        target = versions[-1] if version is None else int(version)
-    if target not in commit_files and target > versions[-1]:
+        target = latest if version is None else int(version)
+    if not 0 <= target <= latest:
         raise ValueError(
-            f"version {target} out of range [0, {versions[-1]}] "
+            f"version {target} out of range [0, {latest}] "
             f"at [{path}]")
+
+    # Reconstructibility: the state at `target` needs a single-part
+    # checkpoint at some cp <= target plus EVERY commit in
+    # (cp, target], or every commit in [0, target].  Anything less
+    # (log vacuumed / truncated) must raise, not replay a partial
+    # file set.
+    usable = [v for v in cps if v <= target]
+    cp_v = max(usable) if usable else None
+    start = 0 if cp_v is None else cp_v + 1
+    missing = [v for v in range(start, target + 1)
+               if v not in commit_files]
+    if missing:
+        starts = sorted(cps)
+        if 0 in commit_files:
+            starts.append(0)
+        earliest = min(starts) if starts else None
+        hint = (f"; earliest reconstructable version is {earliest}"
+                if earliest is not None else
+                "; no version is reconstructable (no single-part "
+                "checkpoint and commit 0 is gone)")
+        if has_exotic_cp:
+            hint += (" — multi-part/v2 checkpoint files exist but "
+                     "this reader supports only single-part classic "
+                     "checkpoints")
+        raise ValueError(
+            f"version {target} at [{path}] has been vacuumed/"
+            f"truncated: commit file(s) {missing[:5]} are gone and "
+            f"no usable checkpoint covers them{hint}")
 
     live: dict[str, dict] = {}
     meta: dict | None = None
     protocol: dict | None = None
 
-    # start from the newest single-part checkpoint at/below target
-    start = 0
-    cps = _checkpoints(log_dir)
-    usable = [v for v in cps if v <= target]
-    if usable:
-        cp_v = max(usable)
+    if cp_v is not None:
         cp = spark.read.parquet(cps[cp_v])
         cols = set(cp.columns)
         rows = cp.select(*[c for c in ("add", "remove", "metaData",
@@ -159,18 +289,23 @@ def read_delta(spark: SparkSession, path: str,
         for r in rows:
             add = r["add"] if "add" in cols else None
             if add is not None and add["path"] is not None:
-                live[add["path"]] = dict(add["partitionValues"] or {})
+                a = add.asDict()
+                _gate_deletion_vector(path, a.get("deletionVector"))
+                live[a["path"]] = dict(a.get("partitionValues") or {})
             md = r["metaData"] if "metaData" in cols else None
             if md is not None and md["id"] is not None:
-                meta = {"schemaString": md["schemaString"],
+                m = md.asDict()
+                meta = {"schemaString": m["schemaString"],
                         "partitionColumns":
-                            list(md["partitionColumns"] or [])}
-        start = cp_v + 1
-    elif any(".checkpoint." in n for n in os.listdir(log_dir)):
-        raise ValueError(
-            f"[{path}] has only multi-part/v2 checkpoints; this "
-            "reader supports single-part classic checkpoints — "
-            "compact the log or read with delta-spark")
+                            list(m.get("partitionColumns") or []),
+                        "configuration":
+                            dict(m.get("configuration") or {})}
+            pr = r["protocol"] if "protocol" in cols else None
+            if pr is not None and pr["minReaderVersion"] is not None:
+                protocol = pr.asDict()
+                if protocol.get("readerFeatures") is not None:
+                    protocol["readerFeatures"] = \
+                        list(protocol["readerFeatures"])
 
     for v in versions:
         if v < start or v > target:
@@ -182,6 +317,7 @@ def read_delta(spark: SparkSession, path: str,
                 action = json.loads(line)
                 if "add" in action:
                     a = action["add"]
+                    _gate_deletion_vector(path, a.get("deletionVector"))
                     live[a["path"]] = dict(a.get("partitionValues")
                                            or {})
                 elif "remove" in action:
@@ -190,16 +326,10 @@ def read_delta(spark: SparkSession, path: str,
                     meta = action["metaData"]
                 elif "protocol" in action:
                     protocol = action["protocol"]
-    if protocol and protocol.get("minReaderVersion", 1) > 1:
-        feats = protocol.get("readerFeatures") or []
-        hard = {"deletionVectors", "columnMapping", "v2Checkpoint"} \
-            & set(feats)
-        if hard:
-            raise ValueError(
-                f"Delta table at [{path}] requires reader features "
-                f"{sorted(hard)}; read it with delta-spark")
+    _gate_protocol(path, protocol)
     if meta is None:
         raise ValueError(f"[{path}] log has no metaData action")
+    _gate_column_mapping(path, meta)
 
     from pyspark.sql.types import StructType
     full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -209,17 +339,50 @@ def read_delta(spark: SparkSession, path: str,
     part_cols = list(meta.get("partitionColumns") or [])
     data_schema = StructType(
         [f for f in full_schema.fields if f.name not in part_cols])
-    files = [os.path.join(path, p) for p in live]
-    reader = spark.read.schema(data_schema) if not part_cols \
-        else spark.read.option("basePath", path).schema(data_schema)
-    df = reader.parquet(*files)
-    if part_cols:
-        # basePath recovers partition columns from the hive dirs;
-        # cast them to the log schema's declared types
-        from pyspark.sql import functions as F
+    # add.path is a URL-encoded relative URI per the protocol — decode
+    # before touching the filesystem
+    decoded = {p: unquote(p) for p in live}
+    if not part_cols:
+        files = [os.path.join(path, decoded[p]) for p in live]
+        return spark.read.schema(data_schema).parquet(*files)
+
+    # Partitioned: the log's partitionValues are authoritative.  Fast
+    # path — every file's hive directory components EXACTLY encode its
+    # log partitionValues (no extra k=v dirs Spark would misinfer) —
+    # one basePath scan, native directory pruning.
+    hive_ok = all(
+        _dir_partition_values(decoded[p].replace(os.sep, "/"))
+        == {c: pv.get(c) for c in part_cols}
+        for p, pv in live.items())
+    from pyspark.sql import functions as F
+    if hive_ok:
+        files = [os.path.join(path, decoded[p]) for p in live]
+        df = spark.read.option("basePath", path) \
+            .schema(data_schema).parquet(*files)
         for f in full_schema.fields:
             if f.name in part_cols:
                 df = df.withColumn(f.name,
                                    F.col(f.name).cast(f.dataType))
-        df = df.select(*[f.name for f in full_schema.fields])
-    return df
+        return df.select(*[f.name for f in full_schema.fields])
+
+    # Log-driven path: group files by their partition tuple, scan each
+    # group once with literal partition columns (still a handful of
+    # scans — one per live partition, the same cardinality basePath
+    # enumerates), union by name.
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in live.items():
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(path, decoded[p]))
+    out: DataFrame | None = None
+    order = [f.name for f in full_schema.fields]
+    for key, fs in groups.items():
+        g = spark.read.schema(data_schema).parquet(*fs)
+        for f in full_schema.fields:
+            if f.name in part_cols:
+                val = key[part_cols.index(f.name)]
+                g = g.withColumn(f.name,
+                                 F.lit(val).cast(f.dataType))
+        g = g.select(*order)
+        out = g if out is None else out.unionByName(g)
+    return out

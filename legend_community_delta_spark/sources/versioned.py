@@ -52,6 +52,48 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _walk_parquet_adds(snap: str, base: str) -> list[dict]:
+    """Delta ``add`` payloads for every parquet file under *snap*:
+    ``path`` relative to *base* as a URL-ENCODED relative URI (the
+    protocol's add.path contract — on-disk names may contain literal
+    ``%XX`` from Spark's own hive escaping, which must survive a
+    client's decode), ``partitionValues`` from the hive directory
+    components below *snap* with Spark's path escaping UNDONE (the
+    log stores logical values, not directory names).  Skips
+    ``_``-prefixed dirs (a previously exported ``_delta_log``,
+    ``_versions``)."""
+    from urllib.parse import quote, unquote
+    out = []
+    for root, _dirs, files in os.walk(snap):
+        rel_root = os.path.relpath(root, snap)
+        # compare RELATIVE to the snapshot — the absolute path may
+        # legitimately contain the substring (pytest tmp dirs)
+        if rel_root != "." and rel_root.split(os.sep)[0].startswith("_"):
+            continue
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, base).replace(os.sep, "/")
+            pvals = {}
+            for piece in os.path.relpath(full, snap) \
+                    .split(os.sep)[:-1]:
+                if "=" in piece:
+                    k, _, val = piece.partition("=")
+                    pvals[unquote(k)] = (None if val == _HIVE_NULL
+                                         else unquote(val))
+            st = os.stat(full)
+            out.append({"path": quote(rel, safe="/=-._~!$&'()*+,;:@"),
+                        "partitionValues": pvals,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True})
+    return out
+
+
 class ConcurrentWriteError(RuntimeError):
     """Two writers raced to commit the same version; the loser raises
     this instead of silently replacing the winner's commit (the log
@@ -298,7 +340,16 @@ class VersionedTable:
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """Row-level upsert: matched keys replaced, new keys inserted —
-        as a NEW version (the old snapshot stays queryable)."""
+        as a NEW version (the old snapshot stays queryable).
+
+        Cost: O(table) — the next version is a FULL rewritten snapshot
+        (``keep ∪ updates``), so a small upsert against a large table
+        pays a whole-table write, unlike Delta's MERGE which rewrites
+        only touched files.  The immutable-snapshot-directory layout
+        has no per-file add/remove granularity to do better; for
+        high-frequency small batches use :meth:`append_batch`
+        (O(batch) segments) and reconcile duplicates at read time, or
+        batch upserts and merge once."""
         latest = self.latest_version()
         if latest is None:
             return self.write(updates, "MERGE", {"keys": keys})
@@ -470,38 +521,15 @@ class VersionedTable:
         commits = {c["version"]: c for c in self._commits()}
         if commits.get(v, {}).get("segment"):
             raise ValueError(
-                f"version {v} is a streaming SEGMENT; compact() first "
-                "so the exported Delta table is one self-contained "
-                "snapshot")
+                f"version {v} is a streaming SEGMENT (its directory "
+                "holds only that batch's rows); export the whole "
+                "table with export_delta_history() — segments become "
+                "plain add-commits there — or compact() first for a "
+                "self-contained single-snapshot export")
         snap = self.snapshot_dir(v)
         part_cols = commits.get(v, {}).get("partition_by") or []
         schema_json = self.read(v).schema.json()
-        adds = []
-        for root, _dirs, files in os.walk(snap):
-            rel_root = os.path.relpath(root, snap)
-            # skip a previously exported log (compare RELATIVE to the
-            # snapshot — the absolute path may legitimately contain
-            # the substring, e.g. pytest tmp dirs named after tests)
-            if rel_root.split(os.sep)[0] == "_delta_log":
-                continue
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, snap)
-                pvals = {}
-                for piece in rel.split(os.sep)[:-1]:
-                    if "=" in piece:
-                        k, _, val = piece.partition("=")
-                        pvals[k] = None if val == "__HIVE_DEFAULT_" \
-                            "PARTITION__" else val
-                st = os.stat(full)
-                adds.append({"add": {
-                    "path": rel.replace(os.sep, "/"),
-                    "partitionValues": pvals,
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True}})
+        adds = [{"add": a} for a in _walk_parquet_adds(snap, snap)]
         log_dir = f"{snap}/_delta_log"
         os.makedirs(log_dir, exist_ok=True)
         actions = [
@@ -518,6 +546,156 @@ class VersionedTable:
             for action in actions:
                 fh.write(json.dumps(action) + "\n")
         return snap
+
+    def export_delta_history(self) -> str:
+        """Write a Delta-protocol ``_delta_log`` at the TABLE ROOT with
+        ONE COMMIT PER VERSION, so any Delta client — and
+        :func:`.delta_reader.read_delta` — can time-travel the whole
+        twin: ``read_delta(path, version=k)`` ≡ :meth:`read` ``(k)``
+        for every retained version.  Returns the table root.
+
+        Per version: a full snapshot becomes remove-all-previous +
+        add-its-files; a streaming SEGMENT (:meth:`append_batch`)
+        becomes a plain add-commit of only its own files — the exact
+        shape Delta's own incremental appends take, so segment chains
+        export without compaction.  ``metaData`` is re-emitted when
+        the schema or partition columns change (schema evolution
+        across versions).  ``add.path`` is URI-encoded and
+        ``partitionValues`` are the LOGICAL values (Spark's hive-dir
+        escaping undone), per the public protocol.
+
+        The log is derived metadata and is REWRITTEN from the commit
+        log on every call (re-export after new versions just works).
+
+        Versions that cannot be replayed — their snapshot directory
+        :meth:`vacuum`-ed away, or a SEGMENT layered on a
+        hive-PARTITIONED base (the base encodes the partition column
+        in directory names while segment files carry it as data; one
+        Delta ``metaData`` cannot describe both) — are handled the
+        way Delta itself handles expired history: the export starts
+        at the first fully-replayable full snapshot F with a classic
+        single-part CHECKPOINT parquet (plus ``_last_checkpoint``),
+        and time travel below F raises a version-out-of-range in any
+        compliant client, this repo's reader included.
+        """
+        import shutil
+        import uuid
+        commits = self._commits()
+        if not commits:
+            raise ValueError(f"versioned table at [{self.path}] is "
+                             "empty")
+        # first exportable version F: every version in [F, latest]
+        # has its data directory retained and is representable; a
+        # break pushes F past it (and past any segment chained to it)
+        F = 0
+        eff_parts: list[str] = []
+        for c in commits:
+            v = c["version"]
+            seg = bool(c.get("segment"))
+            if not seg:
+                eff_parts = list(c.get("partition_by") or [])
+            broken = (not os.path.isdir(f"{self.path}/v={v}")
+                      or (seg and (bool(eff_parts) or F == v)))
+            if broken:
+                F = v + 1
+        latest = commits[-1]["version"]
+        if F > latest:
+            raise ValueError(
+                f"the latest version ({latest}) of [{self.path}] is "
+                "not representable as Delta (its snapshot directory "
+                "was vacuumed, or it is a segment over a "
+                "hive-partitioned base — the partition column lives "
+                "in directory names for the base but in data files "
+                "for segments); compact() to materialize a full "
+                "snapshot, then re-export")
+        log_dir = f"{self.path}/_delta_log"
+        if os.path.isdir(log_dir):
+            shutil.rmtree(log_dir)
+        os.makedirs(log_dir)
+        prev_live: list[dict] = []     # add payloads live at v-1
+        prev_schema: str | None = None
+        prev_parts: list[str] | None = None
+        for c in commits:
+            v = c["version"]
+            if v < F:
+                continue
+            seg = bool(c.get("segment"))
+            part_cols = [] if seg else \
+                list(c.get("partition_by") or [])
+            adds = _walk_parquet_adds(f"{self.path}/v={v}", self.path)
+            ts = int(float(c["timestamp"]) * 1000)
+            actions: list[dict] = [{"commitInfo": {
+                "timestamp": ts,
+                "operation": c.get("operation") or "WRITE"}}]
+            if v == F:
+                actions.append({"protocol": {"minReaderVersion": 1,
+                                             "minWriterVersion": 2}})
+            schema_json = self.read(v).schema.json()
+            meta = None
+            if schema_json != prev_schema or part_cols != prev_parts:
+                meta = {"id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet",
+                                   "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": list(part_cols),
+                        "configuration": {},
+                        "createdTime": ts}
+                actions.append({"metaData": meta})
+            if seg:
+                prev_live = prev_live + adds
+            else:
+                actions += [{"remove": {"path": a["path"],
+                                        "deletionTimestamp": ts,
+                                        "dataChange": True}}
+                            for a in prev_live]
+                prev_live = adds
+            actions += [{"add": a} for a in adds]
+            with open(f"{log_dir}/{v:020d}.json", "w") as fh:
+                for action in actions:
+                    fh.write(json.dumps(action) + "\n")
+            if v == F and F > 0:
+                # expired-history case: anchor the log with a classic
+                # single-part checkpoint at F so clients reconstruct
+                # from here without commits 0..F-1 (Delta's own
+                # vacuumed-history shape); `meta` is always set at F
+                self._write_delta_checkpoint(log_dir, F, meta, adds)
+            prev_schema, prev_parts = schema_json, part_cols
+        return self.path
+
+    def _write_delta_checkpoint(self, log_dir: str, version: int,
+                                meta: dict, adds: list[dict]) -> None:
+        """One classic single-part ``N.checkpoint.parquet`` holding
+        protocol + metaData + every live add, plus ``_last_checkpoint``
+        — the state anchor Delta clients use instead of replaying from
+        commit 0."""
+        import tempfile
+        ckpt_schema = (
+            "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+            "metaData struct<id:string,format:struct<provider:string>,"
+            "schemaString:string,partitionColumns:array<string>,"
+            "configuration:map<string,string>>, "
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:bigint,modificationTime:bigint,dataChange:boolean>")
+        rows = [((1, 2), None, None),
+                (None, (meta["id"], (meta["format"]["provider"],),
+                        meta["schemaString"],
+                        list(meta["partitionColumns"]),
+                        dict(meta["configuration"])), None)]
+        rows += [(None, None, (a["path"],
+                               dict(a["partitionValues"] or {}),
+                               a["size"], a["modificationTime"],
+                               a["dataChange"])) for a in adds]
+        stage = tempfile.mkdtemp(prefix="ckpt-", dir=log_dir)
+        self.spark.createDataFrame(rows, ckpt_schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{stage}/p")
+        part = [n for n in os.listdir(f"{stage}/p")
+                if n.endswith(".parquet")][0]
+        os.replace(f"{stage}/p/{part}",
+                   f"{log_dir}/{version:020d}.checkpoint.parquet")
+        import shutil
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(f"{log_dir}/_last_checkpoint", "w") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
 
     def restore(self, version: int) -> int:
         """Delta RESTORE analog: commit a NEW version whose content is
