@@ -46,6 +46,10 @@ __all__ = [
     "encode_y4m",
     "synth_video_rows",
     "synth_video_table",
+    "mux_mp4_video",
+    "encode_hevc_mp4",
+    "synth_hevc_luma",
+    "synth_hevc_video_table",
 ]
 
 
@@ -415,3 +419,135 @@ def synth_video_table(spark: SparkSession, per_format: int = 4,
     df = spark.createDataFrame(
         rows, "media_id long, fmt string, payload binary")
     return df.repartition(4, "media_id")
+
+
+# ---------------------------------------------------------------------------
+# Minimal ISO-BMFF (MP4) video muxer + HEVC synthesis.  The muxer is
+# the WRITE-side mirror of multimodal's sample-table reader: one video
+# track, one chunk per sample, stts/stsc/stsz/stco + optional stss —
+# enough container for any codec whose samples are self-delimiting.
+# ---------------------------------------------------------------------------
+
+_MP4_UNITY_MATRIX = (struct.pack(">II", 0x10000, 0) + b"\x00" * 8
+                     + struct.pack(">II", 0x10000, 0) + b"\x00" * 8
+                     + struct.pack(">I", 0x40000000))
+
+
+def _box(typ: bytes, *payload: bytes) -> bytes:
+    body = b"".join(payload)
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _full(typ: bytes, version: int, flags: int, *payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + struct.pack(">I", flags)[1:],
+                *payload)
+
+
+def mux_mp4_video(samples: list[bytes], fps: int, w: int, h: int,
+                  codec: bytes, entry_children: bytes = b"",
+                  sync_samples: list[int] | None = None,
+                  timescale: int | None = None) -> bytes:
+    """Single-video-track progressive MP4: ftyp + mdat(samples) + moov.
+    One chunk per sample (exact stco offsets, trivially correct);
+    *entry_children* carries the codec configuration box (hvcC, av1C,
+    ...); *sync_samples* (0-based) emits an stss box."""
+    ts = timescale or fps
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200),
+                b"isomiso2mp41")
+    mdat = _box(b"mdat", *samples)
+    n = len(samples)
+    offs, off = [], len(ftyp) + 8
+    for s in samples:
+        offs.append(off)
+        off += len(s)
+    e = bytearray()
+    e += b"\x00" * 6 + struct.pack(">H", 1)          # dref index
+    e += struct.pack(">HH", 0, 0) + b"\x00" * 12
+    e += struct.pack(">HH", w, h)
+    e += struct.pack(">II", 0x480000, 0x480000)      # 72 dpi
+    e += struct.pack(">I", 0) + struct.pack(">H", 1)
+    e += b"\x00" * 32                                # compressorname
+    e += struct.pack(">Hh", 24, -1)
+    e += entry_children
+    entry = struct.pack(">I", 8 + len(e)) + codec + bytes(e)
+    stbl_children = [
+        _full(b"stsd", 0, 0, struct.pack(">I", 1), entry),
+        _full(b"stts", 0, 0, struct.pack(">I", 1),
+              struct.pack(">II", n, ts // fps)),
+        _full(b"stsc", 0, 0, struct.pack(">I", 1),
+              struct.pack(">III", 1, 1, 1)),
+        _full(b"stsz", 0, 0, struct.pack(">II", 0, n),
+              b"".join(struct.pack(">I", len(s)) for s in samples)),
+        _full(b"stco", 0, 0, struct.pack(">I", n),
+              b"".join(struct.pack(">I", o) for o in offs))]
+    if sync_samples is not None:
+        stbl_children.append(
+            _full(b"stss", 0, 0, struct.pack(">I", len(sync_samples)),
+                  b"".join(struct.pack(">I", s + 1)
+                           for s in sync_samples)))
+    stbl = _box(b"stbl", *stbl_children)
+    mdhd = _full(b"mdhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, ts, n * (ts // fps)),
+                 struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0), b"vide",
+                 b"\x00" * 12, b"VideoHandler\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    url = _full(b"url ", 0, 1)
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1), url)
+    minf = _box(b"minf", vmhd, _box(b"dinf", dref), stbl)
+    mdia = _box(b"mdia", mdhd, hdlr, minf)
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIII", 0, 0, 1, 0),
+                 struct.pack(">I", n * 1000 // fps), b"\x00" * 8,
+                 struct.pack(">HHHH", 0, 0, 0, 0), _MP4_UNITY_MATRIX,
+                 struct.pack(">II", w << 16, h << 16))
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, 1000, n * 1000 // fps),
+                 struct.pack(">I", 0x10000), struct.pack(">H", 0x100),
+                 b"\x00" * 10, _MP4_UNITY_MATRIX, b"\x00" * 24,
+                 struct.pack(">I", 2))
+    return ftyp + mdat + _box(b"moov", mvhd,
+                              _box(b"trak", tkhd, mdia))
+
+
+def synth_hevc_luma(media_id: int, frame: int, h: int = 24,
+                    w: int = 32) -> np.ndarray:
+    """The SQL-expressible luma formula the hevc contract oracle
+    re-derives: ``(17*row + 31*col + 53*frame + 7*media_id) % 256``."""
+    rr, cc = np.mgrid[0:h, 0:w]
+    return ((17 * rr + 31 * cc + 53 * frame + 7 * media_id) % 256) \
+        .astype(np.uint8)
+
+
+def encode_hevc_mp4(lumas: list[np.ndarray], fps: int = 10,
+                    all_intra: bool = False) -> bytes:
+    """Luma frames -> a REAL hev1 MP4: lossless libx265 encoding
+    (chroma flat 128 so decoded RGB is exact grayscale), hvcC from the
+    encoder's parameter sets, length-prefixed samples.  With
+    *all_intra* false the track carries genuine P frames — the decode
+    side must run the full reference-state pass."""
+    from .hevccodec import (annexb_to_length_prefixed, build_hvcc,
+                            encode_hevc_yuv)
+    h, w = lumas[0].shape
+    uv = np.full((h // 2, w // 2), 128, np.uint8)
+    headers, payloads = encode_hevc_yuv(
+        [(f, uv, uv) for f in lumas], fps=fps, all_intra=all_intra)
+    hvcc = build_hvcc(headers)
+    samples = [annexb_to_length_prefixed(p) for p in payloads]
+    sync = list(range(len(samples))) if all_intra else [0]
+    return mux_mp4_video(
+        samples, fps=fps, w=w, h=h, codec=b"hev1",
+        entry_children=_box(b"hvcC", hvcc), sync_samples=sync)
+
+
+def synth_hevc_video_table(spark: SparkSession, n_media: int = 3,
+                           n_frames: int = 4, h: int = 24,
+                           w: int = 32) -> DataFrame:
+    """``(media_id long, payload binary)`` of real hev1 MP4s encoded
+    with the system libx265 (driver-side — the payloads are
+    metadata-sized); raises pointedly when libx265 is absent."""
+    rows = []
+    for m in range(n_media):
+        lumas = [synth_hevc_luma(m, f, h, w) for f in range(n_frames)]
+        rows.append((m, bytearray(encode_hevc_mp4(lumas))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return df.repartition(2, "media_id")

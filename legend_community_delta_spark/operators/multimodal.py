@@ -1944,12 +1944,15 @@ def _parse_y4m(b: bytes) -> tuple[int, int, float, int, int]:
 # moov/trak/mdia/minf/stbl descent, and the full sample-table machinery
 # (stts decode times, stsz sizes, stsc sample->chunk runs, stco/co64
 # chunk offsets) so every sample's (offset, size, timestamp) is exact.
-# Per-sample DECODING is real for the one codec this repo already
-# decodes: MJPEG (sample-entry fourcc 'jpeg'/'mjpa'), whose samples are
-# plain JPEG images.  Inter-frame codecs (avc1/hev1/av01/vp09/mp4v)
-# raise pointedly — they genuinely need libavcodec; the Spark plumbing
-# (sampling cadence, luma PGM hand-off, error columns) is codec-
-# agnostic and holds unchanged when one is swapped in.
+# Per-sample DECODING is real for: MJPEG (fourcc 'jpeg'/'mjpa' —
+# samples are plain JPEG images), av01 SYNC samples (re-boxed for the
+# system libavif, :mod:`.avifcodec`), and hev1/hvc1 tracks FULLY —
+# inter frames included — via the system libde265
+# (:mod:`.hevccodec`, one streaming pass with reference state).
+# Remaining inter-frame codecs (avc1/vp09/mp4v) raise pointedly —
+# this container ships no H.264/VP9 decoder (probed; COVERAGE.md);
+# the Spark plumbing (sampling cadence, luma PGM hand-off, error
+# columns) is codec-agnostic and holds unchanged when one is added.
 # ---------------------------------------------------------------------------
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -2000,6 +2003,10 @@ def _mp4_stsd_entry(b: bytes, pos: int, end: int, kind: str) -> dict:
                 break
             if b[child + 4:child + 8] == b"av1C":
                 out["av1c"] = b[child + 8:child + csz]
+            elif b[child + 4:child + 8] == b"hvcC":
+                # HEVC decoder configuration record — parameter sets
+                # for the libde265-backed hev1/hvc1 decode path
+                out["hvcc"] = b[child + 8:child + csz]
             child += csz
     elif kind == "audio" and pos + 36 <= end:
         version, = struct.unpack_from(">H", b, pos + 16)
@@ -2205,13 +2212,46 @@ def _mp4_luma_frames(b: bytes, every_ms: int):
         raise ValueError("MP4 has no video track")
     codec = video.get("codec", "?")
     is_av1 = codec == "av01"
-    if codec not in _MP4_JPEG_CODECS and not is_av1:
+    is_hevc = codec in ("hev1", "hvc1")
+    if codec not in _MP4_JPEG_CODECS and not is_av1 and not is_hevc:
         raise ValueError(
             f"MP4 codec {codec!r} needs libavcodec; MJPEG "
-            f"({'/'.join(_MP4_JPEG_CODECS)}) samples decode natively "
-            "and av01 SYNC samples decode via the system libavif")
+            f"({'/'.join(_MP4_JPEG_CODECS)}) samples decode natively, "
+            "av01 SYNC samples decode via the system libavif, and "
+            "hev1/hvc1 tracks decode fully via the system libde265")
     sync = video.get("sync_samples")             # None => all sync
     ts_scale = video["timescale"] or 1
+    if is_hevc:
+        # libde265 is a FULL decoder: one streaming pass over the
+        # whole track (references included, so INTER frames decode
+        # too — unlike the per-image av01/VP8 sync-only contract);
+        # the sampling cadence gates which display-order pictures
+        # are kept, one picture in flight at a time
+        from .hevccodec import decode_hevc_track, hevc_available
+        if not hevc_available():
+            raise ValueError(
+                f"MP4 codec {codec!r} needs the system libde265; "
+                "none is loadable here")
+        hvcc = video.get("hvcc")
+        if hvcc is None:
+            raise ValueError(f"{codec} track has no hvcC record")
+
+        def _hevc_samples():
+            for i, (off, size, _t) in enumerate(video["samples"]):
+                sample = b[off:off + size]
+                if len(sample) < size:
+                    raise ValueError(
+                        f"MP4 sample {i} overruns file "
+                        f"(offset {off}, size {size})")
+                yield sample, i
+        next_ms = 0.0
+        for i, px in decode_hevc_track(_hevc_samples(), hvcc):
+            ts_ms = 1000.0 * video["samples"][i][2] / ts_scale
+            if ts_ms + 1e-9 < next_ms:
+                continue
+            next_ms = ts_ms + every_ms
+            yield i, ts_ms, _luma_pgm(px)
+        return
     next_ms = 0.0
     for idx, (off, size, t_units) in enumerate(video["samples"]):
         ts_ms = 1000.0 * t_units / ts_scale
@@ -2629,6 +2669,47 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
         batches, schema=IMAGE_DECODE_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("px_sum", T.LongType(), True),
+    T.StructField("px_min", T.IntegerType(), True),
+    T.StructField("px_max", T.IntegerType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """EXACT integer pixel statistics over Arrow batches: (id, dims,
+    sum/min/max across every channel value).  The integer sum makes
+    decoded content value-comparable against an independent oracle
+    with no float tolerance — the contract-driver companion to
+    :func:`decode_images`' float channel means."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = decode_image_bytes(bytes(p))
+                    h, w, c = px.shape
+                    rows.append((mid, w, h, c,
+                                 int(px.sum(dtype=np.int64)),
+                                 int(px.min()), int(px.max()), None))
+                except Exception as e:  # noqa: BLE001 — error column by design
+                    rows.append((mid, None, None, None, None, None,
+                                 None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels", "px_sum",
+                "px_min", "px_max", "decode_error"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=PIXEL_STATS_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("n_channels", T.IntegerType(), True),
@@ -2735,9 +2816,11 @@ def sample_video_frames(df: DataFrame, every_ms: int,
     :func:`decode_images` / :func:`resize_images`.  y4m extraction is
     pure offset arithmetic; MP4 walks the real sample tables
     (stts/stsz/stsc/stco) and decodes MJPEG samples with the in-repo
-    JPEG decoder — inter-frame codecs (avc1/av01/...) surface a pointed
-    ``decode_error`` row; only the per-payload decoder changes when a
-    codec library is swapped in."""
+    JPEG decoder, av01 SYNC samples via the system libavif, and
+    hev1/hvc1 tracks FULLY (inter frames included) via the system
+    libde265 (:mod:`.hevccodec`); remaining inter-frame codecs
+    (avc1/vp09) surface a pointed ``decode_error`` row — only the
+    per-payload decoder changes when a codec library is swapped in."""
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
 
