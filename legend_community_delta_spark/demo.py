@@ -6259,6 +6259,77 @@ ORDER BY o_orderstatus
 """
 
 
+def _q_delta_time_travel_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The multi-commit Delta bridge end to end (round 12): a
+    versioned twin accrues three versions — a full write, a streaming
+    SEGMENT append (O(batch) add-commit), and a hive-partitioned
+    overwrite (schema + partition change) — then
+    ``VersionedTable.export_delta_history`` writes one public-protocol
+    Delta commit per version at the table root and
+    ``sources.delta_reader.read_delta`` time-travels every version
+    with NO Delta runtime (``VERSION AS OF`` via log replay).  The
+    partitioned version also exercises the log-driven partition
+    recovery path (the ``v=N`` layout is not plain hive, so
+    ``partitionValues`` from the log are authoritative —
+    ``delta_reader.py``'s grouped literal scan).  This is the
+    reference's Delta time-travel surface (`Legend.scala:163-186`,
+    the notebooks' VERSION AS OF cells) over the exported twin.  Full
+    value oracle: each version's content restated as set algebra over
+    orders in DuckDB."""
+    import tempfile
+    ensure_views(spark, sf_dir)
+    from .sources.delta_reader import read_delta
+    from .sources.versioned import VersionedTable
+    o = spark.table("orders").select("o_orderkey", "o_orderstatus",
+                                     "o_totalprice")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="legend_dtt_")
+                       + "/orders")
+    t.write(o.where(F.col("o_orderkey") % 3 == 0))
+    t.append(o.where(F.col("o_orderkey") % 3 == 1))
+    t.write(o.where(F.col("o_orderkey") % 5 == 0),
+            operation="OVERWRITE", partition_by=["o_orderstatus"])
+    root = t.export_delta_history()
+    outs = []
+    for k in (0, 1, 2):
+        d = read_delta(spark, root, version=k)
+        outs.append(
+            d.agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                  F.min("o_orderkey").alias("min_key"),
+                  F.max("o_orderkey").alias("max_key"),
+                  F.countDistinct("o_orderstatus").alias("n_status"))
+            .withColumn("version", F.lit(k)))
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out.select("version", "n", "sum_price", "min_key",
+                      "max_key", "n_status").orderBy("version")
+
+
+_ORACLE_DELTA_TIME_TRAVEL = """
+WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+     v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+     v2 AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0)
+SELECT 0 AS version, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       COUNT(DISTINCT o_orderstatus) AS n_status
+FROM v0
+UNION ALL
+SELECT 1, COUNT(*), ROUND(SUM(o_totalprice), 2),
+       MIN(o_orderkey), MAX(o_orderkey),
+       COUNT(DISTINCT o_orderstatus)
+FROM v1
+UNION ALL
+SELECT 2, COUNT(*), ROUND(SUM(o_totalprice), 2),
+       MIN(o_orderkey), MAX(o_orderkey),
+       COUNT(DISTINCT o_orderstatus)
+FROM v2
+ORDER BY version
+"""
+
+
 def _q_table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed analog over VersionedTable (sources/versioned
     .py:table_changes, round 9): two deterministic snapshots derived
@@ -6510,6 +6581,64 @@ def _q_media_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fmt"))
 
 
+def _q_hevc_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract surface for the HEVC decode path (round 12): real hev1
+    MP4s encoded with the system libx265 (LOSSLESS, chroma flat 128,
+    genuine P frames — NOT all-intra) flow through
+    ``sample_video_frames``'s full-track libde265 pass
+    (operators/hevccodec.py: reference-state decode, display-order
+    drain) and ``image_pixel_stats``'s exact integer sums.  FULLY
+    value-oracled: lossless encode makes decoded luma EQUAL to the
+    generator's documented formula ``(17r+31c+53f+7m) % 256``, and the
+    BT.601 limited-range convert collapses to
+    ``clip((298*(y-16)+128)>>8)`` per pixel under flat chroma —
+    ``_ORACLE_HEVC_FRAMES`` re-derives every px_sum/min/max from first
+    principles in DuckDB.  *sf_dir* unused — the table is synthesized
+    in-query (3 MP4s, metadata-sized)."""
+    from .operators.mediagen import synth_hevc_video_table
+    from .operators.multimodal import (image_pixel_stats,
+                                       sample_video_frames)
+    media = synth_hevc_video_table(spark, n_media=3, n_frames=4)
+    frames = sample_video_frames(media, every_ms=100)
+    fid = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame_payload").alias("payload"))
+    st = image_pixel_stats(fid)
+    return (st.select(
+        F.floor(F.col("media_id") / 100).cast("long").alias("media_id"),
+        (F.col("media_id") % 100).cast("int").alias("frame_idx"),
+        ((F.col("media_id") % 100) * 100.0).cast("double")
+        .alias("ts_ms"),
+        "width", "height", "channels", "px_sum", "px_min", "px_max",
+        F.col("decode_error").isNull().alias("decoded_ok"))
+        .orderBy("media_id", "frame_idx"))
+
+
+_ORACLE_HEVC_FRAMES = """
+WITH px AS (
+  SELECT m.m AS media_id, f.f AS frame_idx,
+         LEAST(GREATEST(CAST(FLOOR(
+           (298 * (((17*r.r + 31*c.c + 53*f.f + 7*m.m) % 256) - 16)
+            + 128) / 256.0) AS INTEGER), 0), 255) AS v
+  FROM generate_series(0, 2) m(m), generate_series(0, 3) f(f),
+       generate_series(0, 23) r(r), generate_series(0, 31) c(c)
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 100.0 AS DOUBLE) AS ts_ms,
+       CAST(32 AS INTEGER) AS width,
+       CAST(24 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INTEGER) AS px_min,
+       CAST(MAX(v) AS INTEGER) AS px_max,
+       TRUE AS decoded_ok
+FROM px
+GROUP BY media_id, frame_idx
+ORDER BY media_id, frame_idx
+"""
+
+
 # Entry order is deliberate: the correctness driver samples the FIRST 50
 # entries, so the round-5 rotation puts the 26 entries that rounds 1-4
 # never sampled (plus round-5 additions) ahead of the entries that already
@@ -6643,6 +6772,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-9 addition: CDF over the versioned table --------------------
     "table_changes_orders": _q_table_changes_orders,
     "delta_bridge_orders": _q_delta_bridge_orders,
+    "delta_time_travel_orders": _q_delta_time_travel_orders,
+    "hevc_frames_stats": _q_hevc_frames_stats,
     # -- round-9 addition: exactly-once streaming table sink ---------------
     "stream_table_appends": _q_stream_table_appends,
     # -- round-10 additions: multimodal decode contract surfaces -----------
@@ -6997,6 +7128,8 @@ ORACLES: dict[str, str] = {
     "gopher_gates_docs": _ORACLE_GOPHER_GATES,
     "table_changes_orders": _ORACLE_TABLE_CHANGES,
     "delta_bridge_orders": _ORACLE_DELTA_BRIDGE,
+    "delta_time_travel_orders": _ORACLE_DELTA_TIME_TRAVEL,
+    "hevc_frames_stats": _ORACLE_HEVC_FRAMES,
     "stream_table_appends": _ORACLE_STREAM_TABLE_APPENDS,
     "minhash_pairs": _minhash_oracle(),
     "simhash_pairs": _simhash_oracle(),
