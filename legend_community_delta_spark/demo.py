@@ -6075,8 +6075,12 @@ def _q_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks."""
     ensure_views(spark, sf_dir)
     from .operators.sketches import heavy_hitter_ngrams
-    return heavy_hitter_ngrams(spark.table("documents"), n=3,
-                               min_count=5, width_exp=16)
+    # r12: the single-row-group local fixture scans as ONE split, which
+    # serialized both n-gram explode passes on one core (the round-7
+    # single-split lesson, guide §2.5 input skew); at real scale the
+    # scan arrives multi-split and _spread is a no-op
+    docs = _spread(spark.table("documents"), spark)
+    return heavy_hitter_ngrams(docs, n=3, min_count=5, width_exp=16)
 
 
 _ORACLE_HEAVY_NGRAMS = r"""

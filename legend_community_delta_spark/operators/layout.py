@@ -112,11 +112,24 @@ def bucket_code(col: Column | str, cuts: list) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if not cuts:
         return F.lit(0).cast("long")
-    code = F.aggregate(
-        F.array(*[F.lit(x) for x in cuts]),
-        F.lit(0).cast("long"),
-        lambda acc, cut: acc + F.when(c >= cut, F.lit(1)).otherwise(F.lit(0)),
-    )
+
+    # Binary-search WHEN tree instead of the old higher-order
+    # ``aggregate`` fold (r12, guide §4.1/§1.2): lambda functions are
+    # evaluated interpreted, outside whole-stage codegen, and the fold
+    # touched every cut — O(buckets) interpreted steps per row per
+    # column, twice per rewrite (the range partitioner's sampling pass
+    # re-evaluates the key).  The tree is plain nested CASE WHEN —
+    # codegen-friendly, O(log buckets) comparisons per row — and
+    # returns the identical count of cuts <= value.
+    def cnt(lo: int, hi: int):
+        if lo > hi:
+            return F.lit(0)
+        mid = (lo + hi) // 2
+        return (F.when(c >= F.lit(cuts[mid]),
+                       F.lit(mid - lo + 1) + cnt(mid + 1, hi))
+                .otherwise(cnt(lo, mid - 1)))
+
+    code = cnt(0, len(cuts) - 1)
     return F.when(c.isNull(), F.lit(0)).otherwise(code).cast("long")
 
 
@@ -200,58 +213,71 @@ def _list_parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _footer_stats_rows(files, want) -> list[tuple]:
+    """Footer min/max rows for *files* — shared by the driver fast path
+    and the distributed executor path."""
+    import pyarrow.parquet as pq
+    rows = []
+    for fname in files:
+        meta = pq.ParquetFile(fname).metadata
+        idx = {meta.schema.column(i).name: i
+               for i in range(meta.num_columns)}
+        for c in want:
+            if c not in idx:
+                # a file written before the column existed (schema
+                # evolution / allowMissingColumns appends): emit a
+                # NULL-stats row so pruning keeps it CONSERVATIVELY —
+                # dropping the row would silently exclude the file
+                # from read_with_file_skipping's kept list
+                rows.append((fname, meta.num_rows, c, None, None))
+                continue
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rows.append((fname, meta.num_rows, c,
+                         None if lo is None else str(lo),
+                         None if hi is None else str(hi)))
+    return rows
+
+
 def file_skipping_stats(spark: SparkSession, path: str,
-                        cols: list[str]) -> DataFrame:
+                        cols: list[str],
+                        driver_files_max: int = 64) -> DataFrame:
     """Per-file column min/max from parquet FOOTERS:
     ``(file, rows, col, min_value, max_value)`` with values rendered as
     strings (one schema across numeric/string/date columns).
 
-    Distributed: the file LIST (metadata, bytes per file) is
+    Up to *driver_files_max* files the footers are read directly on the
+    driver — a footer is KB-scale metadata, the same class of driver
+    work as Delta reading its own transaction log, and skipping the
+    Python-worker round-trip saves seconds of fixed cost (r12, guide
+    §4).  Beyond that the file LIST (metadata, bytes per file) is
     parallelized and every executor reads only its own files' footers
-    with pyarrow — no data pages are decoded, and the driver never
-    opens a file.  At 100 TB / ~100k files this is a seconds-scale job.
+    with pyarrow — no data pages are decoded anywhere.  At 100 TB /
+    ~100k files the distributed path is a seconds-scale job.
     """
     files = _list_parquet_files(path)
     if not files:
         raise ValueError(f"no parquet files under [{path}]")
-    names = spark.createDataFrame([(f,) for f in files], "file string")
     want = list(cols)
+    schema = ("file string, rows long, col string, "
+              "min_value string, max_value string")
+    if len(files) <= driver_files_max:
+        return spark.createDataFrame(
+            _footer_stats_rows(files, want), schema)
+    names = spark.createDataFrame([(f,) for f in files], "file string")
 
     def _footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
         for pdf in batches:
-            rows = []
-            for fname in pdf["file"]:
-                meta = pq.ParquetFile(fname).metadata
-                idx = {meta.schema.column(i).name: i
-                       for i in range(meta.num_columns)}
-                for c in want:
-                    if c not in idx:
-                        # a file written before the column existed
-                        # (schema evolution / allowMissingColumns
-                        # appends): emit a NULL-stats row so pruning
-                        # keeps it CONSERVATIVELY — dropping the row
-                        # would silently exclude the file from
-                        # read_with_file_skipping's kept list
-                        rows.append((fname, meta.num_rows, c, None,
-                                     None))
-                        continue
-                    lo = hi = None
-                    for rg in range(meta.num_row_groups):
-                        st = meta.row_group(rg).column(idx[c]).statistics
-                        if st is None or not st.has_min_max:
-                            lo = hi = None
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    rows.append((fname, meta.num_rows, c,
-                                 None if lo is None else str(lo),
-                                 None if hi is None else str(hi)))
+            rows = _footer_stats_rows(list(pdf["file"]), want)
             yield pd.DataFrame(rows, columns=["file", "rows", "col",
                                               "min_value", "max_value"])
 
-    schema = ("file string, rows long, col string, "
-              "min_value string, max_value string")
     # spread the footer reads across the cluster
     return names.repartition(min(len(files), 64)).mapInPandas(
         _footers, schema=schema)

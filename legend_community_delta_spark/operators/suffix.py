@@ -52,32 +52,35 @@ from ..functions import text as TX
 
 
 def _order_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
-    """Distributed order-preserving DENSE rank over *cols*, appended to
-    every input row (equal tuples share a rank; tuple order preserved):
-    range-partition on the tuple (equal tuples land together), dense
-    row-rank within each partition, then add the partition's broadcast
-    running DISTINCT count.  One shuffle, no global single-partition
-    window, no distinct/join-back round-trip.  (Range boundaries can't
-    split a tie group — a pathological corpus where most rows share one
-    tuple serializes that group's partition, the same skew profile as
-    any sort-based rank.)"""
+    """Distributed order-preserving rank over *cols*, appended to every
+    input row: equal tuples share a rank, and rank order == tuple
+    order.  Ranks are ``partition_id * 2**40 + local_dense_rank`` over
+    a range partitioning — order-preserving across partitions (range
+    partitions are ordered, local ranks fit 40 bits) and class-exact
+    (the range partitioner never splits a tie group).  Ranks are NOT
+    globally dense — no consumer needs density, so the old per-
+    partition distinct-count aggregate and broadcast offset join are
+    gone (r12, guide §2.4); so is the inner checkpoint — callers
+    materialize the result once (their own checkpoint or a single-
+    consumer plan), which executes the sampling-dependent exchange
+    exactly once.  (A pathological corpus where most rows share one
+    tuple still serializes that tie group's partition — the same skew
+    profile as any sort-based rank.)"""
     spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    d = (df.repartitionByRange(n_parts, *cols)
-         .localCheckpoint(eager=True))          # pin partition ids
+    # 4x parallelism: the rank window re-shuffles by the partition-id
+    # LABEL, and hashing n labels into n shuffle partitions leaves ~1/e
+    # of them empty with 2-3x stragglers elsewhere (guide §2.5 —
+    # synthetic keys need several distinct values per partition);
+    # 4 labels per hash bucket evens the window stage out
+    n_parts = 4 * spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n_parts, *cols)
     d = d.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*cols)
-    d = d.withColumn("__lr", F.dense_rank().over(w))
-    counts = d.groupBy("__pid").agg(
-        F.count_distinct(*[F.col(c) for c in cols]).alias("__n"))
-    woff = (Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    offs = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(woff), F.lit(0))
-        .alias("__off"))                        # one row per partition
-    return (d.join(F.broadcast(offs), "__pid")
-            .withColumn(out, F.col("__lr") + F.col("__off"))
-            .drop("__pid", "__lr", "__off"))
+    return (d.withColumn(
+        out,
+        F.col("__pid").cast("long") * F.lit(1 << 40)
+        + F.dense_rank().over(w))
+        .drop("__pid"))
 
 
 def _global_row_number(df: DataFrame, cols: list[str],
@@ -107,6 +110,184 @@ def _global_row_number(df: DataFrame, cols: list[str],
 # thing on both the batch-exact and incremental paths
 _unit_array = TX.unit_array
 _unit_joiner = TX.unit_joiner
+
+
+# ---------------------------------------------------------------------------
+# Wide-base ranking (round 12 optimization; results byte-identical)
+#
+# Prefix doubling from single units spends its first `b` rounds
+# rebuilding what one projection can say outright: the rank of a suffix
+# by its first ``2**b`` units IS the order rank of the width-``2**b``
+# slice starting there, and that slice is computable map-side in the
+# scan stage (a bounded `W` units per row — never the document).  So the
+# bottom `b` rounds (each a range shuffle + join + checkpoint) collapse
+# into ONE `_order_rank` pass over the slices, and the doubling loop
+# starts at level `b`.  W is bounded (8 tokens / 16 chars), so the one
+# wide shuffle carries O(W) units per position — the same total bytes
+# the skipped rounds would have shuffled as longs, in 1 pass instead of
+# `b`.  Guide §2.4 (remove shuffles outright), §1.2 (fix the
+# distributed algorithm first).
+# ---------------------------------------------------------------------------
+
+_BASE_LEVEL = {"token": 3, "char": 4}   # W = 8 tokens / 16 chars
+
+
+def _positions_pref(df: DataFrame, text_col: str, id_col: str,
+                    unit: str, width: int) -> DataFrame:
+    """``(id, pos, __pref, __rem)`` — one row per unit with the forward
+    *width*-unit slice and the remaining suffix length, all computed in
+    the scan stage (no shuffle; nothing wider than *width* units per
+    row ever leaves the stage).
+
+    ``__pref`` is the raw token ARRAY for unit='token' (tokens may
+    contain any separator byte, so no join is collision-free) and the
+    concatenated STRING for unit='char' (1-codepoint elements: UTF-8
+    bytewise order == per-element order, and concatenation is
+    injective).  Suffixes shorter than *width* yield truncated slices,
+    which sort before any extension — exactly the sticky end-sentinel
+    order of the doubling rounds."""
+    toks = _unit_array(F.col(text_col), unit)
+    ex = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks",
+        F.posexplode("__toks").alias("__p", "__t"))
+    pref = F.slice("__toks", F.col("__p") + 1, width)
+    if unit == "char":
+        pref = F.concat_ws("", pref)
+    return ex.select(
+        F.col(id_col), (F.col("__p") + 1).alias("pos"),
+        pref.alias("__pref"),
+        (F.size("__toks") - F.col("__p")).alias("__rem"))
+
+
+def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
+                rounds: int) -> tuple[dict, int, int | None]:
+    """Rank tables from the wide base up: returns ``(tables, last,
+    lcp_bound)`` where ``tables[k]`` ranks every suffix by its first
+    ``2**k`` units for ``k = base .. last`` (each ``(id, pos, r,
+    __rem)``, checkpointed; the base table also keeps ``__pref`` for
+    the descent's bottom refinement), and ``lcp_bound = L`` proves
+    every DISTINCT pair of suffixes has LCP < ``2**L`` (None when the
+    round budget ran out before uniqueness or a fixed point).
+
+    The doubling step fetches the partner rank with ``lead(r, 2**k)``
+    over ``(id, pos)`` — positions are dense per document, so the lag
+    window replaces the old shuffle join.  The stop rule is the
+    classic partition fixed point: class counts are monotone under
+    doubling, and a round that splits nothing proves every surviving
+    tie is a pair of wholly identical suffixes (expand the pair
+    definition one level: ``P_k == P_{k-1}`` forces ``P_{k+1} ==
+    P_k``), which holds even when exact-duplicate documents keep ranks
+    from ever becoming unique (the case the old unique-only early
+    stop missed)."""
+    w_id = Window.partitionBy(id_col).orderBy("pos")
+    cur = (_order_rank(ppref, ["__pref"], "r")
+           .select(id_col, "pos", "r", "__rem", "__pref")
+           .localCheckpoint(eager=True))
+    tables = {base: cur}
+    agg = cur.agg(F.count_distinct("r").alias("m"),
+                  F.count(F.lit(1)).alias("n")).first()
+    n_pos, prev_m, prev_k = agg["n"], agg["m"], base
+    last, bound = base, None
+    if prev_m == n_pos:                      # unique at the base already
+        return tables, last, base
+    for k in range(base + 1, rounds + 1):
+        half = 1 << (k - 1)
+        pairs = cur.select(
+            id_col, "pos", "r", "__rem",
+            F.coalesce(F.lead("r", half).over(w_id), F.lit(0)).alias("r2"))
+        # No range partitioner after the base round (guide §2.4): the
+        # high bits of r ARE the base round's range partition, every
+        # doubling round refines within them (same r => same bucket,
+        # bucket order == r order), so partitioning by `r >> 40` gives
+        # a deterministic range layout with no sampling job — the old
+        # repartitionByRange re-executed each round's lineage once just
+        # to sample boundaries.  Bucket count = 4x parallelism keeps
+        # the hash exchange balanced; bucket sizes stay the base
+        # round's balanced range partitions.
+        wb = Window.partitionBy("__b").orderBy("r", "r2")
+        cur = (pairs.withColumn("__b", F.shiftright("r", 40))
+               .select(
+                   id_col, "pos", "__rem",
+                   (F.col("__b") * F.lit(1 << 40)
+                    + F.dense_rank().over(wb)).alias("r"))
+               .localCheckpoint(eager=True))
+        tables[k] = cur
+        last = k
+        m = cur.agg(F.count_distinct("r").alias("m")).first()["m"]
+        if m == n_pos:                       # full suffix sort
+            bound = k
+            break
+        if m == prev_m:                      # partition fixed point
+            bound = prev_k
+            break
+        prev_m, prev_k = m, k
+    return tables, last, bound
+
+
+def _rank_adjacent(final: DataFrame, id_col: str) -> DataFrame:
+    """Rank-order neighbor pairs of *final* ``(id, pos, r, __rem)``:
+    ``(__ida, __pa, __rema, __ra, __idb, __pb, __remb, __rb)`` for every
+    consecutive pair in the global ``(r, id, pos)`` order.
+
+    One range shuffle + a within-partition ``lead``; the partition
+    boundaries are stitched from each partition's first/last rows (one
+    aggregate whose output is one row per partition — metadata), so the
+    old global-row-number pass and its full self-join on ``rn`` are
+    gone (guide §2.4)."""
+    spark = final.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    d = (final.repartitionByRange(n_parts, "r", id_col, "pos")
+         .localCheckpoint(eager=True))       # pin partition ids
+    d = d.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("r", id_col, "pos")
+    led = d.select(
+        F.col(id_col).alias("__ida"), F.col("pos").alias("__pa"),
+        F.col("__rem").alias("__rema"), F.col("r").alias("__ra0"),
+        F.lead(id_col).over(w).alias("__idb"),
+        F.lead("pos").over(w).alias("__pb"),
+        F.lead("__rem").over(w).alias("__remb"),
+        F.lead("r").over(w).alias("__rb0"))
+    inner = led.where(F.col("__idb").isNotNull())
+    # boundary pairs: each partition's LAST row pairs with the NEXT
+    # non-empty partition's FIRST row (ends has one row per partition)
+    ends = d.groupBy("__pid").agg(
+        F.min(F.struct("r", id_col, "pos", "__rem")).alias("__f"),
+        F.max(F.struct("r", id_col, "pos", "__rem")).alias("__l"))
+    w_pid = Window.orderBy("__pid")          # rows == partitions: metadata
+    bnd = (ends
+           .withColumn("__nf", F.lead("__f").over(w_pid))
+           .where(F.col("__nf").isNotNull())
+           .select(
+               F.col("__l")[id_col].alias("__ida"),
+               F.col("__l")["pos"].alias("__pa"),
+               F.col("__l")["__rem"].alias("__rema"),
+               F.col("__l")["r"].alias("__ra0"),
+               F.col("__nf")[id_col].alias("__idb"),
+               F.col("__nf")["pos"].alias("__pb"),
+               F.col("__nf")["__rem"].alias("__remb"),
+               F.col("__nf")["r"].alias("__rb0")))
+    return inner.unionByName(bnd)
+
+
+def _common_prefix_len(a, b, base: int, unit: str):
+    """Common-prefix length (0..2**base - 1) of two width-``2**base``
+    prefixes as a pure Column expression: binary descent over slice /
+    substring equality — no joins, no rank tables, whole rows never
+    widen.  Truncated-by-document-end slices compare shorter-first,
+    the same decisions the sentinel-0 rank agreement made; any
+    overcount past a document end is clamped by the caller's
+    ``least(.., rem)`` exactly as before."""
+    c = F.lit(0)
+    for j in range(base - 1, -1, -1):
+        wj = 1 << j
+        if unit == "char":
+            seg_a = a.substr(c + 1, F.lit(wj))
+            seg_b = b.substr(c + 1, F.lit(wj))
+        else:
+            seg_a = F.slice(a, c + 1, wj)
+            seg_b = F.slice(b, c + 1, wj)
+        c = c + F.when(seg_a == seg_b, F.lit(wj)).otherwise(F.lit(0))
+    return c
 
 
 def token_positions(df: DataFrame, text_col: str = "text",
@@ -159,7 +340,7 @@ def suffix_ranks(positions: DataFrame, id_col: str = "doc_id",
                .localCheckpoint(eager=True))
         out.append(cur)
         if early_stop and k < rounds:
-            agg = cur.agg(F.max("r").alias("m"),
+            agg = cur.agg(F.count_distinct("r").alias("m"),
                           F.count(F.lit(1)).alias("n")).first()
             if n_pos is None:
                 n_pos = agg["n"]
@@ -190,17 +371,29 @@ def exact_window_groups(df: DataFrame, text_col: str = "text",
         raise ValueError(f"n must be >= 1 [{n}]")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2 [{min_count}]")
-    pos = token_positions(df, text_col, id_col, unit)
     k1 = _floor_log2(n)
-    rk = suffix_ranks(pos, id_col, k1)[k1]
-    lens = pos.groupBy(id_col).agg(F.max("pos").alias("__len"))
-    a1 = rk.select(id_col, F.col("pos").alias("s"), F.col("r").alias("w1"))
-    a2 = rk.select(id_col, (F.col("pos") - (n - (1 << k1))).alias("s"),
-                   F.col("r").alias("w2"))
-    wins = (a1.join(a2, [id_col, "s"])
-            .join(lens, id_col)
-            .where(F.col("s") + (n - 1) <= F.col("__len"))
-            .select(id_col, "s", "w1", "w2"))
+    w1w = 1 << k1
+    # r12: the level-k1 rank comes from ONE order-rank pass over the
+    # width-2**k1 slices (map-side, guide §2.4) instead of k1+1
+    # doubling rounds, and the second anchor is fetched with lead()
+    # over the dense per-document positions instead of a self-join.
+    # Anchor classes (and hence the (w1, w2) duplicate groups) are
+    # unchanged: rank-by-slice orders and groups exactly like the
+    # doubled rank (same lexicographic-with-end-sentinel order).
+    ppref = _positions_pref(df, text_col, id_col, unit, w1w)
+    rk = (_order_rank(ppref, ["__pref"], "r")
+          .select(id_col, "pos", "r", "__rem")
+          .localCheckpoint(eager=True))      # ranks materialize ONCE:
+    # the wins and counts branches below must see identical rank labels
+    # (they embed the sampled range partition id)
+    w_id = Window.partitionBy(id_col).orderBy("pos")
+    shift = n - w1w
+    wins = (rk.select(
+        id_col, F.col("pos").alias("s"), F.col("r").alias("w1"),
+        F.lead("r", shift).over(w_id).alias("w2"),
+        F.lead("__rem", shift).over(w_id).alias("__remb"))
+        .where(F.col("__remb") >= w1w)        # window fully inside doc
+        .select(id_col, "s", "w1", "w2"))
     counts = (wins.groupBy("w1", "w2")
               .agg(F.count(F.lit(1)).alias("n_occ"))
               .where(F.col("n_occ") >= min_count))
@@ -408,23 +601,25 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
     order inside the tie group and the true max-LCP partner may not be
     adjacent: the result is then a LOWER BOUND (never an overcount —
     every reported match is a real one)."""
-    pos = token_positions(df, text_col, id_col, unit)
-    rks = suffix_ranks(pos, id_col, rounds)
-    lens = pos.groupBy(id_col).agg(F.max("pos").alias("__len"))
-    final = (rks[rounds]
-             .join(lens, id_col)
-             .select(id_col, "pos", "r",
-                     (F.col("__len") - F.col("pos") + 1).alias("rem")))
-    ordered = _global_row_number(final, ["r", id_col, "pos"], "rn")
-    nxt = ordered.select(
-        (F.col("rn") - 1).alias("rn"), F.col(id_col).alias("__idb"),
-        F.col("pos").alias("__pb"), F.col("rem").alias("__remb"))
-    adj = (ordered.join(nxt, "rn")
-           .select(F.col(id_col).alias("__ida"), F.col("pos").alias("__pa"),
-                   F.col("rem").alias("__rema"), "__idb", "__pb", "__remb")
+    # r12 plan (identical results, far fewer passes — guide §1.2, §2.4):
+    # wide-base ranks + lead-window doubling with the partition fixed-
+    # point stop; rank-neighbor adjacency from one range partition with
+    # boundary stitching; the descent only visits levels that can still
+    # contribute (the fixed point bounds every distinct-pair LCP), ties
+    # at the final level short-circuit to min(rem) (they are proven
+    # wholly identical suffixes), and the bottom `base` levels resolve
+    # with one slice comparison instead of 2*base rank joins.
+    base = min(_BASE_LEVEL[unit] if unit in _BASE_LEVEL else 0, rounds)
+    ppref = _positions_pref(df, text_col, id_col, unit, 1 << base)
+    tables, last, bound = _ranks_wide(ppref, id_col, base, rounds)
+    final = tables[last].select(
+        id_col, "pos", "r", F.col("__rem").alias("rem"))
+    adj = (_rank_adjacent(tables[last], id_col)
            .withColumn("__acc", F.lit(0)))
-    for k in range(rounds, -1, -1):
-        rk = rks[k]
+    proven = bound is not None
+    top = (bound - 1) if proven else rounds
+    for k in range(min(top, last), base - 1, -1):
+        rk = tables[k]
         ra = rk.select(F.col(id_col).alias("__qida"),
                        F.col("pos").alias("__qa"),
                        F.col("r").alias("__ra"))
@@ -444,7 +639,43 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
             "__acc", F.col("__acc")
             + F.when(agree, F.lit(1 << k)).otherwise(F.lit(0)))
             .drop("__ra", "__rb"))
-    lcp = F.least("__acc", "__rema", "__remb")
+    if base > 0:
+        # bottom `base` levels: fetch the width-2**base slice at each
+        # side's accumulated offset once, then compare sub-slices with
+        # pure expressions — 2 joins replace 2*base
+        empty = (F.lit("") if unit == "char"
+                 else F.array().cast("array<string>"))
+        pr = tables[base].select(
+            F.col(id_col).alias("__qid"), F.col("pos").alias("__q"),
+            F.col("__pref").alias("__pf"))
+        adj = (adj
+               .join(pr, (F.col("__ida") == F.col("__qid")) &
+                         (F.col("__q") == F.col("__pa") + F.col("__acc")),
+                     "left")
+               .withColumn("__pfa", F.coalesce("__pf", empty))
+               .drop("__qid", "__q", "__pf")
+               .join(pr, (F.col("__idb") == F.col("__qid")) &
+                         (F.col("__q") == F.col("__pb") + F.col("__acc")),
+                     "left")
+               .withColumn("__pfb", F.coalesce("__pf", empty))
+               .drop("__qid", "__q", "__pf"))
+        adj = (adj.withColumn(
+            "__acc", F.col("__acc")
+            + _common_prefix_len(F.col("__pfa"), F.col("__pfb"),
+                                 base, unit))
+            .drop("__pfa", "__pfb"))
+    if proven:
+        # Rank ties at the fixed point are wholly identical suffixes,
+        # so the old descent agreed at EVERY level k = rounds..0 and
+        # accumulated exactly 2**(rounds+1) - 1 before the rem clamp —
+        # reproduce that value verbatim so a deliberately-small round
+        # budget still yields byte-identical (lower-bound) output.
+        tie_acc = F.lit(min((1 << (rounds + 1)) - 1, 1 << 62))
+        lcp = F.when(F.col("__ra0") == F.col("__rb0"),
+                     F.least(tie_acc, F.col("__rema"), F.col("__remb"))) \
+               .otherwise(F.least("__acc", "__rema", "__remb"))
+    else:
+        lcp = F.least("__acc", "__rema", "__remb")
     both = (adj.select(F.col("__ida").alias(id_col),
                        F.col("__pa").alias("pos"), lcp.alias("__l"))
             .unionByName(
@@ -452,7 +683,7 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
                            F.col("__pb").alias("pos"), lcp.alias("__l"))))
     per_suffix = both.groupBy(id_col, "pos").agg(
         F.max("__l").alias("dup_len"))
-    return (pos.select(id_col, "pos")
+    return (final.select(id_col, "pos")
             .join(per_suffix, [id_col, "pos"], "left")
             .select(id_col, "pos",
                     F.coalesce("dup_len", F.lit(0)).alias("dup_len")))
