@@ -1621,7 +1621,10 @@ def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/shuffle operates on 8-byte longs (collision odds at this
     cardinality ~1e-7, far below any practical concern)."""
     ensure_views(spark, sf_dir)
-    docs = spark.table("documents")
+    # r12: spread the single-split local scan — the 1.5M-shingle
+    # explode otherwise runs on one core (guide §2.5; no-op on a real
+    # multi-split scan)
+    docs = _spread(spark.table("documents"), spark)
     return (docs.select("source",
                         F.explode(TX.char_shingles("text", 5)).alias("s"))
             .groupBy("source")
@@ -3149,6 +3152,9 @@ def _q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of cross-corpus decontamination."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import boilerplate_stats
+    # r12: measured _spread here at 22 s vs 5.1 s without (the operator
+    # references the corpus scan repeatedly; the added exchange subtree
+    # re-executes per reference) — left unspread deliberately
     return (boilerplate_stats(spark.table("documents"), n=3,
                               min_doc_frac=0.01)
             .select("doc_id", "n_grams", "n_boiler",
@@ -4298,6 +4304,8 @@ def _q_stupid_backoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import stupid_backoff_surprisal
+    # r12: measured _spread here at 8.7 s vs 5.4 s without (train/held
+    # each re-execute the added exchange) — left unspread deliberately
     docs = spark.table("documents")
     train = docs.where(F.col("doc_id") % 5 != 0)
     held = docs.where(F.col("doc_id") % 5 == 0)

@@ -596,13 +596,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     grams = (df.select(F.col(id_col).alias("__id"),
                        F.explode(F.array_distinct(word_ngrams(text_col, n)))
                        .alias("gram")))
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency as a window count over the SAME gram exchange
+    # the old groupBy+join-back paid twice (r12, guide §2.4: two
+    # operations keyed the same way share one exchange) — identical
+    # (__id, gram, __df) rows, one shuffle fewer
     w_doc = Window.partitionBy("__id").orderBy("__df", "gram")
-    ranked = (grams.join(freq, "gram")
-              .select("__id", "gram",
+    ranked = (grams
+              .withColumn("__df", F.count(F.lit(1))
+                          .over(Window.partitionBy("gram")))
+              .select("__id", "gram", "__df",
                       F.row_number().over(w_doc).alias("__rn"),
                       F.count(F.lit(1)).over(Window.partitionBy("__id"))
-                      .alias("__ng")))
+                      .alias("__ng"))
+              .drop("__df"))
     # ceil guards against double rounding (0.3*10 = 3.0000000000000004
     # would shorten the prefix by one and MISS true pairs; the epsilon
     # can only lengthen it, which stays exact).
@@ -681,13 +687,19 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     grams = (df.select(F.col(id_col).alias("__id"),
                        F.explode(F.array_distinct(word_ngrams(text_col, n)))
                        .alias("gram")))
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency as a window count over the SAME gram exchange
+    # the old groupBy+join-back paid twice (r12, guide §2.4: two
+    # operations keyed the same way share one exchange) — identical
+    # (__id, gram, __df) rows, one shuffle fewer
     w_doc = Window.partitionBy("__id").orderBy("__df", "gram")
-    ranked = (grams.join(freq, "gram")
-              .select("__id", "gram",
+    ranked = (grams
+              .withColumn("__df", F.count(F.lit(1))
+                          .over(Window.partitionBy("gram")))
+              .select("__id", "gram", "__df",
                       F.row_number().over(w_doc).alias("__rn"),
                       F.count(F.lit(1)).over(Window.partitionBy("__id"))
-                      .alias("__ng")))
+                      .alias("__ng"))
+              .drop("__df"))
     pref_a = ranked.where(
         F.col("__rn") <= F.col("__ng")
         - F.ceil(F.lit(threshold) * F.col("__ng") - F.lit(1e-9)) + 1)
@@ -777,14 +789,19 @@ def cross_ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
                                F.explode(F.array_distinct(
                                    word_ngrams(text_col, n))).alias("gram")))
     grams = sides[0].unionByName(sides[1])
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency via a window count over the gram exchange
+    # instead of groupBy + join-back (r12, guide §2.4) — identical rows,
+    # one shuffle fewer; the order stays computed over the UNION
     w_doc = Window.partitionBy("__side", "__id").orderBy("__df", "gram")
-    ranked = (grams.join(freq, "gram")
-              .select("__side", "__id", "gram",
+    ranked = (grams
+              .withColumn("__df", F.count(F.lit(1))
+                          .over(Window.partitionBy("gram")))
+              .select("__side", "__id", "gram", "__df",
                       F.row_number().over(w_doc).alias("__rn"),
                       F.count(F.lit(1))
                       .over(Window.partitionBy("__side", "__id"))
-                      .alias("__ng")))
+                      .alias("__ng"))
+              .drop("__df"))
     pref = ranked.where(
         F.col("__rn") <= F.col("__ng")
         - F.ceil(F.lit(threshold) * F.col("__ng") - F.lit(1e-9)) + 1)

@@ -184,12 +184,16 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
            .select(id_col, "pos", "r", "__rem", "__pref")
            .localCheckpoint(eager=True))
     tables = {base: cur}
-    agg = cur.agg(F.count_distinct("r").alias("m"),
-                  F.count(F.lit(1)).alias("n")).first()
-    n_pos, prev_m, prev_k = agg["n"], agg["m"], base
     last, bound = base, None
-    if prev_m == n_pos:                      # unique at the base already
-        return tables, last, base
+    if base == rounds:
+        agg = cur.agg(F.count_distinct("r").alias("m"),
+                      F.count(F.lit(1)).alias("n")).first()
+        return tables, last, (base if agg["m"] == agg["n"] else None)
+    # n_pos and the base class count fold into the FIRST loop round's
+    # aggregate (one driver action saved); the only cost is that a
+    # corpus already unique at the base is detected one round late —
+    # same bound semantics, one extra (cheap) round
+    n_pos, prev_m, prev_k = None, None, base
     for k in range(base + 1, rounds + 1):
         half = 1 << (k - 1)
         pairs = cur.select(
@@ -213,7 +217,12 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
                .localCheckpoint(eager=True))
         tables[k] = cur
         last = k
-        m = cur.agg(F.count_distinct("r").alias("m")).first()["m"]
+        if n_pos is None:
+            agg = cur.agg(F.count_distinct("r").alias("m"),
+                          F.count(F.lit(1)).alias("n")).first()
+            m, n_pos = agg["m"], agg["n"]
+        else:
+            m = cur.agg(F.count_distinct("r").alias("m")).first()["m"]
         if m == n_pos:                       # full suffix sort
             bound = k
             break
@@ -221,6 +230,17 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
             bound = prev_k
             break
         prev_m, prev_k = m, k
+    if bound is None and last == rounds:
+        # budget exhausted without a fixed point — but the bound may
+        # still be provable from the corpus shape: LCP(a, b) of two
+        # DISTINCT suffixes is at most the longer document's length, so
+        # 2**rounds > maxlen certifies bound = rounds (the docstring's
+        # classic exactness condition, now detected at runtime).  One
+        # cheap aggregate over the checkpointed final table buys the
+        # descent trim + the tie shortcut.
+        maxlen = tables[last].agg(F.max("__rem").alias("m")).first()["m"]
+        if maxlen is not None and maxlen < (1 << rounds):
+            bound = rounds
     return tables, last, bound
 
 
@@ -229,16 +249,15 @@ def _rank_adjacent(final: DataFrame, id_col: str) -> DataFrame:
     ``(__ida, __pa, __rema, __ra, __idb, __pb, __remb, __rb)`` for every
     consecutive pair in the global ``(r, id, pos)`` order.
 
-    One range shuffle + a within-partition ``lead``; the partition
-    boundaries are stitched from each partition's first/last rows (one
-    aggregate whose output is one row per partition — metadata), so the
-    old global-row-number pass and its full self-join on ``rn`` are
-    gone (guide §2.4)."""
-    spark = final.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    d = (final.repartitionByRange(n_parts, "r", id_col, "pos")
-         .localCheckpoint(eager=True))       # pin partition ids
-    d = d.withColumn("__pid", F.spark_partition_id())
+    No shuffle of its own beyond the ``lead`` window's exchange: the
+    rank's high bits (``r >> 40``) ARE an ordered, balanced range
+    bucketing of the total order (bucket order == rank order), so the
+    window partitions by that derived label instead of paying a fresh
+    range partitioner + checkpoint; bucket boundaries are stitched from
+    each bucket's first/last rows (one aggregate, one row per bucket —
+    metadata).  The old global-row-number pass and its full self-join
+    on ``rn`` are gone (guide §2.4)."""
+    d = final.withColumn("__pid", F.shiftright("r", 40))
     w = Window.partitionBy("__pid").orderBy("r", id_col, "pos")
     led = d.select(
         F.col(id_col).alias("__ida"), F.col("pos").alias("__pa"),
