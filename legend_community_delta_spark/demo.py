@@ -5244,7 +5244,11 @@ def _q_eval_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select("doc_id", F.col("text").alias("cand"))
     b = d.select((F.col("doc_id") - 1).alias("doc_id"),
                  F.col("text").alias("ref"))
-    pairs = a.join(b, "doc_id")
+    # the metric builder fans the pair table out to 5 subtrees (2 clip
+    # tables x cand/ref explodes + the output row) — materialize the
+    # adjacency join once instead of re-reading + re-joining per branch
+    # (guide §3.3; r12)
+    pairs = a.join(b, "doc_id").localCheckpoint(eager=True)
     # fixture corpus is broadcast-sized; production default (False)
     # lets AQE pick the clip-join strategy
     m = ngram_eval_metrics(pairs, "cand", "ref", "doc_id", 2,

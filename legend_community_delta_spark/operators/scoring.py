@@ -206,8 +206,11 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     (AQE broadcasts small vocabs); vocab size enters as a one-row
     broadcast cross join; per-doc aggregate keyed by id.  No UDFs.
     """
+    # three consumers re-explode the corpus otherwise (bigram counts,
+    # left counts, pricing join) — materialize once (guide §3.3; r12)
     bigs = df.select(F.col(id_col).alias("__id"),
-                     F.explode(word_ngrams(text_col, 2)).alias("bg"))
+                     F.explode(word_ngrams(text_col, 2)).alias("bg")) \
+             .localCheckpoint(eager=True)
     w1 = F.substring_index("bg", " ", 1)
     bcnt = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("__cb"))
     lcnt = (bigs.select(w1.alias("__w1"))
@@ -679,8 +682,14 @@ def kn_bigram_surprisal(df: DataFrame, text_col: str = "text",
     """
     if not (0.0 < discount < 1.0):
         raise ValueError(f"discount must be in (0, 1), got {discount}")
+    # the bigram table fans out to FIVE consumers (bigram counts, left
+    # aggregate, right aggregate, type count, and the pricing join) and
+    # each branch would re-tokenize + re-explode the corpus —
+    # materialize it once (guide §3.3; r12: one tokenize pass instead
+    # of five, measured on the kn_surprisal_docs bench entry)
     bigs = df.select(F.col(id_col).alias("__id"),
-                     F.explode(word_ngrams(text_col, 2)).alias("bg"))
+                     F.explode(word_ngrams(text_col, 2)).alias("bg")) \
+             .localCheckpoint(eager=True)
     w1 = F.substring_index("bg", " ", 1)
     w2 = F.substring_index("bg", " ", -1)
     bcnt = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("__cb"))
@@ -691,8 +700,12 @@ def kn_bigram_surprisal(df: DataFrame, text_col: str = "text",
     right = (bigs.select(w2.alias("__w2"), w1.alias("__l"))
              .groupBy("__w2")
              .agg(F.count_distinct("__l").alias("__n1r")))
-    types = bigs.agg(
-        F.count_distinct("bg").cast("double").alias("__nt"))
+    # N1+(.,.) = number of distinct bigram types = row count of the
+    # bigram-count aggregate — counting bcnt's rows reuses its exchange
+    # instead of paying a separate count_distinct shuffle over the
+    # full bigram table (r12, guide §2.3)
+    types = bcnt.agg(
+        F.count(F.lit(1)).cast("double").alias("__nt"))
     d = F.lit(float(discount))
     p = (F.greatest(F.col("__cb") - d, F.lit(0.0)) / F.col("__cl")
          + d * F.col("__n1l") / F.col("__cl")
@@ -840,8 +853,11 @@ def stupid_backoff_surprisal(train: DataFrame, score: DataFrame,
             .groupBy("bg").agg(F.count(F.lit(1)).alias("__c2")))
     t_uni = (train.select(F.explode(tokens(text_col)).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("__c1")))
-    n_tok = train.select(F.explode(tokens(text_col)).alias("w")).agg(
-        F.count(F.lit(1)).cast("double").alias("__N"))
+    # N = total train tokens = sum of the unigram counts — exact
+    # integer math over t_uni's (reused) exchange instead of a fourth
+    # full tokenize + explode pass over the train corpus (r12)
+    n_tok = t_uni.agg(
+        F.sum("__c1").cast("double").alias("__N"))
     w12 = F.substring_index("tg", " ", 2)
     w23 = F.substring_index("tg", " ", -2)
     w3 = F.substring_index("tg", " ", -1)

@@ -216,7 +216,14 @@ def incremental_dup_spans(spark, path: str, new_docs: DataFrame,
     base = new_docs.select(F.col(id_col),
                            TX.unit_array(F.col(text_col), unit)
                            .alias("__toks"))
-    grams = _window_grams(base, id_col, n)
+    # the gram table fans out to TWO consumers (the batch-count
+    # aggregate and the flagged-start join) and the plan would
+    # re-tokenize + re-hash the whole batch once per branch (plus a
+    # third time for the rebuild's base scan) — materialize the windows
+    # once instead (guide §3.3: fan-out intermediates; the checkpoint
+    # is window-count-sized rows of 3 longs, the same bytes the gh
+    # exchange already ships)
+    grams = _window_grams(base, id_col, n).localCheckpoint(eager=True)
     batch_counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__bc"))
     merged = (batch_counts.join(store, "gh", "left")
               .select("gh", (F.col("__bc")

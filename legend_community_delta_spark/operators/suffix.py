@@ -83,6 +83,24 @@ def _order_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
         .drop("__pid"))
 
 
+def _rank_stats(ranked: DataFrame):
+    """``(class_count, row_count)`` of an :func:`_order_rank`-shaped
+    table in ONE cheap aggregate: ranks are ``bucket * 2**40 + local
+    dense_rank`` with the local ranks CONTIGUOUS 1..m per bucket, so
+    the number of distinct ranks is the sum of per-bucket maxima — a
+    map-side-combinable groupBy over ~4x-parallelism bucket labels
+    (metadata-sized shuffle) instead of the old ``count_distinct``,
+    whose partial-distinct exchange carried every distinct rank (≈ one
+    extra pass over the table per doubling round — guide §2.3)."""
+    g = (ranked.groupBy(F.shiftright("r", 40).alias("__b"))
+         .agg(F.max(F.col("r").bitwiseAND(F.lit((1 << 40) - 1)))
+              .alias("__mx"),
+              F.count(F.lit(1)).alias("__n")))
+    row = g.agg(F.sum("__mx").alias("m"),
+                F.sum("__n").alias("n")).first()
+    return int(row["m"] or 0), int(row["n"] or 0)
+
+
 def _global_row_number(df: DataFrame, cols: list[str],
                        out: str) -> DataFrame:
     """Global 1-based row_number by *cols* without a single-partition
@@ -162,12 +180,14 @@ def _positions_pref(df: DataFrame, text_col: str, id_col: str,
 def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
                 rounds: int) -> tuple[dict, int, int | None]:
     """Rank tables from the wide base up: returns ``(tables, last,
-    lcp_bound)`` where ``tables[k]`` ranks every suffix by its first
-    ``2**k`` units for ``k = base .. last`` (each ``(id, pos, r,
+    lcp_bound, n_pos)`` where ``tables[k]`` ranks every suffix by its
+    first ``2**k`` units for ``k = base .. last`` (each ``(id, pos, r,
     __rem)``, checkpointed; the base table also keeps ``__pref`` for
-    the descent's bottom refinement), and ``lcp_bound = L`` proves
-    every DISTINCT pair of suffixes has LCP < ``2**L`` (None when the
-    round budget ran out before uniqueness or a fixed point).
+    the descent's bottom refinement), ``lcp_bound = L`` proves every
+    DISTINCT pair of suffixes has LCP < ``2**L`` (None when the round
+    budget ran out before uniqueness or a fixed point), and ``n_pos``
+    is the total suffix count (a free by-product of the class-count
+    aggregate).
 
     The doubling step fetches the partner rank with ``lead(r, 2**k)``
     over ``(id, pos)`` — positions are dense per document, so the lag
@@ -186,14 +206,13 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
     tables = {base: cur}
     last, bound = base, None
     if base == rounds:
-        agg = cur.agg(F.count_distinct("r").alias("m"),
-                      F.count(F.lit(1)).alias("n")).first()
-        return tables, last, (base if agg["m"] == agg["n"] else None)
+        m, n = _rank_stats(cur)
+        return tables, last, (base if m == n else None), n
     # n_pos and the base class count fold into the FIRST loop round's
     # aggregate (one driver action saved); the only cost is that a
     # corpus already unique at the base is detected one round late —
     # same bound semantics, one extra (cheap) round
-    n_pos, prev_m, prev_k = None, None, base
+    n_pos, prev_m, prev_k, n = None, None, base, 0
     for k in range(base + 1, rounds + 1):
         half = 1 << (k - 1)
         pairs = cur.select(
@@ -217,12 +236,9 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
                .localCheckpoint(eager=True))
         tables[k] = cur
         last = k
+        m, n = _rank_stats(cur)
         if n_pos is None:
-            agg = cur.agg(F.count_distinct("r").alias("m"),
-                          F.count(F.lit(1)).alias("n")).first()
-            m, n_pos = agg["m"], agg["n"]
-        else:
-            m = cur.agg(F.count_distinct("r").alias("m")).first()["m"]
+            n_pos = n
         if m == n_pos:                       # full suffix sort
             bound = k
             break
@@ -241,7 +257,7 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
         maxlen = tables[last].agg(F.max("__rem").alias("m")).first()["m"]
         if maxlen is not None and maxlen < (1 << rounds):
             bound = rounds
-    return tables, last, bound
+    return tables, last, bound, n_pos
 
 
 def _rank_adjacent(final: DataFrame, id_col: str) -> DataFrame:
@@ -359,11 +375,10 @@ def suffix_ranks(positions: DataFrame, id_col: str = "doc_id",
                .localCheckpoint(eager=True))
         out.append(cur)
         if early_stop and k < rounds:
-            agg = cur.agg(F.count_distinct("r").alias("m"),
-                          F.count(F.lit(1)).alias("n")).first()
+            m, n = _rank_stats(cur)
             if n_pos is None:
-                n_pos = agg["n"]
-            if agg["m"] == n_pos:               # full suffix sort reached
+                n_pos = n
+            if m == n_pos:                      # full suffix sort reached
                 out.extend([cur] * (rounds - k))
                 break
     return out
@@ -630,9 +645,7 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
     # with one slice comparison instead of 2*base rank joins.
     base = min(_BASE_LEVEL[unit] if unit in _BASE_LEVEL else 0, rounds)
     ppref = _positions_pref(df, text_col, id_col, unit, 1 << base)
-    tables, last, bound = _ranks_wide(ppref, id_col, base, rounds)
-    final = tables[last].select(
-        id_col, "pos", "r", F.col("__rem").alias("rem"))
+    tables, last, bound, n_pos = _ranks_wide(ppref, id_col, base, rounds)
     adj = (_rank_adjacent(tables[last], id_col)
            .withColumn("__acc", F.lit(0)))
     proven = bound is not None
@@ -702,7 +715,17 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
                            F.col("__pb").alias("pos"), lcp.alias("__l"))))
     per_suffix = both.groupBy(id_col, "pos").agg(
         F.max("__l").alias("dup_len"))
-    return (final.select(id_col, "pos")
+    if n_pos >= 2:
+        # adjacency covers EVERY position when there are >= 2 suffixes
+        # (each appears as the left side of its successor pair and/or
+        # the right side of its predecessor pair — inner + boundary
+        # stitching enumerate all consecutive pairs), so the old
+        # re-attach join against the rank table is a no-op; dropping it
+        # removes one corpus-sized SortMergeJoin (guide §2.4).  dup_len
+        # is least(acc, rem, rem) >= 0, never null — same values.
+        return per_suffix
+    final = tables[last].select(id_col, "pos")
+    return (final
             .join(per_suffix, [id_col, "pos"], "left")
             .select(id_col, "pos",
                     F.coalesce("dup_len", F.lit(0)).alias("dup_len")))

@@ -497,9 +497,13 @@ def unigram_train(df: DataFrame, text_col: str = "text",
         multi = (pieces.where(F.length("piece") > 1)
                  .orderBy(F.desc("expected"), "piece")
                  .limit(keep_multi))
+        # no checkpoint: the pruned table is consumed exactly once (the
+        # next EM round's lattice join) and its lineage is one filter +
+        # top-k over the ALREADY-checkpointed EM output — an eager
+        # materialization here was one extra Spark job per prune cycle
+        # for nothing (r12, guide §1.2)
         pieces = (chars.unionByName(multi)
-                  .select("piece", "logp", "expected")
-                  .localCheckpoint(eager=True))
+                  .select("piece", "logp", "expected"))
         if n_chars + keep_multi <= vocab_size:
             pieces = (unigram_em_round(words, pieces, max_piece_len)
                       .localCheckpoint(eager=True))
@@ -580,10 +584,14 @@ def unigram_encode_stats(df: DataFrame, pieces: DataFrame,
     ``(doc_id, n_words, n_chars, n_unigram_tokens)`` — the same
     join-not-fold encode path as :func:`bpe_encode_stats`: Viterbi runs
     once per DISTINCT word, docs then equi-join the result."""
+    # two consumers (distinct-word aggregate + the per-doc join) would
+    # each re-tokenize the corpus — materialize the exploded tokens
+    # once (guide §3.3; r12)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.transform(TX.tokens(text_col),
-                              lambda t: F.lower(t))).alias("word"))
+                              lambda t: F.lower(t))).alias("word")) \
+             .localCheckpoint(eager=True)
     words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     segs = unigram_viterbi_segments(words, pieces, max_piece_len)
     vocab = segs.select("word", F.col("n_pieces").alias("__np"))
@@ -688,10 +696,14 @@ def wordpiece_encode_stats(df: DataFrame, vocab: DataFrame,
     """Per-doc WordPiece token counts under a given vocabulary:
     ``(doc_id, n_words, n_wordpiece_tokens, n_unk_words)`` — greedy
     segmentation once per DISTINCT word, docs equi-join the result."""
+    # two consumers (distinct-word aggregate + the per-doc join) would
+    # each re-tokenize the corpus — materialize the exploded tokens
+    # once (guide §3.3; r12)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.transform(TX.tokens(text_col),
-                              lambda t: F.lower(t))).alias("word"))
+                              lambda t: F.lower(t))).alias("word")) \
+             .localCheckpoint(eager=True)
     words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     segs = wordpiece_segments(words, vocab, max_piece_len)
     joined = toks.join(
