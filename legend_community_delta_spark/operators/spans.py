@@ -186,8 +186,15 @@ def write_span_store(df: DataFrame, path: str, text_col: str = "text",
     counts = (_window_grams(base, id_col, n)
               .groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")))
     counts.write.mode(mode).parquet(path)
-    meta = df.sparkSession.createDataFrame([(int(n), unit)],
-                                           "n int, unit string")
+    # ``unique`` records whether every gh key appears exactly once in
+    # the store files: true after an overwrite (the groupBy guarantees
+    # it), false once any append lands partial counts — readers then
+    # skip or pay the re-aggregation accordingly (r12, guide §2.4:
+    # metadata that removes a shuffle)
+    unique = mode != "append"
+    meta = df.sparkSession.createDataFrame(
+        [(int(n), unit, bool(unique))],
+        "n int, unit string, unique boolean")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 
 
@@ -210,9 +217,13 @@ def incremental_dup_spans(spark, path: str, new_docs: DataFrame,
     # pre-unit stores carry no unit column and were token-built
     unit = meta["unit"] if "unit" in meta.asDict() else "token"
     # appends leave multiple partial-count rows per hash — re-aggregate
-    # before merging or the left join would replicate batch counts
-    store = (spark.read.parquet(path)
-             .groupBy("gh").agg(F.sum("cnt").alias("cnt")))
+    # before merging or the left join would replicate batch counts.  A
+    # store whose meta certifies unique gh keys (one overwrite write,
+    # no appends) skips that exchange: the rows ARE the aggregate
+    # (r12; pre-``unique`` stores conservatively re-aggregate).
+    store = spark.read.parquet(path)
+    if not ("unique" in meta.asDict() and meta["unique"]):
+        store = store.groupBy("gh").agg(F.sum("cnt").alias("cnt"))
     base = new_docs.select(F.col(id_col),
                            TX.unit_array(F.col(text_col), unit)
                            .alias("__toks"))

@@ -233,10 +233,16 @@ def span_dedup_stream(stream: DataFrame, spark: SparkSession,
     # the store footer owns the unit (pre-unit stores were token-built),
     # so char-level stores flow through the gate with no API change
     unit = meta["unit"] if "unit" in meta.asDict() else "token"
-    flagged = (spark.read.parquet(store_path)
-               .groupBy("gh").agg(F.sum("cnt").alias("__cnt"))
-               .where(F.col("__cnt") >= min_count)
-               .select("gh", F.lit(1).alias("__dup")))
+    store = spark.read.parquet(store_path)
+    if "unique" in meta.asDict() and meta["unique"]:
+        # meta certifies one row per gh (single overwrite write, no
+        # appends) — the rows ARE the aggregate, skip the exchange (r12)
+        flagged = (store.where(F.col("cnt") >= min_count)
+                   .select("gh", F.lit(1).alias("__dup")))
+    else:
+        flagged = (store.groupBy("gh").agg(F.sum("cnt").alias("__cnt"))
+                   .where(F.col("__cnt") >= min_count)
+                   .select("gh", F.lit(1).alias("__dup")))
     base = stream.select(F.col(id_col).alias("__id"),
                          unit_array(text_col, unit).alias("__toks"))
     starts = F.when(
