@@ -83,22 +83,28 @@ def _order_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
         .drop("__pid"))
 
 
-def _rank_stats(ranked: DataFrame):
-    """``(class_count, row_count)`` of an :func:`_order_rank`-shaped
-    table in ONE cheap aggregate: ranks are ``bucket * 2**40 + local
-    dense_rank`` with the local ranks CONTIGUOUS 1..m per bucket, so
-    the number of distinct ranks is the sum of per-bucket maxima — a
-    map-side-combinable groupBy over ~4x-parallelism bucket labels
-    (metadata-sized shuffle) instead of the old ``count_distinct``,
-    whose partial-distinct exchange carried every distinct rank (≈ one
-    extra pass over the table per doubling round — guide §2.3)."""
-    g = (ranked.groupBy(F.shiftright("r", 40).alias("__b"))
-         .agg(F.max(F.col("r").bitwiseAND(F.lit((1 << 40) - 1)))
-              .alias("__mx"),
-              F.count(F.lit(1)).alias("__n")))
-    row = g.agg(F.sum("__mx").alias("m"),
-                F.sum("__n").alias("n")).first()
-    return int(row["m"] or 0), int(row["n"] or 0)
+def _rank_stats(ranked: DataFrame, with_rem: bool = False):
+    """``(class_count, row_count[, max_rem])`` of an
+    :func:`_order_rank`-shaped table in ONE cheap aggregate: ranks are
+    ``bucket * 2**40 + local dense_rank`` with the local ranks
+    CONTIGUOUS 1..m per bucket, so the number of distinct ranks is the
+    sum of per-bucket maxima — a map-side-combinable groupBy over
+    ~4x-parallelism bucket labels (metadata-sized shuffle) instead of
+    the old ``count_distinct``, whose partial-distinct exchange carried
+    every distinct rank (≈ one extra pass over the table per doubling
+    round — guide §2.3).  *with_rem* rides ``max(__rem)`` along in the
+    same pass so the round-budget fallback needs no extra job."""
+    aggs = [F.max(F.col("r").bitwiseAND(F.lit((1 << 40) - 1)))
+            .alias("__mx"),
+            F.count(F.lit(1)).alias("__n")]
+    outer = [F.sum("__mx").alias("m"), F.sum("__n").alias("n")]
+    if with_rem:
+        aggs.append(F.max("__rem").alias("__r"))
+        outer.append(F.max("__r").alias("rem"))
+    g = ranked.groupBy(F.shiftright("r", 40).alias("__b")).agg(*aggs)
+    row = g.agg(*outer).first()
+    out = (int(row["m"] or 0), int(row["n"] or 0))
+    return out + (row["rem"],) if with_rem else out
 
 
 def _global_row_number(df: DataFrame, cols: list[str],
@@ -236,7 +242,7 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
                .localCheckpoint(eager=True))
         tables[k] = cur
         last = k
-        m, n = _rank_stats(cur)
+        m, n, maxlen = _rank_stats(cur, with_rem=True)
         if n_pos is None:
             n_pos = n
         if m == n_pos:                       # full suffix sort
@@ -251,10 +257,9 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
         # still be provable from the corpus shape: LCP(a, b) of two
         # DISTINCT suffixes is at most the longer document's length, so
         # 2**rounds > maxlen certifies bound = rounds (the docstring's
-        # classic exactness condition, now detected at runtime).  One
-        # cheap aggregate over the checkpointed final table buys the
-        # descent trim + the tie shortcut.
-        maxlen = tables[last].agg(F.max("__rem").alias("m")).first()["m"]
+        # classic exactness condition, now detected at runtime).
+        # max(__rem) rode along in the final round's class-count
+        # aggregate — no extra pass (r12).
         if maxlen is not None and maxlen < (1 << rounds):
             bound = rounds
     return tables, last, bound, n_pos
