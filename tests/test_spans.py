@@ -150,6 +150,33 @@ def test_span_store_append_merges_counts(spark, tmp_path):
     assert out2[20] == 10
 
 
+def test_span_store_unique_flag_gates_reaggregation(spark, tmp_path):
+    """r12: an overwrite-written store certifies unique gh keys in its
+    __meta footer (readers skip the re-agg exchange); any append flips
+    the flag back to the conservative merge path.  Results must be
+    identical either way."""
+    from legend_community_delta_spark.operators.spans import (
+        incremental_dup_spans, write_span_store)
+    path = str(tmp_path / "store")
+    write_span_store(_docs(spark, [(1, SHARED + " a1")]), path, n=10)
+    meta = spark.read.parquet(f"{path}__meta").first()
+    assert meta["unique"] is True
+    # fast path: store count 1 + batch count 1 reaches min_count=2
+    out = {r["doc_id"]: r["n_removed"] for r in
+           incremental_dup_spans(
+               spark, path, _docs(spark, [(20, SHARED + " n2")])).collect()}
+    assert out[20] == 10
+    write_span_store(_docs(spark, [(2, SHARED + " a2")]), path, n=10,
+                     mode="append")
+    meta = spark.read.parquet(f"{path}__meta").first()
+    assert meta["unique"] is False
+    # merge path still agrees after the append doubled the store count
+    out2 = {r["doc_id"]: r["n_removed"] for r in
+            incremental_dup_spans(
+                spark, path, _docs(spark, [(21, SHARED + " n3")])).collect()}
+    assert out2[21] == 10
+
+
 def test_span_store_width_mismatch_refused(spark, tmp_path):
     from legend_community_delta_spark.operators.spans import write_span_store
     path = str(tmp_path / "store")
