@@ -185,12 +185,29 @@ def write_span_store(df: DataFrame, path: str, text_col: str = "text",
                      TX.unit_array(F.col(text_col), unit).alias("__toks"))
     counts = (_window_grams(base, id_col, n)
               .groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")))
-    counts.write.mode(mode).parquet(path)
+    if mode == "ignore":
+        # Spark SKIPS the data write when the path already exists — the
+        # meta footer must then be left alone too, or a store that
+        # previously received appends would be falsely re-certified
+        # unique (ADVICE r12).  Probe through Spark's FS layer so
+        # non-local URIs resolve correctly.
+        jvm = df.sparkSession._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            df.sparkSession._jsc.hadoopConfiguration())
+        existed = fs.exists(hpath)
+        counts.write.mode(mode).parquet(path)
+        if existed:
+            return
+    else:
+        counts.write.mode(mode).parquet(path)
     # ``unique`` records whether every gh key appears exactly once in
-    # the store files: true after an overwrite (the groupBy guarantees
-    # it), false once any append lands partial counts — readers then
-    # skip or pay the re-aggregation accordingly (r12, guide §2.4:
-    # metadata that removes a shuffle)
+    # the store files: true after a write that REPLACED (overwrite) or
+    # CREATED (error/errorifexists reaching this line, ignore on a
+    # fresh path) the data — the groupBy guarantees one row per gh;
+    # false once any append lands partial counts — readers then skip
+    # or pay the re-aggregation accordingly (r12, guide §2.4: metadata
+    # that removes a shuffle)
     unique = mode != "append"
     meta = df.sparkSession.createDataFrame(
         [(int(n), unit, bool(unique))],

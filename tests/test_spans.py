@@ -177,6 +177,29 @@ def test_span_store_unique_flag_gates_reaggregation(spark, tmp_path):
     assert out2[21] == 10
 
 
+def test_span_store_ignore_mode_preserves_append_meta(spark, tmp_path):
+    """ADVICE r12: mode='ignore' on an existing path skips the data
+    write, so the __meta footer must not be re-certified unique=True —
+    an appended store would otherwise take the skip-reaggregation fast
+    path over duplicate gh rows.  On a FRESH path ignore behaves like a
+    create and may certify unique."""
+    from legend_community_delta_spark.operators.spans import write_span_store
+    path = str(tmp_path / "store")
+    write_span_store(_docs(spark, [(1, SHARED + " a1")]), path, n=10)
+    write_span_store(_docs(spark, [(2, SHARED + " a2")]), path, n=10,
+                     mode="append")
+    assert spark.read.parquet(f"{path}__meta").first()["unique"] is False
+    # ignore on the existing path: data write skipped, meta untouched
+    write_span_store(_docs(spark, [(3, SHARED + " a3")]), path, n=10,
+                     mode="ignore")
+    assert spark.read.parquet(f"{path}__meta").first()["unique"] is False
+    # ignore on a fresh path: the write happened, unique is certified
+    fresh = str(tmp_path / "fresh")
+    write_span_store(_docs(spark, [(1, SHARED + " a1")]), fresh, n=10,
+                     mode="ignore")
+    assert spark.read.parquet(f"{fresh}__meta").first()["unique"] is True
+
+
 def test_span_store_width_mismatch_refused(spark, tmp_path):
     from legend_community_delta_spark.operators.spans import write_span_store
     path = str(tmp_path / "store")
