@@ -25,6 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dataframe import dq_metrics
+from .functions import local_df
 from .legend import Legend
 from .model.loader import load_dicts
 from .operators import dedup as DD
@@ -4397,12 +4398,16 @@ def _q_cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the layout bit-identical across engines: the oracle reproduces the
     boundary rule and compares the chunk TEXT itself."""
     ensure_views(spark, sf_dir)
-    from .operators.scoring import cdc_chunks
+    from .operators.scoring import cdc_chunks_arrow
     # single-file input arrives as one split; spread the per-window
-    # hashing across cores the way a multi-split scan would be
+    # hashing across cores the way a multi-split scan would be.
+    # r13: Arrow-batched twin of the HOF plan (guide §4.2 — the rolling
+    # md5 + boundary fold were per-row interpreted expressions): 6.2 s
+    # -> 0.5 s at sf0.1, rows byte-identical (pinned in
+    # tests/test_scoring.py::test_cdc_chunks_arrow_matches_hof).
     docs = _spread(spark.table("documents"), spark)
-    return (cdc_chunks(docs, window=4,
-                       boundary_hex=1, min_tokens=1, portable=True)
+    return (cdc_chunks_arrow(docs, window=4,
+                             boundary_hex=1, min_tokens=1)
             .select("doc_id", F.col("chunk_id").cast("long")
                     .alias("chunk_id"),
                     "start_token", "n_tokens", "chunk_text"))
@@ -4812,7 +4817,8 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.retrieval import bm25_topk
     # single-file input arrives as one split; spread the tokenize work
     docs = _spread(spark.table("documents"), spark)
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [("q1", "spark hash join"), ("q2", "window sort table"),
          ("q3", "merge batch value"), ("q4", "slow scan row")],
         "query_id string, query string")
@@ -5058,7 +5064,8 @@ def _q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     path = tempfile.mkdtemp(prefix="legend_bm25_idx_") + "/idx"
     write_bm25_index(docs, path)
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [("q1", "spark hash join"), ("q2", "window sort table"),
          ("q3", "merge batch value"), ("q4", "slow scan row")],
         "query_id string, query string")
@@ -5195,8 +5202,8 @@ def _q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     from .operators.tokenize import bpe_train
     merges, _ = bpe_train(spark.table("documents"), n_merges=12)
-    return spark.createDataFrame(
-        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+    return local_df(
+        spark, [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "step int, left string, right string, pair_count long")
 
 

@@ -24,6 +24,7 @@ import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import local_df
 from ..functions.text import char_shingles, content_hash, word_ngrams
 from ..functions.vectors import cosine, hyperplane_signature
 
@@ -334,9 +335,8 @@ def write_signature_store(df: DataFrame, path: str, text_col: str = "text",
     (sigs.withColumnRenamed("__id", id_col)
          .withColumnRenamed("__sig", "sig")
          .write.mode(mode).parquet(path))
-    meta = df.sparkSession.createDataFrame(
-        [tuple(params.values())],
-        "method string, num_hashes int, shingle_k int, seed int")
+    meta = local_df(df.sparkSession, [tuple(params.values())],
+                    "method string, num_hashes int, shingle_k int, seed int")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 
 
@@ -1043,9 +1043,8 @@ def write_pair_store(pairs: DataFrame, path: str, *,
                 prior.select("id_a", "id_b"), ["id_a", "id_b"],
                 "left_anti")
     to_write.write.mode(mode).parquet(path)
-    meta = pairs.sparkSession.createDataFrame(
-        [tuple(params.values())],
-        "method string, n int, threshold double")
+    meta = local_df(pairs.sparkSession, [tuple(params.values())],
+                    "method string, n int, threshold double")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 
 

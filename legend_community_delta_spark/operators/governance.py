@@ -15,6 +15,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import local_df
+
 
 def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
                        k: int = 5) -> DataFrame:
@@ -92,9 +94,9 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
             .select(digit.cast("int").alias("digit")))
     counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("__t"))
-    digits = counts.sparkSession.createDataFrame(
-        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
-        "digit int, expected_p double")
+    digits = local_df(counts.sparkSession,
+                      [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+                      "digit int, expected_p double")
     return (digits.join(counts, "digit", "left")
             .crossJoin(F.broadcast(total))
             .select("digit",

@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import local_df
+
 __all__ = [
     "sample_cut_points",
     "sample_cut_points_multi",
@@ -268,8 +270,7 @@ def file_skipping_stats(spark: SparkSession, path: str,
     schema = ("file string, rows long, col string, "
               "min_value string, max_value string")
     if len(files) <= driver_files_max:
-        return spark.createDataFrame(
-            _footer_stats_rows(files, want), schema)
+        return local_df(spark, _footer_stats_rows(files, want), schema)
     names = spark.createDataFrame([(f,) for f in files], "file string")
 
     def _footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

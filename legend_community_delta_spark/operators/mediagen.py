@@ -30,6 +30,8 @@ import zlib
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import local_df
+
 __all__ = [
     "synth_pixels",
     "synth_samples",
@@ -316,8 +318,7 @@ def synth_media_table(spark: SparkSession, per_format: int = 8,
     ``(media_id long, fmt string, payload binary)``, repartitioned so
     the decode UDFs exercise real multi-partition Arrow batching."""
     rows = synth_media_rows(per_format, width, height, wav_frames)
-    df = spark.createDataFrame(
-        rows, "media_id long, fmt string, payload binary")
+    df = local_df(spark, rows, "media_id long, fmt string, payload binary")
     return df.repartition(4, "media_id")
 
 
@@ -416,8 +417,7 @@ def synth_video_table(spark: SparkSession, per_format: int = 4,
     """The synthetic animated-media table
     ``(media_id long, fmt string, payload binary)``."""
     rows = synth_video_rows(per_format, width, height, n_frames)
-    df = spark.createDataFrame(
-        rows, "media_id long, fmt string, payload binary")
+    df = local_df(spark, rows, "media_id long, fmt string, payload binary")
     return df.repartition(4, "media_id")
 
 
@@ -549,5 +549,5 @@ def synth_hevc_video_table(spark: SparkSession, n_media: int = 3,
     for m in range(n_media):
         lumas = [synth_hevc_luma(m, f, h, w) for f in range(n_frames)]
         rows.append((m, bytearray(encode_hevc_mp4(lumas))))
-    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    df = local_df(spark, rows, "media_id long, payload binary")
     return df.repartition(2, "media_id")

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import local_df
 from ..functions import text as TX
 
 
@@ -167,6 +168,6 @@ def query_bm25_index(spark, path: str, queries: DataFrame, k: int = 10,
            .where(F.col("__bkt").isin(buckets))
            .where(F.col("tok").isin(terms))
            .select("tok", "doc_id", "tf", "dl"))
-    stats = spark.createDataFrame(
-        [(meta.n_docs, meta.avgdl)], "n_docs long, avgdl double")
+    stats = local_df(spark, [(meta.n_docs, meta.avgdl)],
+                     "n_docs long, avgdl double")
     return _bm25_rank(hit, qterms, stats, k, k1, b)

@@ -15,6 +15,7 @@ import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import local_df
 from ..functions.vectors import (cosine, dot, hyperplane_signature,
                                  literal_vector)
 
@@ -206,9 +207,8 @@ def build_lsh_index(df: DataFrame, path: str, dims: int,
               for _ in range(n_planes)]
     (df.withColumn("__sig", hyperplane_signature(vec_col, planes))
        .write.mode("overwrite").partitionBy("__sig").parquet(path))
-    meta = df.sparkSession.createDataFrame(
-        [(int(n_planes), int(seed), int(dims))],
-        "n_planes int, seed int, dims int")
+    meta = local_df(df.sparkSession, [(int(n_planes), int(seed), int(dims))],
+                    "n_planes int, seed int, dims int")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 
 
@@ -258,9 +258,9 @@ def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
         for i, c in enumerate(centroids)])
     (df.withColumn("__cell", F.array_max(sims)["cell"])
        .write.mode("overwrite").partitionBy("__cell").parquet(path))
-    meta = df.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>")
+    meta = local_df(df.sparkSession,
+                    [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                    "cell int, centroid array<double>")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
     return centroids
 
@@ -368,8 +368,8 @@ def ann_recall(df: DataFrame, queries: DataFrame, approx_fn, k: int = 10,
         hits = len(got & expect)
         rows.append((q[query_id_col], hits,
                      hits / len(expect) if expect else 1.0))
-    return df.sparkSession.createDataFrame(
-        rows, f"{query_id_col} long, hits int, recall double")
+    return local_df(df.sparkSession, rows,
+                    f"{query_id_col} long, hits int, recall double")
 
 
 def _l2sq_col(a, b) -> F.Column:
@@ -516,8 +516,8 @@ def build_pq_index(df: DataFrame, path: str, dims: int, m: int = 8,
     flat = [(j, c, [float(x) for x in code])
             for j, codes_j in enumerate(codebooks)
             for c, code in enumerate(codes_j)]
-    meta = df.sparkSession.createDataFrame(
-        flat, "sub int, code int, centroid array<double>")
+    meta = local_df(df.sparkSession, flat,
+                    "sub int, code int, centroid array<double>")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
     return codebooks
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import local_df
 from ..functions import text as TX
 
 _SEP = "\x1f"
@@ -209,9 +210,8 @@ def write_span_store(df: DataFrame, path: str, text_col: str = "text",
     # or pay the re-aggregation accordingly (r12, guide §2.4: metadata
     # that removes a shuffle)
     unique = mode != "append"
-    meta = df.sparkSession.createDataFrame(
-        [(int(n), unit, bool(unique))],
-        "n int, unit string, unique boolean")
+    meta = local_df(df.sparkSession, [(int(n), unit, bool(unique))],
+                    "n int, unit string, unique boolean")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}__meta")
 
 

@@ -44,6 +44,8 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import local_df
+
 __all__ = ["read_delta", "delta_log_versions", "delta_history"]
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -109,8 +111,8 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
             ts = int(os.stat(commit_files[v]).st_mtime * 1000)
         rows.append((v, float(ts) / 1000.0, op))
     rows.reverse()
-    return spark.createDataFrame(
-        rows, "version int, timestamp double, operation string")
+    return local_df(spark, rows,
+                    "version int, timestamp double, operation string")
 
 
 def _gate_protocol(path: str, protocol: dict | None) -> None:

@@ -51,6 +51,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import local_df
+
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -421,8 +423,8 @@ class VersionedTable:
             raise ValueError(f"versioned table at [{self.path}] is empty")
         rows = [(c["version"], float(c["timestamp"]), c["operation"])
                 for c in reversed(commits)]
-        return self.spark.createDataFrame(
-            rows, "version int, timestamp double, operation string")
+        return local_df(self.spark, rows,
+                        "version int, timestamp double, operation string")
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop snapshot directories older than the last *keep_last*
@@ -686,7 +688,7 @@ class VersionedTable:
                                a["size"], a["modificationTime"],
                                a["dataChange"])) for a in adds]
         stage = tempfile.mkdtemp(prefix="ckpt-", dir=log_dir)
-        self.spark.createDataFrame(rows, ckpt_schema).coalesce(1) \
+        local_df(self.spark, rows, ckpt_schema).coalesce(1) \
             .write.mode("overwrite").parquet(f"{stage}/p")
         part = [n for n in os.listdir(f"{stage}/p")
                 if n.endswith(".parquet")][0]

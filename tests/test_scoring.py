@@ -490,6 +490,32 @@ def test_cdc_chunks_matches_reference_and_reconstructs(spark):
                 assert joined == " ".join(text.split())
 
 
+def test_cdc_chunks_arrow_matches_hof(spark):
+    """r13: the Arrow-batched portable-mode twin must produce
+    byte-identical rows to the HOF reference on random fixtures, unicode
+    whitespace (Java \\S is ASCII-only — the Python regex must agree),
+    nulls, and empties."""
+    from legend_community_delta_spark.operators.scoring import (
+        cdc_chunks, cdc_chunks_arrow)
+    import random
+    rng = random.Random(77)
+    rows = [(i, " ".join(rng.choice("abcdefgh")
+                         for _ in range(rng.randint(0, 60))))
+            for i in range(30)]
+    rows += [(100, ""), (101, None), (102, "one"),
+             (103, "a b c\td  e"),       # NBSP is NOT Java \s
+             (104, "x " * 200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, hexz, mint in ((2, 1, 1), (4, 1, 3), (3, 1, 5)):
+        a = sorted(map(tuple, cdc_chunks_arrow(
+            df, window=window, boundary_hex=hexz,
+            min_tokens=mint).collect()))
+        b = sorted(map(tuple, cdc_chunks(
+            df, window=window, boundary_hex=hexz,
+            min_tokens=mint, portable=True).collect()))
+        assert a == b, (window, hexz, mint)
+
+
 def test_cdc_chunks_content_defined_shift_locality(spark):
     """Inserting a token near the head must leave all chunks after the
     next boundary byte-identical — the property fixed-size chunking
