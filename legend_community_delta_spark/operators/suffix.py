@@ -51,6 +51,43 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions import text as TX
 
 
+def _rank_buckets(df: DataFrame) -> int:
+    """Range-bucket count for :func:`_order_rank`, derived from the
+    input's optimizer size estimate instead of a cores-only constant
+    (guide §2.5; VERDICT r12 item 5: partition counts pinned to CPUS
+    scale overhead with cores regardless of data volume — 8-core runs
+    beat 32-core at bench SF).  ``clamp(est_bytes / bytesPerBucket,
+    cores, 4*cores)``:
+
+    * the CEILING stays 4x parallelism — the rank window re-shuffles by
+      the partition-id LABEL, and hashing n labels into n shuffle
+      partitions leaves ~1/e of them empty with 2-3x stragglers
+      elsewhere (synthetic keys need several distinct values per
+      partition); 4 labels per hash bucket evens the window stage out;
+    * the FLOOR keeps every core busy on real data;
+    * tiny inputs no longer fan out to 4x-cores buckets of a few KB
+      each, which was pure per-task overhead.
+
+    ``spark.legend.rank.bytesPerBucket`` (default 4 MiB of estimated
+    input bytes) tunes the trade; the estimate is the optimizer's
+    (parquet footer stats propagated through projections), so no job
+    runs.  Bucket count only relabels ranks — classes and order are
+    unchanged at any value.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        est = -1
+    if est <= 0:
+        return 4 * cores
+    target = int(spark.conf.get("spark.legend.rank.bytesPerBucket",
+                                str(4 * 1024 * 1024)))
+    return max(cores, min(4 * cores, (est + target - 1) // target))
+
+
 def _order_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
     """Distributed order-preserving rank over *cols*, appended to every
     input row: equal tuples share a rank, and rank order == tuple
@@ -66,14 +103,7 @@ def _order_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:
     exactly once.  (A pathological corpus where most rows share one
     tuple still serializes that tie group's partition — the same skew
     profile as any sort-based rank.)"""
-    spark = df.sparkSession
-    # 4x parallelism: the rank window re-shuffles by the partition-id
-    # LABEL, and hashing n labels into n shuffle partitions leaves ~1/e
-    # of them empty with 2-3x stragglers elsewhere (guide §2.5 —
-    # synthetic keys need several distinct values per partition);
-    # 4 labels per hash bucket evens the window stage out
-    n_parts = 4 * spark.sparkContext.defaultParallelism
-    d = df.repartitionByRange(n_parts, *cols)
+    d = df.repartitionByRange(_rank_buckets(df), *cols)
     d = d.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*cols)
     return (d.withColumn(
@@ -105,29 +135,6 @@ def _rank_stats(ranked: DataFrame, with_rem: bool = False):
     row = g.agg(*outer).first()
     out = (int(row["m"] or 0), int(row["n"] or 0))
     return out + (row["rem"],) if with_rem else out
-
-
-def _global_row_number(df: DataFrame, cols: list[str],
-                       out: str) -> DataFrame:
-    """Global 1-based row_number by *cols* without a single-partition
-    window — same range-partition + broadcast-offset construction as
-    :func:`_order_rank`, minus the distinct."""
-    spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    d = (df.repartitionByRange(n_parts, *cols)
-         .localCheckpoint(eager=True))
-    d = d.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    d = d.withColumn("__lr", F.row_number().over(w))
-    counts = d.groupBy("__pid").agg(F.max("__lr").alias("__n"))
-    woff = (Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    offs = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(woff), F.lit(0))
-        .alias("__off"))
-    return (d.join(F.broadcast(offs), "__pid")
-            .withColumn(out, F.col("__lr") + F.col("__off"))
-            .drop("__pid", "__lr", "__off"))
 
 
 # shared with the hash-keyed spans family so unit="char" means the same
@@ -184,7 +191,7 @@ def _positions_pref(df: DataFrame, text_col: str, id_col: str,
 
 
 def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
-                rounds: int) -> tuple[dict, int, int | None]:
+                rounds: int) -> tuple[dict, int, int | None, int]:
     """Rank tables from the wide base up: returns ``(tables, last,
     lcp_bound, n_pos)`` where ``tables[k]`` ranks every suffix by its
     first ``2**k`` units for ``k = base .. last`` (each ``(id, pos, r,
@@ -214,6 +221,46 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
     if base == rounds:
         m, n = _rank_stats(cur)
         return tables, last, (base if m == n else None), n
+    # r13: ONE tiny aggregate over the freshly checkpointed base table
+    # fetches (maxlen, n_pos) up front.  When the doc-length
+    # certificate ``2**B > maxlen`` proves the bound at some B <=
+    # rounds — every suffix is then fully determined by its width-2**B
+    # slice, so level-B ranks ARE the full suffix sort and further
+    # doubling can neither split nor reorder classes — the loop runs
+    # straight to B with NO per-round class-count job (the old loop
+    # burned one stats action per round discovering the same fixed
+    # point one level later).  Outputs are byte-identical: the old
+    # path's extra round produced the same class order, and its
+    # ``bound = B`` descent start is reproduced exactly.  Corpora
+    # whose maxlen exceeds the round budget keep the stats-driven
+    # fixed-point loop below.
+    row = cur.agg(F.max("__rem").alias("__mx"),
+                  F.count(F.lit(1)).alias("__n")).first()
+    maxlen0 = int(row["__mx"] or 0)
+    n_pos0 = int(row["__n"] or 0)
+    if maxlen0 < (1 << rounds):
+        bnd = base
+        while (1 << bnd) <= maxlen0:
+            bnd += 1                 # smallest B with 2**B > maxlen
+        for k in range(base + 1, bnd + 1):
+            half = 1 << (k - 1)
+            pairs = cur.select(
+                id_col, "pos", "r", "__rem",
+                F.coalesce(F.lead("r", half).over(w_id),
+                           F.lit(0)).alias("r2"),
+                F.lead("r", 1 << k).over(w_id).alias("__rl"))
+            wb = Window.partitionBy("__b").orderBy("r", "r2")
+            cur = (pairs.withColumn("__b", F.shiftright("r", 40))
+                   .select(
+                       id_col, "pos", "__rem",
+                       (F.col("__b") * F.lit(1 << 40)
+                        + F.dense_rank().over(wb)).alias("r"),
+                       F.col("r").alias("__rp"),
+                       "__rl")
+                   .localCheckpoint(eager=True))
+            tables[k] = cur
+            last = k
+        return tables, last, bnd, n_pos0
     # n_pos and the base class count fold into the FIRST loop round's
     # aggregate (one driver action saved); the only cost is that a
     # corpus already unique at the base is detected one round late —
@@ -223,7 +270,15 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
         half = 1 << (k - 1)
         pairs = cur.select(
             id_col, "pos", "r", "__rem",
-            F.coalesce(F.lead("r", half).over(w_id), F.lit(0)).alias("r2"))
+            F.coalesce(F.lead("r", half).over(w_id), F.lit(0)).alias("r2"),
+            # r13 descent fold: carry the PREVIOUS level's rank at
+            # pos + 2**k through this round (same w_id window — no new
+            # exchange), so the LCP descent can resolve levels k and
+            # k-1 from ONE probe row: after agreeing at k (acc += 2**k)
+            # the level-(k-1) rank it needs is exactly this lead;
+            # after disagreeing it is __rp below.  Halves the descent's
+            # shuffle joins (guide §2.4).
+            F.lead("r", 1 << k).over(w_id).alias("__rl"))
         # No range partitioner after the base round (guide §2.4): the
         # high bits of r ARE the base round's range partition, every
         # doubling round refines within them (same r => same bucket,
@@ -238,7 +293,10 @@ def _ranks_wide(ppref: DataFrame, id_col: str, base: int,
                .select(
                    id_col, "pos", "__rem",
                    (F.col("__b") * F.lit(1 << 40)
-                    + F.dense_rank().over(wb)).alias("r"))
+                    + F.dense_rank().over(wb)).alias("r"),
+                   # previous level's rank at pos (descent fold)
+                   F.col("r").alias("__rp"),
+                   "__rl")
                .localCheckpoint(eager=True))
         tables[k] = cur
         last = k
@@ -655,14 +713,32 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
            .withColumn("__acc", F.lit(0)))
     proven = bound is not None
     top = (bound - 1) if proven else rounds
-    for k in range(min(top, last), base - 1, -1):
+    k = min(top, last)
+    while k >= base:
         rk = tables[k]
-        ra = rk.select(F.col(id_col).alias("__qida"),
-                       F.col("pos").alias("__qa"),
-                       F.col("r").alias("__ra"))
-        rb = rk.select(F.col(id_col).alias("__qidb"),
-                       F.col("pos").alias("__qb"),
-                       F.col("r").alias("__rb"))
+        # r13: tables above the base carry the previous level's rank at
+        # pos (__rp) and at pos + 2**k (__rl), so ONE probe round
+        # resolves levels k AND k-1 — the level-(k-1) rank the old
+        # second round fetched is __rl after agreement at k (the probe
+        # position advanced by 2**k) and __rp after disagreement (same
+        # probe position).  Missing probe rows / leads past the doc end
+        # coalesce to the same 0 sentinel the per-level joins used, so
+        # the accumulated acc is byte-identical.  Guide §2.4: half the
+        # descent's shuffle joins outright.
+        fold = k - 1 >= base and "__rp" in rk.columns
+        cols_a = [F.col(id_col).alias("__qida"),
+                  F.col("pos").alias("__qa"),
+                  F.col("r").alias("__ra")]
+        cols_b = [F.col(id_col).alias("__qidb"),
+                  F.col("pos").alias("__qb"),
+                  F.col("r").alias("__rb")]
+        if fold:
+            cols_a += [F.col("__rp").alias("__rpa"),
+                       F.col("__rl").alias("__rla")]
+            cols_b += [F.col("__rp").alias("__rpb"),
+                       F.col("__rl").alias("__rlb")]
+        ra = rk.select(*cols_a)
+        rb = rk.select(*cols_b)
         adj = (adj
                .join(ra, (F.col("__ida") == F.col("__qida")) &
                          (F.col("__qa") == F.col("__pa") + F.col("__acc")),
@@ -672,10 +748,23 @@ def longest_dup_prefix(df: DataFrame, text_col: str = "text",
                      "left").drop("__qidb", "__qb"))
         agree = (F.coalesce("__ra", F.lit(0))
                  == F.coalesce("__rb", F.lit(0)))
-        adj = (adj.withColumn(
-            "__acc", F.col("__acc")
-            + F.when(agree, F.lit(1 << k)).otherwise(F.lit(0)))
-            .drop("__ra", "__rb"))
+        if fold:
+            ra2 = F.when(agree, F.col("__rla")).otherwise(F.col("__rpa"))
+            rb2 = F.when(agree, F.col("__rlb")).otherwise(F.col("__rpb"))
+            agree2 = (F.coalesce(ra2, F.lit(0))
+                      == F.coalesce(rb2, F.lit(0)))
+            adj = (adj.withColumn(
+                "__acc", F.col("__acc")
+                + F.when(agree, F.lit(1 << k)).otherwise(F.lit(0))
+                + F.when(agree2, F.lit(1 << (k - 1))).otherwise(F.lit(0)))
+                .drop("__ra", "__rb", "__rpa", "__rla", "__rpb", "__rlb"))
+            k -= 2
+        else:
+            adj = (adj.withColumn(
+                "__acc", F.col("__acc")
+                + F.when(agree, F.lit(1 << k)).otherwise(F.lit(0)))
+                .drop("__ra", "__rb"))
+            k -= 1
     if base > 0:
         # bottom `base` levels: fetch the width-2**base slice at each
         # side's accumulated offset once, then compare sub-slices with
