@@ -3163,10 +3163,13 @@ def _q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of cross-corpus decontamination."""
     ensure_views(spark, sf_dir)
     from .operators.scoring import boilerplate_stats
-    # r12: measured _spread here at 22 s vs 5.1 s without (the operator
-    # references the corpus scan repeatedly; the added exchange subtree
-    # re-executes per reference) — left unspread deliberately
-    return (boilerplate_stats(spark.table("documents"), n=3,
+    # r12 measured _spread as a 4x REGRESSION on the old 3-pass shape
+    # (each corpus reference re-executed the added exchange); r13's
+    # checkpointed single gram pass removes the repeated references, and
+    # _spread now parallelizes that one pass: 4.4 s -> 1.9 s
+    # (hash-identical, interleaved A/B)
+    docs = _spread(spark.table("documents"), spark)
+    return (boilerplate_stats(docs, n=3,
                               min_doc_frac=0.01)
             .select("doc_id", "n_grams", "n_boiler",
                     F.round("boiler_frac", 6).alias("boiler_frac")))

@@ -257,10 +257,14 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                            portable=(method == "md5"))
                          .alias("__band"))
 
-    bucket_sizes = banded.groupBy("__band").agg(
-        F.count(F.lit(1)).alias("__n"))
-    cool = (banded.join(bucket_sizes.where(F.col("__n") <= max_bucket),
-                        "__band"))
+    # bucket-size cap as a window count over the SAME __band exchange
+    # the old groupBy + join-back paid twice (r13; the r12 PPJoin
+    # document-frequency trick, guide §2.4) — identical rows, one
+    # shuffle fewer
+    cool = (banded
+            .withColumn("__n", F.count(F.lit(1))
+                        .over(Window.partitionBy("__band")))
+            .where(F.col("__n") <= max_bucket).drop("__n"))
 
     left = cool.select(F.col("__id").alias("id_a"), "__band")
     right = cool.select(F.col("__id").alias("id_b"), "__band")

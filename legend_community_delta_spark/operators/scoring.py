@@ -351,11 +351,25 @@ def boilerplate_stats(df: DataFrame, text_col: str = "text",
     template shapes), so non-boilerplate grams drop map-side and only
     hits reach the aggregate.  No gram×gram self-join anywhere.
     """
-    boiler = boilerplate_ngrams(df, text_col, id_col, n, min_doc_frac)
-    hits = (df.select(F.col(id_col).alias("__id"),
-                      F.explode(F.array_distinct(
-                          word_ngrams(text_col, n))).alias("gram"))
-            .join(F.broadcast(boiler.select("gram")), "gram")
+    # r13: ONE tokenize + distinct-gram explode pass, checkpointed and
+    # shared by the boilerplate doc-frequency set AND the per-doc hit
+    # counts — the old shape re-tokenized + re-exploded the corpus once
+    # per consumer (guide §3.3: fan-out intermediates; 4.4 s -> ~2 s at
+    # sf0.1, rows identical).  The checkpoint rows are (id, gram) — the
+    # same bytes the gram exchange already shipped.  The per-doc gram
+    # TOTAL stays the original narrow map-side expression (no explode)
+    # so null-text docs keep their NULL n_grams verbatim.
+    grams = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(F.array_distinct(
+                           word_ngrams(text_col, n))).alias("gram"))
+             .localCheckpoint(eager=True))
+    total = df.select(F.count(F.lit(1)).alias("__nd"))
+    boiler = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__gd"))
+              .crossJoin(F.broadcast(total))
+              .where(F.col("__gd").cast("double") / F.col("__nd")
+                     >= F.lit(float(min_doc_frac)))
+              .select("gram"))
+    hits = (grams.join(F.broadcast(boiler), "gram")
             .groupBy("__id").agg(F.count(F.lit(1)).alias("n_boiler")))
     return (df.select(F.col(id_col),
                       F.size(F.array_distinct(word_ngrams(text_col, n)))
