@@ -360,14 +360,21 @@ def ann_recall(df: DataFrame, queries: DataFrame, approx_fn, k: int = 10,
                               query_id_col, query_vec_col).collect():
         truth_sets.setdefault(r[query_id_col], set()).add(r[id_col])
 
-    rows = []
-    for q in queries.collect():
+    def _one(q):
         got = {r[id_col] for r in approx_fn(
             queries.where(F.col(query_id_col) == q[query_id_col])).collect()}
         expect = truth_sets.get(q[query_id_col], set())
         hits = len(got & expect)
-        rows.append((q[query_id_col], hits,
-                     hits / len(expect) if expect else 1.0))
+        return (q[query_id_col], hits,
+                hits / len(expect) if expect else 1.0)
+
+    # the per-query probes are independent bounded jobs — submit a few
+    # concurrently so each job's scheduling tail back-fills the others
+    # (guide §2.6); pool.map preserves query order, so output rows are
+    # identical to the old sequential loop
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        rows = list(pool.map(_one, queries.collect()))
     return local_df(df.sparkSession, rows,
                     f"{query_id_col} long, hits int, recall double")
 

@@ -586,7 +586,14 @@ def unigram_encode_stats(df: DataFrame, pieces: DataFrame,
     once per DISTINCT word, docs then equi-join the result."""
     # two consumers (distinct-word aggregate + the per-doc join) would
     # each re-tokenize the corpus — materialize the exploded tokens
-    # once (guide §3.3; r12)
+    # once (guide §3.3; r12).  SCALE NOTE (ADVICE r12): localCheckpoint
+    # pins this corpus-sized token table in executor block storage and
+    # is not fault-tolerant; at 100 TB prefer persist(DISK_ONLY) +
+    # unpersist, or checkpoint only the vocabulary-sized distinct-word
+    # aggregate and accept one re-tokenize for the per-doc join.  At
+    # bench/fixture scale the pinned bytes are MBs and the eager
+    # checkpoint is the cheaper shape; the trade is documented rather
+    # than auto-switched (the crossover is deployment-specific).
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.transform(TX.tokens(text_col),
@@ -698,7 +705,14 @@ def wordpiece_encode_stats(df: DataFrame, vocab: DataFrame,
     segmentation once per DISTINCT word, docs equi-join the result."""
     # two consumers (distinct-word aggregate + the per-doc join) would
     # each re-tokenize the corpus — materialize the exploded tokens
-    # once (guide §3.3; r12)
+    # once (guide §3.3; r12).  SCALE NOTE (ADVICE r12): localCheckpoint
+    # pins this corpus-sized token table in executor block storage and
+    # is not fault-tolerant; at 100 TB prefer persist(DISK_ONLY) +
+    # unpersist, or checkpoint only the vocabulary-sized distinct-word
+    # aggregate and accept one re-tokenize for the per-doc join.  At
+    # bench/fixture scale the pinned bytes are MBs and the eager
+    # checkpoint is the cheaper shape; the trade is documented rather
+    # than auto-switched (the crossover is deployment-specific).
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.transform(TX.tokens(text_col),

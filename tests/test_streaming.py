@@ -93,10 +93,23 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     sessions = sessionize_stream(stream, gap="30 minutes")
     q = (sessions.writeStream.format("memory").queryName("sessions_out")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    out = spark.sql("select * from sessions_out").collect()
+    # The processing-time state timeout keeps the query alive past the
+    # availableNow batch, so awaitTermination(120) used to burn its full
+    # 120 s (r13 suite profile).  The closed session lands with batch 1;
+    # poll for it (bounded by the same 120 s), then stop the query —
+    # identical assertions, seconds instead of minutes.
+    import time as _time
+    deadline = _time.time() + 120
+    closed = {}
+    while _time.time() < deadline:
+        out = spark.sql("select * from sessions_out").collect()
+        closed = {(r["user_id"], r["session_id"]): r["n_events"]
+                  for r in out}
+        if (1, 0) in closed:
+            break
+        _time.sleep(0.5)
+    q.stop()
     # user 1's first session closes (2 events) when the third event arrives
-    closed = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
     assert closed.get((1, 0)) == 2
 
 

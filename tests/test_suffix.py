@@ -252,7 +252,7 @@ def test_suffix_differential_fuzz_vs_python(spark):
     word = st.sampled_from(["a", "b", "c", "ab"])
     doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
 
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=5, deadline=None)
     @given(st.lists(doc, min_size=1, max_size=5), st.integers(2, 3))
     def check(texts, n):
         toks = {i + 1: t.split() for i, t in enumerate(texts)}
